@@ -1,0 +1,83 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the no-op sink (full execution, no driver
+collect overhead) after a warm-up pass of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fuse_query_spark.queries import load_registry
+from fuse_query_spark.session import get_spark
+
+# Headline set: one per operator family (grows as coverage grows).
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "agg_global_stats",
+    "agg_uniq",
+    "agg_combinator_if",
+    "sort_topk",
+    "limit_by",
+    "filter_predicates",
+    "numbers_agg",
+    "expr_projection",
+    "join_revenue_by_nation",
+    "window_running_total",
+    "setop_union_keys",
+    "events_tumbling_hourly",
+    "text_quality_score",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+]
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    registry = load_registry()
+    spark = get_spark("fuse-query-spark-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        try:
+            force(spec.fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a broken bench query should not zero the run
+            print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

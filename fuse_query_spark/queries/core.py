@@ -1,0 +1,402 @@
+"""Core SELECT semantics: scan/filter/project/aggregate/sort/limit.
+
+Covers SURVEY §2.1 (scans, numbers table function), §2.2
+(projection/filter/expression/having), §2.4 (aggregation incl. the
+reference's combinator surface: uniq / argMin / argMax / xxxIf /
+xxxDistinct), §2.6 (sort, top-k, limit/offset, LIMIT n BY).
+
+All money aggregates use exact decimal arithmetic (see
+functions/exact.py) so results hash-match the DuckDB oracle bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fuse_query_spark.functions.exact import davg, dec, dsum, one_minus, one_plus
+from fuse_query_spark.queries import register
+from fuse_query_spark.sources.table_functions import numbers
+from fuse_query_spark.sources.tables import table
+
+# Shared decimal-cast SQL fragments for oracles.
+_DQ = "CAST(l_quantity AS DECIMAL(12,2))"
+_DP = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DD = "CAST(l_discount AS DECIMAL(12,2))"
+_DT = "CAST(l_tax AS DECIMAL(12,2))"
+_ONE = "CAST(1 AS DECIMAL(3,2))"
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_DQ}) AS DOUBLE)                               AS sum_qty,
+           CAST(SUM({_DP}) AS DOUBLE)                               AS sum_base_price,
+           CAST(SUM({_DP} * ({_ONE} - {_DD})) AS DOUBLE)            AS sum_disc_price,
+           CAST(SUM({_DP} * ({_ONE} - {_DD}) * ({_ONE} + {_DT})) AS DOUBLE) AS sum_charge,
+           CAST(SUM({_DQ}) AS DOUBLE) / COUNT(l_quantity)           AS avg_qty,
+           CAST(SUM({_DP}) AS DOUBLE) / COUNT(l_extendedprice)      AS avg_price,
+           CAST(SUM({_DD}) AS DOUBLE) / COUNT(l_discount)           AS avg_disc,
+           COUNT(*)                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate", "groupby", "filter", "flagship"),
+)
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: the flagship group-aggregate.
+
+    Reference parity: GroupByPartial/Final two-phase hash aggregation
+    (transform_group_by_partial.rs:27-270, transform_group_by_final.rs) —
+    Spark's partial/final HashAggregate is the same strategy; the filter
+    is pushed to the parquet scan (exceeds reference, which has no row
+    filters in scans — parquet_table.rs:76 TODO).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * one_minus("l_discount")).cast("double").alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * one_minus("l_discount") * one_plus("l_tax"))
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global_stats",
+    oracle=f"""
+    SELECT COUNT(*)                         AS n_rows,
+           COUNT(DISTINCT l_orderkey)       AS n_orders,
+           CAST(SUM({_DQ}) AS DOUBLE)       AS sum_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           CAST(SUM({_DP}) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           MIN(l_shipdate)                  AS first_ship,
+           MAX(l_shipdate)                  AS last_ship
+    FROM lineitem
+    """,
+    tags=("aggregate", "global"),
+)
+def agg_global_stats(spark, sf_dir):
+    """Keyless aggregation — reference AggregatorPartial/Final
+    (transform_aggregator_partial.rs:24-125): partial states merged to a
+    single row. Spark plans the identical partial→final pair."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "agg_uniq",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)  AS uniq_supp,
+           COUNT(DISTINCT l_partkey)  AS uniq_part,
+           COUNT(*)                   AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "distinct"),
+)
+def agg_uniq(spark, sf_dir):
+    """`uniq(x)` — the reference's EXACT distinct count (HashSet state,
+    aggregate_combinator_distinct.rs:225; SURVEY §2.4 warns it is NOT
+    approximate) → countDistinct, which Spark expands to a two-stage
+    exact distinct aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("uniq_supp"),
+        F.countDistinct("l_partkey").alias("uniq_part"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# Unique tie-broken ordering key for argMin/argMax: exact integer
+# (price_cents * 1e8 + orderkey) — deterministic on both engines.
+_ARG_KEY = "CAST(o_totalprice * 100 AS BIGINT) * 100000000 + o_orderkey"
+
+
+@register(
+    "agg_argminmax",
+    oracle=f"""
+    SELECT o_orderpriority,
+           ARG_MAX(o_orderkey, {_ARG_KEY}) AS key_of_max_price,
+           ARG_MIN(o_orderkey, {_ARG_KEY}) AS key_of_min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregate", "argminmax"),
+)
+def agg_argminmax(spark, sf_dir):
+    """argMin/argMax (reference aggregate_arg_min.rs:19-180 — value of
+    arg0 at the extremum of arg1) → F.min_by/F.max_by. The ordering key
+    folds in o_orderkey so ties are impossible and the result is
+    deterministic (the reference's argMin on ties is arrival-order —
+    not reproducible — so we define the tie-broken semantics)."""
+    o = table(spark, sf_dir, "orders")
+    key = (F.col("o_totalprice") * 100).cast("bigint") * F.lit(100000000) + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("key_of_max_price"),
+        F.min_by("o_orderkey", key).alias("key_of_min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+
+
+@register(
+    "agg_combinator_if",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_quantity > 25 THEN 1 END)                 AS count_if_bigqty,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN {_DP} END) AS DOUBLE) AS sum_if_discounted,
+           CAST(MIN(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END) AS DOUBLE) AS min_if_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "combinator"),
+)
+def agg_combinator_if(spark, sf_dir):
+    """`<agg>If(args, cond)` combinator (aggregate_combinator_if.rs:19-166
+    — filters rows on a trailing boolean before the nested aggregate).
+    Spark-native form: agg over CASE WHEN, which Catalyst evaluates
+    inside the partial aggregate — same single-pass semantics."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("count_if_bigqty"),
+        F.sum(F.when(F.col("l_discount") > 0.05, dec("l_extendedprice"))).cast("double").alias("sum_if_discounted"),
+        F.min(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))).alias("min_if_f"),
+    )
+
+
+@register(
+    "agg_combinator_distinct",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(DISTINCT {_DQ}) AS DOUBLE) AS sum_distinct_qty,
+           COUNT(DISTINCT l_linenumber)        AS uniq_lineno
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "combinator"),
+)
+def agg_combinator_distinct(spark, sf_dir):
+    """`<agg>Distinct` combinator (aggregate_combinator_distinct.rs:39-225
+    — HashSet of values fed to the nested aggregate) → Spark's native
+    DISTINCT aggregates (planned as a dedicating expand+two-phase agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum_distinct(dec("l_quantity")).cast("double").alias("sum_distinct_qty"),
+        F.countDistinct("l_linenumber").alias("uniq_lineno"),
+    )
+
+
+@register(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("sort", "limit", "topk"),
+)
+def sort_topk(spark, sf_dir):
+    """ORDER BY … LIMIT n — the reference's 3-stage sort with limit
+    pushdown into per-pipe top-k (data_block_sort.rs:18-125,
+    pipeline_builder.rs:220-265). Spark plans TakeOrderedAndProject:
+    per-partition top-k then a single merge — the same strategy, and it
+    never materializes a full sort at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+    tags=("sort", "limit", "offset"),
+)
+def limit_offset(spark, sf_dir):
+    """LIMIT n OFFSET m (plan_limit.rs:29 carries both; executed by
+    TakeStream/SkipStream) → df.offset(m).limit(n) on a sorted frame
+    (deterministic because the sort key is unique)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_orderstatus").orderBy("o_orderkey").offset(100).limit(50)
+
+
+@register(
+    "limit_by",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (
+        SELECT event_id, user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) t
+    WHERE rn <= 3
+    """,
+    tags=("limit", "limit_by", "window"),
+)
+def limit_by(spark, sf_dir):
+    """ClickHouse `LIMIT n BY cols` (plan_limit_by.rs:30,
+    stream_limit_by.rs:21-75 — keep first n rows per distinct key) →
+    row_number window ≤ n. ts+event_id ordering makes 'first' well
+    defined (the reference's arrival order is not deterministic)."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_linestatus LIKE 'F%'
+      AND NOT (l_discount < 0.02)
+    """,
+    tags=("filter", "expression"),
+)
+def filter_predicates(spark, sf_dir):
+    """WHERE with BETWEEN / IN / LIKE / NOT conjunctions — the
+    reference's FilterTransform + BETWEEN desugaring
+    (transform_filter.rs:24-117, plan_parser.rs:941-961). All predicates
+    are Catalyst-native and pushed to the parquet scan (PushedFilters)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_linestatus").like("F%")
+        & ~(F.col("l_discount") < 0.02)
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "having_filter",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING COUNT(*) > 5 AND SUM(CAST(c_acctbal AS DECIMAL(12,2))) > 0
+    """,
+    tags=("aggregate", "having"),
+)
+def having_filter(spark, sf_dir):
+    """HAVING — the reference reuses FilterTransform post-aggregation
+    (plan_having.rs:30, pipeline_builder.rs:208-218); Spark likewise
+    plans it as a Filter above the final HashAggregate."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("c_acctbal")).alias("_sum_bal_dec"))
+        .filter((F.col("n") > 5) & (F.col("_sum_bal_dec") > 0))
+        .select("c_nationkey", "c_mktsegment", "n", F.col("_sum_bal_dec").cast("double").alias("sum_bal"))
+    )
+
+
+@register(
+    "numbers_agg",
+    oracle="""
+    SELECT CAST(number % 7 AS BIGINT) AS m,
+           CAST(SUM(number) AS BIGINT)     AS sum_n,
+           COUNT(*)                        AS cnt,
+           CAST(MIN(number) AS BIGINT)     AS min_n,
+           CAST(MAX(number) AS BIGINT)     AS max_n,
+           AVG(number)                     AS avg_n,
+           CAST(SUM(number * 2 + 1) AS BIGINT) AS sum_expr
+    FROM (SELECT range AS number FROM range(1000000))
+    GROUP BY m
+    """,
+    tags=("table_function", "numbers", "aggregate", "expression"),
+)
+def numbers_agg(spark, sf_dir):
+    """numbers_mt(1e6) generator + modulo GROUP BY + arithmetic — the
+    reference's headline bench shape (BASELINE.md: `GROUP BY number%3,
+    number%4, number%5`; numbers_table.rs:28-122). All-integer → exact.
+    avg(number) over each residue class is exact in double (sums < 2^53).
+    """
+    n = numbers(spark, 1_000_000)
+    return n.groupBy((F.col("number") % 7).alias("m")).agg(
+        F.sum("number").alias("sum_n"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("number").alias("min_n"),
+        F.max("number").alias("max_n"),
+        F.avg("number").alias("avg_n"),
+        F.sum(F.col("number") * 2 + 1).alias("sum_expr"),
+    )
+
+
+@register(
+    "expr_projection",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber * 10                        AS lineno10,
+           CAST(l_quantity / 2 AS DOUBLE)           AS half_qty,
+           CAST(l_quantity AS BIGINT) % 5           AS qty_mod5,
+           CAST(-l_linenumber AS INTEGER)           AS neg_lineno,
+           substring(l_returnflag, 1, 1)            AS flag1,
+           concat(l_returnflag, '_', l_linestatus)  AS flag_status,
+           CAST(l_quantity >= 25 AS BOOLEAN)        AS is_big,
+           CAST(l_shipdate AS DATE)                 AS ship_day
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    tags=("expression", "projection", "functions"),
+)
+def expr_projection(spark, sf_dir):
+    """Scalar expression surface (SURVEY §2.8): arithmetic (+ - * / %,
+    unary minus — arithmetic.rs:29-38; `/` always yields Float64,
+    matching Spark), substring (1-based, substring.rs:40-66), concat,
+    comparison → boolean, CAST (cast.rs:22-60). Projection keeps the
+    scan pruned to the referenced columns only."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        (F.col("l_linenumber") * 10).alias("lineno10"),
+        (F.col("l_quantity") / 2).alias("half_qty"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod5"),
+        (-F.col("l_linenumber")).alias("neg_lineno"),
+        F.substring("l_returnflag", 1, 1).alias("flag1"),
+        F.concat_ws("_", "l_returnflag", "l_linestatus").alias("flag_status"),
+        (F.col("l_quantity") >= 25).alias("is_big"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )
