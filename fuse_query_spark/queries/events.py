@@ -1,0 +1,134 @@
+"""Event/time-series operators over the `events` table.
+
+The reference has no event-time processing at all (SURVEY §2.10: its
+"streams" are pull-based batch iterators). These queries define the
+batch shape of the streaming surface: tumbling windows, sessionization,
+and semi-structured extraction — the same transformations
+fuse_query_spark.streaming applies over readStream with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fuse_query_spark.functions.exact import dec
+from fuse_query_spark.queries import register
+from fuse_query_spark.sources.tables import table
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("events", "time", "tumbling"),
+)
+def events_tumbling_hourly(spark, sf_dir):
+    """Tumbling 1h window aggregate. Batch form uses date_trunc (flat
+    schema, oracle-comparable); the streaming form is
+    `F.window(ts, '1 hour')` with a watermark — see streaming/."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "session", "window"),
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via lag + cumulative sum —
+    the classic batch formulation; in streaming this is
+    `session_window(ts, '30 minutes')`. All-integer µs arithmetic →
+    deterministic."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 10 AS k_mod,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS uniq_users
+    FROM events
+    GROUP BY k_mod
+    """,
+    tags=("events", "json", "semi_structured"),
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured extraction: props is a JSON string column;
+    get_json_object pulls $.k JVM-side (no UDF). The oracle reaches the
+    same value via regexp — engines may differ in HOW, results match."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy((k % 10).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("uniq_users"),
+    )
+
+
+@register(
+    "events_rate_per_day",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n,
+           COUNT(*) / 24.0 AS per_hour
+    FROM events
+    GROUP BY day, event_type
+    """,
+    tags=("events", "time"),
+)
+def events_rate_per_day(spark, sf_dir):
+    """Daily rollup with a derived rate — integer count / literal →
+    identical double on both engines."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) / 24.0).alias("per_hour"),
+    )

@@ -1,0 +1,134 @@
+"""Window functions — capability extension (reference: "Window (TODO)",
+README.md:115). Needed anyway for LIMIT BY; declared as first-class
+surface here: row_number/rank/dense_rank/ntile, lag/lead, running and
+sliding frames.
+
+Scale notes: every window below partitions by a high-cardinality key
+(user_id, o_orderpriority×…) so state per partition is bounded; no
+global (unpartitioned) windows — those serialize to one task at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fuse_query_spark.functions.exact import dec
+from fuse_query_spark.queries import register
+from fuse_query_spark.sources.tables import table
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*)  OVER w AS run_cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS run_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "running"),
+)
+def window_running_total(spark, sf_dir):
+    """Cumulative count/sum per user ordered by event time — exact
+    decimal running sum so every prefix matches the oracle bit-exactly."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("run_cnt"),
+        F.sum(dec("value")).over(w).cast("double").alias("run_sum"),
+    )
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROW_NUMBER() OVER w AS rn,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rn <= 200
+    """,
+    tags=("window", "rank"),
+)
+def window_rank(spark, sf_dir):
+    """Ranking family over a deterministic (tie-broken) ordering.
+    NOTE: ntile is computed over the full partition BEFORE the rn
+    filter, matching QUALIFY semantics."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 200)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(event_type)  OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           CAST(CAST(value AS DECIMAL(12,2)) -
+                LAG(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "lag_lead"),
+)
+def window_lag_lead(spark, sf_dir):
+    """lag/lead with null boundaries; the delta is computed in decimal
+    so it is exact."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = dec("value")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (v - F.lag(v).over(w)).cast("double").alias("value_delta"),
+    )
+
+
+@register(
+    "window_sliding_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_4,
+           MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS min_4
+    FROM events
+    """,
+    tags=("window", "frame"),
+)
+def window_sliding_frame(spark, sf_dir):
+    """Bounded ROWS frame (sliding 4-row window per user)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("double").alias("sum_4"),
+        F.min("value").over(w).alias("min_4"),
+    )
