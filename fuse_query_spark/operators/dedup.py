@@ -1,0 +1,173 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard. The scale path is LSH: shingle → k minhashes → b bands →
+bucket self-join, so candidate generation is O(n) shuffle on band
+keys rather than O(n²) pairs. Verification (exact Jaccard on shingle
+sets) touches only bucket-colliding pairs.
+
+Everything is built-in-function Spark (xxhash64, array ops) — no
+Python in the hot path; at 100 TB the shuffles are on (band_idx,
+band_hash) keys whose cardinality scales with corpus size, so no
+single hot partition.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from fuse_query_spark.operators.text import fingerprint_md5, shingles, tokens
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: hash-groupBy on the md5 fingerprint, keep the
+    smallest id as the canonical representative. One shuffle on the
+    fingerprint — uniformly distributed, skew-free by construction."""
+    return (
+        df.withColumn("_fp", fingerprint_md5(text_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_fp")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash over word-shingle sets.
+
+    Implementation: explode distinct shingles, take min(xxhash64(s,
+    seed_i)) per doc per seed — one explode + one hash-agg, all
+    JVM-side. Output: id_col, mh0..mh{k-1}.
+    """
+    ex = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("_sh"))
+    aggs = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"mh{i}") for i in range(k)]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature into `bands` groups of k/bands rows; docs
+    sharing any band hash become a candidate pair. Self-join is on the
+    (band_idx, band_hash) bucket key — never all-pairs.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    r = k // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"), F.col(id_col).alias("id"))
+        )
+    buckets = sigs.select(F.explode(F.array(*band_rows)).alias("s")).select(
+        F.col("s.band").alias("band"), F.col("s.bh").alias("bh"), F.col("s.id").alias("id")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-shingle Jaccard on candidate pairs only. The join
+    fans each pair out to its two shingle sets (broadcast-friendly when
+    the candidate set is small; shuffle-join otherwise)."""
+    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        j.withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: signatures → banded
+    candidates → exact-Jaccard verification."""
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, k, bands)
+    return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash: per token, xxhash64; per bit, vote +1/-1; sign vector
+    packs into a `bits`-wide integer. Computed as one explode + one
+    aggregation with `bits` conditional sums (all codegen'd)."""
+    ex = df.select(id_col, F.explode(tokens(text_col)).alias("_t")).withColumn(
+        "_h", F.xxhash64("_t")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
+    packed = reduce(
+        lambda acc, i: acc + F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0)),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(id_col, packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on bit-bands
+    (pigeonhole: pairs within `max_hamming` share at least one of
+    max_hamming+1 bands) so the join is on band buckets, not all pairs."""
+    sh = simhash(df, text_col, id_col, bits)
+    nb = max_hamming + 1
+    width = bits // nb
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", i * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
+            F.col(id_col).alias("id"),
+            F.col("simhash").alias("s"),
+        )
+        for i in range(nb)
+    ]
+    buckets = sh.select(F.explode(F.array(*bands)).alias("x")).select("x.*")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a single scan with JVM-side
+zip_with/aggregate dot products (no UDF, no collect). Scale path:
+random-hyperplane LSH — deterministic planes hashed from a seed,
+bucket join instead of all-pairs; at 100 TB the bucket key shuffle
+replaces the quadratic blowup, and the verify step scans only
+colliding pairs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def with_double_vec(df: DataFrame, vec_col: str, out_col: str = "_v") -> DataFrame:
+    """float32 → float64 once at scan; all downstream math is double."""
+    return df.withColumn(out_col, F.col(vec_col).cast("array<double>"))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by cosine against a literal query vector. The query is a
+    constant array (Catalyst folds it); plan = scan → project →
+    TakeOrderedAndProject, i.e. per-partition top-k then merge — no
+    full sort, no shuffle of the corpus."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    d = with_double_vec(df, vec_col)
+    return (
+        d.select(id_col, cosine(F.col("_v"), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairs_above_threshold(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs with cosine >= threshold. With block_col, the self-join
+    keys on the block (e.g. an LSH bucket or label) — the honest scale
+    form. Without, it is the exact quadratic reference implementation
+    for small candidate sets / tests."""
+    d = with_double_vec(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_v").alias("v"), *( [F.col(block_col).alias("blk")] if block_col else [])
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy dependency in
+    the executor path — generated driver-side, folded as literals).
+    Uses a splitmix64-style hash so planes are reproducible across
+    sessions and languages."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 30
+            x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 27
+            x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 31
+            # map to (-1, 1); uniform is fine for sign-LSH
+            row.append((x / 2**63) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 12, seed: int = 42) -> DataFrame:
+    """Sign-LSH bucket id: bit i = sign(v · plane_i). Adds column
+    `bucket` (int). Cosine-similar vectors collide with probability
+    (1 - θ/π)^n_planes."""
+    first = df.select(F.size(vec_col).alias("n")).first()
+    dim = first["n"]
+    planes = _hyperplanes(dim, n_planes, seed)
+    d = with_double_vec(df, vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col("_v"), p) > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return d.withColumn("bucket", bucket).drop("_v")
+
+
+def knn_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    max_probe_hamming: int = 2,
+) -> DataFrame:
+    """ANN top-k: probe the query's LSH bucket plus all buckets within
+    `max_probe_hamming` bit flips (multi-probe), then exact cosine
+    within candidates.
+
+    Recall is similarity-dependent by construction: P(bit agree) =
+    1 - θ/π, so near-duplicates (cos ≥ 0.9) are recovered with ~0.96
+    probability at 8 planes / Hamming≤2, while low-similarity
+    "neighbours" (cos ≈ 0.3) are fundamentally hard for sign-LSH —
+    raise max_probe_hamming or lower n_planes for such workloads."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qbits |= 1 << i
+    probes = [qbits]
+    if max_probe_hamming >= 1:
+        probes += [qbits ^ (1 << i) for i in range(n_planes)]
+    if max_probe_hamming >= 2:
+        probes += [
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    bucketed = lsh_bucket(df, vec_col, n_planes, seed)
+    cands = bucketed.filter(F.col("bucket").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    d = with_double_vec(cands, vec_col)
+    return (
+        d.select(id_col, cosine(F.col("_v"), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

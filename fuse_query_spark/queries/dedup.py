@@ -1,0 +1,154 @@
+"""Deduplication queries over `documents`: exact, near-dup by n-gram
+Jaccard (oracle-checked), MinHash-LSH and SimHash (Spark-native hash
+functions → rows-only driver check; recall is asserted against the
+exact method in tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fuse_query_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_verify,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+)
+from fuse_query_spark.queries import register
+from fuse_query_spark.sources.tables import table
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SHINGLES = f"""list_distinct(list_transform(range(0, len({_TOKS}) - 2),
+    i -> {_TOKS}[i+1] || ' ' || {_TOKS}[i+2] || ' ' || {_TOKS}[i+3]))"""
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*)    AS dup_count
+    FROM documents
+    GROUP BY fp
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup via fingerprint hash-groupBy — one skew-free shuffle.
+    (The test corpus has no exact dups, so every group is size 1; the
+    operator semantics — canonical representative + group size — are
+    still fully exercised.)"""
+    d = table(spark, sf_dir, "documents")
+    from fuse_query_spark.operators.text import fingerprint_md5
+
+    return (
+        d.withColumn("fp", fingerprint_md5("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@register(
+    "dedup_near_prefix_groups",
+    oracle="""
+    SELECT md5(substr(text, 1, 80)) AS prefix_fp,
+           MIN(doc_id) AS keep_doc,
+           COUNT(*)    AS group_size
+    FROM documents
+    GROUP BY prefix_fp
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "blocking"),
+)
+def dedup_near_prefix_groups(spark, sf_dir):
+    """Prefix-block grouping — the blocking stage of near-dedup: cheap
+    key, catches the corpus's planted shared-prefix near-dups."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("prefix_fp", F.md5(F.substring("text", 1, 80)))
+        .groupBy("prefix_fp")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, md5(substr(text, 1, 40)) AS blk, {_SHINGLES} AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))
+             / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+            / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.2
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard within prefix blocks — the verify
+    stage of near-dedup, oracle-checked (int/int division → identical
+    doubles). Blocking bounds the pair count; MinHash-LSH replaces the
+    block key at scale."""
+    d = table(spark, sf_dir, "documents")
+    blocked = d.withColumn("blk", F.md5(F.substring("text", 1, 40)))
+    pairs = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return jaccard_verify(d, pairs, threshold=0.2)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based; verified against exact Jaccard in tests
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + 4-band LSH near-dup pairs, exact-Jaccard verified
+    at 0.2 — the O(n) scale path for what dedup_ngram_jaccard does with
+    blocking. tests/test_dedup.py asserts recall vs the exact method."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, k=16, bands=4, threshold=0.2).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash(32-bit) near-dup pairs within Hamming distance 3,
+    banded-blocked (pigeonhole) so the join never goes quadratic."""
+    d = table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, bits=32, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_exact_retention",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS n_removed
+    FROM documents
+    """,
+    tags=("dedup", "stats"),
+)
+def dedup_exact_retention(spark, sf_dir):
+    """Pipeline retention stats: how many docs dedup would drop."""
+    d = table(spark, sf_dir, "documents")
+    from fuse_query_spark.operators.text import fingerprint_md5
+
+    fp = fingerprint_md5("text")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_removed"),
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis queries over `documents` — the training-data-pipeline
+surface (SURVEY §7 Phase 5): token stats, quality scoring, language ID,
+fingerprinting. All pure-SQL-expressible → full oracle coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fuse_query_spark.operators.text import (
+    STOPWORDS,
+    alpha_ratio,
+    fingerprint_md5,
+    language_id,
+    min_shingle_fingerprint,
+    quality_score,
+    stopword_hits,
+    token_count,
+    tokens,
+    uniq_token_count,
+)
+from fuse_query_spark.queries import register
+from fuse_query_spark.sources.tables import table
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS})                 AS n_tokens,
+           len(list_distinct({_TOKS}))  AS n_uniq_tokens,
+           list_aggregate(list_transform({_TOKS}, x -> length(x)), 'sum')
+               / len({_TOKS})           AS avg_token_len,
+           length(text)                 AS n_chars_measured
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting — JVM-side split + array ops, no UDF.
+    avg_token_len is int/int division → identical double on both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    sum_len = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        uniq_token_count("text").alias("n_uniq_tokens"),
+        (sum_len / token_count("text")).alias("avg_token_len"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+_SW_EN = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS} AS toks,
+               len(list_filter({_TOKS}, x -> list_contains([{_SW_EN}], lower(x)))) AS sw
+        FROM documents
+    )
+    SELECT doc_id,
+           (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+            + sw / greatest(len(toks), 1)
+            + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              / greatest(length(text), 1)
+           ) / 3.0 AS quality,
+           sw AS stopword_hits
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    """Composite quality heuristic (length band + stopword ratio +
+    alphabetic density) — the filter stage of a data pipeline, rational
+    arithmetic only so the oracle hashes bit-equal."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        stopword_hits("text", "en").alias("stopword_hits"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = list(STOPWORDS)
+    score_cols = ", ".join(
+        "len(list_filter({toks}, x -> list_contains([{words}], lower(x)))) AS s_{lang}".format(
+            toks=_TOKS, words=",".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in STOPWORDS.items()
+    )
+    # earlier language wins ties — mirrors the Spark struct-max priority
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        cases.append(f"WHEN {' AND '.join(rest)} THEN '{lang}'" if rest else f"ELSE '{lang}'")
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+    WITH scored AS (SELECT doc_id, {score_cols} FROM documents)
+    SELECT {case} AS lang_pred, COUNT(*) AS n
+    FROM scored GROUP BY lang_pred
+    """
+
+
+@register(
+    "text_lang_id",
+    oracle=_lang_id_oracle(),
+    tags=("text", "lang_id"),
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-vote language ID (deterministic tie-break by priority).
+    The corpus is synthetic word-salad, so this tests the operator's
+    determinism, not linguistic accuracy."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(language_id("text").alias("lang_pred")).groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_md5,
+           list_aggregate(
+               list_transform(range(0, len(toks) - 2),
+                              i -> md5(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])),
+               'min') AS fp_min_shingle
+    FROM t
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprints: md5 of normalized text (exact dup key) +
+    lexicographic-min shingle md5 (winnowing-style near-dup prefilter).
+    md5 hex strings are engine-portable; xxhash64 is not."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp_md5"),
+        min_shingle_fingerprint("text", 3).alias("fp_min_shingle"),
+    )

@@ -1,0 +1,87 @@
+"""MinHash-LSH and SimHash correctness: recall vs the exact method on
+planted near-duplicates."""
+
+from pyspark.sql import functions as F
+
+from fuse_query_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_verify,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash,
+)
+from fuse_query_spark.sources.tables import table
+
+
+def _docs_with_planted_dups(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+        (3, "completely different text about spark query engines and column pruning at scale"),
+        (4, "completely different text about spark query engines and column pruning at speed"),  # near-dup of 3
+        (5, "an unrelated document mentioning benchmarks partitions shuffles and broadcast joins"),
+        (6, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    d = _docs_with_planted_dups(spark)
+    out = dedup_exact(d).collect()
+    assert len(out) == 5  # 6 docs, one exact dup collapses
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[1] == 2  # docs 1 and 6 collapse onto min id 1
+    assert 6 not in by_id
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    d = _docs_with_planted_dups(spark).filter(F.col("doc_id") != 6)
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_dedup_pairs(d, k=16, bands=8, threshold=0.5).collect()}
+    # jaccard(1,2) and jaccard(3,4) are high; with 8 bands of 2 rows the
+    # collision probability at j>=0.7 is >0.99
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+    assert (1, 3) not in pairs and (2, 5) not in pairs
+
+
+def test_minhash_recall_vs_exact_on_corpus(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    # exact ground truth: all-pairs jaccard >= 0.5 within prefix blocks
+    blocked = d.withColumn("blk", F.md5(F.substring("text", 1, 40)))
+    exact_pairs = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_verify(d, exact_pairs, threshold=0.5).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(d, k=16, bands=8, threshold=0.5).collect()
+    }
+    # verification step guarantees precision; recall should be high
+    assert found <= found | truth
+    if truth:
+        recall = len(found & truth) / len(truth)
+        assert recall >= 0.8, f"recall {recall} over {len(truth)} true pairs"
+
+
+def test_simhash_is_deterministic_and_discriminative(spark):
+    d = _docs_with_planted_dups(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    assert sh[1] == sh[6]  # identical text → identical simhash
+    ham12 = bin(sh[1] ^ sh[2]).count("1")
+    ham15 = bin(sh[1] ^ sh[5]).count("1")
+    assert ham12 < ham15  # near-dup closer than unrelated
+
+
+def test_minhash_signature_shape(spark):
+    d = _docs_with_planted_dups(spark)
+    sigs = minhash_signatures(d, k=8)
+    assert sigs.columns == ["doc_id"] + [f"mh{i}" for i in range(8)]
+    assert sigs.count() == 6

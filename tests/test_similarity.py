@@ -1,0 +1,62 @@
+"""ANN (sign-LSH) recall vs brute force; cosine operator sanity."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from fuse_query_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    knn_lsh,
+    lsh_bucket,
+)
+from fuse_query_spark.sources.tables import table
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0], [0.5, 0.5])], ["id", "a", "b"])
+    val = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    assert abs(val - 1 / math.sqrt(2)) < 1e-12
+
+
+def test_bruteforce_topk_self_is_nearest(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["embedding"]]
+    top = brute_force_topk(e, q, k=3).collect()
+    assert top[0]["vec_id"] == 1  # the query vector itself, cos=1
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-9
+
+
+def test_knn_lsh_recall_on_planted_neighbors(spark, sf_dir):
+    """Sign-LSH guarantees recall for HIGH-similarity vectors (P(bit
+    agree) = 1-θ/π). Plant 5 near-copies of the query (cos≈0.99) and
+    require the ANN path to find most of them; random corpus vectors at
+    cos≈0.3 are not its contract."""
+    e = table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # deterministic near-copies: scale one coordinate slightly
+    planted = []
+    for i in range(5):
+        v = list(q)
+        v[i] = v[i] * 1.2 + 0.01
+        planted.append((10_000 + i, v, -1))
+    extra = spark.createDataFrame(planted, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT")
+    corpus = (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding", "label")
+        .union(extra)
+    )
+    exact = [r["vec_id"] for r in brute_force_topk(corpus, q, k=5).collect()]
+    assert set(exact) == {10_000 + i for i in range(5)}  # planted are the true top-5
+    approx = [r["vec_id"] for r in knn_lsh(corpus, q, k=5, n_planes=8).collect()]
+    found = len(set(exact) & set(approx))
+    assert found >= 4, f"found {found}/5 planted: approx={approx}"
+
+
+def test_lsh_bucket_is_deterministic(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings").limit(50)
+    b1 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(e, n_planes=8).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(e, n_planes=8).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
