@@ -1,0 +1,279 @@
+"""Dialect front-end: rewrites fuse-query/ClickHouse-flavoured SQL into
+Spark SQL text (SURVEY §3: "the only lifecycle piece we must write is
+the dialect front-end"). Covers the reference's surface:
+
+- table functions ``numbers(N)`` / ``numbers_mt(N)`` / ``numbers_local``
+  (datasources/system/numbers_table.rs) → ``range(N)`` subqueries
+- combinator suffixes ``<agg>If`` / ``<agg>Distinct``
+  (aggregate_function_factory.rs:150-196) → FILTER (WHERE) / DISTINCT
+- ``uniq`` (exact distinct, aggregate_combinator_distinct.rs) →
+  count(DISTINCT …)
+- ``argMin``/``argMax`` (aggregate_arg_min.rs) → min_by/max_by
+- named casts ``toInt8..64``/``toUInt*``/``toFloat*``/``toString``/…
+  (scalars/expressions/expression.rs:16-27) → CAST
+- ClickHouse type names in CAST (sql_common.rs:20-55) → Spark types
+- ``toTypeName`` → typeof + reference-style name mapping
+- ``siphash``/``siphash64`` → xxhash64 (stable 64-bit hash; NOT
+  byte-compatible with SipHash — SURVEY §7 risk 5)
+- context functions ``database()``/``version()``
+  (fusequery/query/src/functions/context_function.rs) → literals
+- ``LIMIT n BY cols`` (plan_limit_by.rs) → row_number window rewrite
+
+The rewriter is token-based (no SQL parser dependency): identifiers
+followed by balanced parens are treated as call sites and rewritten
+bottom-up, so nesting works.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class DialectContext:
+    current_db: str = "default"
+    version: str = "fuse-query-spark/0.1.0"
+    known_dbs: tuple[str, ...] = field(default_factory=tuple)
+
+
+_NAMED_CASTS = {
+    "toint8": "TINYINT",
+    "toint16": "SMALLINT",
+    "toint32": "INT",
+    "toint64": "BIGINT",
+    # unsigned: widen to the next signed type that holds the range
+    # (SURVEY §1.2 — Spark has no unsigned types)
+    "touint8": "SMALLINT",
+    "touint16": "INT",
+    "touint32": "BIGINT",
+    "touint64": "BIGINT",
+    "tofloat32": "FLOAT",
+    "tofloat64": "DOUBLE",
+    "tostring": "STRING",
+    "todate": "DATE",
+    "todatetime": "TIMESTAMP",
+}
+
+# ClickHouse custom type names usable in CAST(x AS T) — sql_common.rs:20-55
+_TYPE_NAMES = {
+    "uint8": "SMALLINT",
+    "uint16": "INT",
+    "uint32": "BIGINT",
+    "uint64": "BIGINT",
+    "int8": "TINYINT",
+    "int16": "SMALLINT",
+    "int32": "INT",
+    "int64": "BIGINT",
+    "float32": "FLOAT",
+    "float64": "DOUBLE",
+    "utf8": "STRING",
+    "datetime": "TIMESTAMP",
+}
+
+_COMBINATOR_BASES = ("sum", "count", "avg", "min", "max", "uniq")
+
+_IDENT_CALL = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\s*\(")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested in parens/quotes."""
+    parts, depth, cur, i = [], 0, [], 0
+    in_str: str | None = None
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _rewrite_call(name: str, args: list[str], ctx: DialectContext) -> str | None:
+    """Return replacement SQL for a call site, or None to leave as-is.
+    Args arrive already rewritten (bottom-up)."""
+    low = name.lower()
+    arg_sql = ", ".join(args)
+    if low == "uniq":
+        return f"count(DISTINCT {arg_sql})"
+    if low in ("argmin", "argmax"):
+        fn = "min_by" if low == "argmin" else "max_by"
+        return f"{fn}({arg_sql})"
+    if low in _NAMED_CASTS:
+        return f"CAST({arg_sql} AS {_NAMED_CASTS[low]})"
+    if low == "totypename":
+        return f"fq_typename(typeof({arg_sql}))"
+    if low in ("siphash", "siphash64"):
+        return f"xxhash64({arg_sql})"
+    if low == "database" and not args:
+        return f"'{ctx.current_db}'"
+    if low == "version" and not args:
+        return f"'{ctx.version}'"
+    if low == "sleep":
+        # reference sleep(n) blocks then returns 0 (scalars/udfs/sleep.rs);
+        # no synchronous sleep in a distributed plan — constant 0
+        return "0"
+    for base in _COMBINATOR_BASES:
+        if low == base + "if":
+            *rest, cond = args if len(args) > 1 else (["1"] + args)
+            inner = ", ".join(rest) if rest else "1"
+            if base == "uniq":
+                return f"count(DISTINCT {inner}) FILTER (WHERE {cond})"
+            return f"{base}({inner}) FILTER (WHERE {cond})"
+        if low == base + "distinct":
+            if base == "uniq" or base == "count":
+                return f"count(DISTINCT {arg_sql})"
+            return f"{base}(DISTINCT {arg_sql})"
+    return None
+
+
+def _rewrite_calls(sql: str, ctx: DialectContext) -> str:
+    """One left-to-right pass; on each call site, rewrite the argument
+    list first (recursion), then the call itself."""
+    out = []
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in "'\"":  # skip string literals
+            j = i + 1
+            while j < len(sql) and sql[j] != ch:
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _IDENT_CALL.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in "_.")):
+            name = m.group(0)[:-1].strip().rstrip()
+            name = re.match(r"[A-Za-z_][A-Za-z0-9_]*", m.group(0)).group(0)
+            # find matching close paren
+            depth, j = 1, m.end()
+            while j < len(sql) and depth:
+                if sql[j] in "'\"":
+                    q = sql[j]
+                    j += 1
+                    while j < len(sql) and sql[j] != q:
+                        j += 1
+                elif sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = sql[m.end() : j - 1]
+            inner_rw = _rewrite_calls(inner, ctx)
+            args = _split_top_level(inner_rw) if inner_rw.strip() else []
+            replacement = _rewrite_call(name, args, ctx)
+            if replacement is None:
+                out.append(f"{name}({inner_rw})")
+            else:
+                out.append(replacement)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+_NUMBERS = re.compile(r"\b(?:system\.)?(numbers|numbers_mt|numbers_local)\s*\(\s*(\d+)\s*\)", re.I)
+_CAST_TYPE = re.compile(
+    r"(\bAS\s+)(" + "|".join(_TYPE_NAMES) + r")\b", re.I
+)
+_LIMIT_BY = re.compile(r"\sLIMIT\s+(\d+)\s+BY\s+(.+?)(\s+LIMIT\s+\d+\s*)?$", re.I | re.S)
+
+
+def _alias_map(select_list: str) -> dict[str, str]:
+    out = {}
+    for item in _split_top_level(select_list):
+        m = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$", item.strip())
+        if m:
+            out[m.group(2)] = m.group(1).strip()
+    return out
+
+
+def _subst_aliases(expr: str, aliases: dict[str, str]) -> str:
+    for name, repl in aliases.items():
+        expr = re.sub(rf"\b{re.escape(name)}\b", f"({repl})", expr)
+    return expr
+
+
+def _rewrite_limit_by(s: str) -> str:
+    """ClickHouse `LIMIT n BY cols`: keep the first n rows per key in
+    the query's ORDER BY order (plan_limit_by.rs / stream_limit_by.rs).
+
+    Rewrite: inject row_number() at the FROM level (so the window can
+    order by non-projected columns), substituting select-list aliases
+    into the partition/order expressions. Falls back to wrapping the
+    whole query when it aggregates (GROUP BY), where the window must
+    run over the projected result instead.
+    """
+    m = _LIMIT_BY.search(s)
+    if not m:
+        return s
+    n, cols, trailing = int(m.group(1)), m.group(2).strip(), m.group(3)
+    inner = s[: m.start()].strip()
+    outer_limit = f" LIMIT {trailing.strip().split()[1]}" if trailing else ""
+    om = re.search(r"(?is)\bORDER\s+BY\s+(.+)$", inner)
+    order = om.group(1).strip() if om else cols
+    inner_no_order = inner[: om.start()].strip() if om else inner
+    msel = re.match(r"(?is)^SELECT\s+(.*?)\s+FROM\s+(.*)$", inner_no_order)
+    has_group = re.search(r"(?is)\bGROUP\s+BY\b", inner_no_order) is not None
+    if msel and not has_group:
+        select_list, rest = msel.group(1), msel.group(2)
+        aliases = _alias_map(select_list)
+        cols_sub = _subst_aliases(cols, aliases)
+        order_sub = _subst_aliases(order, aliases)
+        return (
+            f"SELECT {select_list} FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {cols_sub} ORDER BY {order_sub}) AS __fq_rn FROM {rest}) "
+            f"WHERE __fq_rn <= {n}"
+            + (f" ORDER BY {order}" if om else "")
+            + outer_limit
+        )
+    # aggregate query: window over the projected result; order columns
+    # must be part of the projection here
+    return (
+        f"SELECT * EXCEPT (__fq_rn) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {cols} ORDER BY {order}) AS __fq_rn FROM ({inner_no_order})) "
+        f"WHERE __fq_rn <= {n}"
+        + (f" ORDER BY {order}" if om else "")
+        + outer_limit
+    )
+
+
+def rewrite_select(sql: str, ctx: DialectContext | None = None) -> str:
+    """fuse-query dialect SELECT → Spark SQL text."""
+    ctx = ctx or DialectContext()
+    s = sql.strip().rstrip(";").strip()
+    # comments
+    s = re.sub(r"--[^\n]*", " ", s)
+    # numbers(N) table functions → range subquery
+    s = _NUMBERS.sub(lambda m: f"(SELECT id AS number FROM range({m.group(2)}))", s)
+    # system.X tables → registered views
+    s = re.sub(r"\bsystem\.(\w+)", r"system__\1", s)
+    # known db-qualified tables → view names
+    for db in ctx.known_dbs:
+        s = re.sub(rf"\b{re.escape(db)}\.(\w+)", rf"{db}__\1", s)
+    # LIMIT n BY cols → row_number rewrite (before call rewriting; the
+    # wrapped query is rewritten recursively)
+    s = _rewrite_limit_by(s)
+    # function-call rewrites (bottom-up)
+    s = _rewrite_calls(s, ctx)
+    # ClickHouse type names inside CAST
+    s = _CAST_TYPE.sub(lambda m: m.group(1) + _TYPE_NAMES[m.group(2).lower()], s)
+    return s

@@ -1,0 +1,486 @@
+"""Engine: session + catalog + settings + SQL interpreter dispatch —
+the reference's query lifecycle (SURVEY §3) re-expressed over Spark.
+
+Statement routing mirrors InterpreterFactory (interpreters/
+interpreter_factory.rs:25): DDL/utility statements are interpreted
+directly against the engine catalog; SELECTs go through the dialect
+rewriter into spark.sql, where Catalyst plays the role of the
+reference's 4-pass optimizer + pipeline builder.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+from fuse_query_spark import session as _session
+from fuse_query_spark.dialect.rewriter import DialectContext, rewrite_select
+from fuse_query_spark.errors import (
+    DatabaseAlreadyExists,
+    TableAlreadyExists,
+    UnknownDatabase,
+    UnknownTable,
+    UnsupportedStatement,
+)
+from fuse_query_spark.functions.registry import register_udfs
+from fuse_query_spark.sources import system_tables as systbl
+
+# SQL/ClickHouse type name → Spark SQL type (sql_common.rs:20-55)
+_COL_TYPES = {
+    "int": "int",
+    "integer": "int",
+    "tinyint": "tinyint",
+    "smallint": "smallint",
+    "bigint": "bigint",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "datetime": "timestamp",
+    "string": "string",
+    "utf8": "string",
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "uint8": "smallint",
+    "uint16": "int",
+    "uint32": "bigint",
+    "uint64": "bigint",
+    "float32": "float",
+    "float64": "double",
+}
+
+
+@dataclass
+class Setting:
+    value: object
+    default: object
+    description: str = ""
+
+
+@dataclass
+class TableDef:
+    name: str
+    database: str
+    engine: str  # CSV | Parquet | JSONEachRow | Null | Memory
+    schema: StructType
+    location: str | None = None
+    data: DataFrame | None = None  # Memory engine
+
+
+@dataclass
+class Catalog:
+    """Flat two-level namespace db.table (datasource.rs:29-52: databases
+    `system`, `local`, `default` registered at startup)."""
+
+    databases: dict[str, dict[str, TableDef]] = field(
+        default_factory=lambda: {"default": {}, "local": {}}
+    )
+
+    def db(self, name: str) -> dict[str, TableDef]:
+        if name == "system":
+            return {}
+        if name not in self.databases:
+            raise UnknownDatabase(f"Unknown database: '{name}'")
+        return self.databases[name]
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or _session.get_spark("fuse-query-spark-engine")
+        _session.tune(self.spark)
+        register_udfs(self.spark)
+        self.catalog = Catalog()
+        self.current_db = "default"
+        self.settings: dict[str, Setting] = {
+            # reference defaults: sessions/settings.rs:20-34
+            "max_threads": Setting(
+                _session.default_parallelism(), _session.default_parallelism(),
+                "maps to spark.sql.shuffle.partitions",
+            ),
+            "max_block_size": Setting(10000, 10000, "no-op: Spark sizes batches internally"),
+            "min_distributed_rows": Setting(100_000_000, 100_000_000, "no-op: AQE decides"),
+            "min_distributed_bytes": Setting(500 * 1024 * 1024, 500 * 1024 * 1024, "no-op: AQE decides"),
+        }
+
+    # ---------- public API ----------
+
+    def attach_parquet_dir(self, sf_dir: str, db: str = "default") -> None:
+        """Attach every parquet table in a directory as a Parquet-engine
+        catalog table (the reference's `CREATE TABLE … ENGINE = Parquet
+        location = …` shape, batched)."""
+        import os
+
+        from fuse_query_spark.sources.tables import TABLES
+
+        for name in TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            df = self._read_parquet(path)
+            self.catalog.db(db)[name] = TableDef(
+                name=name, database=db, engine="Parquet", schema=df.schema, location=path
+            )
+
+    def sql(self, text: str) -> DataFrame | None:
+        """Execute one or more ';'-separated statements; returns the
+        last statement's DataFrame (or None for DDL)."""
+        result = None
+        for stmt in self._split(text):
+            result = self._execute(stmt)
+        return result
+
+    # ---------- dispatch ----------
+
+    @staticmethod
+    def _split(text: str) -> list[str]:
+        out, cur, in_str = [], [], None
+        for ch in text:
+            if in_str:
+                cur.append(ch)
+                if ch == in_str:
+                    in_str = None
+            elif ch in "'\"":
+                in_str = ch
+                cur.append(ch)
+            elif ch == ";":
+                if "".join(cur).strip():
+                    out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            out.append("".join(cur).strip())
+        return [s for s in out if not re.fullmatch(r"(--[^\n]*\s*)+", s)]
+
+    def _execute(self, stmt: str):
+        s = re.sub(r"--[^\n]*", " ", stmt).strip()
+        up = s.upper()
+        if up.startswith("CREATE TABLE"):
+            return self._create_table(s)
+        if up.startswith("DROP TABLE"):
+            return self._drop_table(s)
+        if up.startswith("CREATE DATABASE"):
+            return self._create_database(s)
+        if up.startswith("DROP DATABASE"):
+            return self._drop_database(s)
+        if up.startswith("USE "):
+            return self._use(s)
+        if up.startswith("DESCRIBE ") or up.startswith("DESC "):
+            return self._describe(s)
+        if up.startswith("SHOW "):
+            return self._show(s)
+        if up.startswith("SET "):
+            return self._set(s)
+        if up.startswith("INSERT "):
+            return self._insert(s)
+        if up.startswith("EXPLAIN"):
+            return self._explain(s)
+        if up.startswith(("SELECT", "WITH", "(")):
+            return self._select(s)
+        raise UnsupportedStatement(f"Unsupported statement: {s[:60]}")
+
+    # ---------- SELECT ----------
+
+    def _dialect_ctx(self) -> DialectContext:
+        return DialectContext(
+            current_db=self.current_db, known_dbs=tuple(self.catalog.databases)
+        )
+
+    def _select(self, s: str) -> DataFrame:
+        self._register_views(s)
+        return self.spark.sql(rewrite_select(s, self._dialect_ctx()))
+
+    def _explain(self, s: str) -> DataFrame:
+        inner = re.sub(r"(?i)^EXPLAIN(\s+PIPELINE)?\s+", "", s)
+        mode = "FORMATTED" if re.match(r"(?i)^EXPLAIN\s+PIPELINE", s) else "EXTENDED"
+        self._register_views(inner)
+        return self.spark.sql(f"EXPLAIN {mode} {rewrite_select(inner, self._dialect_ctx())}")
+
+    def _register_views(self, s: str) -> None:
+        """Register any catalog/system tables the query references as
+        temp views (lazily — DataFrames are lazy, so no data moves)."""
+        for m in re.finditer(r"\bsystem\.(\w+)", s):
+            name = m.group(1).lower()
+            df = self._system_table(name)
+            if df is not None:
+                df.createOrReplaceTempView(f"system__{name}")
+        for db, tables in self.catalog.databases.items():
+            for name, tdef in tables.items():
+                if re.search(rf"\b{re.escape(db)}\.{re.escape(name)}\b", s):
+                    self._table_df(tdef).createOrReplaceTempView(f"{db}__{name}")
+                if db == self.current_db and re.search(rf"\b{re.escape(name)}\b", s):
+                    self._table_df(tdef).createOrReplaceTempView(name)
+
+    def _system_table(self, name: str) -> DataFrame | None:
+        if name in ("numbers", "numbers_mt", "numbers_local"):
+            return None  # table function, handled by the rewriter
+        factories = {
+            "tables": lambda: systbl.tables_table(self.spark, self.catalog),
+            "databases": lambda: systbl.databases_table(self.spark, self.catalog),
+            "functions": lambda: systbl.functions_table(self.spark),
+            "settings": lambda: systbl.settings_table(self.spark, self.settings),
+            "one": lambda: systbl.one_table(self.spark),
+            "processes": lambda: systbl.processes_table(self.spark),
+            "contributors": lambda: systbl.contributors_table(self.spark),
+            "clusters": lambda: systbl.clusters_table(self.spark),
+        }
+        if name not in factories:
+            raise UnknownTable(f"Unknown system table: '{name}'")
+        return factories[name]()
+
+    def _table_df(self, tdef: TableDef) -> DataFrame:
+        if tdef.engine == "Memory":
+            if tdef.data is None:
+                tdef.data = self.spark.createDataFrame([], tdef.schema)
+            return tdef.data
+        if tdef.engine == "Null":
+            return self.spark.createDataFrame([], tdef.schema)
+        if tdef.engine == "CSV":
+            return self.spark.read.schema(tdef.schema).csv(tdef.location, header=False)
+        if tdef.engine == "Parquet":
+            return self._read_parquet(tdef.location)
+        if tdef.engine == "JSONEachRow":
+            return self.spark.read.schema(tdef.schema).json(tdef.location)
+        raise UnsupportedStatement(f"Unknown engine {tdef.engine}")
+
+    def _read_parquet(self, path: str) -> DataFrame:
+        """Parquet read with TIMESTAMP(NANOS) fallback (see
+        sources/tables._read_nanos_ts)."""
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            df = self.spark.read.parquet(path)
+            df.schema  # force schema resolution
+            return df
+        except AnalysisException:
+            from fuse_query_spark.sources.tables import _read_nanos_ts
+
+            return _read_nanos_ts(self.spark, path, "ts")
+
+    # ---------- DDL ----------
+
+    _CREATE_TABLE = re.compile(
+        r"(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*"
+        r"(?:ENGINE\s*=\s*(\w+))?\s*(?:location\s*=\s*'([^']*)')?\s*$"
+    )
+
+    def _create_table(self, s: str):
+        m = self._CREATE_TABLE.match(s)
+        if not m:
+            raise UnsupportedStatement(f"Cannot parse CREATE TABLE: {s[:80]}")
+        if_not_exists, name, cols, engine, location = m.groups()
+        # reference: missing ENGINE defaults to Null (sql_parser.rs:441-443)
+        engine = (engine or "Null").strip()
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table in tables:
+            if if_not_exists:
+                return None
+            raise TableAlreadyExists(f"Table '{db}.{table}' already exists")
+        tables[table] = TableDef(
+            name=table, database=db, engine=engine, schema=self._parse_schema(cols), location=location
+        )
+        return None
+
+    def _parse_schema(self, cols: str) -> StructType:
+        fields = []
+        for part in self._split_cols(cols):
+            mm = re.match(r"(?s)^\s*(\w+)\s+(.+?)\s*$", part)
+            if not mm:
+                raise UnsupportedStatement(f"Cannot parse column def: {part}")
+            cname, ctype = mm.group(1), mm.group(2).strip().lower()
+            ctype = re.sub(r"varchar\s*\(\d+\)", "string", ctype)
+            ctype = _COL_TYPES.get(ctype, ctype)
+            fields.append(StructField(cname, _parse_datatype_string(ctype), True))
+        return StructType(fields)
+
+    @staticmethod
+    def _split_cols(cols: str) -> list[str]:
+        parts, depth, cur = [], 0, []
+        for ch in cols:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur))
+        return [p.strip() for p in parts if p.strip()]
+
+    def _qualify(self, name: str) -> tuple[str, str]:
+        if "." in name:
+            db, table = name.split(".", 1)
+            return db, table
+        return self.current_db, name
+
+    def _drop_table(self, s: str):
+        m = re.match(r"(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", s)
+        if_exists, name = m.groups()
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table not in tables:
+            if if_exists:
+                return None
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        del tables[table]
+        self.spark.catalog.dropTempView(table)
+        self.spark.catalog.dropTempView(f"{db}__{table}")
+        return None
+
+    def _create_database(self, s: str):
+        m = re.match(r"(?is)^CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)", s)
+        if_not_exists, name = m.groups()
+        if name in self.catalog.databases or name == "system":
+            if if_not_exists:
+                return None
+            raise DatabaseAlreadyExists(f"Database '{name}' already exists")
+        self.catalog.databases[name] = {}
+        return None
+
+    def _drop_database(self, s: str):
+        m = re.match(r"(?is)^DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)", s)
+        if_exists, name = m.groups()
+        if name not in self.catalog.databases:
+            if if_exists:
+                return None
+            raise UnknownDatabase(f"Unknown database: '{name}'")
+        del self.catalog.databases[name]
+        if self.current_db == name:
+            self.current_db = "default"
+        return None
+
+    def _use(self, s: str):
+        name = s.split()[1].strip()
+        if name != "system" and name not in self.catalog.databases:
+            raise UnknownDatabase(f"Unknown database: '{name}'")
+        self.current_db = name
+        return None
+
+    def _describe(self, s: str):
+        name = s.split()[1].strip()
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table not in tables:
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        tdef = tables[table]
+        rows = [(f.name, f.dataType.simpleString(), "YES" if f.nullable else "NO") for f in tdef.schema]
+        return self.spark.createDataFrame(rows, "Field STRING, Type STRING, Null STRING")
+
+    def _show(self, s: str):
+        up = s.upper().rstrip()
+        if up.startswith("SHOW TABLES"):
+            # reference rewrites SHOW onto system tables (plan_parser.rs:105-127)
+            return self._select(
+                f"SELECT name FROM system.tables WHERE database = '{self.current_db}' ORDER BY name"
+            )
+        if up.startswith("SHOW DATABASES"):
+            return self._select("SELECT name FROM system.databases ORDER BY name")
+        if up.startswith("SHOW SETTINGS"):
+            return self._select("SELECT name, value FROM system.settings ORDER BY name")
+        if up.startswith("SHOW PROCESSLIST"):
+            return self._select("SELECT * FROM system.processes")
+        m = re.match(r"(?is)^SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", s)
+        if m:
+            db, table = self._qualify(m.group(1))
+            tdef = self.catalog.db(db).get(table)
+            if tdef is None:
+                raise UnknownTable(f"Unknown table: '{db}.{table}'")
+            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in tdef.schema)
+            ddl = f"CREATE TABLE {tdef.database}.{tdef.name} ({cols}) ENGINE = {tdef.engine}"
+            return self.spark.createDataFrame([(tdef.name, ddl)], "Table STRING, CreateTable STRING")
+        raise UnsupportedStatement(f"Unsupported SHOW: {s}")
+
+    def _set(self, s: str):
+        m = re.match(r"(?is)^SET\s+(\w+)\s*=\s*(.+)$", s)
+        key, value = m.group(1).lower(), m.group(2).strip().strip("'")
+        if key not in self.settings:
+            self.settings[key] = Setting(value, value, "user-defined")
+        else:
+            self.settings[key].value = value
+        if key == "max_threads":
+            # reference: morsel parallelism (settings.rs:21) → shuffle width
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(int(value)))
+        return None
+
+    # ---------- INSERT ----------
+
+    _INSERT = re.compile(
+        r"(?is)^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+)$"
+    )
+
+    def _insert(self, s: str):
+        m = self._INSERT.match(s)
+        if not m:
+            raise UnsupportedStatement(f"Cannot parse INSERT: {s[:80]}")
+        name, cols, values = m.groups()
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table not in tables:
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        tdef = tables[table]
+        colnames = [c.strip() for c in cols.split(",")] if cols else [f.name for f in tdef.schema]
+        rows = [self._parse_tuple(t) for t in self._split_tuples(values)]
+        sub_schema = StructType([tdef.schema[c] for c in colnames])
+        df = self.spark.createDataFrame(rows, sub_schema)
+        # Null engine discards writes (null_table.rs:22-96)
+        if tdef.engine == "Memory":
+            tdef.data = self._table_df(tdef).unionByName(df, allowMissingColumns=True)
+        elif tdef.engine != "Null":
+            raise UnsupportedStatement(f"INSERT into engine {tdef.engine} not supported")
+        return None
+
+    @staticmethod
+    def _split_tuples(values: str) -> list[str]:
+        tuples, depth, cur, in_str = [], 0, [], None
+        for ch in values:
+            if in_str:
+                cur.append(ch)
+                if ch == in_str:
+                    in_str = None
+            elif ch == "'":
+                in_str = ch
+                cur.append(ch)
+            elif ch == "(":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+                cur.append(ch)
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    tuples.append("".join(cur))
+                    continue
+                cur.append(ch)
+            elif depth > 0:
+                cur.append(ch)
+        return tuples
+
+    @staticmethod
+    def _parse_tuple(t: str) -> tuple:
+        vals = []
+        for raw in Engine._split_cols(t):
+            v = raw.strip()
+            if v.upper() == "NULL":
+                vals.append(None)
+            elif v.startswith("'") and v.endswith("'"):
+                vals.append(v[1:-1])
+            elif re.fullmatch(r"-?\d+", v):
+                vals.append(int(v))
+            elif re.fullmatch(r"-?\d*\.\d+([eE][+-]?\d+)?", v):
+                vals.append(float(v))
+            elif v.upper() in ("TRUE", "FALSE"):
+                vals.append(v.upper() == "TRUE")
+            else:
+                vals.append(v)
+        return tuple(vals)

@@ -1,0 +1,46 @@
+"""Error model mirroring the reference's ErrorCode categories
+(common/exception error codes, as exercised by the stateless suite's
+`-- {ErrorCode N}` hints, e.g. tests/suites/0_stateless/
+00_0000_dummy_select_1.sql and 05_*_ddl_*.sql)."""
+
+from __future__ import annotations
+
+
+class FuseQueryError(Exception):
+    code = 0
+
+    def __init__(self, message: str):
+        super().__init__(f"Code: {self.code}, {message}")
+        self.message = message
+
+
+class SyntaxError_(FuseQueryError):
+    code = 1
+
+
+class TableAlreadyExists(FuseQueryError):
+    code = 2  # reference: CREATE TABLE t ... twice → ErrorCode 2
+
+
+class DatabaseAlreadyExists(FuseQueryError):
+    code = 3  # reference: CREATE DATABASE db ... twice → ErrorCode 3
+
+
+class UnknownDatabase(FuseQueryError):
+    code = 4
+
+
+class UnknownColumn(FuseQueryError):
+    code = 6  # reference: SELECT x → ErrorCode 6
+
+
+class UnknownFunction(FuseQueryError):
+    code = 8
+
+
+class UnknownTable(FuseQueryError):
+    code = 25  # reference: unresolved table/alias references
+
+
+class UnsupportedStatement(FuseQueryError):
+    code = 5

@@ -1,0 +1,77 @@
+"""System tables (reference: datasources/system/*.rs) as DataFrame
+factories, built at query time from the engine's catalog/settings —
+the same design the reference uses (SHOW is rewritten onto them,
+plan_parser.rs:105-127).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def tables_table(spark: SparkSession, catalog) -> DataFrame:
+    """system.tables: (database, name, engine) — tables_table.rs:21."""
+    rows = [
+        (db, name, tdef.engine)
+        for db, tables in catalog.databases.items()
+        for name, tdef in tables.items()
+    ]
+    rows += [("system", n, "SystemTables") for n in SYSTEM_TABLE_NAMES]
+    return spark.createDataFrame(rows or [("", "", "")], "database STRING, name STRING, engine STRING").filter(
+        "database != ''"
+    )
+
+
+def databases_table(spark: SparkSession, catalog) -> DataFrame:
+    """system.databases: (name) — databases_table.rs:21."""
+    rows = [(db,) for db in sorted(catalog.databases)] + [("system",)]
+    return spark.createDataFrame(rows, "name STRING")
+
+
+def functions_table(spark: SparkSession) -> DataFrame:
+    """system.functions: (name, is_aggregate) — functions_table.rs:23."""
+    from fuse_query_spark.functions.registry import all_function_rows
+
+    return spark.createDataFrame(all_function_rows(), "name STRING, is_aggregate BOOLEAN")
+
+
+def settings_table(spark: SparkSession, settings: dict) -> DataFrame:
+    """system.settings: (name, value, default_value, description) —
+    settings_table.rs:21."""
+    rows = [(k, str(v.value), str(v.default), v.description) for k, v in settings.items()]
+    return spark.createDataFrame(
+        rows, "name STRING, value STRING, default_value STRING, description STRING"
+    )
+
+
+def one_table(spark: SparkSession) -> DataFrame:
+    """system.one: single row dummy=0 — one_table.rs:21-88."""
+    return spark.range(1).selectExpr("CAST(0 AS TINYINT) AS dummy")
+
+
+def processes_table(spark: SparkSession) -> DataFrame:
+    """system.processes stub — single-process local engine."""
+    return spark.createDataFrame([], "id STRING, query STRING, elapsed DOUBLE")
+
+
+def contributors_table(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([("fuse-query-spark",)], "name STRING")
+
+
+def clusters_table(spark: SparkSession) -> DataFrame:
+    """Cluster topology: Spark handles distribution; expose the app id."""
+    return spark.createDataFrame(
+        [(spark.sparkContext.applicationId, "local", 0)], "name STRING, address STRING, priority INT"
+    )
+
+
+SYSTEM_TABLE_NAMES = (
+    "tables",
+    "databases",
+    "functions",
+    "settings",
+    "one",
+    "processes",
+    "contributors",
+    "clusters",
+)

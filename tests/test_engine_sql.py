@@ -1,0 +1,226 @@
+"""Engine SQL tests mirroring the reference's stateless golden suite
+(tests/suites/0_stateless/*): same statements, asserted results.
+"""
+
+import pytest
+
+from fuse_query_spark.engine import Engine
+from fuse_query_spark.errors import (
+    DatabaseAlreadyExists,
+    TableAlreadyExists,
+    UnknownDatabase,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+def one(df):
+    return df.collect()[0][0]
+
+
+def col(df):
+    return [r[0] for r in df.collect()]
+
+
+# 00_0000_dummy_select_1
+def test_dummy_select(engine):
+    assert one(engine.sql("SELECT 1")) == 1
+    assert one(engine.sql("SELECT 'a'")) == "a"
+    assert one(engine.sql("SELECT NOT(1=1)")) is False
+    assert one(engine.sql("SELECT TRUE")) is True
+    assert col(engine.sql("SELECT a.number FROM numbers(3) AS a order by a.number")) == [0, 1, 2]
+
+
+# 01_0000_system_numbers
+def test_system_numbers_aggregates(engine):
+    assert one(engine.sql("SELECT sum(number) from numbers_mt(10000)")) == 49995000
+    assert one(engine.sql("SELECT min(number) from numbers_mt(10000)")) == 0
+    assert one(engine.sql("SELECT max(number) from numbers_mt(10000)")) == 9999
+    assert one(engine.sql("SELECT avg(number) from numbers_mt(10000)")) == 4999.5
+    assert one(engine.sql("SELECT count(number) from numbers_mt(10000)")) == 10000
+    assert one(engine.sql("SELECT sum(number)/count(number) from numbers_mt(10000)")) == 4999.5
+
+
+def test_argmin_argmax(engine):
+    assert one(engine.sql("SELECT argMin(number, number) from numbers_mt(10000)")) == 0
+    assert (
+        one(
+            engine.sql(
+                "SELECT argMin(a, b) from (select number + 5 as a, number - 5 as b from numbers_mt(10000))"
+            )
+        )
+        == 5
+    )
+    assert one(engine.sql("SELECT argMax(number, number) from numbers_mt(10000)")) == 9999
+
+
+def test_uniq_equals_count_distinct(engine):
+    r = engine.sql(
+        "select uniq(number) = count(distinct number) from "
+        "( select number % 100 as number from numbers(100000))"
+    )
+    assert one(r) is True
+
+
+# 02_0000 arithmetic + 02_0002 casts
+def test_arithmetic(engine):
+    row = engine.sql("SELECT 1 + 1 as a, 1 - 1, 1 * 1, 1 / 2").collect()[0]
+    assert list(row) == [2, 0, 1, 0.5]
+
+
+def test_named_casts_and_typenames(engine):
+    assert one(engine.sql("SELECT toTypeName(toint8('8')) FROM numbers_mt(1)")) == "Int8"
+    assert one(engine.sql("SELECT toTypeName(toint16('16')) FROM numbers_mt(1)")) == "Int16"
+    assert one(engine.sql("SELECT toTypeName(toint32('32')) FROM numbers_mt(1)")) == "Int32"
+    assert one(engine.sql("SELECT toTypeName(toint64('64')) FROM numbers_mt(1)")) == "Int64"
+    assert one(engine.sql("SELECT toTypeName(CAST(number AS float32)) FROM numbers_mt(1)")) == "Float32"
+    assert one(engine.sql("SELECT toTypeName(CAST(number AS UInt64)) FROM numbers_mt(1)")) == "Int64"
+
+
+# 02_0005 substring / 02_0009 siphash
+def test_substring_sql_sugar(engine):
+    assert one(engine.sql("select substring('abcde' from 2 for 2)")) == "bc"
+    assert one(engine.sql("select substring('abcde' from 2)")) == "bcde"
+
+
+def test_siphash_is_stable_hash(engine):
+    a = one(engine.sql("SELECT SIPHASH64('1234567890')"))
+    b = one(engine.sql("SELECT SIPHASH64('1234567890')"))
+    assert a == b and isinstance(a, int)
+
+
+# 03_0003 group by
+def test_group_by(engine):
+    rows = engine.sql(
+        "SELECT number%3 as c1, number%2 as c2 FROM numbers_mt(10000) "
+        "where number > 2 group by number%3, number%2 order by c1,c2"
+    ).collect()
+    assert [list(r) for r in rows] == [[0, 0], [0, 1], [1, 0], [1, 1], [2, 0], [2, 1]]
+
+
+# 03_0008 combinators
+def test_combinators(engine):
+    assert one(engine.sql("select sumIf(number, number >= 100000 - 1) from numbers(100000)")) == 99999
+    assert one(engine.sql("select countIf(number, number>9) from numbers(10)")) == 0
+    assert (
+        one(
+            engine.sql(
+                "select sumDistinct(number) from ( select number % 100 as number from numbers(100000))"
+            )
+        )
+        == 4950
+    )
+    r = engine.sql(
+        "select sumIf(number, number > 100) / countIf(number, number > 100) = "
+        "avgIf(number, number > 100) from numbers(100000)"
+    )
+    assert one(r) is True
+
+
+# 03_0009 exists
+def test_exists_subquery(engine):
+    rows = col(
+        engine.sql(
+            "select number from numbers_mt(10) where number > 5 and "
+            "exists (select name from system.settings) order by number asc"
+        )
+    )
+    assert rows == [6, 7, 8, 9]
+    rows = col(
+        engine.sql(
+            "select number from numbers_mt(20) where number > 15 and "
+            "not exists (select number from numbers_mt(5) where number > 10) order by number asc"
+        )
+    )
+    assert rows == [16, 17, 18, 19]
+
+
+# 05_* DDL
+def test_ddl_tables_and_databases(engine):
+    engine.sql("DROP TABLE IF EXISTS t")
+    engine.sql("CREATE TABLE t(c1 int) ENGINE = Null")
+    assert (
+        one(
+            engine.sql(
+                "SELECT COUNT(1) from system.tables where name = 't' and database = 'default'"
+            )
+        )
+        == 1
+    )
+    engine.sql("CREATE TABLE IF NOT EXISTS t(c1 int) ENGINE = Null")
+    with pytest.raises(TableAlreadyExists):
+        engine.sql("CREATE TABLE t(c1 int) ENGINE = Null")
+    engine.sql("DROP TABLE IF EXISTS t")
+
+    engine.sql("DROP DATABASE IF EXISTS db")
+    engine.sql("CREATE DATABASE db ENGINE = Local")
+    engine.sql("CREATE TABLE db.t(c1 int) ENGINE = Null")
+    assert (
+        one(engine.sql("SELECT COUNT(1) from system.tables where name = 't' and database = 'db'"))
+        == 1
+    )
+    with pytest.raises(DatabaseAlreadyExists):
+        engine.sql("CREATE DATABASE db ENGINE = Local")
+    engine.sql("DROP DATABASE IF EXISTS db")
+
+
+# 06 show / 07 use / 10 describe
+def test_show_use_describe(engine):
+    engine.sql("DROP TABLE IF EXISTS t")
+    engine.sql("CREATE TABLE t(a bigint, b int, c varchar(255), d smallint, e Date) ENGINE = Null")
+    assert "t" in col(engine.sql("SHOW TABLES"))
+    desc = engine.sql("DESC t").collect()
+    assert [(r["Field"], r["Type"]) for r in desc] == [
+        ("a", "bigint"),
+        ("b", "int"),
+        ("c", "string"),
+        ("d", "smallint"),
+        ("e", "date"),
+    ]
+    with pytest.raises(UnknownDatabase):
+        engine.sql("USE not_exists_db")
+    engine.sql("USE default")
+    assert one(engine.sql("select database()")) == "default"
+
+
+def test_insert_into_memory_table(engine):
+    engine.sql("DROP TABLE IF EXISTS m")
+    engine.sql("CREATE TABLE m(id int, name string, rank int) ENGINE = Memory")
+    engine.sql("INSERT INTO m VALUES (1, 'Beijing', 100), (2, 'Shanghai', 80), (3, NULL, 60)")
+    rows = engine.sql("SELECT id, name, rank FROM m ORDER BY id").collect()
+    assert [list(r) for r in rows] == [[1, "Beijing", 100], [2, "Shanghai", 80], [3, None, 60]]
+    assert one(engine.sql("SELECT sum(rank) FROM m")) == 240
+    engine.sql("DROP TABLE m")
+
+
+def test_set_and_settings_table(engine):
+    engine.sql("SET max_threads=16")
+    v = engine.sql("SELECT value FROM system.settings WHERE name = 'max_threads'").collect()
+    assert v[0][0] == "16"
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "16"
+
+
+def test_explain(engine):
+    out = engine.sql("EXPLAIN select max(number+1) as c1 from numbers_mt(10000) group by number%3")
+    text = "\n".join(r[0] for r in out.collect())
+    assert "Aggregate" in text or "HashAggregate" in text
+
+
+def test_limit_by(engine):
+    rows = engine.sql(
+        "SELECT number % 3 AS g, number FROM numbers(12) ORDER BY g, number LIMIT 2 BY g"
+    ).collect()
+    assert len(rows) == 6  # 2 per residue class
+    got = sorted((r["g"], r["number"]) for r in rows)
+    assert got == [(0, 0), (0, 3), (1, 1), (1, 4), (2, 2), (2, 5)]
+
+
+def test_show_create_table(engine):
+    engine.sql("CREATE TABLE IF NOT EXISTS sc(c1 int) ENGINE = Null")
+    row = engine.sql("SHOW CREATE TABLE sc").collect()[0]
+    assert row["Table"] == "sc"
+    assert "ENGINE = Null" in row["CreateTable"]
+    engine.sql("DROP TABLE sc")
