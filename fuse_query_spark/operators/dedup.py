@@ -16,7 +16,32 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-from fuse_query_spark.operators.text import fingerprint_md5, shingles, tokens
+from fuse_query_spark.operators.text import (
+    fingerprint_md5,
+    shingles,
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition before compute-heavy per-row work. Parquet scan
+    partitioning is byte-based (maxPartitionBytes), which under-splits
+    small-but-compute-dense inputs (a 1.5 MB documents file is one
+    partition, but shingling+hashing it is minutes of CPU). Hashing on
+    the id key keeps the later groupBy co-partitioned."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target, key)
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(_id, _sh) with the token array materialized BELOW the exchange:
+    the shuffle writes token arrays, so the shingle lambda above it
+    reads a materialized array instead of re-splitting the text per
+    element (see shingles_from_tokens)."""
+    tok = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    tok = _spread(tok, "_id")
+    return tok.select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -40,8 +65,9 @@ def minhash_signatures(
     seed_i)) per doc per seed — one explode + one hash-agg, all
     JVM-side. Output: id_col, mh0..mh{k-1}.
     """
-    ex = df.select(id_col, F.explode(shingles(text_col, shingle_n)).alias("_sh"))
-    aggs = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"mh{i}") for i in range(k)]
+    sh_df = _shingle_table(df, text_col, id_col, shingle_n)
+    ex = sh_df.select(F.col("_id").alias(id_col), F.explode("_sh").alias("_s"))
+    aggs = [F.min(F.xxhash64("_s", F.lit(i))).alias(f"mh{i}") for i in range(k)]
     return ex.groupBy(id_col).agg(*aggs)
 
 
@@ -80,11 +106,16 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs only. The join
     fans each pair out to its two shingle sets (broadcast-friendly when
-    the candidate set is small; shuffle-join otherwise)."""
-    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh"))
+    the candidate set is small; shuffle-join otherwise). Pass a
+    precomputed (persisted) `shingle_df` (_id, _sh) to avoid
+    re-shingling when composing with signature generation."""
+    sh = shingle_df
+    if sh is None:
+        sh = _shingle_table(df, text_col, id_col, shingle_n)
     j = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
@@ -108,17 +139,30 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
-    candidates → exact-Jaccard verification."""
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    candidates → exact-Jaccard verification.
+
+    The shingle table and the signature table are persisted: each is
+    consumed by more than one downstream subtree (signatures feed both
+    sides of the bucket self-join; shingles feed both sides of the
+    verify join), and without persistence Spark re-runs the full
+    shingle+hash explode per consumer — measured 3x the runtime at
+    sf0.1. Both intermediates are tiny relative to the corpus
+    (ids + hashes + shingle arrays), so this holds at scale; they are
+    unpersisted by the context cleaner when the DataFrames fall out of
+    scope."""
+    sh_df = _shingle_table(df, text_col, id_col, shingle_n).persist()
+    ex = sh_df.select(F.col("_id").alias(id_col), F.explode("_sh").alias("_s"))
+    aggs = [F.min(F.xxhash64("_s", F.lit(i))).alias(f"mh{i}") for i in range(k)]
+    sigs = ex.groupBy(id_col).agg(*aggs).persist()
     cands = lsh_candidate_pairs(sigs, id_col, k, bands)
-    return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
+    return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold, shingle_df=sh_df)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash: per token, xxhash64; per bit, vote +1/-1; sign vector
     packs into a `bits`-wide integer. Computed as one explode + one
     aggregation with `bits` conditional sums (all codegen'd)."""
-    ex = df.select(id_col, F.explode(tokens(text_col)).alias("_t")).withColumn(
+    ex = _spread(df, id_col).select(id_col, F.explode(tokens(text_col)).alias("_t")).withColumn(
         "_h", F.xxhash64("_t")
     )
     votes = [

@@ -33,18 +33,22 @@ def uniq_token_count(text: str | Column) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
 
-def stopword_hits(text: str | Column, lang: str = "en") -> Column:
+def stopword_hits(text: str | Column, lang: str = "en", toks: Column | None = None) -> Column:
     """Count of tokens in the language's stopword set — a lambda filter
-    over the token array, still JVM-side."""
+    over the token array, still JVM-side. Pass `toks` (a materialized
+    token-array column) on hot paths: a tokens *expression* re-splits
+    the text per array element inside the lambda (no CSE inside
+    higher-order functions)."""
     wordlist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(text), lambda t: F.array_contains(wordlist, F.lower(t))))
+    t = toks if toks is not None else tokens(text)
+    return F.size(F.filter(t, lambda x: F.array_contains(wordlist, F.lower(x))))
 
 
-def language_id(text: str | Column) -> Column:
+def language_id(text: str | Column, toks: Column | None = None) -> Column:
     """Stopword-vote language ID with deterministic tie-break (first
     language in STOPWORDS order wins ties). An n-gram character model
     would slot in the same shape; this is the dependency-free variant."""
-    scores = [(lang, stopword_hits(text, lang)) for lang in STOPWORDS]
+    scores = [(lang, stopword_hits(text, lang, toks=toks)) for lang in STOPWORDS]
     # struct-max: (hits, -position) so ties resolve to the earlier language
     arr = F.array(
         *[
@@ -67,12 +71,12 @@ def alpha_ratio(text: str | Column) -> Column:
     return n_alpha / F.greatest(F.length(c), F.lit(1))
 
 
-def quality_score(text: str | Column) -> Column:
+def quality_score(text: str | Column, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: token count band + stopword
     presence + alphabetic density. Deterministic rational arithmetic
     (int counts / int lengths) so it is oracle-comparable."""
-    ntok = token_count(text)
-    sw = stopword_hits(text, "en")
+    ntok = F.size(toks) if toks is not None else token_count(text)
+    sw = stopword_hits(text, "en", toks=toks)
     length_ok = F.when((ntok >= 10) & (ntok <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
     sw_ratio = sw / F.greatest(ntok, F.lit(1))
     return (length_ok + sw_ratio + alpha_ratio(text)) / F.lit(3.0)
@@ -84,10 +88,28 @@ def fingerprint_md5(text: str | Column) -> Column:
     return F.md5(F.lower(F.trim(c)))
 
 
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array
+    column. Important at scale: referencing a tokens *expression* here
+    would re-run split() for every element_at inside the lambda (no
+    common-subexpression elimination inside higher-order functions —
+    measured 2x slower at sf0.1); callers doing heavy shingling should
+    project the token array first, ideally below an exchange so it is
+    materialized (see dedup._shingle_table)."""
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(ngrams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles(text: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings (0-based array indexing in
     Spark SQL). Distinct set — shingle multiplicity is irrelevant for
-    Jaccard."""
+    Jaccard. Single-expression form for query contexts; hot paths use
+    shingles_from_tokens on a materialized token column."""
     t = tokens(text)
     ngrams = F.transform(
         F.sequence(F.lit(0), F.size(t) - n),

@@ -81,10 +81,16 @@ def text_quality_score(spark, sf_dir):
     alphabetic density) — the filter stage of a data pipeline, rational
     arithmetic only so the oracle hashes bit-equal."""
     d = table(spark, sf_dir, "documents")
-    return d.select(
+    # materialize tokens below an exchange so the lambda filters read
+    # an array, not a re-split-per-element expression (see
+    # operators/text.stopword_hits note)
+    tok = d.select("doc_id", "text", tokens("text").alias("_toks"))
+    tok = tok.repartition(tok.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    t = F.col("_toks")
+    return tok.select(
         "doc_id",
-        quality_score("text").alias("quality"),
-        stopword_hits("text", "en").alias("stopword_hits"),
+        quality_score("text", toks=t).alias("quality"),
+        stopword_hits("text", "en", toks=t).alias("stopword_hits"),
     )
 
 
@@ -119,8 +125,12 @@ def text_lang_id(spark, sf_dir):
     The corpus is synthetic word-salad, so this tests the operator's
     determinism, not linguistic accuracy."""
     d = table(spark, sf_dir, "documents")
-    return d.select(language_id("text").alias("lang_pred")).groupBy("lang_pred").agg(
-        F.count(F.lit(1)).alias("n")
+    tok = d.select("doc_id", "text", tokens("text").alias("_toks"))
+    tok = tok.repartition(tok.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    return (
+        tok.select(language_id("text", toks=F.col("_toks")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

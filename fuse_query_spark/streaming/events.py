@@ -1,0 +1,81 @@
+"""Structured Streaming operators over the events schema.
+
+The reference has no event-time streaming at all (SURVEY §2.10: its
+"streams" are pull-based batch iterators — common/streams/src/
+stream.rs:9); this module is the capability extension: readStream →
+watermarked windowed aggregation → sink, with the same transformations
+as the batch queries in queries/events.py so results can be
+cross-checked batch-vs-stream (tests/test_streaming.py).
+
+Scale posture: watermarks bound state; session_window/window state is
+keyed by (window, key) and expires past the watermark — the standard
+100 TB streaming topology.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events rows (one-file-per-trigger keeps
+    tests deterministic; in production this is a Kafka/file drop)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the
+    streaming form of queries/events.events_tumbling_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (session_window) — the streaming form of
+    queries/events.events_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
+    """Drain the stream with an availableNow trigger into an in-memory
+    table (complete mode) — the test harness path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
