@@ -36,15 +36,24 @@ BENCH_QUERIES = [
     "limit_by",
     "filter_predicates",
     "numbers_agg",
+    "numbers_throughput_100m",
     "expr_projection",
     "join_revenue_by_nation",
+    "join_fact_fact",
+    "join_asof",
     "window_running_total",
     "setop_union_keys",
+    "rollup_orders",
     "events_tumbling_hourly",
+    "events_sessionize",
+    "dialect_combinators",
     "text_quality_score",
+    "text_token_stats",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk_bruteforce",
+    "similarity_pairs_label_blocked",
 ]
 
 

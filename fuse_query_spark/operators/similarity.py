@@ -52,6 +52,48 @@ def brute_force_topk(
     )
 
 
+def pairs_above_threshold_blas(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """Blocked pairwise cosine via applyInPandas + numpy BLAS: each
+    block (LSH bucket / label) becomes one pandas group; the kernel
+    normalizes the block matrix once and takes N @ N.T — one GEMM per
+    block instead of per-element interpreted lambdas (Spark higher-
+    order functions are not codegen'd; measured ~6x faster at sf0.1).
+
+    At 100 TB the block is the unit of memory: keep blocks ≤ ~100k
+    vectors (LSH bucket sizing), which bounds the per-task matrix."""
+    import numpy as np
+    import pandas as pd
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        nm = m / norms[:, None]
+        sims = nm @ nm.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"id_a": a2, "id_b": b2, "cos_sim": sims[ia, ib][keep]})
+
+    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
+        _block_pairs, "id_a LONG, id_b LONG, cos_sim DOUBLE"
+    )
+
+
 def pairs_above_threshold(
     df: DataFrame,
     threshold: float,

@@ -37,6 +37,7 @@ _MODULES = [
     "fuse_query_spark.queries.dedup",
     "fuse_query_spark.queries.similarity",
     "fuse_query_spark.queries.dialect",
+    "fuse_query_spark.queries.misc",
 ]
 
 

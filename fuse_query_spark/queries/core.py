@@ -366,6 +366,36 @@ def numbers_agg(spark, sf_dir):
 
 
 @register(
+    "numbers_throughput_100m",
+    oracle="""
+    SELECT CAST(SUM(number) AS BIGINT) AS sum_n,
+           COUNT(*) AS cnt,
+           AVG(number) AS avg_n,
+           CAST(MIN(number) AS BIGINT) AS min_n,
+           CAST(MAX(number) AS BIGINT) AS max_n
+    FROM (SELECT range AS number FROM range(100000000))
+    """,
+    tags=("table_function", "numbers", "throughput", "bench"),
+)
+def numbers_throughput_100m(spark, sf_dir):
+    """The BASELINE.md headline shape (`SELECT avg/sum/min/max/count
+    FROM numbers_mt(N)`) at 100M rows — a direct generator-throughput
+    comparison with the reference's in-memory numbers source
+    (README.md:71-78: ~21-34 Brows/s at 100B rows / 16 threads).
+    Spark's range is whole-stage-codegen'd; one pass computes all five
+    aggregates. avg over 0..1e8-1: sum≈5e15 < 2^53, so the double avg
+    is exact."""
+    n = numbers(spark, 100_000_000)
+    return n.agg(
+        F.sum("number").alias("sum_n"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.avg("number").alias("avg_n"),
+        F.min("number").alias("min_n"),
+        F.max("number").alias("max_n"),
+    )
+
+
+@register(
     "expr_projection",
     oracle="""
     SELECT l_orderkey,

@@ -174,6 +174,77 @@ def scalar_subquery(spark, sf_dir):
 
 
 @register(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    errs AS (SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'error') t WHERE rn = 1)
+    SELECT c.user_id, c.event_id, e.ts AS err_ts, e.value AS err_value
+    FROM clicks c ASOF LEFT JOIN errs e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+    tags=("join", "asof", "custom_operator"),
+)
+def join_asof(spark, sf_dir):
+    """AS-OF join — for each click, the most recent prior error of the
+    same user. Spark lacks this natively; operators/joins.asof_join
+    implements the union+window formulation (one shuffle, no row
+    explosion — see module docstring). Oracle: DuckDB's native ASOF
+    LEFT JOIN."""
+    from fuse_query_spark.operators.joins import asof_join
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    errs = (
+        e.filter(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    out = asof_join(clicks, errs, on="user_id", left_ts="ts", right_ts="ts", right_cols=["value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts_right").alias("err_ts"),
+        F.col("value").alias("err_value"),
+    )
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT l.event_id AS click_id, r.event_id AS err_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'error'
+     AND r.ts <= l.ts
+     AND epoch_us(l.ts) - epoch_us(r.ts) <= 7200000000
+    """,
+    tags=("join", "range", "custom_operator"),
+)
+def join_range_bucketed(spark, sf_dir):
+    """Range join (pairs within a 2-hour lookback window) via bucket
+    equi-join + filter — operators/joins.range_join_bucketed. The
+    oracle is the naive inequality join, which DuckDB can afford at
+    sf0.01; at 100 TB only the bucketed form survives."""
+    from fuse_query_spark.operators.joins import range_join_bucketed
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    errs = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("r_ts")
+    )
+    j = range_join_bucketed(clicks, errs, on="user_id", left_ts="ts", right_ts="r_ts", max_gap_seconds=7200)
+    return j.select("click_id", "err_id")
+
+
+@register(
     "derived_table",
     oracle="""
     SELECT seg, COUNT(*) AS n_cust, CAST(MAX(total_bal) AS DOUBLE) AS max_bal

@@ -1,0 +1,145 @@
+"""Remaining coverage: pivot, interval arithmetic, grouping sets,
+approximate aggregates, CSV/JSONEachRow table engines (the reference's
+non-parquet sources, csv_table.rs:24-117 / plan_table_create.rs:11-21).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from fuse_query_spark.functions.exact import dec
+from fuse_query_spark.queries import register
+from fuse_query_spark.sources.tables import table
+
+_EVENT_TYPES = ["click", "view", "error", "purchase", "signup"]
+
+
+@register(
+    "pivot_events",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           {", ".join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY day
+    """,
+    tags=("pivot", "aggregate"),
+)
+def pivot_events(spark, sf_dir):
+    """Pivot (event_type → columns). Explicit value list keeps the
+    output schema static — required for both the oracle and any
+    production sink; Spark would otherwise run an extra distinct scan
+    to discover values."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "interval_arithmetic",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 1 HOUR   AS ts_plus_hour,
+           ts - INTERVAL 30 MINUTE AS ts_minus_30m,
+           CAST(ts AS DATE) + INTERVAL 1 DAY AS next_day
+    FROM events
+    WHERE event_id % 50 = 0
+    """,
+    tags=("interval", "datetime"),
+)
+def interval_arithmetic(spark, sf_dir):
+    """INTERVAL literal arithmetic (reference parses INTERVAL literals,
+    sql_common.rs / plan_parser.rs:811-823)."""
+    e = table(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") % 50 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_plus_hour"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTE")).alias("ts_minus_30m"),
+        (F.col("ts").cast("date") + F.expr("INTERVAL 1 DAY")).cast("timestamp").alias("next_day"),
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           GROUPING(o_orderstatus)   AS g_status,
+           GROUPING(o_orderpriority) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("aggregate", "grouping_sets"),
+)
+def grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() indicators (absent from
+    the reference; Spark-native)."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_approx",
+    oracle=None,  # approximate by contract; bounds asserted in tests
+    tags=("aggregate", "approximate"),
+)
+def agg_approx(spark, sf_dir):
+    """approx_count_distinct (HLL++) + approx percentiles — the
+    approximate counterparts the reference lacks entirely (its uniq is
+    exact). Error bounds are asserted against exact values in
+    tests/test_queries_misc.py."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("p25_75"),
+    )
+
+
+def _fixture_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "tests", "data")
+
+
+@register(
+    "csv_engine_scan",
+    oracle=None,  # fixture path is repo-relative; checked in tests instead
+    tags=("source", "csv"),
+)
+def csv_engine_scan(spark, sf_dir):
+    """CSV engine with declared schema (csv_table.rs:24-117; schemas
+    are explicit, never inferred — SURVEY §1.2). Returns the aggregated
+    fixture content."""
+    path = os.path.join(_fixture_dir(), "sample.csv")
+    df = spark.read.schema("id INT, name STRING, rank INT").csv(path, header=False)
+    return df.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rank").alias("sum_rank"),
+        F.min("name").alias("first_name"),
+    )
+
+
+@register(
+    "json_engine_scan",
+    oracle=None,
+    tags=("source", "json"),
+)
+def json_engine_scan(spark, sf_dir):
+    """JSONEachRow engine (line-delimited JSON with declared schema —
+    plan_table_create.rs:11-21 declares the engine; spark.read.json is
+    the implementation)."""
+    path = os.path.join(_fixture_dir(), "sample.jsonl")
+    df = spark.read.schema("id INT, name STRING, tags ARRAY<STRING>").json(path)
+    return df.select("id", "name", F.size("tags").alias("n_tags")).orderBy("id")

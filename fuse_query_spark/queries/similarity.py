@@ -18,6 +18,7 @@ from fuse_query_spark.operators.similarity import (
     knn_lsh,
     lsh_bucket,
     pairs_above_threshold,
+    pairs_above_threshold_blas,
 )
 from fuse_query_spark.queries import register
 from fuse_query_spark.sources.tables import table
@@ -68,9 +69,10 @@ def similarity_topk_bruteforce(spark, sf_dir):
 def similarity_pairs_label_blocked(spark, sf_dir):
     """All same-label pairs with cosine ≥ 0.35 — the blocked quadratic
     verify step (block = label here; an LSH bucket in the unsupervised
-    case). Ids only in output (see module float policy)."""
+    case), computed as one BLAS GEMM per block via applyInPandas. Ids
+    only in output (see module float policy)."""
     e = table(spark, sf_dir, "embeddings")
-    return pairs_above_threshold(e, 0.35, block_col="label").select("id_a", "id_b")
+    return pairs_above_threshold_blas(e, 0.35, block_col="label").select("id_a", "id_b")
 
 
 @register(

@@ -1,0 +1,47 @@
+"""Plan-regression gates: the properties that matter at 100 TB must
+hold in the physical plan (mirrors the intent of the reference's
+EXPLAIN tests, 04_* / 08_0000_optimizer.sql)."""
+
+from fuse_query_spark.plans import (
+    has_broadcast_join,
+    has_pushed_filters,
+    has_take_ordered,
+    scan_columns,
+)
+from fuse_query_spark.plans.explain import shuffle_count
+from fuse_query_spark.queries import load_registry
+
+REG = load_registry()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = REG["filter_predicates"].fn(spark, sf_dir)
+    assert has_pushed_filters(df)
+
+
+def test_q01_scan_is_column_pruned(spark, sf_dir):
+    df = REG["q01_pricing_summary"].fn(spark, sf_dir)
+    scans = scan_columns(df)
+    assert scans, "expected a parquet scan"
+    # 16-column lineitem pruned to the 7 referenced columns
+    assert all(len(cols) <= 7 for cols in scans), scans
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    df = REG["join_revenue_by_nation"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # fact side never shuffles before the aggregate: broadcast joins
+    # + partial agg → at most the one agg exchange (+AQE final)
+    assert shuffle_count(df) <= 2
+
+
+def test_topk_avoids_full_sort(spark, sf_dir):
+    assert has_take_ordered(REG["sort_topk"].fn(spark, sf_dir))
+    assert has_take_ordered(REG["similarity_topk_bruteforce"].fn(spark, sf_dir))
+
+
+def test_projection_prunes_unused_columns(spark, sf_dir):
+    df = REG["expr_projection"].fn(spark, sf_dir)
+    for cols in scan_columns(df):
+        assert "l_extendedprice" not in cols  # never referenced
+        assert "l_tax" not in cols

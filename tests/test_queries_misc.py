@@ -1,0 +1,49 @@
+"""Checks for the rows-only (non-oracle) queries: approximate aggs
+within error bounds, CSV/JSON fixtures, as-of join semantics."""
+
+from pyspark.sql import functions as F
+
+from fuse_query_spark.operators.joins import asof_join
+from fuse_query_spark.queries import load_registry
+from fuse_query_spark.sources.tables import table
+
+REG = load_registry()
+
+
+def test_approx_agg_within_bounds(spark, sf_dir):
+    row = REG["agg_approx"].fn(spark, sf_dir).collect()[0]
+    li = table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    assert abs(row["approx_orders"] - exact) / exact < 0.05
+    lo, hi = (
+        li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    )
+    assert lo <= row["p50_price"] <= hi
+    p25, p75 = row["p25_75"]
+    assert p25 <= row["p50_price"] <= p75
+
+
+def test_csv_engine_scan(spark, sf_dir):
+    row = REG["csv_engine_scan"].fn(spark, sf_dir).collect()[0]
+    assert row["n"] == 3 and row["sum_rank"] == 250 and row["first_name"] == "Beijing"
+
+
+def test_json_engine_scan(spark, sf_dir):
+    rows = REG["json_engine_scan"].fn(spark, sf_dir).collect()
+    assert [(r["id"], r["n_tags"]) for r in rows] == [(1, 2), (2, 1), (3, 0)]
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")], "k INT, ts INT, name STRING"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [(1, 10, 1.5), (1, 15, 2.5), (2, 99, 9.9)], "k INT, ts INT, v DOUBLE"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = {
+        r["name"]: r["v"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v"]).collect()
+    }
+    assert out["l1"] == 1.5  # equal ts matches (<=)
+    assert out["l2"] == 2.5  # most recent prior
+    assert out["l3"] is None  # right row is in the future → no match
