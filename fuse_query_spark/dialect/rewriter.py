@@ -180,7 +180,9 @@ def _rewrite_calls(sql: str, ctx: DialectContext) -> str:
             args = _split_top_level(inner_rw) if inner_rw.strip() else []
             replacement = _rewrite_call(name, args, ctx)
             if replacement is None:
-                out.append(f"{name}({inner_rw})")
+                # preserve the original spacing between name and paren
+                # (this path also covers keywords like FROM/OVER + '(')
+                out.append(sql[i : m.end()] + inner_rw + ")")
             else:
                 out.append(replacement)
             i = j
@@ -256,24 +258,51 @@ def _rewrite_limit_by(s: str) -> str:
     )
 
 
+def _outside_strings(s: str, fn) -> str:
+    """Apply fn only to the segments of s outside single/double-quoted
+    literals (regex rewrites must never touch string contents)."""
+    out, cur, i, in_str = [], [], 0, None
+    start = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str is None and ch in "'\"":
+            out.append(fn(s[start:i]))
+            in_str = ch
+            start = i
+        elif in_str is not None and ch == in_str:
+            out.append(s[start : i + 1])
+            in_str = None
+            start = i + 1
+        i += 1
+    out.append(s[start:] if in_str is not None else fn(s[start:]))
+    return "".join(out)
+
+
 def rewrite_select(sql: str, ctx: DialectContext | None = None) -> str:
     """fuse-query dialect SELECT → Spark SQL text."""
     ctx = ctx or DialectContext()
     s = sql.strip().rstrip(";").strip()
     # comments
     s = re.sub(r"--[^\n]*", " ", s)
-    # numbers(N) table functions → range subquery
-    s = _NUMBERS.sub(lambda m: f"(SELECT id AS number FROM range({m.group(2)}))", s)
-    # system.X tables → registered views
-    s = re.sub(r"\bsystem\.(\w+)", r"system__\1", s)
-    # known db-qualified tables → view names
-    for db in ctx.known_dbs:
-        s = re.sub(rf"\b{re.escape(db)}\.(\w+)", rf"{db}__\1", s)
+
+    def _table_rewrites(seg: str) -> str:
+        # numbers(N) table functions → range subquery
+        seg = _NUMBERS.sub(lambda m: f"(SELECT id AS number FROM range({m.group(2)}))", seg)
+        # system.X tables → registered views
+        seg = re.sub(r"\bsystem\.(\w+)", r"system__\1", seg)
+        # known db-qualified tables → view names
+        for db in ctx.known_dbs:
+            seg = re.sub(rf"\b{re.escape(db)}\.(\w+)", rf"{db}__\1", seg)
+        return seg
+
+    s = _outside_strings(s, _table_rewrites)
     # LIMIT n BY cols → row_number rewrite (before call rewriting; the
     # wrapped query is rewritten recursively)
     s = _rewrite_limit_by(s)
-    # function-call rewrites (bottom-up)
+    # function-call rewrites (bottom-up; string-aware by construction)
     s = _rewrite_calls(s, ctx)
     # ClickHouse type names inside CAST
-    s = _CAST_TYPE.sub(lambda m: m.group(1) + _TYPE_NAMES[m.group(2).lower()], s)
+    s = _outside_strings(
+        s, lambda seg: _CAST_TYPE.sub(lambda m: m.group(1) + _TYPE_NAMES[m.group(2).lower()], seg)
+    )
     return s

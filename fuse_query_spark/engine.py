@@ -229,6 +229,7 @@ class Engine:
             "processes": lambda: systbl.processes_table(self.spark),
             "contributors": lambda: systbl.contributors_table(self.spark),
             "clusters": lambda: systbl.clusters_table(self.spark),
+            "tracing": lambda: systbl.tracing_table(self.spark),
         }
         if name not in factories:
             raise UnknownTable(f"Unknown system table: '{name}'")

@@ -65,6 +65,12 @@ def clusters_table(spark: SparkSession) -> DataFrame:
     )
 
 
+def tracing_table(spark: SparkSession) -> DataFrame:
+    """system.tracing stub (tracing_table.rs:26 reads jaeger spans);
+    Spark's event log / listeners are the native tracing surface."""
+    return spark.createDataFrame([], "ts TIMESTAMP, name STRING, duration_us LONG")
+
+
 SYSTEM_TABLE_NAMES = (
     "tables",
     "databases",
@@ -74,4 +80,5 @@ SYSTEM_TABLE_NAMES = (
     "processes",
     "contributors",
     "clusters",
+    "tracing",
 )

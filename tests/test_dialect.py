@@ -1,0 +1,94 @@
+"""Dialect rewriter unit tests (pure string-level, no Spark session) +
+property tests: the rewriter must be case-insensitive on function
+names, leave standard SQL untouched, and compose on nesting."""
+
+import re
+
+from hypothesis import given, strategies as st
+
+from fuse_query_spark.dialect.rewriter import DialectContext, rewrite_select
+
+CTX = DialectContext(current_db="default")
+
+
+def rw(s: str) -> str:
+    return rewrite_select(s, CTX)
+
+
+def test_numbers_rewrite():
+    out = rw("SELECT sum(number) FROM numbers_mt(1000)")
+    assert "range(1000)" in out and "numbers_mt" not in out
+
+
+def test_uniq_rewrite():
+    assert "count(DISTINCT x)" in rw("SELECT uniq(x) FROM t")
+
+
+def test_combinator_if_multi_arg():
+    out = rw("SELECT sumIf(a + b, c > 1) FROM t")
+    assert "sum(a + b) FILTER (WHERE c > 1)" in out
+
+
+def test_combinator_if_single_arg_countif():
+    out = rw("SELECT countIf(c > 1) FROM t")
+    assert re.search(r"count\(1\) FILTER \(WHERE c > 1\)", out)
+
+
+def test_nested_rewrites_compose():
+    out = rw("SELECT toTypeName(sumIf(uniq(x), y > 0)) FROM t")
+    assert "fq_typename(typeof(" in out
+    assert "count(DISTINCT x)" in out
+    assert "FILTER (WHERE y > 0)" in out
+
+
+def test_argminmax():
+    out = rw("SELECT argMin(a, b), argMax(c, d) FROM t")
+    assert "min_by(a, b)" in out and "max_by(c, d)" in out
+
+
+def test_cast_type_names():
+    out = rw("SELECT CAST(x AS UInt64), CAST(y AS float32) FROM t")
+    assert "AS BIGINT" in out and "AS FLOAT" in out
+
+
+def test_string_literals_untouched():
+    out = rw("SELECT 'uniq(x) AS UInt64 sumIf(' FROM t")
+    assert "'uniq(x) AS UInt64 sumIf('" in out
+
+
+def test_limit_by_from_level_injection():
+    out = rw("SELECT user_id, event_id FROM events ORDER BY user_id, ts LIMIT 2 BY user_id")
+    assert "row_number() OVER (PARTITION BY user_id ORDER BY user_id, ts)" in out
+    assert "__fq_rn <= 2" in out
+
+
+def test_database_context():
+    assert "'default'" in rw("SELECT database()")
+
+
+@given(st.sampled_from(["sum", "count", "avg", "min", "max"]), st.booleans())
+def test_combinator_case_insensitive(base, upper):
+    name = (base + "If").upper() if upper else base + "iF"
+    out = rw(f"SELECT {name}(x, y > 0) FROM t")
+    assert "FILTER (WHERE y > 0)" in out
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from("abcdefg_ ,.*<>=0123456789"),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_plain_sql_with_no_dialect_tokens_is_stable(snippet):
+    """SQL containing no dialect constructs must pass through with at
+    most whitespace-level changes around call sites."""
+    sql = f"SELECT a, b FROM t WHERE {snippet or '1=1'} GROUP BY a"
+    out = rw(sql)
+    # idempotence: rewriting again changes nothing
+    assert rw(out) == out
+
+
+@given(st.integers(min_value=1, max_value=10**12))
+def test_numbers_any_n(n):
+    assert f"range({n})" in rw(f"SELECT * FROM numbers({n})")

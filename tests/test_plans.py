@@ -40,6 +40,15 @@ def test_topk_avoids_full_sort(spark, sf_dir):
     assert has_take_ordered(REG["similarity_topk_bruteforce"].fn(spark, sf_dir))
 
 
+def test_q01_two_phase_aggregation(spark, sf_dir):
+    """Reference: GroupByPartial → GroupByFinal (SURVEY §2.4). Spark
+    must plan the same partial/final HashAggregate pair."""
+    from fuse_query_spark.plans import formatted_plan
+
+    plan = formatted_plan(REG["q01_pricing_summary"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_projection_prunes_unused_columns(spark, sf_dir):
     df = REG["expr_projection"].fn(spark, sf_dir)
     for cols in scan_columns(df):
