@@ -194,7 +194,18 @@ class Engine:
 
     def _select(self, s: str) -> DataFrame:
         self._register_views(s)
-        return self.spark.sql(rewrite_select(s, self._dialect_ctx()))
+        try:
+            return self.spark.sql(rewrite_select(s, self._dialect_ctx()))
+        except Exception as e:  # map to reference-style error codes
+            from fuse_query_spark.errors import UnknownColumn, UnknownTable
+
+            msg = str(e)
+            if "UNRESOLVED_COLUMN" in msg or "UNRESOLVED_FIELD" in msg:
+                # reference: `SELECT x` → ErrorCode 6 (00_0000_dummy_select_1.sql)
+                raise UnknownColumn(msg.splitlines()[0]) from e
+            if "TABLE_OR_VIEW_NOT_FOUND" in msg:
+                raise UnknownTable(msg.splitlines()[0]) from e
+            raise
 
     def _explain(self, s: str) -> DataFrame:
         inner = re.sub(r"(?i)^EXPLAIN(\s+PIPELINE)?\s+", "", s)

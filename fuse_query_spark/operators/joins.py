@@ -78,6 +78,33 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) left side gets a
+    deterministic salt derived from a hash of its other columns; the
+    (smaller) right side is replicated n_salt times. The shuffle key
+    becomes (on, salt), splitting a hot key across n_salt reducers.
+
+    AQE's skew-join handles most cases automatically; this is the
+    explicit form for when a single key exceeds what AQE can split
+    (e.g. one join key holding >50% of a 100 TB fact). Deterministic —
+    no rand() — so retried tasks produce identical output."""
+    salt = F.pmod(
+        F.xxhash64(*[c for c in left.columns if c != on]), F.lit(n_salt)
+    ).alias("__salt")
+    l_salted = left.withColumn("__salt", salt)
+    r_rep = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = l_salted.join(r_rep, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -29,6 +29,20 @@ def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenization classes: letter runs, digit runs, single
+# punctuation marks — the classic GPT-2-style pre-split, engine-portable
+# (same semantics in Java regex and RE2/DuckDB for these simple classes)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regexp_tokens(text: str | Column, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """BPE-style pre-tokenization: letter/digit runs + punctuation
+    singletons. A real BPE merges from here; the count of pre-tokens is
+    the standard cheap token-budget estimator for pipeline planning."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(pattern), 0)
+
+
 def uniq_token_count(text: str | Column) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 

@@ -76,6 +76,34 @@ def similarity_pairs_label_blocked(spark, sf_dir):
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dups AS (
+        SELECT b.vec_id AS dup_id
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+    """,
+    tags=("dedup", "similarity", "embedding"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: within each block, drop every
+    vector that has a lower-id neighbour at cosine ≥ τ (greedy keep-
+    first — the standard semantic-dedup policy). Pair generation is the
+    blocked BLAS kernel; removal is a left-anti join."""
+    e = table(spark, sf_dir, "embeddings")
+    dups = (
+        pairs_above_threshold_blas(e, 0.35, block_col="label")
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return e.join(dups, e.vec_id == dups.dup_id, "left_anti").select("vec_id", "label")
+
+
+@register(
     "similarity_knn_lsh",
     oracle=None,  # ANN: approximate by design; recall vs brute force in tests
     tags=("similarity", "knn", "lsh", "ann"),

@@ -14,6 +14,7 @@ from fuse_query_spark.operators.text import (
     language_id,
     min_shingle_fingerprint,
     quality_score,
+    regexp_tokens,
     stopword_hits,
     token_count,
     tokens,
@@ -131,6 +132,36 @@ def text_lang_id(spark, sf_dir):
         tok.select(language_id("text", toks=F.col("_toks")).alias("lang_pred"))
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+           CAST(length(text) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1)
+             AS chars_per_token
+    FROM documents
+    """,
+    tags=("text", "tokenize", "bpe"),
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-token counting (letter/digit runs + punctuation) —
+    the token-budget estimator of a training-data pipeline. Same regex
+    class semantics on both engines → full oracle check."""
+    d = table(spark, sf_dir, "documents")
+    bpe = regexp_tokens("text")
+    digits = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(digits).alias("n_digit_runs"),
+        (F.length("text").cast("double") / F.greatest(F.size(bpe), F.lit(1))).alias(
+            "chars_per_token"
+        ),
     )
 
 

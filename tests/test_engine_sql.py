@@ -218,6 +218,21 @@ def test_limit_by(engine):
     assert got == [(0, 0), (0, 3), (1, 1), (1, 4), (2, 2), (2, 5)]
 
 
+def test_unknown_column_error_code(engine):
+    # reference: SELECT x; -- {ErrorCode 6}
+    from fuse_query_spark.errors import UnknownColumn
+
+    with pytest.raises(UnknownColumn) as ei:
+        engine.sql("SELECT x")
+    assert ei.value.code == 6
+    # reference: unresolved alias column -- {ErrorCode 25}-family
+    from fuse_query_spark.errors import UnknownTable
+
+    with pytest.raises(UnknownTable) as ei2:
+        engine.sql("SELECT * FROM no_such_table_anywhere")
+    assert ei2.value.code == 25
+
+
 def test_show_create_table(engine):
     engine.sql("CREATE TABLE IF NOT EXISTS sc(c1 int) ENGINE = Null")
     row = engine.sql("SHOW CREATE TABLE sc").collect()[0]
