@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from fuse_query_spark.operators.text import (
     fingerprint_md5,
-    shingles,
     shingles_from_tokens,
     tokens,
 )

@@ -10,8 +10,6 @@ colliding pairs.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, functions as F
 
 

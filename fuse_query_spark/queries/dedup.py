@@ -9,7 +9,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from fuse_query_spark.operators.dedup import (
-    dedup_exact,
     jaccard_verify,
     minhash_dedup_pairs,
     simhash_near_pairs,

@@ -9,7 +9,6 @@ import os
 
 from pyspark.sql import functions as F
 
-from fuse_query_spark.functions.exact import dec
 from fuse_query_spark.queries import register
 from fuse_query_spark.sources.tables import table
 

@@ -17,7 +17,6 @@ from fuse_query_spark.operators.similarity import (
     brute_force_topk,
     knn_lsh,
     lsh_bucket,
-    pairs_above_threshold,
     pairs_above_threshold_blas,
 )
 from fuse_query_spark.queries import register

@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 
 from fuse_query_spark.operators.text import (
     STOPWORDS,
-    alpha_ratio,
     fingerprint_md5,
     language_id,
     min_shingle_fingerprint,

@@ -1,0 +1,26 @@
+"""Differential fuzzing vs DuckDB: 40 seeded random aggregate queries
+over lineitem must hash-match exactly (SQL subset valid on both
+engines, integer-only aggregates)."""
+
+import pytest
+
+from fuse_query_spark.sources.tables import table
+from fuse_query_spark.testing_fuzz import gen_query, run_case
+
+SEEDS = list(range(40))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def lineitem_view(spark, sf_dir):
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+
+
+def test_generator_is_deterministic():
+    assert gen_query(7) == gen_query(7)
+    assert gen_query(7) != gen_query(8)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_case_matches_duckdb(spark, oracle, seed):
+    problems = run_case(spark, oracle, seed)
+    assert not problems, problems

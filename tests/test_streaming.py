@@ -1,7 +1,6 @@
 """Streaming end-to-end: file-source stream → watermarked windows →
 memory sink, cross-checked against the batch formulation."""
 
-import os
 import shutil
 
 import pytest
