@@ -151,7 +151,7 @@ def _rewrite_calls(sql: str, ctx: DialectContext) -> str:
     i = 0
     while i < len(sql):
         ch = sql[i]
-        if ch in "'\"":  # skip string literals
+        if ch in "'\"`":  # skip string literals + backtick identifiers
             j = i + 1
             while j < len(sql) and sql[j] != ch:
                 j += 1
@@ -258,6 +258,41 @@ def _rewrite_limit_by(s: str) -> str:
     )
 
 
+_HAS_ALIAS = re.compile(r"(?is)\sAS\s+[`\"]?[A-Za-z_][A-Za-z0-9_]*[`\"]?\s*$")
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$|^\*$|^.*\.\*$")
+
+
+def _alias_rewritten_select_items(s: str, ctx: DialectContext) -> str:
+    """Give every top-level select item that the call rewriter will
+    change an explicit backtick alias of its ORIGINAL text, so result
+    column names match the reference's convention (it names output
+    columns by the source expression — e.g. `uniq(x)`)."""
+    m = re.match(r"(?is)^(SELECT\s+(?:DISTINCT\s+)?)(.*?)(\s+FROM\s.*|$)", s)
+    if not m:
+        return s
+    head, select_list, tail = m.groups()
+    # only handle a depth-balanced select list (a FROM inside a scalar
+    # subquery in the list would confuse the split — leave those alone)
+    if select_list.count("(") != select_list.count(")"):
+        return s
+    items = _split_top_level(select_list)
+    out_items = []
+    for item in items:
+        it = item.strip()
+        rewritten = _rewrite_calls(it, ctx)
+        if (
+            rewritten != it
+            and not _HAS_ALIAS.search(it)
+            and not _PLAIN_IDENT.match(it)
+            and "`" not in it
+        ):
+            alias = it.replace("\n", " ").strip()
+            out_items.append(f"{it} AS `{alias}`")
+        else:
+            out_items.append(item)
+    return head + ", ".join(out_items) + tail
+
+
 def _outside_strings(s: str, fn) -> str:
     """Apply fn only to the segments of s outside single/double-quoted
     literals (regex rewrites must never touch string contents)."""
@@ -299,6 +334,10 @@ def rewrite_select(sql: str, ctx: DialectContext | None = None) -> str:
     # LIMIT n BY cols → row_number rewrite (before call rewriting; the
     # wrapped query is rewritten recursively)
     s = _rewrite_limit_by(s)
+    # alias top-level select items BEFORE call rewriting so the output
+    # column keeps the user's original expression text (ClickHouse
+    # names `uniq(x)` as `uniq(x)`, not `count(DISTINCT x)`)
+    s = _alias_rewritten_select_items(s, ctx)
     # function-call rewrites (bottom-up; string-aware by construction)
     s = _rewrite_calls(s, ctx)
     # ClickHouse type names inside CAST

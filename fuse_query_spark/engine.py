@@ -429,10 +429,14 @@ class Engine:
     _INSERT = re.compile(
         r"(?is)^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+)$"
     )
+    _INSERT_SELECT = re.compile(r"(?is)^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(SELECT\s.+)$")
 
     def _insert(self, s: str):
         m = self._INSERT.match(s)
         if not m:
+            ms = self._INSERT_SELECT.match(s)
+            if ms:
+                return self._insert_select(*ms.groups())
             raise UnsupportedStatement(f"Cannot parse INSERT: {s[:80]}")
         name, cols, values = m.groups()
         db, table = self._qualify(name)
@@ -447,6 +451,32 @@ class Engine:
         # Null engine discards writes (null_table.rs:22-96)
         if tdef.engine == "Memory":
             tdef.data = self._table_df(tdef).unionByName(df, allowMissingColumns=True)
+        elif tdef.engine != "Null":
+            raise UnsupportedStatement(f"INSERT into engine {tdef.engine} not supported")
+        return None
+
+    def _insert_select(self, name: str, cols: str | None, select_sql: str):
+        """INSERT INTO t [(cols)] SELECT … — the reference streams
+        SELECT output into Table::append_data (interpreter_insert_into
+        .rs:33-45); here the SELECT DataFrame unions into the Memory
+        table (column-name matched, types cast to the declared schema)."""
+        db, tbl = self._qualify(name)
+        tables = self.catalog.db(db)
+        if tbl not in tables:
+            raise UnknownTable(f"Unknown table: '{db}.{tbl}'")
+        tdef = tables[tbl]
+        df = self._select(select_sql)
+        colnames = [c.strip() for c in cols.split(",")] if cols else [f.name for f in tdef.schema]
+        from pyspark.sql import functions as F
+
+        aligned = df.select(
+            *[
+                F.col(src).cast(tdef.schema[dst].dataType).alias(dst)
+                for src, dst in zip(df.columns, colnames)
+            ]
+        )
+        if tdef.engine == "Memory":
+            tdef.data = self._table_df(tdef).unionByName(aligned, allowMissingColumns=True)
         elif tdef.engine != "Null":
             raise UnsupportedStatement(f"INSERT into engine {tdef.engine} not supported")
         return None

@@ -108,6 +108,55 @@ def agg_approx(spark, sf_dir):
     )
 
 
+_TIER = "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END"
+
+
+@register(
+    "scd2_customer_tiers",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey AS k, {_TIER} AS tier,
+               '2024-01-01' AS effective_from, CAST(NULL AS VARCHAR) AS effective_to
+        FROM customer
+    ), upd AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 0)
+    SELECT d.k, d.tier, d.effective_from, '2024-06-01' AS effective_to
+      FROM dim d JOIN upd u ON d.k = u.k
+    UNION ALL
+    SELECT d.k, d.tier, d.effective_from, d.effective_to
+      FROM dim d LEFT JOIN upd u ON d.k = u.k WHERE u.k IS NULL
+    UNION ALL
+    SELECT u.k, 'upgraded', '2024-06-01', CAST(NULL AS VARCHAR) FROM upd u
+    """,
+    tags=("cdc", "scd2", "merge"),
+)
+def scd2_customer_tiers(spark, sf_dir):
+    """SCD2 merge (MERGE INTO emulation — operators/cdc.scd2_merge):
+    every customer with custkey % 10 = 0 changes tier → old version
+    closed at the change ts, new version appended, others untouched.
+    Oracle reproduces the merge algebra with explicit joins."""
+    from fuse_query_spark.operators.cdc import scd2_merge
+
+    c = table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    dim = c.select(
+        F.col("c_custkey").alias("k"),
+        tier.alias("tier"),
+        F.lit("2024-01-01").alias("effective_from"),
+        F.lit(None).cast("string").alias("effective_to"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .withColumn("tier", F.lit("upgraded"))
+        .withColumn("change_ts", F.lit("2024-06-01"))
+    )
+    return scd2_merge(dim, updates, key="k", tracked=["tier"])
+
+
 def _fixture_dir() -> str:
     return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "tests", "data")
 

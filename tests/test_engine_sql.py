@@ -196,6 +196,18 @@ def test_insert_into_memory_table(engine):
     engine.sql("DROP TABLE m")
 
 
+def test_insert_into_select(engine):
+    engine.sql("DROP TABLE IF EXISTS tgt")
+    engine.sql("CREATE TABLE tgt(n bigint, sq bigint) ENGINE = Memory")
+    engine.sql("INSERT INTO tgt SELECT number, number * number FROM numbers(5)")
+    rows = engine.sql("SELECT n, sq FROM tgt ORDER BY n").collect()
+    assert [list(r) for r in rows] == [[0, 0], [1, 1], [2, 4], [3, 9], [4, 16]]
+    # append a second batch via SELECT over the same table
+    engine.sql("INSERT INTO tgt SELECT n + 100, sq FROM tgt")
+    assert engine.sql("SELECT count(1) FROM tgt").collect()[0][0] == 10
+    engine.sql("DROP TABLE tgt")
+
+
 def test_set_and_settings_table(engine):
     engine.sql("SET max_threads=16")
     v = engine.sql("SELECT value FROM system.settings WHERE name = 'max_threads'").collect()
@@ -216,6 +228,17 @@ def test_limit_by(engine):
     assert len(rows) == 6  # 2 per residue class
     got = sorted((r["g"], r["number"]) for r in rows)
     assert got == [(0, 0), (0, 3), (1, 1), (1, 4), (2, 2), (2, 5)]
+
+
+def test_output_column_names_keep_original_text(engine):
+    # ClickHouse names output columns by the source expression text
+    df = engine.sql("SELECT uniq(number), sumIf(number, number > 3) FROM numbers(10)")
+    assert df.columns == ["uniq(number)", "sumIf(number, number > 3)"]
+    df2 = engine.sql("SELECT toTypeName(number), toInt32(number) FROM numbers(3)")
+    assert df2.columns == ["toTypeName(number)", "toInt32(number)"]
+    # explicit aliases always win
+    df3 = engine.sql("SELECT uniq(number) AS u FROM numbers(10)")
+    assert df3.columns == ["u"]
 
 
 def test_unknown_column_error_code(engine):
