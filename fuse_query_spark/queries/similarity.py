@@ -116,6 +116,22 @@ def similarity_knn_lsh(spark, sf_dir):
 
 
 @register(
+    "similarity_knn_ivf",
+    oracle=None,  # ANN: approximate by design; recall vs brute force in tests
+    tags=("similarity", "knn", "ivf", "ann"),
+)
+def similarity_knn_ivf(spark, sf_dir):
+    """ANN top-10 via IVF (16 cells, 4 probes): the second scale path —
+    coarse quantizer + probed exact search, scanning ~1/4 of the
+    corpus. Recall vs brute force asserted in tests/test_similarity.py."""
+    from fuse_query_spark.operators.similarity import knn_ivf
+
+    qv = _query_vec(spark, sf_dir, 0)
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return knn_ivf(e, qv, k=10, k_cells=16, n_probe=4).select("vec_id")
+
+
+@register(
     "similarity_bucket_histogram",
     oracle=None,  # bucket ids depend on our plane constants
     tags=("similarity", "lsh"),

@@ -60,6 +60,9 @@ def get_spark(app_name: str = "fuse-query-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide aggregates (32-accumulator SimHash votes) stay in
+        # whole-stage codegen instead of falling back to interpretation
+        .config("spark.sql.codegen.maxFields", "200")
         # dim tables (region/nation/customer at test SFs) broadcast freely
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", "128m")

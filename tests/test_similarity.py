@@ -54,6 +54,41 @@ def test_knn_lsh_recall_on_planted_neighbors(spark, sf_dir):
     assert found >= 4, f"found {found}/5 planted: approx={approx}"
 
 
+def test_knn_ivf_recall_on_planted_neighbors(spark, sf_dir):
+    from fuse_query_spark.operators.similarity import knn_ivf
+
+    e = table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planted = []
+    for i in range(5):
+        v = list(q)
+        v[i] = v[i] * 1.2 + 0.01
+        planted.append((10_000 + i, v, -1))
+    extra = spark.createDataFrame(planted, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT")
+    corpus = (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding", "label")
+        .union(extra)
+    )
+    approx = [r["vec_id"] for r in knn_ivf(corpus, q, k=5, k_cells=16, n_probe=4).collect()]
+    found = len(set(approx) & {10_000 + i for i in range(5)})
+    # near-copies of the query land in the query's own cell
+    assert found >= 4, f"found {found}/5: {approx}"
+
+
+def test_ivf_assignment_covers_corpus(spark, sf_dir):
+    from fuse_query_spark.operators.similarity import ivf_assign
+
+    e = table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_assign(e, k_cells=8)
+    assert len(centroids) == 8
+    n = assigned.count()
+    assert n == e.count()
+    cells = assigned.groupBy("cell").count().collect()
+    assert 1 < len(cells) <= 8  # non-degenerate partitioning
+
+
 def test_lsh_bucket_is_deterministic(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings").limit(50)
     b1 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(e, n_planes=8).collect()}
