@@ -70,6 +70,21 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Engine-portable MinHash: permutation i = md5(shingle || '|i'),
+    signature = lexicographic MIN of the hex strings. Slower than the
+    xxhash64 form (hex strings vs longs) but expressible in any SQL
+    engine — used by the fully oracle-checked dedup variant."""
+    sh_df = _shingle_table(df, text_col, id_col, shingle_n)
+    ex = sh_df.select(F.col("_id").alias(id_col), F.explode("_sh").alias("_s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("_s"), F.lit(f"|{i}")))).alias(f"mh{i}") for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
 ) -> DataFrame:
@@ -93,6 +108,37 @@ def lsh_candidate_pairs(
     b = buckets.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_md5(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Banding for md5-string signatures: band hash = md5 of the
+    concatenated band rows. Same bucket-join shape as the xxhash64
+    form."""
+    r = k // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bh"),
+                F.col(id_col).alias("id"),
+            )
+        )
+    buckets = sigs.select(F.explode(F.array(*band_rows)).alias("s")).select("s.*")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

@@ -118,6 +118,57 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup_pairs(d, k=16, bands=4, threshold=0.2).orderBy("id_a", "id_b")
 
 
+def _md5_minhash_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(s || '|{i}')), 'min') AS mh{i}"
+        for i in range(k)
+    )
+    r = k // bands
+    band_cols = ", ".join(
+        "md5({}) AS b{}".format(" || '|' || ".join(f"mh{b * r + j}" for j in range(r)), b)
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    mh AS (SELECT doc_id, {mh_cols} FROM t),
+    bands AS (SELECT doc_id, {band_cols} FROM mh),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_match}))
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(ta.sh, tb.sh))
+             / greatest(len(list_distinct(list_concat(ta.sh, tb.sh))), 1) AS jaccard
+    FROM cand c
+    JOIN t ta ON ta.doc_id = c.id_a
+    JOIN t tb ON tb.doc_id = c.id_b
+    WHERE len(list_intersect(ta.sh, tb.sh))
+            / greatest(len(list_distinct(list_concat(ta.sh, tb.sh))), 1) >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    oracle=_md5_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh", "portable"),
+)
+def dedup_minhash_lsh_md5(spark, sf_dir):
+    """Fully oracle-checked MinHash-LSH: the md5-string permutation
+    variant (minhash = lexicographic min of md5(shingle||seed)) —
+    identical banding/verify pipeline to the xxhash64 fast path, but
+    every stage is reproducible in DuckDB, so the ENTIRE near-dedup
+    pipeline (shingle → minhash → band → bucket join → exact Jaccard)
+    is hash-verified end-to-end, not just rows-only."""
+    from fuse_query_spark.operators.dedup import (
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_md5(d, k=8)
+    cands = lsh_candidate_pairs_md5(sigs, k=8, bands=4)
+    return jaccard_verify(d, cands, threshold=0.2)
+
+
 @register(
     "dedup_simhash",
     oracle=None,  # xxhash64-based
