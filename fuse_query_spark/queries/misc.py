@@ -163,7 +163,11 @@ def _fixture_dir() -> str:
 
 @register(
     "csv_engine_scan",
-    oracle=None,  # fixture path is repo-relative; checked in tests instead
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(rank) AS BIGINT) AS sum_rank, min(name) AS first_name
+    FROM read_csv('/root/repo/tests/data/sample.csv', header=false,
+                  columns={'id':'INT','name':'VARCHAR','rank':'INT'})
+    """,
     tags=("source", "csv"),
 )
 def csv_engine_scan(spark, sf_dir):
@@ -181,7 +185,12 @@ def csv_engine_scan(spark, sf_dir):
 
 @register(
     "json_engine_scan",
-    oracle=None,
+    oracle="""
+    SELECT id, name, len(tags) AS n_tags
+    FROM read_json('/root/repo/tests/data/sample.jsonl', format='newline_delimited',
+                   columns={'id':'INT','name':'VARCHAR','tags':'VARCHAR[]'})
+    ORDER BY id
+    """,
     tags=("source", "json"),
 )
 def json_engine_scan(spark, sf_dir):

@@ -221,6 +221,22 @@ def test_explain(engine):
     assert "Aggregate" in text or "HashAggregate" in text
 
 
+def test_cte_support(engine):
+    # the reference errors on CTEs (plan_parser.rs:406-408); Spark-native
+    # WITH is a declared capability extension
+    rows = engine.sql(
+        "WITH evens AS (SELECT number FROM numbers(10) WHERE number % 2 = 0) "
+        "SELECT count(1) AS n, sum(number) AS s FROM evens"
+    ).collect()
+    assert [rows[0]["n"], rows[0]["s"]] == [5, 20]
+
+
+def test_explain_pipeline(engine):
+    out = engine.sql("EXPLAIN PIPELINE SELECT sum(number) FROM numbers_mt(1000)")
+    text = "\n".join(r[0] for r in out.collect())
+    assert "Physical Plan" in text or "HashAggregate" in text
+
+
 def test_limit_by(engine):
     rows = engine.sql(
         "SELECT number % 3 AS g, number FROM numbers(12) ORDER BY g, number LIMIT 2 BY g"
