@@ -85,6 +85,10 @@ def main() -> None:
         except Exception as e:  # a broken bench query should not zero the run
             print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # drop any operator-internal persisted tables so one query's
+            # cache doesn't distort the next query's memory/GC profile
+            spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

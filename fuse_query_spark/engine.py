@@ -256,6 +256,11 @@ class Engine:
         if tdef.engine == "CSV":
             return self.spark.read.schema(tdef.schema).csv(tdef.location, header=False)
         if tdef.engine == "Parquet":
+            import os
+
+            if not os.path.exists(tdef.location):
+                # freshly created table, nothing appended yet
+                return self.spark.createDataFrame([], tdef.schema)
             return self._read_parquet(tdef.location)
         if tdef.engine == "JSONEachRow":
             return self.spark.read.schema(tdef.schema).json(tdef.location)
@@ -448,9 +453,20 @@ class Engine:
         rows = [self._parse_tuple(t) for t in self._split_tuples(values)]
         sub_schema = StructType([tdef.schema[c] for c in colnames])
         df = self.spark.createDataFrame(rows, sub_schema)
-        # Null engine discards writes (null_table.rs:22-96)
+        return self._append(tdef, df)
+
+    def _append(self, tdef: TableDef, df: DataFrame):
+        """Table::append_data (interpreter_insert_into.rs:33-45):
+        Memory unions, Null discards, Parquet appends to the location
+        directory (distributed write — rows never hit the driver)."""
         if tdef.engine == "Memory":
             tdef.data = self._table_df(tdef).unionByName(df, allowMissingColumns=True)
+        elif tdef.engine == "Parquet":
+            if tdef.location is None or tdef.location.endswith(".parquet"):
+                raise UnsupportedStatement(
+                    "INSERT into a single-file parquet table; use a directory location"
+                )
+            df.write.mode("append").parquet(tdef.location)
         elif tdef.engine != "Null":
             raise UnsupportedStatement(f"INSERT into engine {tdef.engine} not supported")
         return None
@@ -475,11 +491,7 @@ class Engine:
                 for src, dst in zip(df.columns, colnames)
             ]
         )
-        if tdef.engine == "Memory":
-            tdef.data = self._table_df(tdef).unionByName(aligned, allowMissingColumns=True)
-        elif tdef.engine != "Null":
-            raise UnsupportedStatement(f"INSERT into engine {tdef.engine} not supported")
-        return None
+        return self._append(tdef, aligned)
 
     @staticmethod
     def _split_tuples(values: str) -> list[str]:

@@ -196,6 +196,17 @@ def test_insert_into_memory_table(engine):
     engine.sql("DROP TABLE m")
 
 
+def test_insert_into_parquet_table(engine, tmp_path):
+    loc = str(tmp_path / "pq_tbl")
+    engine.sql("DROP TABLE IF EXISTS pq")
+    engine.sql(f"CREATE TABLE pq(a bigint, b string) ENGINE = Parquet location = '{loc}'")
+    engine.sql("INSERT INTO pq SELECT number, toString(number) FROM numbers(10)")
+    engine.sql("INSERT INTO pq VALUES (100, 'x')")
+    assert engine.sql("SELECT count(1) FROM pq").collect()[0][0] == 11
+    assert engine.sql("SELECT b FROM pq WHERE a = 100").collect()[0][0] == "x"
+    engine.sql("DROP TABLE pq")
+
+
 def test_insert_into_select(engine):
     engine.sql("DROP TABLE IF EXISTS tgt")
     engine.sql("CREATE TABLE tgt(n bigint, sq bigint) ENGINE = Memory")
