@@ -12,9 +12,10 @@ single hot partition.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from fuse_query_spark.operators.text import (
     fingerprint_md5,
@@ -211,14 +212,28 @@ def minhash_dedup_pairs(
     return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold, shingle_df=sh_df)
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """SimHash: per token, xxhash64; per bit, vote +1/-1; sign vector
+def md5_int32(c: Column) -> Column:
+    """Integer value of the first 8 hex chars of md5 — a 32-bit token
+    hash expressible in any SQL engine (DuckDB mirror: nibble-by-nibble
+    strpos over the hex string). Used by the oracle-checked SimHash."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    hasher: Callable[[Column], Column] = F.xxhash64,
+) -> DataFrame:
+    """SimHash: per token, `hasher` (xxhash64 fast path, md5_int32 for
+    the engine-portable variant); per bit, vote +1/-1; sign vector
     packs into a `bits`-wide integer. Computed as one explode + one
     aggregation of raw bit sums plus a row count (sum(+-1) > 0 is
     equivalent to 2*ones > n, ties -> 0 either way) — the branchless
     sums are ~2.5x faster than per-bit conditional +-1 sums."""
     ex = _spread(df, id_col).select(id_col, F.explode(tokens(text_col)).alias("_t")).withColumn(
-        "_h", F.xxhash64("_t")
+        "_h", hasher(F.col("_t"))
     )
     votes = [
         F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1))).alias(f"v{i}") for i in range(bits)
@@ -234,7 +249,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    hasher: Callable[[Column], Column] = F.xxhash64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on bit-bands
     (pigeonhole: pairs within `max_hamming` share at least one of
@@ -242,7 +262,7 @@ def simhash_near_pairs(
     # persist: both sides of the band self-join consume the signature
     # table; without it the token explode + vote aggregation runs twice.
     # 1 row per doc (id + 64-bit hash) — negligible memory at any scale.
-    sh = simhash(df, text_col, id_col, bits).persist()
+    sh = simhash(df, text_col, id_col, bits, hasher).persist()
     nb = max_hamming + 1
     width = bits // nb
     bands = [

@@ -181,6 +181,56 @@ def dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(d, bits=32, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def _md5_simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    """DuckDB mirror of simhash(hasher=md5_int32): token hash = integer
+    of the first 8 md5 hex chars (nibble-by-nibble strpos), bit i =
+    (h >> i) & 1, simhash bit set iff 2*sum(bit) > n, 4x8-bit pigeonhole
+    bands, Hamming via bit_count(xor)."""
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    votes = ", ".join(f"SUM((h >> {i}) & 1) AS v{i}" for i in range(bits))
+    packed = " + ".join(f"CASE WHEN 2 * v{i} > n THEN {2 ** i} ELSE 0 END" for i in range(bits))
+    nb = max_hamming + 1
+    width = bits // nb
+    band_match = " OR ".join(
+        f"((a.sim >> {i * width}) & {(1 << width) - 1}) = ((b.sim >> {i * width}) & {(1 << width) - 1})"
+        for i in range(nb)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, {nibbles} AS h FROM tok),
+    v AS (SELECT doc_id, COUNT(*) AS n, {votes} FROM hashed GROUP BY doc_id),
+    sh AS (SELECT doc_id, {packed} AS sim FROM v)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim, b.sim)) AS hamming
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash_md5",
+    oracle=_md5_simhash_oracle(),
+    tags=("dedup", "simhash", "portable"),
+)
+def dedup_simhash_md5(spark, sf_dir):
+    """Fully oracle-checked SimHash: token hash = md5_int32 (integer of
+    the first 8 md5 hex chars) so every stage — tokenize → per-bit vote
+    → sign-pack → pigeonhole band join → Hamming filter — reproduces
+    bit-for-bit in DuckDB and is hash-verified, not just rows-only.
+    Same pipeline as dedup_simhash's xxhash64 fast path."""
+    from fuse_query_spark.operators.dedup import md5_int32
+
+    d = table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, bits=32, max_hamming=3, hasher=md5_int32)
+
+
 @register(
     "dedup_exact_retention",
     oracle="""

@@ -80,6 +80,21 @@ def test_simhash_is_deterministic_and_discriminative(spark):
     assert ham12 < ham15  # near-dup closer than unrelated
 
 
+def test_simhash_md5_variant_matches_xxhash_structure(spark):
+    """The portable md5_int32 hasher must behave like the fast path:
+    identical docs hash identically, near-dups land closer than
+    unrelated docs, and hashes fit in 32 bits."""
+    from fuse_query_spark.operators.dedup import md5_int32
+
+    d = _docs_with_planted_dups(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(d, hasher=md5_int32).collect()}
+    assert sh[1] == sh[6]
+    assert all(0 <= v < 2**32 for v in sh.values())
+    ham12 = bin(sh[1] ^ sh[2]).count("1")
+    ham15 = bin(sh[1] ^ sh[5]).count("1")
+    assert ham12 < ham15
+
+
 def test_minhash_signature_shape(spark):
     d = _docs_with_planted_dups(spark)
     sigs = minhash_signatures(d, k=8)
