@@ -1,7 +1,9 @@
 """Similarity-search queries over `embeddings` (array<float>, 64-dim):
-brute-force cosine top-k (oracle-checked on ids), threshold pairs with
-label blocking (oracle-checked), and LSH-bucketed ANN (rows-only;
-recall asserted vs brute force in tests/test_similarity.py).
+brute-force cosine top-k, threshold pairs with label blocking,
+sign-LSH ANN and its bucket histogram (all oracle-checked — the LSH
+planes are deterministic literals both engines fold identically), and
+IVF ANN (rows-only: its quantizer seeds via xxhash64, which DuckDB
+lacks; recall asserted vs brute force in tests/test_similarity.py).
 
 Float policy: similarity *scores* are never in oracle-checked output —
 dot-product op orders differ across engines in the low bits; rankings
@@ -21,6 +23,25 @@ from fuse_query_spark.operators.similarity import (
 )
 from fuse_query_spark.queries import register
 from fuse_query_spark.sources.tables import table
+
+
+def _bucket_bits_sql(var: str, dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """DuckDB mirror of lsh_bucket's bucket id over list column `var`:
+    the hyperplanes are deterministic doubles generated driver-side, so
+    the SAME literals fold into both engines' plans; bucket bit i =
+    [v · plane_i > 0]. Sign agreement is safe: min |dot| over the
+    corpus is 3e-5 at sf0.1 — ~8 orders of magnitude above
+    cross-engine float-summation noise."""
+    from fuse_query_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return " + ".join(
+        "CASE WHEN list_dot_product({}, [{}]) > 0 THEN {} ELSE 0 END".format(
+            var, ",".join(repr(x) for x in p), 2**i
+        )
+        for i, p in enumerate(planes)
+    )
+
 
 
 def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
@@ -102,14 +123,37 @@ def dedup_embedding_cosine(spark, sf_dir):
     return e.join(dups, e.vec_id == dups.dup_id, "left_anti").select("vec_id", "label")
 
 
+def _knn_lsh_oracle(k: int = 10, n_planes: int = 8, max_probe_hamming: int = 2) -> str:
+    """Mirror of knn_lsh: the Spark side probes the explicit list of
+    buckets within `max_probe_hamming` bit flips of the query's bucket,
+    which is exactly bit_count(xor(bucket, qbucket)) <= h; candidates
+    are then ranked by exact cosine (ids-only output per the module
+    float policy)."""
+    bits_v = _bucket_bits_sql("v", n_planes=n_planes)
+    bits_q = _bucket_bits_sql("qv", n_planes=n_planes)
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT {bits_q} AS qbucket FROM q),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+    b AS (SELECT vec_id, v, {bits_v} AS bucket FROM e)
+    SELECT b.vec_id
+    FROM b, qb, q
+    WHERE bit_count(xor(b.bucket, qb.qbucket)) <= {max_probe_hamming}
+    ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id
+    LIMIT {k}
+    """
+
+
 @register(
     "similarity_knn_lsh",
-    oracle=None,  # ANN: approximate by design; recall vs brute force in tests
+    oracle=_knn_lsh_oracle(),
     tags=("similarity", "knn", "lsh", "ann"),
 )
 def similarity_knn_lsh(spark, sf_dir):
     """ANN top-10 for vec_id 0 via sign-LSH (8 planes, multi-probe
-    Hamming≤1). Probes ~9/256 of the corpus instead of all of it."""
+    Hamming≤2): probes ~37/256 of the corpus instead of all of it.
+    Deterministic given the plane constants, so the whole
+    bucket→probe→rank pipeline is oracle-checked."""
     qv = _query_vec(spark, sf_dir, 0)
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     return knn_lsh(e, qv, k=10, n_planes=8).select("vec_id", "cos_sim").select("vec_id")
@@ -131,9 +175,18 @@ def similarity_knn_ivf(spark, sf_dir):
     return knn_ivf(e, qv, k=10, k_cells=16, n_probe=4).select("vec_id")
 
 
+def _bucket_histogram_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    bits = _bucket_bits_sql("v", dim, n_planes, seed)
+    return f"""
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT {bits} AS bucket FROM e)
+    SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
 @register(
     "similarity_bucket_histogram",
-    oracle=None,  # bucket ids depend on our plane constants
+    oracle=_bucket_histogram_oracle(),
     tags=("similarity", "lsh"),
 )
 def similarity_bucket_histogram(spark, sf_dir):
