@@ -34,9 +34,13 @@ SCALAR_FUNCTIONS = {
     # strings (scalars/strings/substring.rs)
     "substring": "native:substring",
     # hashes (scalars/hashes/siphash.rs) — mapped to xxhash64, a stable
-    # 64-bit hash; NOT byte-compatible with SipHash (documented)
+    # 64-bit hash; NOT byte-compatible with SipHash. For byte parity
+    # with the reference (Rust DefaultHasher = zero-key SipHash-1-3)
+    # use siphash_exact / siphash_exact_str (pandas UDF slow path).
     "siphash": "dialect:xxhash64",
     "siphash64": "dialect:xxhash64",
+    "siphash_exact": "udf:SipHash-1-3 byte parity (functions/siphash.py)",
+    "siphash_exact_str": "udf:SipHash-1-3 byte parity (functions/siphash.py)",
     # casts (scalars/expressions/expression.rs:16-27)
     **{f"toint{b}": "dialect:CAST" for b in (8, 16, 32, 64)},
     **{f"touint{b}": "dialect:CAST" for b in (8, 16, 32, 64)},
@@ -103,8 +107,12 @@ def _fq_typename(spark_type: str) -> str:
 
 def register_udfs(spark: SparkSession) -> None:
     """Register the dialect's helper UDFs (idempotent). These never sit
-    in a hot loop — fq_typename runs on constant-folded typeof output."""
+    in a hot loop — fq_typename runs on constant-folded typeof output,
+    and siphash_exact is the opt-in byte-parity path."""
     spark.udf.register("fq_typename", _fq_typename, "string")
+    from fuse_query_spark.functions.siphash import register_siphash
+
+    register_siphash(spark)
 
 
 def all_function_rows() -> list[tuple[str, bool]]:

@@ -1,0 +1,71 @@
+"""SipHash-1-3 parity function: algorithm validation + Spark UDF."""
+
+import pandas as pd
+
+from fuse_query_spark.functions.siphash import (
+    _siphash_exact_series,
+    _to_signed64,
+    register_siphash,
+    rust_hash_str,
+    rust_hash_u64,
+    siphash,
+)
+
+
+def test_siphash24_published_vector():
+    """The canonical SipHash-2-4 test vector (Aumasson & Bernstein
+    reference implementation, vectors_sip64[0]): empty input, key
+    0x0f0e0d0c0b0a09080706050403020100 → 0x726fdb47dd0e0e31. The 2-4
+    and 1-3 variants share the round function, so this exercises the
+    exact code the 1-3 configuration runs."""
+    k0 = 0x0706050403020100
+    k1 = 0x0F0E0D0C0B0A0908
+    assert siphash(b"", k0, k1, c=2, d=4) == 0x726FDB47DD0E0E31
+
+
+def test_siphash24_multiblock_vector():
+    """vectors_sip64[8] (input = bytes 0..7, one full 8-byte block):
+    checks the compression loop, not just finalization."""
+    k0 = 0x0706050403020100
+    k1 = 0x0F0E0D0C0B0A0908
+    data = bytes(range(8))
+    assert siphash(data, k0, k1, c=2, d=4) == 0x93F5F5799A932462
+
+
+def test_rust_hasher_conventions():
+    # u64: 8 LE bytes, zero key, 1-3 rounds
+    assert rust_hash_u64(0) == siphash(b"\x00" * 8)
+    assert rust_hash_u64(1) == siphash(b"\x01" + b"\x00" * 7)
+    # str: utf8 + 0xff terminator — "a" and "a\x00" must differ from
+    # prefix-sharing values, and the terminator makes ("ab","") vs
+    # ("a","b") concatenations distinct
+    assert rust_hash_str("a") == siphash(b"a\xff")
+    assert rust_hash_str("") == siphash(b"\xff")
+    assert rust_hash_str("a") != rust_hash_str("ab")
+
+
+def test_determinism_and_dispersion():
+    hs = {rust_hash_u64(i) for i in range(1000)}
+    assert len(hs) == 1000  # no collisions in a tiny domain
+    assert rust_hash_u64(42) == rust_hash_u64(42)
+
+
+def test_kernel_handles_longs_strings_and_nulls():
+    out = _siphash_exact_series(pd.Series([0, 1, None], dtype="Int64"))
+    assert out[0] == _to_signed64(rust_hash_u64(0))
+    assert out[1] == _to_signed64(rust_hash_u64(1))
+    assert pd.isna(out[2])
+    out_s = _siphash_exact_series(pd.Series(["a", None]))
+    assert out_s[0] == _to_signed64(rust_hash_str("a"))
+    assert pd.isna(out_s[1])
+
+
+def test_spark_udf_roundtrip(spark):
+    register_siphash(spark)
+    rows = spark.sql(
+        "SELECT siphash_exact(id) AS h, siphash_exact_str(CAST(id AS STRING)) AS hs "
+        "FROM range(5)"
+    ).collect()
+    for i, r in enumerate(rows):
+        assert r["h"] == _to_signed64(rust_hash_u64(i))
+        assert r["hs"] == _to_signed64(rust_hash_str(str(i)))
