@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "filter_predicates",
     "numbers_agg",
     "numbers_throughput_100m",
+    "numbers_sum_triple_100m",
+    "numbers_topk_sort_100m",
+    "numbers_groupby3_100m",
     "expr_projection",
     "join_revenue_by_nation",
     "join_fact_fact",

@@ -396,6 +396,66 @@ def numbers_throughput_100m(spark, sf_dir):
 
 
 @register(
+    "numbers_sum_triple_100m",
+    oracle="""
+    SELECT CAST(SUM(number + number + number) AS BIGINT) AS sum3
+    FROM (SELECT range AS number FROM range(100000000))
+    """,
+    tags=("table_function", "numbers", "throughput", "bench"),
+)
+def numbers_sum_triple_100m(spark, sf_dir):
+    """BASELINE.md row `sum(number+number+number)` (README.md:76,
+    19.83s / 5.04 Brows/s at 100B) at 100M rows. Catalyst folds the
+    expression to number*3 inside whole-stage codegen; one generator
+    pass, partial agg per partition, single-row merge."""
+    n = numbers(spark, 100_000_000)
+    return n.agg(F.sum(F.col("number") + F.col("number") + F.col("number")).alias("sum3"))
+
+
+@register(
+    "numbers_topk_sort_100m",
+    oracle="""
+    SELECT number FROM (SELECT range AS number FROM range(100000000))
+    ORDER BY number DESC LIMIT 100
+    """,
+    tags=("table_function", "numbers", "sort", "topk", "bench"),
+)
+def numbers_topk_sort_100m(spark, sf_dir):
+    """BASELINE.md row `ORDER BY number DESC LIMIT 100` (README.md:79,
+    4.80s / 2.08 Brows/s at 10B) at 100M rows. Spark plans
+    TakeOrderedAndProject: per-partition top-100 heap, then a 100-row
+    driver merge — no global sort, no shuffle of the corpus."""
+    n = numbers(spark, 100_000_000)
+    return n.orderBy(F.col("number").desc()).limit(100)
+
+
+@register(
+    "numbers_groupby3_100m",
+    oracle="""
+    SELECT CAST(number % 3 AS BIGINT) AS m3,
+           CAST(number % 4 AS BIGINT) AS m4,
+           CAST(number % 5 AS BIGINT) AS m5,
+           CAST(MAX(number) AS BIGINT) AS max_n,
+           CAST(SUM(number) AS BIGINT) AS sum_n
+    FROM (SELECT range AS number FROM range(100000000))
+    GROUP BY m3, m4, m5
+    """,
+    tags=("table_function", "numbers", "groupby", "bench"),
+)
+def numbers_groupby3_100m(spark, sf_dir):
+    """BASELINE.md row `GROUP BY number%3, number%4, number%5`
+    (README.md:80, 6.31s / 158 Mrows/s at 1B) at 100M rows. 60 groups:
+    map-side partial aggregation collapses each partition to ≤60 rows
+    before a tiny exchange — the shape AQE coalesces to one reducer."""
+    n = numbers(spark, 100_000_000)
+    return n.groupBy(
+        (F.col("number") % 3).alias("m3"),
+        (F.col("number") % 4).alias("m4"),
+        (F.col("number") % 5).alias("m5"),
+    ).agg(F.max("number").alias("max_n"), F.sum("number").alias("sum_n"))
+
+
+@register(
     "expr_projection",
     oracle="""
     SELECT l_orderkey,
