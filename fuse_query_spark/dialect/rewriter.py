@@ -130,6 +130,15 @@ def _rewrite_call(name: str, args: list[str], ctx: DialectContext) -> str | None
         # reference sleep(n) blocks then returns 0 (scalars/udfs/sleep.rs);
         # no synchronous sleep in a distributed plan — constant 0
         return "0"
+    if low == "example" and not args:
+        # UdfExampleFunction: constant boolean true (udfs/udf_example.rs)
+        return "true"
+    if low == "crashme":
+        # CrashMeFunction panics the server (udfs/crash_me.rs:45); we
+        # surface a controlled engine error instead of killing the JVM
+        from fuse_query_spark.errors import FuseQueryError
+
+        raise FuseQueryError("crash me function")
     for base in _COMBINATOR_BASES:
         if low == base + "if":
             *rest, cond = args if len(args) > 1 else (["1"] + args)

@@ -62,6 +62,16 @@ def test_limit_by_from_level_injection():
     assert "__fq_rn <= 2" in out
 
 
+def test_dev_functions():
+    import pytest
+
+    from fuse_query_spark.errors import FuseQueryError
+
+    assert "true" in rw("SELECT example()")
+    with pytest.raises(FuseQueryError, match="crash me"):
+        rw("SELECT crashme(1)")
+
+
 def test_database_context():
     assert "'default'" in rw("SELECT database()")
 
