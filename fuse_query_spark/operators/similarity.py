@@ -158,32 +158,15 @@ def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 12, se
     return d.withColumn("bucket", bucket).drop("_v")
 
 
-def ivf_assign(
-    df: DataFrame,
-    k_cells: int = 16,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> tuple[DataFrame, list[list[float]]]:
-    """IVF coarse quantizer: deterministic centroid choice (the k_cells
-    vectors with the smallest xxhash64(id) — a reproducible uniform
-    sample), then every vector is assigned to its nearest centroid by
-    cosine via one numpy GEMM per Arrow batch (mapInPandas).
-
-    Returns (assigned_df with a `cell` column, centroids). A Lloyd
-    refinement loop would re-run the same GEMM against means-per-cell;
-    the seed-sample quantizer is the dependency-free baseline and is
-    already effective for multi-probe ANN."""
+def _assign_cells(
+    df: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine via one numpy GEMM per
+    Arrow batch (mapInPandas). numpy argmax takes the FIRST maximum, so
+    ties resolve to the lowest centroid index — the same rule a SQL
+    mirror expresses as ORDER BY cos DESC, idx ASC."""
     import numpy as np
-    import pandas as pd
 
-    seeds = (
-        df.select(id_col, vec_col)
-        .withColumn("_h", F.xxhash64(id_col))
-        .orderBy("_h")
-        .limit(k_cells)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
     c = np.array(centroids, dtype="float64")
     c_norm = c / np.maximum(np.sqrt((c * c).sum(axis=1))[:, None], 1e-12)
 
@@ -198,7 +181,54 @@ def ivf_assign(
             out["cell"] = cells
             yield out
 
-    return df.mapInPandas(_assign, out_schema), centroids
+    return df.mapInPandas(_assign, out_schema)
+
+
+def ivf_assign(
+    df: DataFrame,
+    k_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic centroid choice (the k_cells
+    vectors with the smallest xxhash64(id) — a reproducible uniform
+    sample), then every vector is assigned to its nearest centroid by
+    cosine (see _assign_cells).
+
+    Returns (assigned_df with a `cell` column, centroids). A Lloyd
+    refinement loop would re-run the same GEMM against means-per-cell;
+    the seed-sample quantizer is the dependency-free baseline and is
+    already effective for multi-probe ANN."""
+    seeds = (
+        df.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(id_col))
+        .orderBy("_h")
+        .limit(k_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    return _assign_cells(df, centroids, vec_col), centroids
+
+
+def ivf_assign_md5(
+    df: DataFrame,
+    k_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Engine-portable IVF quantizer: centroids = the k_cells vectors
+    with the smallest (md5(CAST(id AS STRING)), id) — the same uniform
+    sample any SQL engine can reproduce; centroid index = that sort
+    order. Used by the fully oracle-checked IVF variant."""
+    seeds = (
+        df.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    return _assign_cells(df, centroids, vec_col), centroids
 
 
 def knn_ivf(
@@ -221,6 +251,31 @@ def knn_ivf(
     q = np.array(query_vec, dtype="float64")
     qn = q / max(float(np.sqrt((q * q).sum())), 1e-12)
     probe_cells = [int(i) for i in (c_norm @ qn).argsort()[::-1][:n_probe]]
+    cands = assigned.filter(F.col("cell").isin(probe_cells))
+    return brute_force_topk(cands, query_vec, vec_col=vec_col, id_col=id_col, k=k)
+
+
+def knn_ivf_md5(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    k_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """knn_ivf with the portable md5 quantizer. Probe choice uses the
+    explicit (-cos, idx) sort so ties break to the lowest centroid
+    index, matching a SQL ORDER BY cos DESC, idx mirror."""
+    import numpy as np
+
+    assigned, centroids = ivf_assign_md5(df, k_cells, vec_col, id_col)
+    c = np.array(centroids, dtype="float64")
+    c_norm = c / np.maximum(np.sqrt((c * c).sum(axis=1))[:, None], 1e-12)
+    q = np.array(query_vec, dtype="float64")
+    qn = q / max(float(np.sqrt((q * q).sum())), 1e-12)
+    sims = c_norm @ qn
+    probe_cells = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
     cands = assigned.filter(F.col("cell").isin(probe_cells))
     return brute_force_topk(cands, query_vec, vec_col=vec_col, id_col=id_col, k=k)
 

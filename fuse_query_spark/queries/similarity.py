@@ -175,6 +175,55 @@ def similarity_knn_ivf(spark, sf_dir):
     return knn_ivf(e, qv, k=10, k_cells=16, n_probe=4).select("vec_id")
 
 
+def _knn_ivf_md5_oracle(k: int = 10, k_cells: int = 16, n_probe: int = 4) -> str:
+    """Mirror of knn_ivf_md5: centroids = k_cells vectors with the
+    smallest (md5(id), id); assignment = argmax cosine with ties to the
+    lowest centroid index (numpy argmax rule = ORDER BY cos DESC, idx);
+    probe the n_probe centroids closest to the query; exact top-k in
+    the probed cells. Assignment-flip safety: min gap between a
+    vector's best and second-best centroid cosine is 1.8e-6 at sf0.1 —
+    ~6 orders above cross-engine float noise."""
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    seeds AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS cv,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_cells}),
+    probe AS (
+        SELECT idx FROM seeds, q
+        ORDER BY list_cosine_similarity(cv, qv) DESC, idx LIMIT {n_probe}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+    assign AS (
+        SELECT e.vec_id, e.v, s.idx,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.idx) AS rn
+        FROM e CROSS JOIN seeds s),
+    cand AS (SELECT a.vec_id, a.v FROM assign a JOIN probe p ON a.idx = p.idx WHERE a.rn = 1)
+    SELECT vec_id FROM cand, q
+    ORDER BY list_cosine_similarity(v, qv) DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "similarity_knn_ivf_md5",
+    oracle=_knn_ivf_md5_oracle(),
+    tags=("similarity", "knn", "ivf", "ann", "portable"),
+)
+def similarity_knn_ivf_md5(spark, sf_dir):
+    """Fully oracle-checked IVF ANN: md5-seeded quantizer (portable
+    uniform sample) so centroid choice, cell assignment, probe
+    selection, and final ranking all reproduce in DuckDB — the whole
+    IVF pipeline is hash-verified, complementing the xxhash64-seeded
+    fast path."""
+    from fuse_query_spark.operators.similarity import knn_ivf_md5
+
+    qv = _query_vec(spark, sf_dir, 0)
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return knn_ivf_md5(e, qv, k=10, k_cells=16, n_probe=4).select("vec_id")
+
+
 def _bucket_histogram_oracle(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
     bits = _bucket_bits_sql("v", dim, n_planes, seed)
     return f"""
