@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
 from fuse_query_spark import session as _session
@@ -253,17 +253,17 @@ class Engine:
             return tdef.data
         if tdef.engine == "Null":
             return self.spark.createDataFrame([], tdef.schema)
-        if tdef.engine == "CSV":
-            return self.spark.read.schema(tdef.schema).csv(tdef.location, header=False)
-        if tdef.engine == "Parquet":
+        if tdef.engine in ("CSV", "Parquet", "JSONEachRow"):
             import os
 
-            if not os.path.exists(tdef.location):
+            if tdef.location is None or not os.path.exists(tdef.location):
                 # freshly created table, nothing appended yet
                 return self.spark.createDataFrame([], tdef.schema)
+            if tdef.engine == "CSV":
+                return self.spark.read.schema(tdef.schema).csv(tdef.location, header=False)
+            if tdef.engine == "JSONEachRow":
+                return self.spark.read.schema(tdef.schema).json(tdef.location)
             return self._read_parquet(tdef.location)
-        if tdef.engine == "JSONEachRow":
-            return self.spark.read.schema(tdef.schema).json(tdef.location)
         raise UnsupportedStatement(f"Unknown engine {tdef.engine}")
 
     def _read_parquet(self, path: str) -> DataFrame:
@@ -457,16 +457,29 @@ class Engine:
 
     def _append(self, tdef: TableDef, df: DataFrame):
         """Table::append_data (interpreter_insert_into.rs:33-45):
-        Memory unions, Null discards, Parquet appends to the location
-        directory (distributed write — rows never hit the driver)."""
+        Memory unions, Null discards; Parquet/CSV/JSONEachRow append to
+        the location directory (distributed write — rows never hit the
+        driver). Column order is normalized to the declared schema so
+        positional formats (CSV) stay readable."""
+        writers = {"Parquet": "parquet", "CSV": "csv", "JSONEachRow": "json"}
         if tdef.engine == "Memory":
             tdef.data = self._table_df(tdef).unionByName(df, allowMissingColumns=True)
-        elif tdef.engine == "Parquet":
-            if tdef.location is None or tdef.location.endswith(".parquet"):
+        elif tdef.engine in writers:
+            if tdef.location is None or "." in tdef.location.rsplit("/", 1)[-1]:
                 raise UnsupportedStatement(
-                    "INSERT into a single-file parquet table; use a directory location"
+                    f"INSERT into a single-file {tdef.engine} table; use a directory location"
                 )
-            df.write.mode("append").parquet(tdef.location)
+            ordered = df.select(
+                *[
+                    (
+                        F.col(c)
+                        if c in df.columns
+                        else F.lit(None).cast(tdef.schema[c].dataType)
+                    ).alias(c)
+                    for c in tdef.schema.names
+                ]
+            )
+            getattr(ordered.write.mode("append"), writers[tdef.engine])(tdef.location)
         elif tdef.engine != "Null":
             raise UnsupportedStatement(f"INSERT into engine {tdef.engine} not supported")
         return None

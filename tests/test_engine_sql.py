@@ -207,6 +207,20 @@ def test_insert_into_parquet_table(engine, tmp_path):
     engine.sql("DROP TABLE pq")
 
 
+def test_insert_into_csv_and_json_tables(engine, tmp_path):
+    for eng, name in (("CSV", "c1"), ("JSONEachRow", "j1")):
+        loc = str(tmp_path / f"{eng}_tbl")
+        engine.sql(f"DROP TABLE IF EXISTS {name}")
+        engine.sql(f"CREATE TABLE {name}(a bigint, b string) ENGINE = {eng} location = '{loc}'")
+        assert engine.sql(f"SELECT count(1) FROM {name}").collect()[0][0] == 0
+        engine.sql(f"INSERT INTO {name} SELECT number, toString(number) FROM numbers(5)")
+        engine.sql(f"INSERT INTO {name} (a) VALUES (99)")  # partial columns → null b
+        assert engine.sql(f"SELECT count(1) FROM {name}").collect()[0][0] == 6
+        row = engine.sql(f"SELECT b FROM {name} WHERE a = 99").collect()[0]
+        assert row[0] is None
+        engine.sql(f"DROP TABLE {name}")
+
+
 def test_insert_into_select(engine):
     engine.sql("DROP TABLE IF EXISTS tgt")
     engine.sql("CREATE TABLE tgt(n bigint, sq bigint) ENGINE = Memory")
