@@ -255,6 +255,70 @@ def knn_ivf(
     return brute_force_topk(cands, query_vec, vec_col=vec_col, id_col=id_col, k=k)
 
 
+def ivf_lloyd_refine(
+    df: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd refinement of an IVF quantizer: re-assign, take per-cell
+    means, repeat. The mean is computed JVM-side — posexplode of the
+    vector to (cell, dim, value) rows feeds a groupBy(cell, dim) avg
+    whose map-side partial aggregation collapses every partition to at
+    most k_cells x dim rows before the exchange, so the shuffle volume
+    is independent of corpus size; only the k_cells x dim means reach
+    the driver. Empty cells keep their previous centroid."""
+    for _ in range(iters):
+        assigned = _assign_cells(df.select(vec_col), centroids, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]
+        for r in means:
+            new_c[r["cell"]][r["pos"]] = r["m"]
+        centroids = new_c
+    return centroids
+
+
+def knn_ivf_lloyd(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    k_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """knn_ivf with Lloyd-refined centroids: seed from the md5 uniform
+    sample, run `iters` refinement rounds, then probe as usual. Tighter
+    cells raise recall at the same n_probe (asserted vs the seed-only
+    quantizer in tests)."""
+    import numpy as np
+
+    seeds = (
+        df.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    centroids = ivf_lloyd_refine(df, centroids, iters, vec_col)
+    assigned = _assign_cells(df, centroids, vec_col)
+    c = np.array(centroids, dtype="float64")
+    c_norm = c / np.maximum(np.sqrt((c * c).sum(axis=1))[:, None], 1e-12)
+    q = np.array(query_vec, dtype="float64")
+    qn = q / max(float(np.sqrt((q * q).sum())), 1e-12)
+    sims = c_norm @ qn
+    probe_cells = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
+    cands = assigned.filter(F.col("cell").isin(probe_cells))
+    return brute_force_topk(cands, query_vec, vec_col=vec_col, id_col=id_col, k=k)
+
+
 def knn_ivf_md5(
     df: DataFrame,
     query_vec: list[float],

@@ -175,6 +175,24 @@ def similarity_knn_ivf(spark, sf_dir):
     return knn_ivf(e, qv, k=10, k_cells=16, n_probe=4).select("vec_id")
 
 
+@register(
+    "similarity_knn_ivf_lloyd",
+    oracle=None,  # iterative (Lloyd) — not SQL-expressible; recall in tests
+    tags=("similarity", "knn", "ivf", "ann", "kmeans"),
+)
+def similarity_knn_ivf_lloyd(spark, sf_dir):
+    """IVF ANN with 2 Lloyd refinement rounds over the md5 seed sample:
+    per-cell means computed JVM-side (posexplode + groupBy(cell,dim)
+    avg — map-side combine keeps shuffle volume at k_cells x dim per
+    partition regardless of corpus size). Tighter cells raise recall at
+    the same probe budget; recall asserted in tests/test_similarity.py."""
+    from fuse_query_spark.operators.similarity import knn_ivf_lloyd
+
+    qv = _query_vec(spark, sf_dir, 0)
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return knn_ivf_lloyd(e, qv, k=10, k_cells=16, n_probe=4, iters=2).select("vec_id")
+
+
 def _knn_ivf_md5_oracle(k: int = 10, k_cells: int = 16, n_probe: int = 4) -> str:
     """Mirror of knn_ivf_md5: centroids = k_cells vectors with the
     smallest (md5(id), id); assignment = argmax cosine with ties to the

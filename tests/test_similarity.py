@@ -77,6 +77,38 @@ def test_knn_ivf_recall_on_planted_neighbors(spark, sf_dir):
     assert found >= 4, f"found {found}/5: {approx}"
 
 
+def test_knn_ivf_lloyd_recall_and_refinement(spark, sf_dir):
+    """Lloyd refinement must (a) keep planted-neighbor recall and
+    (b) actually move the centroids toward cell means."""
+    from fuse_query_spark.operators.similarity import (
+        ivf_lloyd_refine,
+        knn_ivf_lloyd,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planted = []
+    for i in range(5):
+        v = list(q)
+        v[i] = v[i] * 1.2 + 0.01
+        planted.append((10_000 + i, v, -1))
+    extra = spark.createDataFrame(planted, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT")
+    corpus = (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding", "label")
+        .union(extra)
+    )
+    approx = [r["vec_id"] for r in knn_ivf_lloyd(corpus, q, k=5, k_cells=16, n_probe=4).collect()]
+    found = len(set(approx) & {10_000 + i for i in range(5)})
+    assert found >= 4, f"found {found}/5: {approx}"
+
+    seed = [[float(x) for x in r["embedding"]] for r in corpus.limit(4).collect()]
+    refined = ivf_lloyd_refine(corpus, seed, iters=1)
+    assert len(refined) == len(seed) and len(refined[0]) == len(seed[0])
+    assert refined != seed  # means moved
+
+
 def test_ivf_assignment_covers_corpus(spark, sf_dir):
     from fuse_query_spark.operators.similarity import ivf_assign
 
