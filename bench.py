@@ -5,7 +5,7 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced with the no-op sink (full execution, no driver
 collect overhead) after a warm-up pass of the session. Timings are
-best-of-2 per query — the same warm-engine methodology as the
+best-of-3 per query — the same warm-engine methodology as the
 reference's perf harness (tests/perfs/perfs.yaml: 3 iterations). Note
 that operators with internal persist() (MinHash-LSH) benefit from
 Spark's plan-matching cache on the second run, so their number reads
@@ -79,7 +79,9 @@ def main() -> None:
             continue
         best = None
         try:
-            for _ in range(2):  # best-of-2: absorbs JIT/GC warm-up noise
+            for _ in range(3):  # best-of-3: absorbs JIT/GC warm-up noise
+                # and single-run host-contention spikes (observed
+                # 10-20s interference on an otherwise 0.4s query)
                 t0 = time.time()
                 force(spec.fn(spark, sf_dir))
                 dt = time.time() - t0
