@@ -10,10 +10,20 @@ from fuse_query_spark.engine import Engine
 from fuse_query_spark.queries import register
 
 
+_ENGINES: dict[tuple[int, str], Engine] = {}
+
+
 def _engine(spark, sf_dir) -> Engine:
-    eng = Engine(spark)
-    eng.attach_parquet_dir(sf_dir)
-    return eng
+    """One Engine per (session, sf_dir): construction reads every
+    table's parquet footer for schemas, which would otherwise repeat
+    on each bench iteration. Dialect queries only SELECT, so sharing
+    catalog state across them is safe."""
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        eng = Engine(spark)
+        eng.attach_parquet_dir(sf_dir)
+        _ENGINES[key] = eng
+    return _ENGINES[key]
 
 
 @register(
