@@ -132,3 +132,36 @@ def window_sliding_frame(spark, sf_dir):
         F.sum(dec("value")).over(w).cast("double").alias("sum_4"),
         F.min("value").over(w).alias("min_4"),
     )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS cnt_1h,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "range", "time"),
+)
+def window_range_interval(spark, sf_dir):
+    """Event-time RANGE frame: per user, aggregates over the trailing
+    hour of *event time* (value-based bounds, peers included), not a
+    row count — ordering on epoch microseconds so the 1-hour bound is
+    the exact integer 3.6e9 µs in both engines. The time-decayed
+    feature-window shape (rolling 1h activity per user) a training
+    pipeline computes per event."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("cnt_1h"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_1h"),
+    )
