@@ -110,3 +110,68 @@ def rollup_orders(spark, sf_dir):
 def cube_lineitem(spark, sf_dir):
     o = table(spark, sf_dir, "lineitem")
     return o.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("aggregate", "grouping_sets"),
+)
+def grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS with a grouping_id indicator — absent from
+    the reference (SURVEY §2.4: 'no grouping sets/cube/rollup'); Spark's
+    df.groupingSets and DuckDB's GROUP BY GROUPING SETS share the same
+    bitmask convention (first listed column = most significant bit), so
+    the gid column is oracle-comparable as-is."""
+    from fuse_query_spark.functions.exact import dec
+
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        ).agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_disjoint",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    tags=("aggregate", "grouping_sets"),
+)
+def grouping_sets_disjoint(spark, sf_dir):
+    """Non-hierarchical grouping sets — two disjoint single-column sets,
+    which neither ROLLUP nor CUBE can express. One shuffle: Spark expands
+    each input row once per set, then runs a single hash aggregate."""
+    from fuse_query_spark.functions.exact import dec
+
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        ).agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+        )
+    )
