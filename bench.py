@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "numbers_sum_triple_100m",
     "numbers_topk_sort_100m",
     "numbers_groupby3_100m",
+    "numbers_substring_topk",
     "expr_projection",
     "join_revenue_by_nation",
     "join_fact_fact",

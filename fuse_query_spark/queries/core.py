@@ -430,6 +430,29 @@ def numbers_topk_sort_100m(spark, sf_dir):
 
 
 @register(
+    "numbers_substring_topk",
+    oracle="""
+    SELECT substr(CAST(number AS VARCHAR), 3) AS s
+    FROM (SELECT range AS number FROM range(1000000))
+    WHERE number > 100 ORDER BY number DESC LIMIT 10
+    """,
+    tags=("table_function", "numbers", "string", "topk", "bench"),
+)
+def numbers_substring_topk(spark, sf_dir):
+    """The reference perf suite's Substring shape (tests/perfs/perfs.yaml:
+    `SELECT substring(cast(number as text) from 3) ... ORDER BY number
+    DESC LIMIT 10`). The cast+substring stay inside whole-stage codegen;
+    the sort is TakeOrderedAndProject on the pre-projection column."""
+    n = numbers(spark, 1_000_000)
+    return (
+        n.filter(F.col("number") > 100)
+        .orderBy(F.col("number").desc())
+        .limit(10)
+        .select(F.expr("substring(cast(number as string), 3)").alias("s"))
+    )
+
+
+@register(
     "numbers_groupby3_100m",
     oracle="""
     SELECT CAST(number % 3 AS BIGINT) AS m3,
