@@ -54,3 +54,20 @@ def test_projection_prunes_unused_columns(spark, sf_dir):
     for cols in scan_columns(df):
         assert "l_extendedprice" not in cols  # never referenced
         assert "l_tax" not in cols
+
+
+def test_grouping_sets_single_expand_aggregation(spark, sf_dir):
+    """GROUPING SETS must plan as one Expand feeding one partial/final
+    aggregate pair — NOT one aggregation pass per set unioned together
+    (which would re-scan the fact table per set at 100 TB)."""
+    from fuse_query_spark.plans import formatted_plan
+
+    for name in ("grouping_sets_orders", "grouping_sets_disjoint"):
+        df = REG[name].fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "Expand" in plan, name
+        assert shuffle_count(df) <= 2, name
+
+
+def test_substring_topk_avoids_full_sort(spark, sf_dir):
+    assert has_take_ordered(REG["numbers_substring_topk"].fn(spark, sf_dir))
