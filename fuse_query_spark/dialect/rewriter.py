@@ -106,6 +106,34 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
+def _fold_siphash_literal(args: list[str]) -> str | None:
+    """Constant-fold SIPHASH over a literal with the reference's exact
+    semantics (Rust DefaultHasher = zero-key SipHash-1-3 over the
+    value's native width): integer literals hash at the smallest
+    unsigned width that holds them (ClickHouse literal typing — 1 is
+    UInt8), float literals hash their f64 bit pattern, string literals
+    hash bytes + 0xff. Verified against 02_0009_function_siphash64's
+    recorded outputs."""
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    import struct
+
+    from fuse_query_spark.functions.siphash import _to_signed64, rust_hash_str, siphash
+
+    ms = re.match(r"^'([^']*)'$", a)
+    if ms:
+        return f"CAST({_to_signed64(rust_hash_str(ms.group(1)))} AS BIGINT)"
+    if re.match(r"^\d+\.\d+$", a):
+        bits = struct.unpack("<Q", struct.pack("<d", float(a)))[0]
+        return f"CAST({_to_signed64(siphash(struct.pack('<Q', bits)))} AS BIGINT)"
+    if re.match(r"^\d+$", a):
+        v = int(a)
+        fmt = "<B" if v < 2**8 else "<H" if v < 2**16 else "<I" if v < 2**32 else "<Q"
+        return f"CAST({_to_signed64(siphash(struct.pack(fmt, v)))} AS BIGINT)"
+    return None
+
+
 def _rewrite_call(name: str, args: list[str], ctx: DialectContext) -> str | None:
     """Return replacement SQL for a call site, or None to leave as-is.
     Args arrive already rewritten (bottom-up)."""
@@ -120,7 +148,27 @@ def _rewrite_call(name: str, args: list[str], ctx: DialectContext) -> str | None
         return f"CAST({arg_sql} AS {_NAMED_CASTS[low]})"
     if low == "totypename":
         return f"fq_typename(typeof({arg_sql}))"
+    if low == "not":
+        # ClickHouse NOT() accepts numerics (nonzero = true,
+        # 00_0000_dummy_select_1.sql: NOT(1) → false); boolean() is
+        # Spark's cast-function spelling and a no-op on booleans
+        return f"(NOT boolean({arg_sql}))"
+    if low == "substring" and len(args) == 1:
+        # FOR-without-FROM sugar (02_0005_function_substring.sql:
+        # `subString('abcde' for 2)` → chars 1..2); the FROM..FOR and
+        # plain forms parse natively in Spark
+        a = args[0]
+        if not re.search(r"(?i)\bfrom\b", a):
+            mfor = re.match(r"(?is)^(.*\S)\s+for\s+(.+)$", a)
+            if mfor:
+                return f"substring({mfor.group(1)} FROM 1 FOR {mfor.group(2)})"
     if low in ("siphash", "siphash64"):
+        folded = _fold_siphash_literal(args)
+        if folded is not None:
+            return folded
+        # column/expression path: stable 64-bit hash, NOT byte-compatible
+        # with the reference (SURVEY §7 risk 5). Byte parity for columns
+        # is available explicitly via siphash_exact / siphash_exact_str.
         return f"xxhash64({arg_sql})"
     if low == "database" and not args:
         return f"'{ctx.current_db}'"
@@ -322,12 +370,41 @@ def _outside_strings(s: str, fn) -> str:
     return "".join(out)
 
 
+_AGG_CALL = re.compile(
+    r"(?i)\b(sum|count|avg|min|max|uniq|argmin|argmax|stddev\w*|var\w*)\s*(if|distinct)?\s*\(",
+)
+
+
+def _having_without_group_is_where(s: str) -> str:
+    """ClickHouse: HAVING on a non-aggregating, GROUP-BY-less SELECT
+    filters rows like WHERE (03_0006_select_having.sql: `SELECT * FROM
+    numbers_mt(3) HAVING number > 1`). Spark rejects that shape, so
+    rewrite HAVING → WHERE when there is no GROUP BY and no aggregate
+    in the select list (global-agg HAVING keeps its meaning)."""
+    if not re.search(r"(?is)\bHAVING\b", s) or re.search(r"(?is)\bGROUP\s+BY\b", s):
+        return s
+    head = re.split(r"(?is)\bHAVING\b", s)[0]
+    if _AGG_CALL.search(head):
+        return s
+    if re.search(r"(?is)\bWHERE\b", head):
+        # fold into the existing WHERE instead of emitting two filters
+        return re.sub(r"(?is)\bHAVING\b", "AND", s, count=1)
+    return re.sub(r"(?is)\bHAVING\b", "WHERE", s, count=1)
+
+
 def rewrite_select(sql: str, ctx: DialectContext | None = None) -> str:
     """fuse-query dialect SELECT → Spark SQL text."""
     ctx = ctx or DialectContext()
     s = sql.strip().rstrip(";").strip()
     # comments
     s = re.sub(r"--[^\n]*", " ", s)
+    # `user` is a bare identifier in the reference dialect
+    # (02_0006_function_argmin_argmax.sql aliases a column `user`), but
+    # Spark's grammar resolves it — even backtick-quoted — to
+    # current_user(). Demote it to a safe identifier; only the values of
+    # result columns are part of the output contract, not their names.
+    s = _outside_strings(s, lambda seg: re.sub(r"(?i)\buser\b(?!\s*\()", "usr_", seg))
+    s = _having_without_group_is_where(s)
 
     def _table_rewrites(seg: str) -> str:
         # numbers(N) table functions → range subquery

@@ -194,18 +194,32 @@ class Engine:
 
     def _select(self, s: str) -> DataFrame:
         self._register_views(s)
+        # ClickHouse GROUP BY 1 groups by the CONSTANT 1, not the first
+        # select item (03_0003_select_group_by.sql) — disable Spark's
+        # ordinal resolution just for analysis of dialect SQL (spark.sql
+        # analyzes eagerly, so restoring right after is safe).
+        old_ordinal = self.spark.conf.get("spark.sql.groupByOrdinal", "true")
         try:
+            self.spark.conf.set("spark.sql.groupByOrdinal", "false")
             return self.spark.sql(rewrite_select(s, self._dialect_ctx()))
         except Exception as e:  # map to reference-style error codes
             from fuse_query_spark.errors import UnknownColumn, UnknownTable
 
             msg = str(e)
+            first = msg.splitlines()[0] if msg else ""
             if "UNRESOLVED_COLUMN" in msg or "UNRESOLVED_FIELD" in msg:
-                # reference: `SELECT x` → ErrorCode 6 (00_0000_dummy_select_1.sql)
-                raise UnknownColumn(msg.splitlines()[0]) from e
+                # reference: `SELECT x` → ErrorCode 6, while a QUALIFIED
+                # unresolved name (`b.number` with no table b) is an
+                # unknown-table/alias reference → ErrorCode 25
+                # (00_0000_dummy_select_1.sql)
+                if re.search(r"`[^`]+`\.`[^`]+`", first):
+                    raise UnknownTable(first) from e
+                raise UnknownColumn(first) from e
             if "TABLE_OR_VIEW_NOT_FOUND" in msg:
-                raise UnknownTable(msg.splitlines()[0]) from e
+                raise UnknownTable(first) from e
             raise
+        finally:
+            self.spark.conf.set("spark.sql.groupByOrdinal", old_ordinal)
 
     def _explain(self, s: str) -> DataFrame:
         inner = re.sub(r"(?i)^EXPLAIN(\s+PIPELINE)?\s+", "", s)
@@ -390,7 +404,13 @@ class Engine:
         if table not in tables:
             raise UnknownTable(f"Unknown table: '{db}.{table}'")
         tdef = tables[table]
-        rows = [(f.name, f.dataType.simpleString(), "YES" if f.nullable else "NO") for f in tdef.schema]
+        # Reference DESCRIBE prints its own type names and NO for the
+        # (default) non-nullable columns (10_0000_describe_table.result:
+        # `a  Int64  NO`); map Spark names through the same table
+        # toTypeName uses.
+        from fuse_query_spark.functions.registry import _fq_typename
+
+        rows = [(f.name, _fq_typename(f.dataType.simpleString()), "NO") for f in tdef.schema]
         return self.spark.createDataFrame(rows, "Field STRING, Type STRING, Null STRING")
 
     def _show(self, s: str):

