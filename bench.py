@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_token_stats",
     "dedup_exact_docs",
+    "decontaminate_ngram",
+    "sample_split_documents",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_bruteforce",

@@ -1,0 +1,69 @@
+"""Deterministic sampling / splitting / decontamination for training-
+data pipelines. Everything here is HASH-deterministic — no RNG, no
+sampleBy — so splits are reproducible across runs, engines, partition
+counts, and cluster sizes, and a given doc_id always lands in the same
+split even when the corpus grows (the property training pipelines
+actually need; Spark's df.sample cannot give it).
+
+Scale posture: a hash split is a narrow projection + filter (no
+shuffle at all); decontamination is one explode + one equi-join on the
+shingle string + one aggregate — the join key is uniformly distributed
+text, so no skew handling is needed, and the eval side is a few
+percent of the corpus but NOT broadcast (at 100 TB even 1% is too big;
+AQE picks the strategy per actual size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fuse_query_spark.operators.dedup import _shingle_table
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Uniform deterministic bucket in [0, buckets): integer value of
+    the first 8 hex chars of md5(value). md5 is available in every
+    engine (portable to the DuckDB oracle, unlike xxhash64)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint") % buckets)
+
+
+def deterministic_split(
+    df: DataFrame, id_col: str = "doc_id", train: int = 90, val: int = 5
+) -> DataFrame:
+    """Adds a `split` column: train/val/test by md5-hash bucket of the
+    id — stable under corpus growth and re-partitioning."""
+    b = hash_bucket(id_col)
+    return df.withColumn(
+        "split",
+        F.when(b < train, "train").when(b < train + val, "val").otherwise("test"),
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: ids of corpus docs sharing at least
+    one word n-gram with any eval doc, with the count of distinct
+    shared n-grams. Standard training-data hygiene (the reference has
+    no such operator; built on the same shingle machinery as the
+    n-gram dedup family)."""
+    c_sh = _shingle_table(corpus, text_col, id_col, n).select(
+        "_id", F.explode("_sh").alias("_s")
+    )
+    e_sh = (
+        _shingle_table(eval_set, text_col, id_col, n)
+        .select(F.explode("_sh").alias("_s"))
+        .distinct()
+    )
+    return (
+        c_sh.join(e_sh, "_s")
+        .groupBy("_id")
+        .agg(F.count_distinct("_s").alias("n_shared"))
+        .select(F.col("_id").alias(id_col), "n_shared")
+    )

@@ -103,37 +103,33 @@ def fingerprint_md5(text: str | Column) -> Column:
 
 
 def shingles_from_tokens(t: Column, n: int = 3) -> Column:
-    """Word n-gram shingles from an ALREADY-MATERIALIZED token array
-    column. Important at scale: referencing a tokens *expression* here
-    would re-run split() for every element_at inside the lambda (no
-    common-subexpression elimination inside higher-order functions —
-    measured 2x slower at sf0.1); callers doing heavy shingling should
-    project the token array first, ideally below an exchange so it is
-    materialized (see dedup._shingle_table)."""
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    return F.when(F.size(t) >= n, F.array_distinct(ngrams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Word n-gram shingles from a token array column, built by
+    zip_with over n-1 shifted slices rather than element_at inside an
+    index lambda. This bounds evaluations of `t` to n+1 PER ROW by
+    construction. The index-lambda formulation evaluates `t` once per
+    element_at (~4 × #shingles per row): there is no CSE inside
+    higher-order functions, and CollapseProject does not count lambda
+    references, so Catalyst happily inlines a split() expression
+    through any projection — even across a repartition — turning
+    tokenization quadratic (measured 25s → 0.7s on the sf0.1 corpus
+    shingle explode when this was the hot path).
+
+    zip_with pads the shorter side with null and concat_ws skips
+    nulls, so the tail entries are short (n-1)-grams — the final slice
+    keeps only the size-n+1 full shingles."""
+    big = 1 << 30  # clamped by slice(); avoids re-evaluating size(t) per shift
+    acc = t
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(t, j + 1, big), lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(F.slice(acc, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))))
 
 
 def shingles(text: str | Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (0-based array indexing in
-    Spark SQL). Distinct set — shingle multiplicity is irrelevant for
-    Jaccard. Single-expression form for query contexts; hot paths use
-    shingles_from_tokens on a materialized token column."""
-    t = tokens(text)
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    # guard: docs with fewer than n tokens have no shingles (also keeps
-    # element_at in-bounds under ANSI mode)
-    return F.when(F.size(t) >= n, F.array_distinct(ngrams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Word n-gram shingles as strings, straight from a text column.
+    Distinct set — shingle multiplicity is irrelevant for Jaccard.
+    Delegates to shingles_from_tokens, so the tokenization expression
+    is evaluated only n+1 times per row even when inlined."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def min_shingle_fingerprint(text: str | Column, n: int = 3) -> Column:

@@ -35,6 +35,7 @@ _MODULES = [
     "fuse_query_spark.queries.events",
     "fuse_query_spark.queries.text",
     "fuse_query_spark.queries.dedup",
+    "fuse_query_spark.queries.sampling",
     "fuse_query_spark.queries.similarity",
     "fuse_query_spark.queries.dialect",
     "fuse_query_spark.queries.misc",
