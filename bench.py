@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "rollup_orders",
     "events_tumbling_hourly",
     "events_sessionize",
+    "events_hopping_15m",
     "dialect_combinators",
     "text_quality_score",
     "text_token_stats",

@@ -132,3 +132,34 @@ def events_rate_per_day(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         (F.count(F.lit(1)) / 24.0).alias("per_hour"),
     )
+
+@register(
+    "events_hopping_15m",
+    oracle="""
+    WITH h AS (
+      SELECT e.*, time_bucket(INTERVAL '15 minutes', ts)
+                  - (k * INTERVAL '15 minutes') AS win_start
+      FROM events e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+    )
+    SELECT win_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM h GROUP BY win_start, event_type
+    """,
+    tags=("events", "time", "hopping"),
+)
+def events_hopping_15m(spark, sf_dir):
+    """Hopping (sliding) window: 1h windows every 15min — each event
+    lands in exactly 4 overlapping windows. Spark's window() generator
+    expands rows BEFORE the partial aggregate, so the shuffle carries
+    (#windows × #types × #partitions) rows, not 4× the corpus — the
+    same Expand-then-combine shape as grouping sets. Streaming form is
+    identical plus a watermark (see streaming/)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
