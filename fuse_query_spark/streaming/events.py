@@ -50,6 +50,24 @@ def tumbling_counts(
     )
 
 
+def hopping_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    hop: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked hopping-window counts — the streaming form of
+    queries/events.events_hopping_15m (each event in window/hop
+    overlapping windows; state size scales with #open windows ×
+    #types, bounded by the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, hop).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
 def sessionized_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

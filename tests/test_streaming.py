@@ -59,3 +59,22 @@ def test_session_stream_drops_late_data_past_watermark(spark, events_dir):
     run_to_memory_sink(sessionized_counts(stream, watermark="2 hours"), "session_tight")
     total = spark.table("session_tight").agg(F.sum("n_events")).collect()[0][0]
     assert total < 1000
+
+
+def test_hopping_stream_matches_batch(spark, sf_dir, events_dir):
+    from fuse_query_spark.streaming.events import hopping_counts
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory_sink(hopping_counts(stream), "hopping_test")
+    got = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in spark.table("hopping_test").collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    want = {(r["win_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
