@@ -50,6 +50,10 @@ SUITES = [
     {"name": "Substring", "query": "numbers_substring_topk"},
     {"name": "Group By", "query": "numbers_groupby3_100m"},
     {"name": "Pricing summary", "query": "q01_pricing_summary"},
+    # extension ops (beyond the reference's perf suite)
+    {"name": "MinHash LSH dedup", "query": "dedup_minhash_lsh"},
+    {"name": "Decontaminate 4gram", "query": "decontaminate_ngram"},
+    {"name": "ANN topk bruteforce", "query": "similarity_topk_bruteforce"},
 ]
 
 DEFAULTS = {"iterations": 3, "concurrency": 1}
