@@ -81,3 +81,107 @@ def decontaminate_ngram(spark, sf_dir):
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     eval_set = d.filter(F.col("doc_id") % 97 == 0)
     return contaminated_ids(corpus, eval_set, n=4)
+
+_Q_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "pack_token_bins",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id, len({_Q_TOKS}) AS ntok FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, ntok,
+               SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source, CAST(floor((cum - ntok) / 4096) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY source, bin
+    """,
+    tags=("pipeline", "packing"),
+)
+def pack_token_bins(spark, sf_dir):
+    """Sequence packing for training batches: assign docs to ~4096-token
+    bins per source via a running token count (deterministic doc_id
+    order), then per-bin stats. Integer arithmetic only — exact across
+    engines. One shuffle on source for the window, reused by the
+    aggregate. At 100 TB the per-source window is the skew risk: a
+    dominant source serializes — real deployments pack per (source,
+    shard) with a hash-derived shard key, which keeps identical
+    semantics per shard."""
+    from pyspark.sql.window import Window
+
+    from fuse_query_spark.operators.text import token_count
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", token_count("text").alias("ntok"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.withColumn("cum", F.sum("ntok").over(w))
+    return (
+        # explicit floor: Spark's double→bigint cast truncates but
+        # DuckDB's ROUNDS — a bare cast would disagree at frac ≥ .5
+        c.withColumn("bin", F.floor((F.col("cum") - F.col("ntok")) / 4096))
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("ntok").cast("bigint").alias("sum_tokens"))
+    )
+
+def _quality_oracle_cte() -> str:
+    from fuse_query_spark.queries.text import _SW_EN, _TOKS
+
+    return f"""
+    WITH t AS (
+        SELECT source, doc_id, text, {_TOKS} AS toks,
+               len(list_filter({_TOKS}, x -> list_contains([{_SW_EN}], lower(x)))) AS sw
+        FROM documents
+    ),
+    q AS (
+        SELECT source, doc_id,
+               (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+                + sw / greatest(len(toks), 1)
+                + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)
+               ) / 3.0 AS quality
+        FROM t
+    )"""
+
+
+@register(
+    "sample_quota_per_source",
+    oracle=_quality_oracle_cte()
+    + """
+    SELECT source, doc_id, quality
+    FROM (SELECT source, doc_id, quality,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY quality DESC, doc_id) AS rn
+          FROM q)
+    WHERE rn <= 20
+    """,
+    tags=("pipeline", "sampling", "quota"),
+)
+def sample_quota_per_source(spark, sf_dir):
+    """Per-domain quota sampling: the top 20 docs per source by quality
+    score (doc_id tie-break makes the ranking total). The quality
+    heuristic is rational arithmetic (bit-equal across engines — see
+    text_quality_score), so ranking on it is oracle-safe. One shuffle
+    on source; the window computes a running rank, not a full sort of
+    the corpus."""
+    from pyspark.sql.window import Window
+
+    from fuse_query_spark.operators.text import quality_score, tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", "doc_id", "text", tokens("text").alias("_toks"))
+    q = tok.select(
+        "source", "doc_id", quality_score("text", toks=F.col("_toks")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id", "quality")
+    )
