@@ -29,6 +29,9 @@ from fuse_query_spark.session import get_spark
 # Headline set: one per operator family (grows as coverage grows).
 BENCH_QUERIES = [
     "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q06_forecast_revenue",
+    "q14_promo_revenue",
     "agg_global_stats",
     "agg_uniq",
     "agg_combinator_if",

@@ -1,0 +1,138 @@
+"""Classic TPC-H query shapes (Q3/Q6/Q14), adapted to the driver's
+column subset. The reference cannot run these (no joins — SURVEY §2.3);
+they are part of the capability superset and exercise the canonical
+warehouse plan shapes: selective-filter scan-agg (Q6), 3-table join +
+group + top-k (Q3), and broadcast-join ratio aggregate (Q14). All money
+math follows the exact-decimal policy (functions/exact.py) so the
+oracle hash-matches bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fuse_query_spark.functions.exact import dec, one_minus
+from fuse_query_spark.queries import register
+from fuse_query_spark.sources.tables import table
+
+_DP = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_DD = "CAST(l_discount AS DECIMAL(12,2))"
+_ONE = "CAST(1 AS DECIMAL(3,2))"
+
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({_DP} * ({_ONE} - {_DD})) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY SUM({_DP} * ({_ONE} - {_DD})) DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def q03_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (o_orderpriority stands in for the absent
+    o_shippriority; l_orderkey tie-break makes the top-10 total).
+    Plan: both filters push to the scans; customer(filtered) joins
+    orders, the result joins lineitem; the final sort is a top-10
+    TakeOrderedAndProject over the aggregate, ordered on the EXACT
+    decimal revenue so cross-engine ordering is bit-stable."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev_dec"))
+        .orderBy(F.col("_rev_dec").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev_dec").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_DP} * {_DD}) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "filter", "aggregate"),
+)
+def q06_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: the selective filter-aggregate. All four predicates
+    push to the parquet scan; the aggregate is a single partial/final
+    pair over the survivors — the shape where columnar pruning +
+    pushdown dominate (reads 4 of 16 lineitem columns)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias("revenue"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN {_DP} * ({_ONE} - {_DD})
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                * 100.0
+                / CAST(SUM({_DP} * ({_ONE} - {_DD})) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    tags=("tpch", "join", "aggregate"),
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo revenue share. part is the dimension side —
+    explicitly broadcast (it stays small relative to lineitem at every
+    scale factor). Both decimal sums are bit-exact; the final percent
+    is one IEEE double expression evaluated identically by both
+    engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * one_minus("l_discount")
+    zero = F.lit(0).cast("decimal(12,2)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("_promo"),
+            F.sum(rev).cast("double").alias("_total"),
+        )
+        .select(
+            (F.col("_promo") * F.lit(100.0) / F.col("_total"))
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )

@@ -73,6 +73,8 @@ _ERRCODE = re.compile(r"--\s*\{\s*ErrorCode\s+(\d+)")
 
 
 def _sql_files():
+    if not os.path.isdir(SUITE_DIR):  # reference checkout not present
+        return []
     return sorted(
         f[:-4] for f in os.listdir(SUITE_DIR) if f.endswith(".sql") and f[:-4] not in SKIP
     )

@@ -71,3 +71,17 @@ def test_grouping_sets_single_expand_aggregation(spark, sf_dir):
 
 def test_substring_topk_avoids_full_sort(spark, sf_dir):
     assert has_take_ordered(REG["numbers_substring_topk"].fn(spark, sf_dir))
+
+
+def test_tpch_plan_shapes(spark, sf_dir):
+    """Q3: top-10 via TakeOrderedAndProject (never a full sort of the
+    aggregate); Q6: all predicates pushed, scan pruned to 4 columns;
+    Q14: part joined via broadcast (no lineitem shuffle for the join)."""
+    q3 = REG["q03_shipping_priority"].fn(spark, sf_dir)
+    assert has_take_ordered(q3) and has_pushed_filters(q3)
+    q6 = REG["q06_forecast_revenue"].fn(spark, sf_dir)
+    assert has_pushed_filters(q6)
+    assert all(len(cols) <= 4 for cols in scan_columns(q6)), scan_columns(q6)
+    q14 = REG["q14_promo_revenue"].fn(spark, sf_dir)
+    assert has_broadcast_join(q14)
+    assert shuffle_count(q14) <= 2
