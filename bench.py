@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q03_shipping_priority",
     "q06_forecast_revenue",
     "q14_promo_revenue",
+    "q18_large_volume_customers",
     "agg_global_stats",
     "agg_uniq",
     "agg_combinator_if",

@@ -1,4 +1,4 @@
-"""Classic TPC-H query shapes (Q3/Q6/Q14), adapted to the driver's
+"""Classic TPC-H query shapes (Q3/Q6/Q14/Q18), adapted to the driver's
 column subset. The reference cannot run these (no joins — SURVEY §2.3);
 they are part of the capability superset and exercise the canonical
 warehouse plan shapes: selective-filter scan-agg (Q6), 3-table join +
@@ -134,5 +134,47 @@ def q14_promo_revenue(spark, sf_dir):
             (F.col("_promo") * F.lit(100.0) / F.col("_total"))
             .cast("double")
             .alias("promo_revenue_pct")
+        )
+    )
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "having", "topk"),
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (threshold tuned to the driver corpus): orders
+    whose total quantity exceeds 150, with the customer name, top-100
+    by order price. The HAVING filters on the exact-decimal sum; the
+    final ordering key o_totalprice is a raw column (no float
+    arithmetic), so cross-engine order is stable with the o_orderkey
+    tie-break. Aggregate first on the orders grain, top-k via
+    TakeOrderedAndProject."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).alias("_qty_dec"))
+        .filter(F.col("_qty_dec") > 150)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("_qty_dec").cast("double").alias("total_qty"),
         )
     )
