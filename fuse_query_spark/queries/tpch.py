@@ -178,3 +178,84 @@ def q18_large_volume_customers(spark, sf_dir):
             F.col("_qty_dec").cast("double").alias("total_qty"),
         )
     )
+
+
+@register(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "join", "exists", "correlated"),
+)
+def q04_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: priority counts of one quarter's orders that have
+    at least one late-shipped line (the driver corpus lacks
+    l_commitdate/l_receiptdate, so "late" = shipped >30 days after the
+    order date — the same correlated-EXISTS-with-inequality plan). The
+    EXISTS is a LEFT SEMI join on the order key plus a non-equi
+    condition referencing BOTH sides — the semi join deduplicates
+    multi-line orders before the count, so no DISTINCT pass is needed.
+    The quarter filter pushes to the orders scan; count is integer →
+    bit-stable."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("tpch", "join", "case_aggregate"),
+)
+def q12_priority_by_returnflag(spark, sf_dir):
+    """TPC-H Q12 shape: CASE-inside-SUM over a fact-fact join
+    (l_returnflag stands in for the absent l_shipmode; the year filter
+    plays l_receiptdate's role). The CASE branches are evaluated
+    JVM-side inside the partial aggregate — the shuffle carries 3
+    groups × 2 longs, not rows. The shipdate filter pushes to the
+    lineitem scan; only 2 orders columns are read."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

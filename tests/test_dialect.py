@@ -102,3 +102,35 @@ def test_plain_sql_with_no_dialect_tokens_is_stable(snippet):
 @given(st.integers(min_value=1, max_value=10**12))
 def test_numbers_any_n(n):
     assert f"range({n})" in rw(f"SELECT * FROM numbers({n})")
+
+
+def test_comment_stripping_string_aware():
+    # ADVICE r1: a plain regex truncated literals containing '--'
+    out = rw("SELECT 'a--b' AS x")
+    assert "'a--b'" in out
+    out = rw("SELECT 1 -- trailing note\nFROM t")
+    assert "trailing" not in out and "FROM t" in out
+
+
+def test_siphash_literal_signed_and_exponent_forms():
+    # signed/exponent literals fold too (ADVICE r1: they silently fell
+    # through to the xxhash64 fast path)
+    for lit in ("-1", "-300", "1e3", "1.", ".5", "-2.5E-1"):
+        out = rw(f"SELECT siphash({lit})")
+        assert "CAST(" in out and "AS BIGINT" in out, lit
+        assert "xxhash64" not in out, lit
+    def folded(lit):
+        m = re.search(r"CAST\((-?\d+) AS BIGINT\)", rw(f"SELECT siphash({lit})"))
+        return m.group(1)
+
+    # float forms of the same value hash identically (f64 bit pattern)
+    assert folded("1e3") == folded("1000.0")
+    # and differently from the integer typing of the same value
+    assert folded("1000") != folded("1000.0")
+
+
+def test_user_demotion_default_and_opt_out():
+    out = rw("SELECT max(number) AS user FROM numbers(3)")
+    assert "usr_" in out
+    out = rewrite_select("SELECT user FROM t", CTX, demote_user=False)
+    assert "usr_" not in out

@@ -304,3 +304,38 @@ def test_show_create_table(engine):
     assert row["Table"] == "sc"
     assert "ENGINE = Null" in row["CreateTable"]
     engine.sql("DROP TABLE sc")
+
+
+# ADVICE r1: comment/quote interplay in the statement pipeline
+def test_comments_and_literals(engine):
+    # '--' inside a string literal survives end-to-end
+    assert one(engine.sql("SELECT 'a--b'")) == "a--b"
+    # ';' inside a trailing comment does not split the statement
+    assert one(engine.sql("SELECT 1 -- note; see docs")) == 1
+    # ';' inside a string literal does not split either
+    assert one(engine.sql("SELECT 'x;y'")) == "x;y"
+    # comment-only trailing fragment is ignored, not an error
+    assert one(engine.sql("SELECT 2; -- done")) == 2
+
+
+def test_insert_values_with_comment_marker(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS db_adv")
+    engine.sql("USE db_adv")
+    engine.sql("CREATE TABLE tc (a Int32, b String) ENGINE = Memory")
+    engine.sql("INSERT INTO tc VALUES (1, 'a--b'), (2, 'c;d')")
+    rows = sorted(engine.sql("SELECT a, b FROM tc").collect())
+    assert [(r[0], r[1]) for r in rows] == [(1, "a--b"), (2, "c;d")]
+    engine.sql("USE default")
+    engine.sql("DROP DATABASE db_adv")
+
+
+def test_real_user_column_resolves(engine):
+    # a user-created table with a REAL `user` column must resolve to the
+    # column, not get demoted into an unresolvable usr_ (ADVICE r1)
+    engine.sql("CREATE DATABASE IF NOT EXISTS db_usr")
+    engine.sql("USE db_usr")
+    engine.sql("CREATE TABLE uu (user String, n Int32) ENGINE = Memory")
+    engine.sql("INSERT INTO uu VALUES ('alice', 1), ('bob', 2)")
+    assert sorted(col(engine.sql("SELECT user FROM uu"))) == ["alice", "bob"]
+    engine.sql("USE default")
+    engine.sql("DROP DATABASE db_usr")

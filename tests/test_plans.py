@@ -85,3 +85,27 @@ def test_tpch_plan_shapes(spark, sf_dir):
     q14 = REG["q14_promo_revenue"].fn(spark, sf_dir)
     assert has_broadcast_join(q14)
     assert shuffle_count(q14) <= 2
+
+
+def test_q04_semi_join_and_pushdown(spark, sf_dir):
+    """Q4's EXISTS must plan as a LEFT SEMI join (dedup-by-construction,
+    no DISTINCT pass) with the quarter filter pushed to the orders
+    scan, and the lineitem scan pruned to its 2 referenced columns."""
+    from fuse_query_spark.plans import formatted_plan
+
+    df = REG["q04_order_priority"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert has_pushed_filters(df)
+    assert any(set(c) <= {"l_orderkey", "l_shipdate"} for c in scan_columns(df))
+
+
+def test_q12_case_agg_plan(spark, sf_dir):
+    """Q12: CASE-in-SUM folds into the partial aggregate (two-phase
+    HashAggregate), orders scan pruned to 2 columns."""
+    from fuse_query_spark.plans import formatted_plan
+
+    df = REG["q12_priority_by_returnflag"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert any(set(c) <= {"o_orderkey", "o_orderpriority"} for c in scan_columns(df))

@@ -47,3 +47,44 @@ def test_asof_join_semantics(spark):
     assert out["l1"] == 1.5  # equal ts matches (<=)
     assert out["l2"] == 2.5  # most recent prior
     assert out["l3"] is None  # right row is in the future → no match
+
+
+def test_driver_priority_covers_every_component():
+    """The driver's correctness gate samples the first 50 entries of
+    queries(); the pinned prefix must cover every operator component
+    and contain only oracle-backed entries (agg_approx excepted —
+    engine-specific sketch, rows-only by design)."""
+    from fuse_query_spark.queries import (
+        DRIVER_HIDDEN,
+        DRIVER_PRIORITY,
+        driver_registry,
+        load_registry,
+    )
+
+    reg = load_registry()
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    assert not (set(DRIVER_PRIORITY) & DRIVER_HIDDEN)
+    for name in DRIVER_PRIORITY:
+        assert name in reg, name
+
+    # every component family lands at least one slot in the prefix
+    prefixes = (
+        "q0", "q1", "agg_", "sort_", "limit_", "filter_", "having_",
+        "expr_", "numbers_", "join_", "window_", "setop_", "events_",
+        "text_", "dedup_", "sample_", "decontaminate_", "pack_",
+        "similarity_", "dialect_", "pivot_", "interval_", "grouping_",
+        "scd2_", "csv_", "json_",
+    )
+    for p in prefixes:
+        assert any(n.startswith(p) for n in DRIVER_PRIORITY), f"no {p}* in prefix"
+
+    # rows-only entries don't waste driver hash slots (one exception)
+    rows_only = [n for n in DRIVER_PRIORITY if reg[n].oracle is None]
+    assert rows_only == ["agg_approx"]
+
+    # the driver dict starts with exactly the pinned prefix and serves
+    # every visible registry entry
+    dreg = driver_registry()
+    assert list(dreg)[:50] == DRIVER_PRIORITY
+    assert set(dreg) == set(reg) - DRIVER_HIDDEN
