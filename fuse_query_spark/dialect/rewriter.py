@@ -27,6 +27,7 @@ bottom-up, so nesting works.
 from __future__ import annotations
 
 import re
+import time as _time
 from dataclasses import dataclass, field
 
 
@@ -186,8 +187,29 @@ def _rewrite_call(name: str, args: list[str], ctx: DialectContext) -> str | None
     if low == "version" and not args:
         return f"'{ctx.version}'"
     if low == "sleep":
-        # reference sleep(n) blocks then returns 0 (scalars/udfs/sleep.rs);
-        # no synchronous sleep in a distributed plan — constant 0
+        # reference sleep(n) requires a CONSTANT arg, blocks the caller
+        # for n (<3) seconds, then returns UInt8 0; >=3s or a column arg
+        # is BadArguments (scalars/udfs/sleep.rs:57-91). The constant-only
+        # contract means the honest Spark analogue is a driver-side sleep
+        # at statement time — no per-block sleep exists in a declarative
+        # plan, and the caller-visible blocking is identical.
+        from fuse_query_spark.errors import BadArguments
+
+        lit = (arg_sql or "").strip()
+        if not re.match(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$", lit):
+            raise BadArguments(
+                f"The argument of function sleep must be constant. Got: {lit or '(none)'}"
+            )
+        seconds = float(lit)
+        if seconds < 0:
+            raise BadArguments(
+                f"Sleep must be between 0 and 3 seconds. Requested: {lit}"
+            )
+        if seconds >= 3:
+            raise BadArguments(
+                f"The maximum sleep time is 3 seconds. Requested: {lit}"
+            )
+        _time.sleep(seconds)
         return "0"
     if low == "example" and not args:
         # UdfExampleFunction: constant boolean true (udfs/udf_example.rs)

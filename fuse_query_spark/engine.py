@@ -10,7 +10,9 @@ reference's 4-pass optimizer + pipeline builder.
 
 from __future__ import annotations
 
+import itertools
 import re
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -101,6 +103,9 @@ class Engine:
         register_udfs(self.spark)
         self.catalog = Catalog()
         self.current_db = "default"
+        # live-statement registry backing system.processes
+        # (processes_table.rs:27 keeps a ProcessInfo per running query)
+        self._live: dict[str, dict] = {}
         self.settings: dict[str, Setting] = {
             # reference defaults: sessions/settings.rs:20-34
             "max_threads": Setting(
@@ -174,8 +179,26 @@ class Engine:
             out.append("".join(cur).strip())
         return [s for s in out if strip_line_comments(s).strip()]
 
+    _pid_counter = itertools.count(1)
+
     def _execute(self, stmt: str):
+        """Dispatch one statement, tracking it in the live-process
+        registry for system.processes (processes_table.rs parity: the
+        reference registers a ProcessInfo per running query)."""
         s = strip_line_comments(stmt).strip()
+        pid = str(next(Engine._pid_counter))
+        self._live[pid] = {
+            "query": s,
+            "start": time.time(),
+            "state": "Executing",
+            "database": self.current_db,
+        }
+        try:
+            return self._dispatch(s)
+        finally:
+            self._live.pop(pid, None)
+
+    def _dispatch(self, s: str):
         up = s.upper()
         if up.startswith("CREATE TABLE"):
             return self._create_table(s)
@@ -280,7 +303,9 @@ class Engine:
             "functions": lambda: systbl.functions_table(self.spark),
             "settings": lambda: systbl.settings_table(self.spark, self.settings),
             "one": lambda: systbl.one_table(self.spark),
-            "processes": lambda: systbl.processes_table(self.spark),
+            "processes": lambda: systbl.processes_table(
+                self.spark, self.current_db, self._live
+            ),
             "contributors": lambda: systbl.contributors_table(self.spark),
             "clusters": lambda: systbl.clusters_table(self.spark),
             "tracing": lambda: systbl.tracing_table(self.spark),

@@ -37,6 +37,10 @@ class UnknownColumn(FuseQueryError):
     code = 6  # reference: SELECT x → ErrorCode 6
 
 
+class BadArguments(FuseQueryError):
+    code = 6  # exception.rs:113 BadArguments(6) — sleep() bounds etc.
+
+
 class UnknownFunction(FuseQueryError):
     code = 8
 

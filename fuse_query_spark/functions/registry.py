@@ -52,7 +52,7 @@ SCALAR_FUNCTIONS = {
     # context/udfs (scalars/udfs/udf.rs:22-28)
     "database": "dialect:literal",
     "version": "dialect:literal",
-    "sleep": "dialect:constant 0",
+    "sleep": "dialect:driver sleep(<3s) then 0",
     "totypename": "udf:fq_typename(typeof())",
     "exists": "native:EXISTS subquery",
     "cast": "native:CAST",

@@ -49,9 +49,56 @@ def one_table(spark: SparkSession) -> DataFrame:
     return spark.range(1).selectExpr("CAST(0 AS TINYINT) AS dummy")
 
 
-def processes_table(spark: SparkSession) -> DataFrame:
-    """system.processes stub — single-process local engine."""
-    return spark.createDataFrame([], "id STRING, query STRING, elapsed DOUBLE")
+_PROCESSES_SCHEMA = "id STRING, host STRING, state STRING, database STRING, extra_info STRING"
+
+
+def processes_table(
+    spark: SparkSession, current_db: str = "default", statements: dict | None = None
+) -> DataFrame:
+    """system.processes — LIVE analogue of processes_table.rs:27-41
+    (column parity: id/host/state/database/extra_info, all Utf8). The
+    reference threads rows-read progress into each ProcessInfo via
+    stream_progress.rs:18; Spark's equivalent live source is the
+    SparkContext status tracker, so this emits one row per statement
+    currently inside Engine.sql() (id, query text, elapsed) plus one
+    row per ACTIVE Spark job with stage/task progress in extra_info —
+    queryable from another thread while a query runs."""
+    import time as _time
+
+    rows = []
+    for pid, info in (statements or {}).items():
+        elapsed = _time.time() - info["start"]
+        rows.append(
+            (
+                str(pid),
+                "localhost",
+                info.get("state", "Executing"),
+                info.get("database", current_db),
+                f"query={info.get('query', '')[:120]} elapsed={elapsed:.3f}s",
+            )
+        )
+    tracker = spark.sparkContext.statusTracker()
+    for jid in tracker.getActiveJobsIds():
+        jinfo = tracker.getJobInfo(jid)
+        if jinfo is None:  # job finished between the two calls
+            continue
+        total = done = active = 0
+        for sid in jinfo.stageIds:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None:
+                total += sinfo.numTasks
+                done += sinfo.numCompletedTasks
+                active += sinfo.numActiveTasks
+        rows.append(
+            (
+                f"job-{jid}",
+                "localhost",
+                str(jinfo.status),
+                current_db,
+                f"stages={len(jinfo.stageIds)} tasks={done}/{total} active={active}",
+            )
+        )
+    return spark.createDataFrame(rows, _PROCESSES_SCHEMA)
 
 
 def contributors_table(spark: SparkSession) -> DataFrame:

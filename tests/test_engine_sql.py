@@ -339,3 +339,83 @@ def test_real_user_column_resolves(engine):
     assert sorted(col(engine.sql("SELECT user FROM uu"))) == ["alice", "bob"]
     engine.sql("USE default")
     engine.sql("DROP DATABASE db_usr")
+
+
+# scalars/udfs/sleep.rs: constant-only arg, sleeps <3s then returns 0,
+# >=3s / negative / non-constant -> BadArguments(6)
+class TestSleep:
+    def test_sleep_blocks_and_returns_zero(self, engine):
+        import time
+
+        t0 = time.monotonic()
+        assert one(engine.sql("SELECT sleep(0.3)")) == 0
+        assert time.monotonic() - t0 >= 0.3
+
+    def test_sleep_float_form(self, engine):
+        assert one(engine.sql("SELECT sleep(0)")) == 0
+
+    def test_sleep_too_long(self, engine):
+        from fuse_query_spark.errors import BadArguments
+
+        with pytest.raises(BadArguments, match="maximum sleep time is 3 seconds"):
+            engine.sql("SELECT sleep(3)")
+        with pytest.raises(BadArguments, match="maximum sleep time"):
+            engine.sql("SELECT sleep(300)")
+
+    def test_sleep_negative(self, engine):
+        from fuse_query_spark.errors import BadArguments
+
+        with pytest.raises(BadArguments, match="between 0 and 3"):
+            engine.sql("SELECT sleep(-1)")
+
+    def test_sleep_non_constant(self, engine):
+        from fuse_query_spark.errors import BadArguments
+
+        with pytest.raises(BadArguments, match="must be constant"):
+            engine.sql("SELECT sleep(number) FROM numbers(3)")
+
+
+# processes_table.rs:27-41 — system.processes shows statements that are
+# EXECUTING RIGHT NOW (the reference registers a ProcessInfo per running
+# query); a concurrent SHOW PROCESSLIST must see the in-flight statement.
+class TestLiveProcesses:
+    def test_processlist_schema(self, engine):
+        df = engine.sql("SHOW PROCESSLIST")
+        assert [f.name for f in df.schema.fields] == [
+            "id", "host", "state", "database", "extra_info",
+        ]
+
+    def test_processlist_sees_running_query(self, engine):
+        import threading
+        import time
+
+        seen = []
+
+        def watcher():
+            # poll from a second thread while the main thread sleeps
+            # inside SELECT sleep(...)
+            for _ in range(40):
+                rows = engine.sql("SELECT * FROM system.processes").collect()
+                live = [r for r in rows if "sleep" in r.extra_info]
+                if live:
+                    seen.extend(live)
+                    return
+                time.sleep(0.05)
+
+        t = threading.Thread(target=watcher)
+        t.start()
+        engine.sql("SELECT sleep(1.5)")
+        t.join()
+        assert seen, "concurrent SHOW PROCESSLIST never saw the running sleep()"
+        row = seen[0]
+        assert row.state == "Executing"
+        assert row.database == engine.current_db
+        assert "elapsed=" in row.extra_info
+
+    def test_processlist_empty_after_completion(self, engine):
+        rows = engine.sql("SELECT * FROM system.processes").collect()
+        # only the SELECT itself is live when it snapshots... the snapshot
+        # is taken during that statement, so filter it out by query text
+        others = [r for r in rows if "system.processes" not in r.extra_info
+                  and not r.id.startswith("job-")]
+        assert others == []
