@@ -335,18 +335,14 @@ class Engine:
         raise UnsupportedStatement(f"Unknown engine {tdef.engine}")
 
     def _read_parquet(self, path: str) -> DataFrame:
-        """Parquet read with TIMESTAMP(NANOS) fallback (see
-        sources/tables._read_nanos_ts)."""
-        from pyspark.sql.utils import AnalysisException
+        """Parquet read with `ts` normalization for legacy ns-long reads
+        (see sources/tables._normalize_event_ts)."""
+        from fuse_query_spark.sources.tables import _normalize_event_ts
 
-        try:
-            df = self.spark.read.parquet(path)
-            df.schema  # force schema resolution
-            return df
-        except AnalysisException:
-            from fuse_query_spark.sources.tables import _read_nanos_ts
-
-            return _read_nanos_ts(self.spark, path, "ts")
+        df = self.spark.read.parquet(path)
+        if "ts" in df.columns:
+            df = _normalize_event_ts(df, "ts")
+        return df
 
     # ---------- DDL ----------
 

@@ -59,8 +59,8 @@ def events_tumbling_hourly(spark, sf_dir):
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
-           CAST(MAX(ts) AS TIMESTAMP) AS session_end
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -70,10 +70,12 @@ def events_sessionize(spark, sf_dir):
     """Sessionization (30-min inactivity gap) via lag + cumulative sum —
     the classic batch formulation; in streaming this is
     `session_window(ts, '30 minutes')`. All-integer µs arithmetic →
-    deterministic. The oracle CASTs its raw MIN/MAX timestamps to µs
-    TIMESTAMP: events.parquet is TIMESTAMP(NANOS) and DuckDB would
-    otherwise emit TIMESTAMP_NS with sub-µs digits Spark's reader
-    truncates (the one hash-mismatch in CORRECTNESS_r01)."""
+    deterministic. Session bounds are emitted as BIGINT epoch-µs on
+    BOTH sides (Spark unix_micros, oracle epoch_us — both all-integer
+    truncation, never a double round-trip: epoch-ns values ~1.7e18
+    exceed double's 2^53 exact range, which is exactly how the
+    r01/r02 hash mismatches happened through raw-timestamp and
+    floor(epoch_ns/1000) oracles)."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
@@ -87,8 +89,8 @@ def events_sessionize(spark, sf_dir):
     sess = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
     )
 
 

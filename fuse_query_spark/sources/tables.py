@@ -33,23 +33,35 @@ BROADCAST_TABLES = {"region", "nation"}
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
-        return _read_nanos_ts(spark, path, "ts")
-    return spark.read.parquet(path)
+        df = _normalize_event_ts(df, "ts")
+    return df
 
 
-def _read_nanos_ts(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read nanos as long and truncate to
-    microseconds — the same ns→µs truncation DuckDB applies, so oracle
-    comparisons agree. `div` is integer division (no double round-trip:
-    ns epoch values ~1.7e18 exceed double's 2^53 exact-integer range).
+def _normalize_event_ts(df: DataFrame, ts_col: str) -> DataFrame:
+    """events.parquet has shipped with two physical `ts` encodings:
+    TIMESTAMP(MICROS) (current corpus — reads natively as timestamp),
+    and TIMESTAMP(NANOS), which arrives as a raw ns long when
+    `spark.sql.legacy.parquet.nanosAsLong` is on. Normalize the long
+    form to a µs timestamp with integer `div` (no double round-trip:
+    ns epoch values ~1.7e18 exceed double's 2^53 exact-integer range) —
+    the same ns→µs truncation DuckDB applies, so oracle comparisons
+    agree. No session conf is touched here: reads never mutate state
+    another table's read could observe.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, LongType):
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif isinstance(dtype, TimestampNTZType):
+        # Session tz is pinned to UTC (session.py), so NTZ→LTZ is an
+        # identity on the stored µs value; downstream ops (unix_micros,
+        # window()) expect the LTZ type the legacy path produced.
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:

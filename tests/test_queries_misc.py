@@ -19,8 +19,7 @@ def test_approx_agg_within_bounds(spark, sf_dir):
         li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
     )
     assert lo <= row["p50_price"] <= hi
-    p25, p75 = row["p25_75"]
-    assert p25 <= row["p50_price"] <= p75
+    assert row["p25_price"] <= row["p50_price"] <= row["p75_price"]
 
 
 def test_csv_engine_scan(spark, sf_dir):
