@@ -74,7 +74,11 @@ def load_registry() -> dict[str, QuerySpec]:
 # registry entries). DRIVER_HIDDEN drops the xxhash64 fast-path twins
 # from the driver dict entirely (r1 judge ask): each has a byte-portable
 # md5 variant pinned below; the fast paths remain in the registry for
-# bench.py and local checks.
+# bench.py and local checks. NOTE: the hidden fast paths therefore
+# carry no driver-gated correctness claim — their guarantee is (a) the
+# local tools/check_oracle.py run, which does include them, and (b)
+# structural identity with their driver-green _md5 twins (same plan,
+# only the hash function differs). bench.py labels them accordingly.
 # ---------------------------------------------------------------------------
 
 DRIVER_HIDDEN = {
@@ -90,14 +94,17 @@ DRIVER_PRIORITY = [
     "agg_uniq",
     "agg_argminmax",
     "sort_topk",
-    "limit_offset",
     "limit_by",
     "filter_predicates",
     "having_filter",
-    "expr_projection",
     # numbers source + substring surface (§2.1-1, §2.8-4)
-    "numbers_agg",
     "numbers_substring_topk",
+    # r3 rotation: never-driver-checked in r1/r2 (slots freed by the
+    # twice-green limit_offset / expr_projection / numbers_agg, which
+    # drop past slot 50 but stay locally oracle-checked)
+    "dedup_exact_retention",
+    "similarity_knn_ivf_lloyd",
+    "dialect_numbers_groupby",
     # TPC-H shapes (r2 additions first — no prior driver row)
     "q04_order_priority",
     "q12_priority_by_returnflag",
@@ -153,7 +160,8 @@ def driver_registry() -> dict[str, QuerySpec]:
     remaining visible query in module order."""
     reg = load_registry()
     missing = [n for n in DRIVER_PRIORITY if n not in reg]
-    assert not missing, f"DRIVER_PRIORITY names absent from registry: {missing}"
+    if missing:  # explicit raise: assert would vanish under python -O
+        raise RuntimeError(f"DRIVER_PRIORITY names absent from registry: {missing}")
     out: dict[str, QuerySpec] = {n: reg[n] for n in DRIVER_PRIORITY}
     for name, spec in reg.items():
         if name not in out and name not in DRIVER_HIDDEN:
