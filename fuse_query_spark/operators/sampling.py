@@ -6,11 +6,11 @@ split even when the corpus grows (the property training pipelines
 actually need; Spark's df.sample cannot give it).
 
 Scale posture: a hash split is a narrow projection + filter (no
-shuffle at all); decontamination is one explode + one equi-join on the
-shingle string + one aggregate — the join key is uniformly distributed
-text, so no skew handling is needed, and the eval side is a few
-percent of the corpus but NOT broadcast (at 100 TB even 1% is too big;
-AQE picks the strategy per actual size).
+shuffle at all); decontamination is one explode + one equi-join on a
+64-bit hash of the shingle + one aggregate — the join key is a
+uniformly distributed long, so no skew handling is needed, and the
+eval side is a few percent of the corpus but NOT broadcast (at 100 TB
+even 1% is too big; AQE picks the strategy per actual size).
 """
 
 from __future__ import annotations
@@ -52,18 +52,30 @@ def contaminated_ids(
     one word n-gram with any eval doc, with the count of distinct
     shared n-grams. Standard training-data hygiene (the reference has
     no such operator; built on the same shingle machinery as the
-    n-gram dedup family)."""
-    c_sh = _shingle_table(corpus, text_col, id_col, n).select(
-        "_id", F.explode("_sh").alias("_s")
+    n-gram dedup family).
+
+    The join and the distinct-count run on `xxhash64(shingle)` longs,
+    never the raw ~30-byte shingle strings: the shuffle rows and join
+    hash tables shrink ~8× (this query was the r2 suite's dominant,
+    high-variance cost purely from string-key GC pressure). Equal to
+    the string-keyed answer modulo 64-bit hash collisions — odds
+    ~(distinct shingles)²/2⁶⁵, negligible at any corpus size that fits
+    a cluster — and the DuckDB oracle still counts distinct raw
+    strings, so the hash path is independently cross-checked."""
+    c_sh = (
+        _shingle_table(corpus, text_col, id_col, n)
+        .select("_id", F.explode("_sh").alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_h"))
     )
     e_sh = (
         _shingle_table(eval_set, text_col, id_col, n)
         .select(F.explode("_sh").alias("_s"))
+        .select(F.xxhash64("_s").alias("_h"))
         .distinct()
     )
     return (
-        c_sh.join(e_sh, "_s")
+        c_sh.join(e_sh, "_h")
         .groupBy("_id")
-        .agg(F.count_distinct("_s").alias("n_shared"))
+        .agg(F.count_distinct("_h").alias("n_shared"))
         .select(F.col("_id").alias(id_col), "n_shared")
     )
