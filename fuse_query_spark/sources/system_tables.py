@@ -66,7 +66,10 @@ def processes_table(
     import time as _time
 
     rows = []
-    for pid, info in (statements or {}).items():
+    # Snapshot: other threads' Engine._execute mutates this dict while
+    # we iterate (concurrent polling is the feature); list() of items
+    # is atomic under the GIL.
+    for pid, info in list((statements or {}).items()):
         elapsed = _time.time() - info["start"]
         rows.append(
             (
