@@ -27,7 +27,6 @@ bottom-up, so nesting works.
 from __future__ import annotations
 
 import re
-import time as _time
 from dataclasses import dataclass, field
 
 
@@ -36,6 +35,11 @@ class DialectContext:
     current_db: str = "default"
     version: str = "fuse-query-spark/0.1.0"
     known_dbs: tuple[str, ...] = field(default_factory=tuple)
+    # sleep() requests recorded during rewriting; the ENGINE performs
+    # them once at execution time. Rewriting itself must stay
+    # side-effect-free: EXPLAIN rewrites without executing, and the
+    # demote-user retry path rewrites the same statement twice.
+    pending_sleep: list = field(default_factory=list)
 
 
 _NAMED_CASTS = {
@@ -85,6 +89,10 @@ def _split_top_level(s: str) -> list[str]:
         ch = s[i]
         if in_str:
             cur.append(ch)
+            if ch == "\\" and i + 1 < len(s):
+                cur.append(s[i + 1])
+                i += 2
+                continue
             if ch == in_str:
                 in_str = None
         elif ch in "'\"":
@@ -138,6 +146,12 @@ def _fold_siphash_literal(args: list[str]) -> str | None:
     # two's-complement bytes at that width
     if re.match(r"^[+-]?\d+$", a):
         v = int(a)
+        # out of 64-bit range: the reference would reject the literal
+        # at typing; struct.pack would raise here. Fall through to the
+        # column path (None) so the error surfaces as Spark's literal
+        # handling, not a struct.error crash inside the rewriter.
+        if v >= 2**64 or v < -(2**63):
+            return None
         if v >= 0:
             fmt = "<B" if v < 2**8 else "<H" if v < 2**16 else "<I" if v < 2**32 else "<Q"
         else:
@@ -209,7 +223,10 @@ def _rewrite_call(name: str, args: list[str], ctx: DialectContext) -> str | None
             raise BadArguments(
                 f"The maximum sleep time is 3 seconds. Requested: {lit}"
             )
-        _time.sleep(seconds)
+        # record, don't sleep: rewriting runs under EXPLAIN and the
+        # engine's demote-user retry, where sleeping (or double-
+        # sleeping) would be wrong. The engine sleeps once per execute.
+        ctx.pending_sleep.append(seconds)
         return "0"
     if low == "example" and not args:
         # UdfExampleFunction: constant boolean true (udfs/udf_example.rs)
@@ -244,7 +261,7 @@ def _rewrite_calls(sql: str, ctx: DialectContext) -> str:
         if ch in "'\"`":  # skip string literals + backtick identifiers
             j = i + 1
             while j < len(sql) and sql[j] != ch:
-                j += 1
+                j += 2 if sql[j] == "\\" else 1  # honor backslash escape
             out.append(sql[i : j + 1])
             i = j + 1
             continue
@@ -259,7 +276,7 @@ def _rewrite_calls(sql: str, ctx: DialectContext) -> str:
                     q = sql[j]
                     j += 1
                     while j < len(sql) and sql[j] != q:
-                        j += 1
+                        j += 2 if sql[j] == "\\" else 1
                 elif sql[j] == "(":
                     depth += 1
                 elif sql[j] == ")":
@@ -367,9 +384,15 @@ def _alias_rewritten_select_items(s: str, ctx: DialectContext) -> str:
         return s
     items = _split_top_level(select_list)
     out_items = []
+    # probe rewrites only test whether the item WOULD change (to decide
+    # aliasing); run them on a throwaway ctx so side-records like
+    # pending_sleep aren't double-counted by the real pass below.
+    import dataclasses
+
+    probe_ctx = dataclasses.replace(ctx, pending_sleep=[])
     for item in items:
         it = item.strip()
-        rewritten = _rewrite_calls(it, ctx)
+        rewritten = _rewrite_calls(it, probe_ctx)
         if (
             rewritten != it
             and not _HAS_ALIAS.search(it)
@@ -385,7 +408,9 @@ def _alias_rewritten_select_items(s: str, ctx: DialectContext) -> str:
 
 def _outside_strings(s: str, fn) -> str:
     """Apply fn only to the segments of s outside single/double-quoted
-    literals (regex rewrites must never touch string contents)."""
+    literals (regex rewrites must never touch string contents).
+    Backslash escapes inside a literal are honored: 'a\\'b' is ONE
+    literal, so the quote after the backslash must not close it."""
     out, cur, i, in_str = [], [], 0, None
     start = 0
     while i < len(s):
@@ -394,6 +419,9 @@ def _outside_strings(s: str, fn) -> str:
             out.append(fn(s[start:i]))
             in_str = ch
             start = i
+        elif in_str is not None and ch == "\\":
+            i += 2  # skip the escaped character
+            continue
         elif in_str is not None and ch == in_str:
             out.append(s[start : i + 1])
             in_str = None
@@ -426,10 +454,13 @@ def _having_without_group_is_where(s: str) -> str:
 
 
 def strip_line_comments(s: str) -> str:
-    """Drop `--`-to-end-of-line comments, but never inside quoted
-    string literals: `SELECT 'a--b'` must keep its literal intact, and
-    a `;` hidden in a trailing comment must not reach the splitter as
-    statement text."""
+    """Drop `--`-to-end-of-line and `/* ... */` block comments, but
+    never inside quoted string literals: `SELECT 'a--b'` must keep its
+    literal intact, a `;` hidden in a trailing comment must not reach
+    the splitter as statement text, and a backslash-escaped quote
+    ('a\\'--b') must not end the literal early. Block comments are
+    replaced by one space so `a/*x*/b` stays two tokens; an
+    unterminated block comment swallows the rest (MySQL behavior)."""
     out: list[str] = []
     i, n, in_str = 0, len(s), None
     while i < n:
@@ -439,6 +470,18 @@ def strip_line_comments(s: str) -> str:
             if nl == -1:
                 break
             i = nl  # the newline itself is kept as whitespace
+            continue
+        if in_str is None and ch == "/" and s.startswith("/*", i):
+            end = s.find("*/", i + 2)
+            out.append(" ")
+            if end == -1:
+                break
+            i = end + 2
+            continue
+        if in_str is not None and ch == "\\" and i + 1 < n:
+            out.append(ch)
+            out.append(s[i + 1])
+            i += 2
             continue
         if in_str is None and ch in "'\"":
             in_str = ch

@@ -54,14 +54,24 @@ def contaminated_ids(
     no such operator; built on the same shingle machinery as the
     n-gram dedup family).
 
-    The join and the distinct-count run on `xxhash64(shingle)` longs,
-    never the raw ~30-byte shingle strings: the shuffle rows and join
-    hash tables shrink ~8× (this query was the r2 suite's dominant,
+    The join and the count run on `xxhash64(shingle)` longs, never the
+    raw ~30-byte shingle strings: the shuffle rows and join hash
+    tables shrink ~8× (this query was the r2 suite's dominant,
     high-variance cost purely from string-key GC pressure). Equal to
     the string-keyed answer modulo 64-bit hash collisions — odds
     ~(distinct shingles)²/2⁶⁵, negligible at any corpus size that fits
     a cluster — and the DuckDB oracle still counts distinct raw
-    strings, so the hash path is independently cross-checked."""
+    strings, so the hash path is independently cross-checked.
+
+    The per-doc count is a plain COUNT, not COUNT(DISTINCT):
+    shingles_from_tokens is array_distinct per doc, so (_id, _h) is
+    already unique (again modulo 64-bit collisions) and the joined
+    rows carry at most one row per (doc, shared shingle). Spark plans
+    a grouped COUNT(DISTINCT) as an extra full shuffle on (_id, _h)
+    plus a dedup hash map before the real aggregate — at 100 TB that
+    is the single most expensive stage of the query, spent
+    re-deriving an invariant the shingle builder already guarantees
+    (and it halved the sf0.1 wall time when dropped)."""
     c_sh = (
         _shingle_table(corpus, text_col, id_col, n)
         .select("_id", F.explode("_sh").alias("_s"))
@@ -76,6 +86,6 @@ def contaminated_ids(
     return (
         c_sh.join(e_sh, "_h")
         .groupBy("_id")
-        .agg(F.count_distinct("_h").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(F.col("_id").alias(id_col), "n_shared")
     )

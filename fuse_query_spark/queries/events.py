@@ -54,8 +54,11 @@ def events_tumbling_hourly(spark, sf_dir):
         FROM events
     ), sessions AS (
         SELECT user_id, ts, event_id,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+               -- DuckDB windowed SUM(INTEGER) yields HUGEINT, which the
+               -- driver's fetchdf() renders as float64 ("5.0" vs Spark's
+               -- bigint "5") — same mechanism as the q12 top-level SUM.
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

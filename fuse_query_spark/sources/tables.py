@@ -31,9 +31,33 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation"}
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def read_parquet_maybe_nanos(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates legacy TIMESTAMP(NANOS) columns.
+
+    Spark rejects TIMESTAMP(NANOS) parquet columns outright unless
+    `spark.sql.legacy.parquet.nanosAsLong` is on (they then surface as
+    raw ns longs). We try the plain read first; on the specific NANOS
+    AnalysisException we enable the conf and retry — and deliberately
+    leave it on for the session, because the flag ONLY changes the
+    handling of NANOS columns (which are otherwise unreadable) and
+    restoring it would race any still-lazy scan planned under it.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # AnalysisException, but match on message
+        msg = str(e)
+        if "NANOS" not in msg and "nanosAsLong" not in msg:
+            raise
+        spark.conf.set(_NANOS_CONF, "true")
+        return spark.read.parquet(path)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    df = read_parquet_maybe_nanos(spark, path)
     if name == "events":
         df = _normalize_event_ts(df, "ts")
     return df
@@ -43,12 +67,12 @@ def _normalize_event_ts(df: DataFrame, ts_col: str) -> DataFrame:
     """events.parquet has shipped with two physical `ts` encodings:
     TIMESTAMP(MICROS) (current corpus — reads natively as timestamp),
     and TIMESTAMP(NANOS), which arrives as a raw ns long when
-    `spark.sql.legacy.parquet.nanosAsLong` is on. Normalize the long
-    form to a µs timestamp with integer `div` (no double round-trip:
-    ns epoch values ~1.7e18 exceed double's 2^53 exact-integer range) —
-    the same ns→µs truncation DuckDB applies, so oracle comparisons
-    agree. No session conf is touched here: reads never mutate state
-    another table's read could observe.
+    `spark.sql.legacy.parquet.nanosAsLong` is on (the
+    read_parquet_maybe_nanos fallback enables it on demand). Normalize
+    the long form to a µs timestamp with integer `div` (no double
+    round-trip: ns epoch values ~1.7e18 exceed double's 2^53
+    exact-integer range) — the same ns→µs truncation DuckDB applies, so
+    oracle comparisons agree.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
@@ -57,9 +81,14 @@ def _normalize_event_ts(df: DataFrame, ts_col: str) -> DataFrame:
     if isinstance(dtype, LongType):
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
     elif isinstance(dtype, TimestampNTZType):
-        # Session tz is pinned to UTC (session.py), so NTZ→LTZ is an
-        # identity on the stored µs value; downstream ops (unix_micros,
-        # window()) expect the LTZ type the legacy path produced.
+        # NTZ→LTZ is only value-preserving when the session tz is UTC;
+        # session.tune() pins it best-effort, so verify rather than
+        # trust (a rejected pin would silently shift every event ts).
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"events ts normalization requires spark.sql.session.timeZone=UTC, got {tz!r}"
+            )
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 

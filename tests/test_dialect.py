@@ -134,3 +134,51 @@ def test_user_demotion_default_and_opt_out():
     assert "usr_" in out
     out = rewrite_select("SELECT user FROM t", CTX, demote_user=False)
     assert "usr_" not in out
+
+
+# ---- r4: rewriter side-effect / escape / overflow fixes ----
+
+
+def test_sleep_not_executed_at_rewrite_time():
+    """sleep() must be recorded on the ctx, not performed while
+    rewriting — EXPLAIN rewrites without executing, and the engine's
+    demote-user retry rewrites the same statement twice."""
+    import time
+
+    ctx = DialectContext()
+    t0 = time.monotonic()
+    out = rewrite_select("SELECT sleep(2)", ctx)
+    assert time.monotonic() - t0 < 0.5, "rewrite_select blocked on sleep()"
+    assert ctx.pending_sleep == [2.0]
+    assert re.search(r"\b0\b", out)
+
+
+def test_siphash_huge_int_literal_no_crash():
+    """Integer literals >= 2**64 must not crash struct.pack; they fall
+    through to the column path (xxhash64) instead."""
+    out = rw(f"SELECT siphash({2**64})")
+    assert "xxhash64" in out
+    out2 = rw(f"SELECT siphash({-(2**63) - 1})")
+    assert "xxhash64" in out2
+    # boundary values still fold
+    assert "xxhash64" not in rw(f"SELECT siphash({2**64 - 1})")
+    assert "xxhash64" not in rw(f"SELECT siphash({-(2**63)})")
+
+
+def test_backslash_escaped_quote_in_literal():
+    r"""'a\'--b' is ONE literal: the escaped quote must not end it, and
+    the -- inside must not be stripped as a comment."""
+    out = rw(r"SELECT 'a\'--b', uniq(x) FROM t")
+    assert r"'a\'--b'" in out
+    assert "count(DISTINCT x)" in out
+
+
+def test_block_comment_stripped():
+    out = rw("SELECT /* hidden ; uniq(y) */ uniq(x) FROM t")
+    assert "count(DISTINCT x)" in out
+    assert "hidden" not in out and "uniq(y)" not in out
+
+
+def test_block_comment_inside_literal_kept():
+    out = rw("SELECT '/*not a comment*/' AS s")
+    assert "'/*not a comment*/'" in out

@@ -374,6 +374,16 @@ class TestSleep:
         with pytest.raises(BadArguments, match="must be constant"):
             engine.sql("SELECT sleep(number) FROM numbers(3)")
 
+    def test_explain_sleep_does_not_block(self, engine):
+        # EXPLAIN rewrites the statement but must not execute the
+        # sleep (r2/r3 carried low: it used to block 2s here)
+        import time
+
+        t0 = time.monotonic()
+        df = engine.sql("EXPLAIN SELECT sleep(2)")
+        assert df is not None
+        assert time.monotonic() - t0 < 1.5
+
 
 # processes_table.rs:27-41 — system.processes shows statements that are
 # EXECUTING RIGHT NOW (the reference registers a ProcessInfo per running

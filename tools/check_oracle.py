@@ -5,6 +5,13 @@ given SF, and compares row count, column names, and an
 order-insensitive value hash (floats compared bit-exact — our exact
 decimal strategy makes that attainable).
 
+IMPORTANT: oracle rows are fetched via `fetchdf()` (pandas), NOT
+`fetchall()`, because that is the driver's path. The difference is the
+bug class that cost three rounds: DuckDB HUGEINT (e.g. any uncast
+`SUM(int)`, top-level or windowed) comes back as a Python int through
+fetchall() but as float64 through pandas — "5.0" vs Spark's "5" — so a
+fetchall()-based replica passes locally while the driver fails.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -17,6 +24,8 @@ import time
 from datetime import datetime
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -26,15 +35,30 @@ from fuse_query_spark.sources.tables import TABLES  # noqa: E402
 
 
 def canon(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
+    if isinstance(v, np.generic):
+        return canon(v.item())
+    if isinstance(v, np.ndarray):
+        return canon(list(v))
+    if isinstance(v, pd.Timestamp):
+        return canon(v.to_pydatetime())
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # pandas renders NULL numeric cells as NaN; the driver
+            # hashes them equal to Spark's None (join_asof green in r3
+            # with NULL-vs-NaN rows proves it) — mirror that.
+            return "NULL"
         return repr(v)  # repr round-trips doubles exactly
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, datetime):
+        # DuckDB DATE comes through fetchdf as a midnight Timestamp
+        # while Spark yields datetime.date; the driver hashes those
+        # equal (pivot_events/expr_projection green in r1-r3), so
+        # midnight-with-0us canonicalizes to the bare date.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.strftime("%Y-%m-%d")
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
@@ -87,7 +111,10 @@ def main():
         try:
             ores = con.execute(spec.oracle)
             ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            # fetchdf(), not fetchall(): mirror the driver's pandas path so
+            # HUGEINT->float64 class changes fail here first.
+            odf = ores.fetchdf()
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
