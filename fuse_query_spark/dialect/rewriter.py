@@ -283,6 +283,19 @@ def _rewrite_calls(sql: str, ctx: DialectContext) -> str:
                     depth -= 1
                 j += 1
             inner = sql[m.end() : j - 1]
+            if name.lower() == "totypename":
+                # infer the reference's type name STATICALLY from the
+                # raw argument (before named-cast rewriting widens
+                # toUInt8 -> SMALLINT etc. and loses unsignedness);
+                # runtime typeof() can never report UInt* because Spark
+                # has no unsigned types (SURVEY §1.2)
+                from fuse_query_spark.dialect.typer import infer_fq_type
+
+                inferred = infer_fq_type(inner)
+                if inferred is not None:
+                    out.append(f"'{inferred}'")
+                    i = j
+                    continue
             inner_rw = _rewrite_calls(inner, ctx)
             args = _split_top_level(inner_rw) if inner_rw.strip() else []
             replacement = _rewrite_call(name, args, ctx)

@@ -182,3 +182,39 @@ def test_block_comment_stripped():
 def test_block_comment_inside_literal_kept():
     out = rw("SELECT '/*not a comment*/' AS s")
     assert "'/*not a comment*/'" in out
+
+
+# ---- r4: static reference-type inference for toTypeName ----
+
+
+def test_totypename_literal_unsigned_typing():
+    """Reference types literals with minimal UNSIGNED widths
+    (02_0001_function_to_type_name golden): 1 is UInt8, arithmetic
+    doubles the wider width (capped 64), minus is signed, divide is
+    Float64. Spark typeof() can never report these, so the rewriter
+    folds them statically."""
+    assert "'UInt8'" in rw("SELECT toTypeName(1)")
+    assert "'UInt16'" in rw("SELECT toTypeName(1 + 2)")
+    assert "'Int16'" in rw("SELECT toTypeName(1 - 2)")
+    assert "'Float64'" in rw("SELECT toTypeName(1/2)")
+    assert "'UInt64'" in rw("SELECT toTypeName(number) FROM numbers(10)")
+    assert "'Int64'" in rw("SELECT toTypeName(number - 1) FROM numbers(10)")
+    assert "'Utf8'" in rw("SELECT toTypeName('33')")
+
+
+def test_totypename_cast_and_named_casts():
+    """02_0002_function_cast golden: CAST targets keep reference names
+    (FLOAT -> Float32, UInt64 stays unsigned); named casts type to
+    their nominal width."""
+    assert "'Float32'" in rw("SELECT toTypeName(CAST(number AS float)) FROM numbers_mt(1)")
+    assert "'UInt64'" in rw("SELECT toTypeName(CAST(number AS UInt64)) FROM numbers_mt(1)")
+    assert "'Int8'" in rw("SELECT toTypeName(toint8('8')) FROM numbers_mt(1)")
+    assert "'UInt8'" in rw("SELECT toTypeName(toUInt8(1))")
+
+
+def test_totypename_falls_back_on_unknown():
+    """Real columns / unknown functions bail to runtime typeof()."""
+    out = rw("SELECT toTypeName(some_col) FROM t")
+    assert "fq_typename(typeof(some_col))" in out
+    out2 = rw("SELECT toTypeName(concat(a, b)) FROM t")
+    assert "fq_typename" in out2

@@ -40,12 +40,6 @@ from fuse_query_spark.errors import FuseQueryError
 SUITE_DIR = "/root/reference/tests/suites/0_stateless"
 
 SKIP = {
-    # ClickHouse-style unsigned-width literal coercion (UInt8 OP UInt16
-    # → UInt32, 1+2 → UInt16, ...) is intentionally not emulated: Spark
-    # literals are Int32/Int64 and the engine reports signed Spark
-    # widths through toTypeName. Targeted toTypeName behavior is
-    # covered in test_engine_sql.py instead.
-    "02_0001_function_to_type_name",
     # Remote/fusestore engine is out of scope (SURVEY §2.1): tables
     # created without ENGINE default to Null here, not `remote`, and
     # there is no remote flight endpoint to insert through.
@@ -62,12 +56,9 @@ PRE_SQL = {
 
 # Statements whose recorded output we intentionally diverge from:
 # (file, statement substring) → (expected lines consumed, reason).
-DIVERGE = {
-    (
-        "02_0002_function_cast",
-        "CAST(number AS UInt64)",
-    ): (1, "Spark has no unsigned types; UInt64 maps to BIGINT and toTypeName reports Int64"),
-}
+# (02_0002's UInt64 cast divergence closed in r4: toTypeName now
+# statically infers reference type names — dialect/typer.py.)
+DIVERGE = {}
 
 _ERRCODE = re.compile(r"--\s*\{\s*ErrorCode\s+(\d+)")
 
