@@ -106,6 +106,11 @@ class Engine:
         # live-statement registry backing system.processes
         # (processes_table.rs:27 keeps a ProcessInfo per running query)
         self._live: dict[str, dict] = {}
+        # ring buffer backing system.tracing (tracing_table.rs:26 reads
+        # structured log spans; here: one record per executed statement)
+        import collections
+
+        self._trace: collections.deque = collections.deque(maxlen=512)
         self.settings: dict[str, Setting] = {
             # reference defaults: sessions/settings.rs:20-34
             "max_threads": Setting(
@@ -184,7 +189,10 @@ class Engine:
     def _execute(self, stmt: str):
         """Dispatch one statement, tracking it in the live-process
         registry for system.processes (processes_table.rs parity: the
-        reference registers a ProcessInfo per running query)."""
+        reference registers a ProcessInfo per running query), inside a
+        cancellable Spark job group (AbortStream/KILL analogue —
+        stream_abort.rs:19-26), and recording a tracing span on exit
+        (tracing_table.rs:26)."""
         s = strip_line_comments(stmt).strip()
         pid = str(next(Engine._pid_counter))
         self._live[pid] = {
@@ -193,10 +201,63 @@ class Engine:
             "state": "Executing",
             "database": self.current_db,
         }
+        # job group is thread-local on the SparkContext, so concurrent
+        # engine threads each get their own cancellation scope;
+        # interruptOnCancel interrupts running task threads too
+        self.spark.sparkContext.setJobGroup(f"fq-{pid}", s[:200], interruptOnCancel=True)
+        t0 = time.time()
+        state = "Finished"
         try:
             return self._dispatch(s)
+        except BaseException:
+            info = self._live.get(pid) or {}
+            state = "Aborted" if info.get("state") == "Aborted" else "Error"
+            raise
         finally:
+            # PySpark has no clearJobGroup; resetting via setJobGroup
+            # with an empty id detaches subsequent jobs on this thread
+            self.spark.sparkContext.setJobGroup("", "")
             self._live.pop(pid, None)
+            self._trace_record(pid, s, time.time() - t0, state)
+
+    def _trace_record(self, pid: str, query: str, dur_s: float, state: str) -> None:
+        """Append one bunyan-style record to the system.tracing ring
+        buffer — field parity with tracing_table.rs:33-41 (v, name,
+        msg, level, hostname, pid, time); level 20/50 matches the
+        sample line's bunyan numbering (20=debug, 50=error)."""
+        from datetime import datetime, timezone
+
+        self._trace.append(
+            {
+                "v": 0,
+                "name": "fuse-query-spark",
+                "msg": f"{state} in {dur_s * 1000:.3f}ms: {query[:200]}",
+                "level": 50 if state == "Error" else 20,
+                "hostname": "localhost",
+                "pid": int(pid),
+                "time": datetime.now(timezone.utc).isoformat(),
+            }
+        )
+
+    def cancel(self, pid: str) -> bool:
+        """Cancel a running statement by its system.processes id — the
+        engine's KILL QUERY / AbortStream analogue (stream_abort.rs:
+        19-26; the reference wires an AbortHandle into every result
+        stream). Returns True if the pid was live; the executing
+        thread's action raises SparkException (job group cancelled).
+
+        Scope: cancels work executing INSIDE the engine (INSERT ...
+        SELECT writes, sleep(), eager interpreter steps) — the unit a
+        server-side reference query maps to. A SELECT returned to the
+        caller as a lazy DataFrame and collected later runs outside
+        any engine statement; cancel that through Spark's own job-group
+        API on the collecting thread."""
+        info = self._live.get(pid)
+        if info is None:
+            return False
+        info["state"] = "Aborted"
+        self.spark.sparkContext.cancelJobGroup(f"fq-{pid}")
+        return True
 
     def _dispatch(self, s: str):
         up = s.upper()
@@ -220,9 +281,25 @@ class Engine:
             return self._insert(s)
         if up.startswith("EXPLAIN"):
             return self._explain(s)
+        if up.startswith("KILL "):
+            return self._kill(s)
         if up.startswith(("SELECT", "WITH", "(")):
             return self._select(s)
         raise UnsupportedStatement(f"Unsupported statement: {s[:60]}")
+
+    def _kill(self, s: str) -> DataFrame:
+        """KILL QUERY <id> — cancels the statement with that
+        system.processes id via Engine.cancel (the reference aborts
+        result streams through AbortStream handles,
+        stream_abort.rs:19-26)."""
+        m = re.match(r"(?is)^KILL\s+QUERY\s+'?([\w-]+)'?\s*$", s)
+        if not m:
+            raise UnsupportedStatement(f"Unsupported KILL: {s[:60]}")
+        qid = m.group(1)
+        killed = self.cancel(qid)
+        return self.spark.createDataFrame(
+            [(qid, "killed" if killed else "not_found")], "query_id STRING, result STRING"
+        )
 
     # ---------- SELECT ----------
 
@@ -317,7 +394,7 @@ class Engine:
             ),
             "contributors": lambda: systbl.contributors_table(self.spark),
             "clusters": lambda: systbl.clusters_table(self.spark),
-            "tracing": lambda: systbl.tracing_table(self.spark),
+            "tracing": lambda: systbl.tracing_table(self.spark, self._trace),
         }
         if name not in factories:
             raise UnknownTable(f"Unknown system table: '{name}'")

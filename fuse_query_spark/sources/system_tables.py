@@ -115,10 +115,25 @@ def clusters_table(spark: SparkSession) -> DataFrame:
     )
 
 
-def tracing_table(spark: SparkSession) -> DataFrame:
-    """system.tracing stub (tracing_table.rs:26 reads jaeger spans);
-    Spark's event log / listeners are the native tracing surface."""
-    return spark.createDataFrame([], "ts TIMESTAMP, name STRING, duration_us LONG")
+_TRACING_SCHEMA = (
+    "v BIGINT, name STRING, msg STRING, level TINYINT, hostname STRING, pid BIGINT, time STRING"
+)
+
+
+def tracing_table(spark: SparkSession, records=None) -> DataFrame:
+    """system.tracing — LIVE ring buffer of executed statements with
+    timings, field-parity with tracing_table.rs:33-41 (the reference
+    reads bunyan-style structured log lines: v/name/msg/level/
+    hostname/pid/time; its sample row is a per-operator cost span).
+    The engine appends one record per statement (Engine._trace_record);
+    list() snapshots the deque against concurrent appends."""
+    rows = [
+        (r["v"], r["name"], r["msg"], r["level"], r["hostname"], r["pid"], r["time"])
+        for r in list(records or [])
+    ]
+    return spark.createDataFrame(rows, _TRACING_SCHEMA) if rows else spark.createDataFrame(
+        [], _TRACING_SCHEMA
+    )
 
 
 SYSTEM_TABLE_NAMES = (

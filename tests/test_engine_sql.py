@@ -77,7 +77,8 @@ def test_named_casts_and_typenames(engine):
     assert one(engine.sql("SELECT toTypeName(toint32('32')) FROM numbers_mt(1)")) == "Int32"
     assert one(engine.sql("SELECT toTypeName(toint64('64')) FROM numbers_mt(1)")) == "Int64"
     assert one(engine.sql("SELECT toTypeName(CAST(number AS float32)) FROM numbers_mt(1)")) == "Float32"
-    assert one(engine.sql("SELECT toTypeName(CAST(number AS UInt64)) FROM numbers_mt(1)")) == "Int64"
+    # r4: static typer preserves unsignedness (02_0002 golden parity)
+    assert one(engine.sql("SELECT toTypeName(CAST(number AS UInt64)) FROM numbers_mt(1)")) == "UInt64"
 
 
 # 02_0005 substring / 02_0009 siphash
@@ -429,3 +430,100 @@ class TestLiveProcesses:
         others = [r for r in rows if "system.processes" not in r.extra_info
                   and not r.id.startswith("job-")]
         assert others == []
+
+
+# stream_abort.rs:19-26 — the reference wires an AbortHandle into every
+# result stream; KILL/cancel() is our analogue via Spark job groups.
+class TestAbort:
+    def test_cancel_unknown_pid(self, engine):
+        assert engine.cancel("999999") is False
+        row = engine.sql("KILL QUERY 999999").collect()[0]
+        assert row.result == "not_found"
+
+    def test_cancel_running_query_midflight(self, engine, tmp_path):
+        # INSERT ... SELECT executes eagerly INSIDE Engine._execute —
+        # the unit cancel()/KILL covers (a lazy SELECT DataFrame
+        # collected by the caller runs outside any engine statement)
+        import threading
+        import time
+
+        engine.sql("DROP TABLE IF EXISTS kill_t")
+        engine.sql(
+            f"CREATE TABLE kill_t(g bigint, n bigint) ENGINE = Parquet "
+            f"location = '{tmp_path / 'kill_t'}'"
+        )
+        outcome = []
+
+        def runner():
+            try:
+                # many seconds of work on 8 cores if not cancelled
+                engine.sql(
+                    "INSERT INTO kill_t SELECT number % 1000 AS g, count(*) AS n "
+                    "FROM numbers_mt(20000000000) GROUP BY number % 1000"
+                )
+                outcome.append("completed")  # should NOT happen
+            except Exception as e:
+                outcome.append(e)
+
+        t = threading.Thread(target=runner, daemon=True)
+        t0 = time.monotonic()
+        t.start()
+        # wait until the statement registers in system.processes
+        pid = None
+        for _ in range(200):
+            rows = engine.sql("SHOW PROCESSLIST").collect()
+            live = [r for r in rows if "numbers_mt(20000000000)" in r.extra_info]
+            if live:
+                pid = live[0].id
+                break
+            time.sleep(0.05)
+        assert pid is not None, "query never appeared in processlist"
+        row = engine.sql(f"KILL QUERY {pid}").collect()[0]
+        assert row.result == "killed"
+        t.join(timeout=60)
+        elapsed = time.monotonic() - t0
+        assert not t.is_alive(), "cancelled query thread still running"
+        assert outcome and outcome[0] != "completed", "query ran to completion despite KILL"
+        assert elapsed < 60
+        # the aborted statement is traced as Aborted
+        traced = engine.sql(
+            "SELECT * FROM system.tracing WHERE msg LIKE 'Aborted%numbers_mt(20000000000)%'"
+        ).collect()
+        assert traced, "aborted statement not traced with Aborted state"
+        engine.sql("DROP TABLE IF EXISTS kill_t")
+
+
+# tracing_table.rs:26-41 — system.tracing surfaces structured spans;
+# ours records one per executed statement from a live ring buffer.
+class TestTracing:
+    def test_tracing_records_statements(self, engine):
+        engine.sql("SELECT 1 + 1")
+        rows = engine.sql(
+            "SELECT * FROM system.tracing WHERE msg LIKE '%1 + 1%'"
+        ).collect()
+        assert rows, "executed statement not in system.tracing"
+        r = rows[-1]
+        assert r.name == "fuse-query-spark"
+        assert r.level == 20
+        assert r.hostname == "localhost"
+        assert r.pid >= 1
+        assert "Finished in" in r.msg and "ms" in r.msg
+
+    def test_tracing_schema_parity(self, engine):
+        df = engine.sql("SELECT * FROM system.tracing")
+        # field parity with the reference's tracing_table.rs:33-41
+        assert [f.name for f in df.schema.fields] == [
+            "v", "name", "msg", "level", "hostname", "pid", "time",
+        ]
+
+    def test_tracing_records_errors_level50(self, engine):
+        import pytest as _pytest
+
+        from fuse_query_spark.errors import FuseQueryError
+
+        with _pytest.raises(FuseQueryError):
+            engine.sql("SELECT crashme()")
+        rows = engine.sql(
+            "SELECT * FROM system.tracing WHERE level = 50 AND msg LIKE '%crashme%'"
+        ).collect()
+        assert rows, "errored statement not traced at level 50"
