@@ -1,0 +1,279 @@
+"""Minimal MySQL wire-protocol server over Engine.sql().
+
+The reference's primary entry point is a MySQL handler
+(fusequery/query/src/servers/mysql/mysql_handler.rs:29 accepts TCP
+sessions; mysql_interactive_worker.rs:80 `on_query` runs the statement
+and writes a result set; writers/query_result_writer.rs:42-57 maps
+engine types onto MySQL column types). This is the same surface in
+pure Python on top of the Spark-backed Engine: protocol-v10 handshake,
+COM_QUERY / COM_INIT_DB / COM_PING / COM_QUIT, classic text-protocol
+result sets (41-capability column definitions + EOF framing).
+
+Scope notes (documented, deliberate):
+- authentication accepts any credentials (the reference's msql_srv
+  shim does not validate either);
+- no TLS, no prepared-statement (COM_STMT_*) commands — on_prepare in
+  the reference errors for non-trivial statements too;
+- one thread per connection; each connection gets its own view of the
+  shared Engine (the reference creates a session per connection).
+
+Threading: Engine.sql is called from the connection thread; Spark
+sessions are thread-safe, and per-statement job groups (Engine.
+_execute) are thread-local, so concurrent connections cancel
+independently.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+from datetime import date, datetime
+
+# --- MySQL protocol constants ---------------------------------------------
+
+CLIENT_LONG_PASSWORD = 0x00000001
+CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SECURE_CONNECTION = 0x00008000
+CLIENT_PLUGIN_AUTH = 0x00080000
+
+SERVER_CAPS = CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+
+COM_QUIT = 0x01
+COM_INIT_DB = 0x02
+COM_QUERY = 0x03
+COM_PING = 0x0E
+
+# column types, mirroring the reference's mapping
+# (writers/query_result_writer.rs:42-57: all ints -> MYSQL_TYPE_LONG,
+# floats -> MYSQL_TYPE_FLOAT, Utf8 -> VARCHAR, Boolean -> SHORT,
+# Date32/64 -> TIMESTAMP)
+MYSQL_TYPE_SHORT = 0x02
+MYSQL_TYPE_LONG = 0x03
+MYSQL_TYPE_FLOAT = 0x04
+MYSQL_TYPE_TIMESTAMP = 0x07
+MYSQL_TYPE_VARCHAR = 0x0F
+
+_SPARK_TO_MYSQL = {
+    "tinyint": MYSQL_TYPE_LONG,
+    "smallint": MYSQL_TYPE_LONG,
+    "int": MYSQL_TYPE_LONG,
+    "bigint": MYSQL_TYPE_LONG,
+    "float": MYSQL_TYPE_FLOAT,
+    "double": MYSQL_TYPE_FLOAT,
+    "string": MYSQL_TYPE_VARCHAR,
+    "boolean": MYSQL_TYPE_SHORT,
+    "date": MYSQL_TYPE_TIMESTAMP,
+    "timestamp": MYSQL_TYPE_TIMESTAMP,
+    "timestamp_ntz": MYSQL_TYPE_TIMESTAMP,
+}
+
+
+def _lenenc_int(n: int) -> bytes:
+    if n < 251:
+        return bytes([n])
+    if n < 1 << 16:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 1 << 24:
+        return b"\xfd" + struct.pack("<I", n)[:3]
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def _lenenc_str(s: bytes) -> bytes:
+    return _lenenc_int(len(s)) + s
+
+
+def _text_value(v) -> bytes:
+    """MySQL text-protocol cell: lenenc string, NULL = 0xfb."""
+    if v is None:
+        return b"\xfb"
+    if isinstance(v, bool):
+        return _lenenc_str(b"1" if v else b"0")
+    if isinstance(v, float):
+        return _lenenc_str(repr(v).encode())
+    if isinstance(v, datetime):
+        return _lenenc_str(v.strftime("%Y-%m-%d %H:%M:%S.%f").encode())
+    if isinstance(v, date):
+        return _lenenc_str(v.isoformat().encode())
+    if isinstance(v, (bytes, bytearray)):
+        return _lenenc_str(bytes(v))
+    if isinstance(v, (list, tuple)):
+        return _lenenc_str(("[" + ",".join("NULL" if x is None else str(x) for x in v) + "]").encode())
+    return _lenenc_str(str(v).encode())
+
+
+class _Conn:
+    """One client connection: packet framing + protocol state."""
+
+    def __init__(self, sock: socket.socket, engine):
+        self.sock = sock
+        self.engine = engine
+        self.seq = 0
+
+    # -- framing: 3-byte LE length + 1-byte sequence id --
+    def _read_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("client closed")
+            buf += chunk
+        return buf
+
+    def read_packet(self) -> bytes:
+        head = self._read_exact(4)
+        length = head[0] | (head[1] << 8) | (head[2] << 16)
+        self.seq = head[3] + 1
+        return self._read_exact(length)
+
+    def send_packet(self, payload: bytes) -> None:
+        head = struct.pack("<I", len(payload))[:3] + bytes([self.seq & 0xFF])
+        self.sock.sendall(head + payload)
+        self.seq += 1
+
+    # -- composite packets --
+    def send_ok(self, affected: int = 0) -> None:
+        # OK: header 0x00, affected rows, last insert id, status, warnings
+        self.send_packet(b"\x00" + _lenenc_int(affected) + _lenenc_int(0) + struct.pack("<HH", 2, 0))
+
+    def send_eof(self) -> None:
+        self.send_packet(b"\xfe" + struct.pack("<HH", 0, 2))
+
+    def send_err(self, msg: str, errno: int = 1105) -> None:
+        self.send_packet(
+            b"\xff" + struct.pack("<H", errno) + b"#HY000" + msg.encode()[:400]
+        )
+
+    def handshake(self) -> None:
+        """Protocol-v10 greeting + accept any credentials (parity with
+        the reference's msql_srv shim, which performs no auth)."""
+        salt = b"0123456789abcdefghij"  # 20 bytes, unused by auth
+        greeting = (
+            b"\x0a"  # protocol version 10
+            + b"5.7.0-fuse-query-spark\x00"
+            + struct.pack("<I", threading.get_ident() & 0xFFFFFFFF)
+            + salt[:8]
+            + b"\x00"
+            + struct.pack("<H", SERVER_CAPS & 0xFFFF)
+            + bytes([33])  # charset utf8_general_ci
+            + struct.pack("<H", 2)  # status: autocommit
+            + struct.pack("<H", (SERVER_CAPS >> 16) & 0xFFFF)
+            + bytes([21])  # auth plugin data length
+            + b"\x00" * 10
+            + salt[8:]
+            + b"\x00"
+            + b"mysql_native_password\x00"
+        )
+        self.seq = 0
+        self.send_packet(greeting)
+        self.read_packet()  # HandshakeResponse41 — credentials ignored
+        self.send_ok()
+
+    def serve(self) -> None:
+        self.handshake()
+        while True:
+            self.seq = 0
+            try:
+                pkt = self.read_packet()
+            except ConnectionError:
+                return
+            if not pkt:
+                continue
+            cmd, arg = pkt[0], pkt[1:]
+            if cmd == COM_QUIT:
+                return
+            if cmd == COM_PING:
+                self.send_ok()
+            elif cmd == COM_INIT_DB:
+                self._run_sql(f"USE {arg.decode()}", init_db=True)
+            elif cmd == COM_QUERY:
+                self._run_sql(arg.decode())
+            else:
+                self.send_err(f"Unsupported command: {cmd:#x}", errno=1047)
+
+    def _run_sql(self, sql: str, init_db: bool = False) -> None:
+        try:
+            df = self.engine.sql(sql)
+        except Exception as e:
+            self.send_err(str(e).splitlines()[0] if str(e) else type(e).__name__)
+            return
+        if df is None or init_db:
+            self.send_ok()
+            return
+        try:
+            rows = df.collect()
+            fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        except Exception as e:
+            self.send_err(str(e).splitlines()[0])
+            return
+        self._write_resultset(fields, rows)
+
+    def _write_resultset(self, fields, rows) -> None:
+        self.send_packet(_lenenc_int(len(fields)))
+        for name, dtype in fields:
+            self.send_packet(self._column_def(name, dtype))
+        self.send_eof()
+        for row in rows:
+            self.send_packet(b"".join(_text_value(v) for v in row))
+        self.send_eof()
+
+    @staticmethod
+    def _column_def(name: str, dtype: str) -> bytes:
+        """ColumnDefinition41 (catalog/schema/table blank, like the
+        reference's writer which sends table: "")."""
+        coltype = _SPARK_TO_MYSQL.get(dtype, MYSQL_TYPE_VARCHAR)
+        nb = name.encode()
+        return (
+            _lenenc_str(b"def")
+            + _lenenc_str(b"")  # schema
+            + _lenenc_str(b"")  # table
+            + _lenenc_str(b"")  # org_table
+            + _lenenc_str(nb)  # name
+            + _lenenc_str(nb)  # org_name
+            + b"\x0c"  # fixed-length fields length
+            + struct.pack("<H", 33)  # charset
+            + struct.pack("<I", 1024)  # column length
+            + bytes([coltype])
+            + struct.pack("<H", 0)  # flags
+            + bytes([0])  # decimals
+            + b"\x00\x00"  # filler
+        )
+
+
+class MySQLServer:
+    """Threaded TCP server speaking the MySQL client/server protocol,
+    executing every statement through the given Engine. Start with
+    .start() (returns the bound port — pass port=0 for ephemeral);
+    stop with .stop()."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 3307):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self._server: socketserver.ThreadingTCPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> int:
+        engine = self.engine
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    _Conn(self.request, engine).serve()
+                except (ConnectionError, OSError):
+                    pass  # client went away
+
+        socketserver.ThreadingTCPServer.allow_reuse_address = True
+        self._server = socketserver.ThreadingTCPServer((self.host, self.port), Handler)
+        self._server.daemon_threads = True
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None

@@ -1,0 +1,213 @@
+"""MySQL wire front-end tests (mysql_handler.rs:29 parity surface).
+
+No MySQL client library ships in this container, so the test speaks
+the client side of the protocol itself over a raw socket — which also
+pins the server's BYTES, not just a library's tolerant view of them:
+protocol-10 greeting, HandshakeResponse41, OK/ERR/EOF framing, text
+result sets with lenenc cells.
+"""
+
+import socket
+import struct
+
+import pytest
+
+from fuse_query_spark.engine import Engine
+from fuse_query_spark.servers import MySQLServer
+
+CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SECURE_CONNECTION = 0x00008000
+CLIENT_PLUGIN_AUTH = 0x00080000
+
+
+class MiniClient:
+    """Protocol-conformant minimal MySQL client (text protocol)."""
+
+    def __init__(self, port: int):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        self.greeting = self._handshake()
+
+    # -- framing --
+    def _read_exact(self, n):
+        buf = b""
+        while len(buf) < n:
+            c = self.sock.recv(n - len(buf))
+            assert c, "server closed"
+            buf += c
+        return buf
+
+    def read_packet(self):
+        head = self._read_exact(4)
+        ln = head[0] | (head[1] << 8) | (head[2] << 16)
+        return self._read_exact(ln)
+
+    def send_packet(self, payload, seq):
+        self.sock.sendall(struct.pack("<I", len(payload))[:3] + bytes([seq]) + payload)
+
+    # -- handshake --
+    def _handshake(self):
+        g = self.read_packet()
+        assert g[0] == 0x0A, "not protocol v10"
+        nul = g.index(b"\x00", 1)
+        server_version = g[1:nul].decode()
+        caps = CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+        resp = (
+            struct.pack("<I", caps)
+            + struct.pack("<I", 1 << 24)  # max packet
+            + bytes([33])  # charset
+            + b"\x00" * 23
+            + b"root\x00"  # username
+            + b"\x00"  # empty auth response (lenenc 0)
+            + b"mysql_native_password\x00"
+        )
+        self.send_packet(resp, seq=1)
+        ok = self.read_packet()
+        assert ok[0] == 0x00, f"auth not OK: {ok!r}"
+        return server_version
+
+    # -- lenenc --
+    @staticmethod
+    def _lenenc(buf, pos):
+        b0 = buf[pos]
+        if b0 < 251:
+            return b0, pos + 1
+        if b0 == 0xFC:
+            return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
+        if b0 == 0xFD:
+            return int.from_bytes(buf[pos + 1 : pos + 4], "little"), pos + 4
+        return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
+
+    def _lenenc_str(self, buf, pos):
+        n, pos = self._lenenc(buf, pos)
+        return buf[pos : pos + n], pos + n
+
+    # -- commands --
+    def query(self, sql: str):
+        """Returns (columns, rows) for result sets, "OK" for OK
+        packets; raises RuntimeError on ERR."""
+        self.send_packet(b"\x03" + sql.encode(), seq=0)
+        first = self.read_packet()
+        if first[0] == 0x00:
+            return "OK"
+        if first[0] == 0xFF:
+            errno = struct.unpack_from("<H", first, 1)[0]
+            raise RuntimeError(f"[{errno}] {first[9:].decode(errors='replace')}")
+        ncols, _ = self._lenenc(first, 0)
+        cols = []
+        for _ in range(ncols):
+            p = self.read_packet()
+            pos = 0
+            _, pos = self._lenenc_str(p, pos)  # catalog 'def'
+            _, pos = self._lenenc_str(p, pos)  # schema
+            _, pos = self._lenenc_str(p, pos)  # table
+            _, pos = self._lenenc_str(p, pos)  # org_table
+            name, pos = self._lenenc_str(p, pos)
+            _, pos = self._lenenc_str(p, pos)  # org_name
+            pos += 1 + 2 + 4  # fixed marker, charset, length
+            coltype = p[pos]
+            cols.append((name.decode(), coltype))
+        assert self.read_packet()[0] == 0xFE  # EOF after columns
+        rows = []
+        while True:
+            p = self.read_packet()
+            if p[0] == 0xFE and len(p) < 9:
+                break
+            row, pos = [], 0
+            for _ in range(ncols):
+                if p[pos] == 0xFB:
+                    row.append(None)
+                    pos += 1
+                else:
+                    v, pos = self._lenenc_str(p, pos)
+                    row.append(v.decode())
+            rows.append(row)
+        return cols, rows
+
+    def ping(self):
+        self.send_packet(b"\x0e", seq=0)
+        return self.read_packet()[0] == 0x00
+
+    def init_db(self, db: str):
+        self.send_packet(b"\x02" + db.encode(), seq=0)
+        return self.read_packet()[0] == 0x00
+
+    def quit(self):
+        try:
+            self.send_packet(b"\x01", seq=0)
+            self.sock.close()
+        except OSError:
+            pass
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    engine = Engine(spark)
+    srv = MySQLServer(engine, port=0)  # ephemeral port
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def client(server):
+    c = MiniClient(server.port)
+    yield c
+    c.quit()
+
+
+def test_handshake_and_select_1(client):
+    assert "fuse-query-spark" in client.greeting
+    cols, rows = client.query("SELECT 1")
+    assert len(cols) == 1
+    assert rows == [["1"]]
+
+
+def test_numbers_aggregate_roundtrip(client):
+    cols, rows = client.query("SELECT sum(number) FROM numbers_mt(10000)")
+    assert rows == [["49995000"]]
+
+
+def test_dialect_functions_over_wire(client):
+    cols, rows = client.query("SELECT toTypeName(1), database()")
+    assert rows == [["UInt8", "default"]]
+
+
+def test_column_types_mirror_reference_writer(client):
+    # ints -> MYSQL_TYPE_LONG (0x03), strings -> VARCHAR (0x0f), like
+    # writers/query_result_writer.rs:42-57
+    cols, _ = client.query("SELECT 1 AS n, 'x' AS s")
+    types = dict(cols)
+    assert types["n"] == 0x03
+    assert types["s"] == 0x0F
+
+
+def test_ddl_returns_ok_and_use_db(client):
+    assert client.query("DROP TABLE IF EXISTS wire_t") == "OK"
+    assert client.query("CREATE TABLE wire_t(a int) ENGINE = Memory") == "OK"
+    assert client.query("INSERT INTO wire_t VALUES (5), (7)") == "OK"
+    cols, rows = client.query("SELECT a FROM wire_t ORDER BY a")
+    assert rows == [["5"], ["7"]]
+    assert client.query("DROP TABLE wire_t") == "OK"
+    assert client.init_db("default") is True
+
+
+def test_error_packet_on_bad_sql(client):
+    with pytest.raises(RuntimeError):
+        client.query("SELECT not_a_col FROM numbers(1)")
+
+
+def test_null_cells(client):
+    _, rows = client.query("SELECT NULL AS x, 2 AS y")
+    assert rows == [[None, "2"]]
+
+
+def test_ping_and_concurrent_connections(server):
+    a, b = MiniClient(server.port), MiniClient(server.port)
+    try:
+        assert a.ping() and b.ping()
+        _, ra = a.query("SELECT 11")
+        _, rb = b.query("SELECT 22")
+        assert ra == [["11"]] and rb == [["22"]]
+    finally:
+        a.quit()
+        b.quit()
