@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "q18_large_volume_customers",
     "q04_order_priority",
     "q12_priority_by_returnflag",
+    "q05_local_supplier_volume",
+    "q10_returned_items",
+    "q19_discounted_revenue",
     "agg_global_stats",
     "agg_uniq",
     "agg_combinator_if",

@@ -259,3 +259,153 @@ def q12_priority_by_returnflag(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({_DP} * ({_ONE} - {_DD})) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("tpch", "join", "multi_join"),
+)
+def q05_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5: the 6-table join with the local-supplier condition
+    (c_nationkey = s_nationkey rides on the supplier join). Plan:
+    region ('ASIA') and nation broadcast (BROADCAST_TABLES-small at
+    any SF); the r_name filter prunes nations BEFORE the big
+    customer/orders/lineitem chain, so the fact-side shuffles carry
+    only the surviving region's rows; the year filter pushes to the
+    orders scan. At 100 TB the only large shuffles are
+    orders⋈customer and lineitem⋈(that) on their natural keys —
+    uniformly distributed, no skew handling needed."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = dec("l_extendedprice") * one_minus("l_discount")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev_dec"))
+        .orderBy(F.col("_rev_dec").desc(), F.col("n_name"))
+        .select("n_name", F.col("_rev_dec").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_DP} * ({_ONE} - {_DD})) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: returned-item revenue per customer, top 20 (the
+    driver schema's customer subset — no phone/address/comment).
+    Plan: quarter filter pushes to the orders scan, the returnflag
+    filter to lineitem; nation broadcasts; the group-by keys include
+    the customer attributes so no second join is needed after the
+    aggregate; the final sort is a top-20 TakeOrderedAndProject on the
+    EXACT decimal revenue (bit-stable cross-engine ordering)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice") * one_minus("l_discount")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("_rev_dec"))
+        .orderBy(F.col("_rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("_rev_dec").cast("double").alias("revenue"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_DP} * ({_ONE} - {_DD})) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    tags=("tpch", "join", "disjunctive"),
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicates across
+    BOTH join sides (driver schema subset — no shipmode/shipinstruct/
+    container). The single-side conjuncts Catalyst can factor out
+    (p_size >= 1, l_quantity bounds 1..30) push below the join; the
+    cross-side disjunction evaluates post-join, JVM-side. part joins
+    broadcast at test SFs via AQE; at 100 TB part is partition-keyed
+    and the equi-join shuffles on p_partkey/l_partkey — the OR adds no
+    shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 5) & (q >= 1) & (q <= 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & (q >= 10) & (q <= 20))
+        | ((b == "Brand#15") & sz.between(1, 15) & (q >= 20) & (q <= 30))
+    )
+    rev = dec("l_extendedprice") * one_minus("l_discount")
+    return j.filter(cond).agg(F.sum(rev).cast("double").alias("revenue"))
