@@ -108,11 +108,14 @@ DRIVER_PRIORITY = [
     "dedup_exact_retention",
     "expr_projection",
     "dialect_numbers_groupby",
-    # TPC-H shapes (r2 additions first — no prior driver row)
-    "q04_order_priority",
+    # TPC-H shapes — r4 rotation: q04 (green r3) and
+    # join_revenue_by_nation (green r1-r3) yield their slots to the
+    # new never-driver-checked Q5/Q10; both stay locally
+    # oracle-checked past slot 50
+    "q05_local_supplier_volume",
     "q12_priority_by_returnflag",
     # joins & subqueries (§2.3)
-    "join_revenue_by_nation",
+    "q10_returned_items",
     "join_semi_exists",
     "scalar_subquery",
     "join_asof",
