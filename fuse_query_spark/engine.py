@@ -111,6 +111,11 @@ class Engine:
         import collections
 
         self._trace: collections.deque = collections.deque(maxlen=512)
+        # cluster-membership metadata (clusters/cluster.rs:23-27),
+        # mutated by the HTTP API and read by system.clusters
+        from fuse_query_spark.servers.http_api import ClusterRegistry
+
+        self.cluster = ClusterRegistry()
         self.settings: dict[str, Setting] = {
             # reference defaults: sessions/settings.rs:20-34
             "max_threads": Setting(
@@ -393,7 +398,7 @@ class Engine:
                 self.spark, self.current_db, self._live
             ),
             "contributors": lambda: systbl.contributors_table(self.spark),
-            "clusters": lambda: systbl.clusters_table(self.spark),
+            "clusters": lambda: systbl.clusters_table(self.spark, self.cluster),
             "tracing": lambda: systbl.tracing_table(self.spark, self._trace),
         }
         if name not in factories:

@@ -5,6 +5,7 @@ mysql_server.py. The ClickHouse native-TCP handler
 protocol with per-type codecs; the semantics it would expose are the
 same Engine.sql surface)."""
 
+from fuse_query_spark.servers.http_api import ClusterRegistry, HttpApiServer
 from fuse_query_spark.servers.mysql_server import MySQLServer
 
-__all__ = ["MySQLServer"]
+__all__ = ["ClusterRegistry", "HttpApiServer", "MySQLServer"]

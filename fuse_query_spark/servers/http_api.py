@@ -1,0 +1,129 @@
+"""HTTP management API + cluster-membership registry.
+
+Mirrors the reference's warp HTTP router (fusequery/query/src/api/
+http/router.rs: /v1/hello, /v1/configs, /v1/cluster/{list,add,remove},
+/debug/home) and its Cluster registry (clusters/cluster.rs:23-27: a
+mutex'd name->node map with priority and address; sequence numbers
+assigned on add). On Spark the EXECUTION topology belongs to the
+cluster manager — this registry is the metadata surface the reference
+exposes over HTTP and through system.clusters; it does not schedule
+work (the reference's flight-based stage dispatch maps to Spark's own
+shuffle/scheduler, documented out of scope in README).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class ClusterRegistry:
+    """name -> {name, priority, address, local, sequence} (node.rs
+    fields minus the flight connection). Thread-safe like the
+    reference's Mutex<HashMap> (cluster.rs:26)."""
+
+    def __init__(self):
+        self._nodes: dict[str, dict] = {}
+        self._lock = threading.Lock()
+        self._seq = 0
+
+    def add_node(self, name: str, priority: int, address: str) -> None:
+        if not 0 <= priority <= 10:
+            # reference: "Priority is in [0, 10]" (cluster.rs:18-20)
+            raise ValueError(f"Priority out of [0, 10]: {priority}")
+        with self._lock:
+            if name in self._nodes:
+                # cluster.rs add_node errors on Occupied entry
+                raise ValueError(f"Node name already exists: {name}")
+            self._nodes[name] = {
+                "name": name,
+                "priority": priority,
+                "address": address,
+                "local": False,
+                "sequence": self._seq,
+            }
+            self._seq += 1
+
+    def remove_node(self, name: str) -> None:
+        with self._lock:
+            self._nodes.pop(name, None)
+
+    def get_nodes(self) -> list[dict]:
+        with self._lock:
+            return sorted(self._nodes.values(), key=lambda n: n["sequence"])
+
+
+class HttpApiServer:
+    """Threaded HTTP server with the reference's /v1 route surface."""
+
+    def __init__(self, config: dict | None = None, cluster: ClusterRegistry | None = None,
+                 host: str = "127.0.0.1", port: int = 8080):
+        self.config = config or {}
+        self.cluster = cluster or ClusterRegistry()
+        self.host = host
+        self.port = port
+        self._server: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> int:
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence request logging
+                pass
+
+            def _send(self, code: int, body: str, ctype: str = "text/plain"):
+                data = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                # hello.rs / config.rs both render the config
+                if self.path in ("/v1/hello", "/v1/configs"):
+                    self._send(200, json.dumps(api.config), "application/json")
+                elif self.path == "/v1/cluster/list":
+                    self._send(200, json.dumps(api.cluster.get_nodes()), "application/json")
+                elif self.path == "/debug/home":
+                    self._send(200, json.dumps({"status": "ok", "config": api.config}),
+                               "application/json")
+                else:
+                    self._send(404, "not found")
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                if n > 16 * 1024:  # content_length_limit(1024*16), cluster.rs:70
+                    self._send(413, "payload too large")
+                    return
+                try:
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    self._send(400, "invalid json")
+                    return
+                if self.path == "/v1/cluster/add":
+                    try:
+                        api.cluster.add_node(req["name"], int(req["priority"]), req["address"])
+                        self._send(200, "")
+                    except (ValueError, KeyError) as e:
+                        self._send(400, str(e))
+                elif self.path == "/v1/cluster/remove":
+                    api.cluster.remove_node(req.get("name", ""))
+                    self._send(200, "")
+                else:
+                    self._send(404, "not found")
+
+        self._server = ThreadingHTTPServer((self.host, self.port), Handler)
+        self._server.daemon_threads = True
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None

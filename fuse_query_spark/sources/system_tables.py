@@ -108,11 +108,15 @@ def contributors_table(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([("fuse-query-spark",)], "name STRING")
 
 
-def clusters_table(spark: SparkSession) -> DataFrame:
-    """Cluster topology: Spark handles distribution; expose the app id."""
-    return spark.createDataFrame(
-        [(spark.sparkContext.applicationId, "local", 0)], "name STRING, address STRING, priority INT"
-    )
+def clusters_table(spark: SparkSession, cluster=None) -> DataFrame:
+    """Cluster topology (clusters_table.rs reads the Cluster registry):
+    the local Spark app plus any nodes registered through the HTTP API
+    (/v1/cluster/add — servers/http_api.py). Spark owns EXECUTION
+    topology; this is the reference's membership metadata surface."""
+    rows = [(spark.sparkContext.applicationId, "local", 0)]
+    if cluster is not None:
+        rows += [(n["name"], n["address"], n["priority"]) for n in cluster.get_nodes()]
+    return spark.createDataFrame(rows, "name STRING, address STRING, priority INT")
 
 
 _TRACING_SCHEMA = (
