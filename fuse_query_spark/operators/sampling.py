@@ -89,3 +89,47 @@ def contaminated_ids(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(F.col("_id").alias(id_col), "n_shared")
     )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+    alpha: float = 0.5,
+    total_out: int = 200,
+) -> DataFrame:
+    """Temperature-weighted source mixing (the standard training-data
+    recipe: sample source s proportional to weight_s^alpha, alpha<1
+    flattening the head so small sources aren't drowned). Weight is
+    the source's total chars; quotas are floor(total_out * w^a / sum)
+    — all-deterministic double math, no RNG. Per-source doc picks are
+    md5-rank ordered (same stable hash order as deterministic_split),
+    so the same doc set is chosen at any partition count or corpus
+    shard order. Scale: one partial/final aggregate for the weights
+    (tiny — #sources rows), a broadcast of the quota table back onto
+    the corpus, and ONE window rank per source partition; no all-corpus
+    sort."""
+    from pyspark.sql.window import Window
+
+    weights = (
+        df.groupBy(source_col)
+        .agg(F.sum(weight_col).cast("double").alias("_w"))
+        .withColumn("_wa", F.pow("_w", F.lit(float(alpha))))
+    )
+    total_wa = weights.agg(F.sum("_wa").alias("_t"))
+    quotas = weights.crossJoin(F.broadcast(total_wa)).select(
+        source_col,
+        F.floor(F.lit(float(total_out)) * F.col("_wa") / F.col("_t")).cast("bigint").alias("quota"),
+    )
+    w = Window.partitionBy(source_col).orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), source_col)
+        .filter(F.col("_rk") <= F.col("quota"))
+        .groupBy(source_col, "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

@@ -386,3 +386,42 @@ def knn_lsh(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_int8(df, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the storage/serving format every large retrieval corpus ends up in
+    (4x smaller than float32, SIMD-dot-product-friendly). scale =
+    max|x|/127; q_i = floor(x_i/scale + 0.5) in [-127, 127] (explicit
+    floor(+0.5) rounding so Spark and any re-implementation round ties
+    identically); emits per-vector quantization diagnostics rather
+    than the (huge) quantized payload: the quantized checksum, the max
+    absolute dequantization error, and the count of saturated lanes.
+    All math is promoted to double BEFORE the reduce so results are
+    IEEE-identical across engines and partitionings. Narrow
+    projection, no shuffle — embarrassingly parallel at any scale."""
+    from pyspark.sql import functions as F
+
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xs, lambda x: F.abs(x))) / F.lit(127.0)
+    return (
+        df.select(F.col(id_col), xs.alias("_xs"), scale.alias("_scale"))
+        .filter(F.col("_scale") > 0)
+        .withColumn("_q", F.transform(F.col("_xs"), lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / F.col("_scale") + F.lit(0.5)))
+        )))
+        .select(
+            id_col,
+            F.round(F.col("_scale"), 9).alias("scale_r9"),
+            F.aggregate(F.col("_q"), F.lit(0.0), lambda a, x: a + x).cast("bigint").alias("q_sum"),
+            F.aggregate(
+                F.transform(F.col("_q"), lambda x: F.when(F.abs(x) >= 127.0, 1.0).otherwise(0.0)),
+                F.lit(0.0), lambda a, x: a + x,
+            ).cast("bigint").alias("n_saturated"),
+            F.round(
+                F.array_max(
+                    F.zip_with(F.col("_xs"), F.col("_q"), lambda x, qi: F.abs(x - qi * F.col("_scale")))
+                ), 9,
+            ).alias("max_err_r9"),
+        )
+    )

@@ -5,7 +5,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from fuse_query_spark.operators.sampling import contaminated_ids, deterministic_split
+from fuse_query_spark.operators.sampling import (
+    contaminated_ids,
+    deterministic_split,
+    temperature_quotas,
+)
 from fuse_query_spark.queries import register
 from fuse_query_spark.sources.tables import table
 
@@ -185,3 +189,38 @@ def sample_quota_per_source(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .select("source", "doc_id", "quality")
     )
+
+
+@register(
+    "sample_temperature_mix",
+    oracle="""
+    WITH wts AS (
+        SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS w
+        FROM documents GROUP BY source
+    ), wa AS (
+        SELECT source, pow(w, 0.5) AS wa FROM wts
+    ), q AS (
+        SELECT source,
+               CAST(floor(200.0 * wa / (SELECT SUM(wa) FROM wa)) AS BIGINT) AS quota
+        FROM wa
+    ), ranked AS (
+        SELECT d.*, q.quota,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents d JOIN q USING (source)
+    )
+    SELECT source, quota, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM ranked WHERE rk <= quota
+    GROUP BY source, quota
+    """,
+    tags=("pipeline", "sampling", "temperature"),
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-weighted source mixing (alpha=0.5, 200 docs out):
+    quota_s = floor(200 * chars_s^0.5 / sum), docs picked per source by
+    deterministic md5 rank — see operators.sampling.temperature_quotas
+    for the scale posture (tiny weight aggregate, broadcast quota
+    join, one per-source window; no corpus-wide sort)."""
+    return temperature_quotas(table(spark, sf_dir, "documents"))

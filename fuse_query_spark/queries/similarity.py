@@ -266,3 +266,42 @@ def similarity_bucket_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, xs,
+               list_max(list_transform(xs, v -> abs(v))) / 127.0 AS scale
+        FROM x
+    ), q AS (
+        SELECT vec_id, xs, scale,
+               list_transform(xs, v ->
+                   greatest(-127.0, least(127.0, floor(v / scale + 0.5)))) AS qs
+        FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale_r9,
+           CAST(list_sum(qs) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qs,
+                v -> CASE WHEN abs(v) >= 127.0 THEN 1.0 ELSE 0.0 END)) AS BIGINT)
+               AS n_saturated,
+           round(list_max(list_transform(range(1, len(qs) + 1),
+                i -> abs(xs[i] - qs[i] * scale))), 9) AS max_err_r9
+    FROM q
+    """,
+    tags=("pipeline", "embedding", "quantization"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization diagnostics over the
+    embeddings table (scale, quantized checksum, saturated lanes, max
+    dequantization error) — operators.similarity.quantize_int8. All
+    double math with explicit floor(+0.5) rounding, so the DuckDB
+    oracle hash-matches bit-for-bit."""
+    from fuse_query_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(table(spark, sf_dir, "embeddings"))
