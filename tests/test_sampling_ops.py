@@ -1,0 +1,69 @@
+"""Property tests for the sampling/quantization pipeline operators
+(oracle hash-equality is covered by the driver gate / check_oracle;
+these pin the operator INVARIANTS that survive any corpus)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuse_query_spark.operators.sampling import temperature_quotas
+from fuse_query_spark.operators.similarity import quantize_int8
+from fuse_query_spark.sources.tables import table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+class TestTemperatureQuotas:
+    def test_total_within_budget(self, docs):
+        rows = temperature_quotas(docs, total_out=200).collect()
+        # floor() quotas can undershoot but never overshoot the budget
+        assert sum(r.n_sampled for r in rows) <= 200
+        assert all(r.n_sampled <= r.quota for r in rows)
+
+    def test_alpha_flattens_the_mix(self, docs):
+        # alpha=0 gives every source the same quota (uniform mix);
+        # alpha=1 is proportional to raw weight
+        flat = {r.source: r.quota for r in temperature_quotas(docs, alpha=0.0).collect()}
+        assert len(set(flat.values())) == 1
+        prop = {r.source: r.quota for r in temperature_quotas(docs, alpha=1.0).collect()}
+        w = {
+            r.source: r.w
+            for r in docs.groupBy("source").agg(F.sum("n_chars").alias("w")).collect()
+        }
+        # proportional quotas order the same way as raw weights
+        bysrc = sorted(prop, key=lambda s: (prop[s], w[s]))
+        assert all(w[a] <= w[b] for a, b in zip(bysrc, bysrc[1:]))
+
+    def test_deterministic_under_repartition(self, docs):
+        a = {tuple(r) for r in temperature_quotas(docs).collect()}
+        b = {tuple(r) for r in temperature_quotas(docs.repartition(13)).collect()}
+        assert a == b
+
+
+class TestQuantizeInt8:
+    def test_error_bounded_by_half_scale(self, spark, sf_dir):
+        emb = table(spark, sf_dir, "embeddings")
+        out = quantize_int8(emb).collect()
+        assert out
+        scales = {r.vec_id: r.scale_r9 for r in out}
+        for r in out:
+            # round-to-nearest with symmetric clipping: error <= scale/2
+            # on unsaturated lanes; saturated lanes can exceed it only
+            # if |x| > 127.5*scale, impossible under scale = max|x|/127
+            assert r.max_err_r9 <= scales[r.vec_id] / 2 + 1e-9, r
+
+    def test_no_saturation_under_maxabs_scale(self, spark, sf_dir):
+        # scale = max|x|/127 means |x/scale| <= 127 exactly at the max:
+        # floor(127 + 0.5) = 127 -> the max lane reports saturated,
+        # but NEVER clips beyond (checked via the error bound above)
+        emb = table(spark, sf_dir, "embeddings")
+        out = quantize_int8(emb).collect()
+        assert all(r.n_saturated >= 1 for r in out)  # the argmax lane
+
+    def test_deterministic_under_repartition(self, spark, sf_dir):
+        emb = table(spark, sf_dir, "embeddings")
+        a = {tuple(r) for r in quantize_int8(emb).collect()}
+        b = {tuple(r) for r in quantize_int8(emb.repartition(7)).collect()}
+        assert a == b
