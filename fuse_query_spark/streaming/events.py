@@ -86,14 +86,45 @@ def sessionized_counts(
     )
 
 
-def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
+) -> None:
     """Drain the stream with an availableNow trigger into an in-memory
-    table (complete mode) — the test harness path."""
+    table — the test harness path. complete mode for aggregations
+    (default); non-aggregating streams (dedup) must use append."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours", keys: tuple[str, ...] = ("event_id",)
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state:
+    dropDuplicatesWithinWatermark keeps one row per key and EXPIRES
+    the key's state once the watermark passes it — without the
+    watermark bound, streaming dropDuplicates state grows with the
+    key cardinality forever (the classic 100 TB streaming OOM). The
+    batch twin is operators.dedup.dedup_exact keyed the same way;
+    tests cross-check stream-vs-batch results on the same corpus."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def rate_limited_counts(
+    events: DataFrame, window: str = "15 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user windowed event counts — the streaming primitive behind
+    rate limiting / abuse detection (count per user per window; a
+    filter on the count downstream flags hot keys). State is
+    (window × user) and expires past the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "user_id", "n")
+    )

@@ -78,3 +78,38 @@ def test_hopping_stream_matches_batch(spark, sf_dir, events_dir):
     )
     want = {(r["win_start"], r["event_type"]): r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a corpus with injected exact
+    duplicates keeps one row per event_id — cross-checked against the
+    batch distinct count."""
+    import shutil
+
+    from fuse_query_spark.streaming.events import dedup_events_stream
+
+    dup_dir = str(tmp_path / "events_dup")
+    shutil.rmtree(dup_dir, ignore_errors=True)
+    e = table(spark, sf_dir, "events")
+    # duplicate a slice of events (same event_id/ts) on top of the corpus
+    e.unionAll(e.limit(500)).repartition(3).write.mode("overwrite").parquet(dup_dir)
+
+    # watermark must span the corpus: the 3 files arrive in arbitrary
+    # order, and dropDuplicatesWithinWatermark DROPS rows older than
+    # (max seen ts - watermark) as late data — with the default 2h
+    # bound a multi-day corpus loses every old-file row (observed
+    # 787/1000 before this was widened)
+    stream = dedup_events_stream(read_events_stream(spark, dup_dir), watermark="365 days")
+    run_to_memory_sink(stream, "dedup_sink", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_sink").collect()[0]
+    batch_distinct = e.select("event_id").distinct().count()
+    assert got.n == got.d == batch_distinct
+
+
+def test_rate_limited_counts_conserve_events(spark, sf_dir, events_dir):
+    from fuse_query_spark.streaming.events import rate_limited_counts
+
+    stream = rate_limited_counts(read_events_stream(spark, events_dir))
+    run_to_memory_sink(stream, "rate_sink")
+    total = spark.sql("SELECT CAST(sum(n) AS BIGINT) AS t FROM rate_sink").collect()[0].t
+    assert total == table(spark, sf_dir, "events").count()

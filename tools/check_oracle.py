@@ -135,7 +135,11 @@ def main():
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
         else:
-            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            # 0-row agreement is vacuous (a mis-fitted filter matches
+            # trivially — caught a Q5 draft whose date window missed
+            # the whole corpus); flag it loudly without failing
+            note = "  [WARN: 0 rows — vacuous match]" if not srows else ""
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]{note}")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
