@@ -122,15 +122,28 @@ class _Conn:
         return buf
 
     def read_packet(self) -> bytes:
-        head = self._read_exact(4)
-        length = head[0] | (head[1] << 8) | (head[2] << 16)
-        self.seq = head[3] + 1
-        return self._read_exact(length)
+        # reassemble split packets (each 0xFFFFFF frame continues into
+        # the next; a shorter frame terminates the logical packet)
+        payload = b""
+        while True:
+            head = self._read_exact(4)
+            length = head[0] | (head[1] << 8) | (head[2] << 16)
+            self.seq = head[3] + 1
+            payload += self._read_exact(length)
+            if length < 0xFFFFFF:
+                return payload
 
     def send_packet(self, payload: bytes) -> None:
-        head = struct.pack("<I", len(payload))[:3] + bytes([self.seq & 0xFF])
-        self.sock.sendall(head + payload)
-        self.seq += 1
+        # the 3-byte length caps one frame at 0xFFFFFF; larger payloads
+        # MUST be split into max-size frames with a trailing (possibly
+        # empty) remainder frame, per the protocol's packet splitting
+        while True:
+            chunk, payload = payload[:0xFFFFFF], payload[0xFFFFFF:]
+            head = struct.pack("<I", len(chunk))[:3] + bytes([self.seq & 0xFF])
+            self.sock.sendall(head + chunk)
+            self.seq += 1
+            if len(chunk) < 0xFFFFFF:
+                break
 
     # -- composite packets --
     def send_ok(self, affected: int = 0) -> None:

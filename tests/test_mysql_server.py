@@ -37,9 +37,13 @@ class MiniClient:
         return buf
 
     def read_packet(self):
-        head = self._read_exact(4)
-        ln = head[0] | (head[1] << 8) | (head[2] << 16)
-        return self._read_exact(ln)
+        payload = b""
+        while True:  # reassemble protocol-split packets (>= 16 MiB)
+            head = self._read_exact(4)
+            ln = head[0] | (head[1] << 8) | (head[2] << 16)
+            payload += self._read_exact(ln)
+            if ln < 0xFFFFFF:
+                return payload
 
     def send_packet(self, payload, seq):
         self.sock.sendall(struct.pack("<I", len(payload))[:3] + bytes([seq]) + payload)
@@ -199,6 +203,15 @@ def test_error_packet_on_bad_sql(client):
 def test_null_cells(client):
     _, rows = client.query("SELECT NULL AS x, 2 AS y")
     assert rows == [[None, "2"]]
+
+
+def test_packet_splitting_over_16mb(client):
+    # a single >16 MiB cell forces the server to split the row packet
+    # into 0xFFFFFF-byte frames (protocol packet splitting)
+    n = 17 * 1024 * 1024
+    _, rows = client.query(f"SELECT repeat('x', {n}) AS big")
+    assert len(rows) == 1 and len(rows[0][0]) == n
+    assert rows[0][0][:4] == "xxxx"
 
 
 def test_ping_and_concurrent_connections(server):
