@@ -44,6 +44,7 @@ COM_QUIT = 0x01
 COM_INIT_DB = 0x02
 COM_QUERY = 0x03
 COM_PING = 0x0E
+COM_STMT_PREPARE = 0x16
 
 # column types, mirroring the reference's mapping
 # (writers/query_result_writer.rs:42-57: all ints -> MYSQL_TYPE_LONG,
@@ -202,6 +203,10 @@ class _Conn:
                 self._run_sql(f"USE {arg.decode()}", init_db=True)
             elif cmd == COM_QUERY:
                 self._run_sql(arg.decode())
+            elif cmd == COM_STMT_PREPARE:
+                # exact reference behavior: prepare is rejected with
+                # ER_UNKNOWN_ERROR (mysql_interactive_worker.rs:130-133)
+                self.send_err("Prepare is not support in DataFuse.")
             else:
                 self.send_err(f"Unsupported command: {cmd:#x}", errno=1047)
 

@@ -224,3 +224,12 @@ def test_ping_and_concurrent_connections(server):
     finally:
         a.quit()
         b.quit()
+
+
+def test_stmt_prepare_rejected_like_reference(client):
+    # the reference errors on COM_STMT_PREPARE
+    # (mysql_interactive_worker.rs:130-133) — byte parity on the message
+    client.send_packet(b"\x16SELECT ?", seq=0)
+    p = client.read_packet()
+    assert p[0] == 0xFF
+    assert b"Prepare is not support in DataFuse." in p
