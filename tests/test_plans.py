@@ -109,3 +109,38 @@ def test_q12_case_agg_plan(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("HashAggregate") >= 2
     assert any(set(c) <= {"o_orderkey", "o_orderpriority"} for c in scan_columns(df))
+
+
+def test_q05_broadcasts_dims_and_pushes_dates(spark, sf_dir):
+    """Q5's nation/region joins must broadcast (explicit hint +
+    AQE-small) and the order-date window must reach the orders scan —
+    at 100 TB the only large shuffles are the fact-side equi-joins."""
+    df = REG["q05_local_supplier_volume"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df)
+
+
+def test_q10_topk_and_pushdown(spark, sf_dir):
+    df = REG["q10_returned_items"].fn(spark, sf_dir)
+    assert has_take_ordered(df)  # top-20, not a full sort
+    assert has_pushed_filters(df)  # quarter + returnflag reach scans
+
+
+def test_q19_single_side_conjuncts_pushed(spark, sf_dir):
+    """Catalyst factors the common single-side conjuncts out of the
+    OR-of-ANDs (l_quantity bounds, p_size lower bound) and pushes them
+    below the join — the disjunction itself evaluates post-join."""
+    from fuse_query_spark.plans import formatted_plan
+
+    df = REG["q19_discounted_revenue"].fn(spark, sf_dir)
+    assert has_pushed_filters(df)
+    plan = formatted_plan(df)
+    # the factored quantity range appears as a scan-level filter
+    assert "l_quantity" in plan
+
+
+def test_quantize_int8_is_shuffle_free(spark, sf_dir):
+    """Per-vector quantization is a narrow projection — any exchange
+    in this plan is a bug that would cost a full corpus shuffle."""
+    df = REG["embedding_quantize_int8"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
