@@ -144,3 +144,31 @@ def test_quantize_int8_is_shuffle_free(spark, sf_dir):
     in this plan is a bug that would cost a full corpus shuffle."""
     df = REG["embedding_quantize_int8"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed by the join key with equal counts -> the
+    join plans with ZERO Exchange: the write-time shuffle is amortized
+    over every downstream join (operators/bucketing.py)."""
+    from fuse_query_spark.operators.bucketing import colocated_join, write_bucketed
+    from fuse_query_spark.sources.tables import table as t
+
+    write_bucketed(t(spark, sf_dir, "orders"), "bkt_orders_t", "o_orderkey", 8)
+    write_bucketed(
+        t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bkt_lineitem_t",
+        "o_orderkey",
+        8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the test exercises the bucketed path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = colocated_join(spark, "bkt_orders_t", "bkt_lineitem_t", "o_orderkey")
+        assert shuffle_count(df) == 0, "bucketed join must not exchange"
+        # and it actually runs
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders_t")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem_t")
