@@ -40,6 +40,7 @@ _MODULES = [
     "fuse_query_spark.queries.similarity",
     "fuse_query_spark.queries.dialect",
     "fuse_query_spark.queries.misc",
+    "fuse_query_spark.queries.multimodal",
 ]
 
 
