@@ -116,6 +116,11 @@ class Engine:
         from fuse_query_spark.servers.http_api import ClusterRegistry
 
         self.cluster = ClusterRegistry()
+        # serializes the session-global groupByOrdinal toggle around
+        # statement ANALYSIS (see _select); execution stays concurrent
+        import threading
+
+        self._ordinal_lock = threading.Lock()
         self.settings: dict[str, Setting] = {
             # reference defaults: sessions/settings.rs:20-34
             "max_threads": Setting(
@@ -318,7 +323,16 @@ class Engine:
         # ClickHouse GROUP BY 1 groups by the CONSTANT 1, not the first
         # select item (03_0003_select_group_by.sql) — disable Spark's
         # ordinal resolution just for analysis of dialect SQL (spark.sql
-        # analyzes eagerly, so restoring right after is safe).
+        # analyzes eagerly, so restoring right after is safe). The conf
+        # is SESSION-GLOBAL, so the toggle+analyze+restore must be
+        # serialized: with the MySQL front-end, concurrent connection
+        # threads would otherwise race thread A's restore against
+        # thread B's analysis. Execution (collect) happens outside the
+        # lock — only analysis is serialized.
+        with self._ordinal_lock:
+            return self._select_locked(s)
+
+    def _select_locked(self, s: str) -> DataFrame:
         old_ordinal = self.spark.conf.get("spark.sql.groupByOrdinal", "true")
         try:
             self.spark.conf.set("spark.sql.groupByOrdinal", "false")

@@ -527,3 +527,34 @@ class TestTracing:
             "SELECT * FROM system.tracing WHERE level = 50 AND msg LIKE '%crashme%'"
         ).collect()
         assert rows, "errored statement not traced at level 50"
+
+
+class TestConcurrentEngine:
+    def test_concurrent_group_by_ordinal_semantics(self, engine):
+        """N threads run ordinal-sensitive GROUP BY 1 dialect queries
+        concurrently: the session-global groupByOrdinal toggle must be
+        race-free (serialized around analysis), so every thread sees
+        ClickHouse constant-grouping semantics."""
+        import threading
+
+        results, errors = [], []
+
+        def worker(i):
+            try:
+                # GROUP BY 1 = group by the CONSTANT -> exactly one row
+                rows = engine.sql(
+                    f"SELECT count(number) FROM numbers_mt({1000 + i}) GROUP BY 1"
+                ).collect()
+                results.append((i, [list(r) for r in rows]))
+            except Exception as e:  # noqa: BLE001
+                errors.append((i, e))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        assert len(results) == 8
+        for i, rows in results:
+            assert rows == [[1000 + i]], (i, rows)
