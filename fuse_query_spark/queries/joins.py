@@ -270,3 +270,35 @@ def derived_table(spark, sf_dir):
         F.count(F.lit(1)).alias("n_cust"),
         F.max("total_bal").cast("double").alias("max_bal"),
     )
+
+
+@register(
+    "correlated_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price
+    FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags=("join", "subquery", "correlated"),
+)
+def correlated_scalar_subquery(spark, sf_dir):
+    """CORRELATED scalar subquery (each order compared against its own
+    customer's max) — the uncorrelated form is `scalar_subquery`; this
+    exercises Catalyst's decorrelation: the rewrite plans as one
+    aggregate on o_custkey joined back to orders, NOT a per-row
+    re-execution (the reference supports only uncorrelated subqueries,
+    plan_parser.rs:848-852 — capability superset). Exact-decimal price
+    keeps the comparison and output hash-stable."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("corr_orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM corr_orders_v o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM corr_orders_v o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )

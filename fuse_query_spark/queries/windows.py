@@ -165,3 +165,40 @@ def window_range_interval(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("cnt_1h"),
         F.sum(dec("value")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, n_nationkey AS nation,
+           ntile(4)      OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window functions (ntile/percent_rank/cume_dist)
+    per nation over customer balance. Rank-based, so results are exact
+    integers and exact rational doubles ((rank-1)/(n-1), k/n) —
+    hash-identical across engines; the c_custkey tiebreak makes the
+    ordering total. One shuffle on the partition key, same as any
+    window; at 100 TB per-nation partitions are the skew concern and
+    would take the salted two-pass variant (SCALE.md windows)."""
+    from pyspark.sql.window import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            F.col("n_nationkey").alias("nation"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
