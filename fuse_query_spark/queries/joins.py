@@ -302,3 +302,41 @@ def correlated_scalar_subquery(spark, sf_dir):
                               WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@register(
+    "correlated_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice < 1000)
+    """,
+    tags=("join", "subquery", "correlated", "exists"),
+)
+def correlated_exists(spark, sf_dir):
+    """CORRELATED EXISTS + NOT EXISTS in one predicate — Catalyst
+    decorrelates to a left-semi join chained with a left-anti join on
+    o_custkey (verified in test_plans), never a per-row subquery. The
+    reference supports only UNCORRELATED EXISTS
+    (plan_parser.rs:966-982) — capability superset."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("corr_cust_v")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("corr_ord_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM corr_cust_v c
+        WHERE EXISTS (SELECT 1 FROM corr_ord_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM corr_ord_v o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 1000)
+        """
+    )

@@ -172,3 +172,15 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders_t")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem_t")
+
+
+def test_correlated_subqueries_decorrelate(spark, sf_dir):
+    """Correlated EXISTS/NOT EXISTS must plan as semi+anti joins and
+    the correlated scalar as aggregate+join — zero Subquery re-
+    executions in the physical plan."""
+    from fuse_query_spark.plans import formatted_plan
+
+    p1 = formatted_plan(REG["correlated_exists"].fn(spark, sf_dir))
+    assert "LeftSemi" in p1 and "LeftAnti" in p1
+    p2 = formatted_plan(REG["correlated_scalar_subquery"].fn(spark, sf_dir))
+    assert "HashAggregate" in p2
