@@ -82,67 +82,88 @@ def table_hash(rows, colnames):
     return h.hexdigest()[:16], lines
 
 
+def _check_one(spark, sf_dir: str, name: str, spec) -> tuple[str, str]:
+    """Returns (status, message); status in {ok, rows, fail}.
+    DuckDB connections are NOT thread-safe, so each call opens its own
+    (views are cheap metadata); the Spark session IS thread-safe."""
+    t0 = time.time()
+    try:
+        sdf = spec.fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+    except Exception as e:
+        return "fail", f"FAIL  {name}: spark error: {type(e).__name__}: {e}"
+    if spec.oracle is None:
+        return "rows", f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]"
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        ores = con.execute(spec.oracle)
+        ocols = [d[0] for d in ores.description]
+        # fetchdf(), not fetchall(): mirror the driver's pandas path so
+        # HUGEINT->float64 class changes fail here first.
+        odf = ores.fetchdf()
+        orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
+        con.close()
+    except Exception as e:
+        return "fail", f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}"
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+    if not problems:
+        sh, sl = table_hash([tuple(r) for r in srows], scols)
+        oh, ol = table_hash(orows, ocols)
+        if sh != oh:
+            diff_s = [x for x in sl if x not in set(ol)][:3]
+            diff_o = [x for x in ol if x not in set(sl)][:3]
+            problems.append(f"hash mismatch; spark-only={diff_s} duckdb-only={diff_o}")
+    if problems:
+        return "fail", f"FAIL  {name}: {'; '.join(problems)}"
+    # 0-row agreement is vacuous (a mis-fitted filter matches
+    # trivially — caught a Q5 draft whose date window missed the whole
+    # corpus); flag it loudly without failing
+    note = "  [WARN: 0 rows — vacuous match]" if not srows else ""
+    return "ok", f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]{note}"
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    jobs = 1
+    if "--jobs" in args:
+        i = args.index("--jobs")
+        jobs = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     registry = load_registry()
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    todo = [
+        (name, spec)
+        for name, spec in sorted(registry.items())
+        if not only or name in only
+    ]
+    counts = {"ok": 0, "rows": 0, "fail": 0}
+    if jobs <= 1:
+        for name, spec in todo:
+            status, msg = _check_one(spark, sf_dir, name, spec)
+            counts[status] += 1
+            print(msg, flush=True)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
 
-    n_pass = n_fail = n_rows_only = 0
-    for name, spec in sorted(registry.items()):
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = spec.fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
-        except Exception as e:
-            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
-        if spec.oracle is None:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            n_rows_only += 1
-            continue
-        try:
-            ores = con.execute(spec.oracle)
-            ocols = [d[0] for d in ores.description]
-            # fetchdf(), not fetchall(): mirror the driver's pandas path so
-            # HUGEINT->float64 class changes fail here first.
-            odf = ores.fetchdf()
-            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
-        except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
-        if not problems:
-            sh, sl = table_hash([tuple(r) for r in srows], scols)
-            oh, ol = table_hash(orows, ocols)
-            if sh != oh:
-                diff_s = [x for x in sl if x not in set(ol)][:3]
-                diff_o = [x for x in ol if x not in set(sl)][:3]
-                problems.append(f"hash mismatch; spark-only={diff_s} duckdb-only={diff_o}")
-        if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}")
-            n_fail += 1
-        else:
-            # 0-row agreement is vacuous (a mis-fitted filter matches
-            # trivially — caught a Q5 draft whose date window missed
-            # the whole corpus); flag it loudly without failing
-            note = "  [WARN: 0 rows — vacuous match]" if not srows else ""
-            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]{note}")
-            n_pass += 1
-    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} failed")
-    sys.exit(1 if n_fail else 0)
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            futs = {ex.submit(_check_one, spark, sf_dir, n, s): n for n, s in todo}
+            for f in futs:
+                status, msg = f.result()
+                counts[status] += 1
+                print(msg, flush=True)
+    print(f"\n{counts['ok']} ok, {counts['rows']} rows-only, {counts['fail']} failed")
+    sys.exit(1 if counts["fail"] else 0)
 
 
 if __name__ == "__main__":
