@@ -40,6 +40,10 @@ class DialectContext:
     # side-effect-free: EXPLAIN rewrites without executing, and the
     # demote-user retry path rewrites the same statement twice.
     pending_sleep: list = field(default_factory=list)
+    # set by rewrite_select when the statement reads a numbers()
+    # source — gates the typer's `number` -> UInt64 static fold so a
+    # real table column named `number` is never mistyped
+    numbers_source: bool = False
 
 
 _NAMED_CASTS = {
@@ -291,7 +295,7 @@ def _rewrite_calls(sql: str, ctx: DialectContext) -> str:
                 # has no unsigned types (SURVEY §1.2)
                 from fuse_query_spark.dialect.typer import infer_fq_type
 
-                inferred = infer_fq_type(inner)
+                inferred = infer_fq_type(inner, allow_number=ctx.numbers_source)
                 if inferred is not None:
                     out.append(f"'{inferred}'")
                     i = j
@@ -486,6 +490,13 @@ def strip_line_comments(s: str) -> str:
             continue
         if in_str is None and ch == "/" and s.startswith("/*", i):
             end = s.find("*/", i + 2)
+            if s.startswith("/*+", i):
+                # optimizer hints (/*+ BROADCAST(t) */) are NOT
+                # comments — they must reach spark.sql intact
+                stop = n if end == -1 else end + 2
+                out.append(s[i:stop])
+                i = stop
+                continue
             out.append(" ")
             if end == -1:
                 break
@@ -511,6 +522,13 @@ def rewrite_select(sql: str, ctx: DialectContext | None = None, demote_user: boo
     s = sql.strip().rstrip(";").strip()
     # comments (string-literal-aware — a plain regex would truncate 'a--b')
     s = strip_line_comments(s)
+    # does this statement read a numbers() source? (gates the typer's
+    # `number` -> UInt64 fold; see DialectContext.numbers_source).
+    # Assigned, not |=: a ctx reused across statements must not carry
+    # a previous statement's flag.
+    ctx.numbers_source = bool(
+        re.search(r"(?i)\b(?:numbers|numbers_mt|numbers_local)\s*\(|\bsystem\.numbers\b", s)
+    )
     # `user` is a bare identifier in the reference dialect
     # (02_0006_function_argmin_argmax.sql aliases a column `user`), and
     # with no matching column Spark's grammar resolves it — even

@@ -148,9 +148,10 @@ class _Parser:
     needed by toTypeName sites: literals, `number`, + - * / %, parens,
     CAST(e AS t), named casts. Raises _Bail to abort inference."""
 
-    def __init__(self, toks: list[tuple[str, str]]):
+    def __init__(self, toks: list[tuple[str, str]], allow_number: bool = True):
         self.toks = toks
         self.i = 0
+        self.allow_number = allow_number
 
     class _Bail(Exception):
         pass
@@ -237,10 +238,13 @@ class _Parser:
             nk, nv = self.peek()
             if nk == "sym" and nv == "(":
                 raise self._Bail()  # unknown function
-            if low == "number":
+            if low == "number" and self.allow_number:
                 # the numbers()/numbers_mt() table function emits
-                # UInt64 (datasources/system/numbers_table.rs:36-40);
-                # no other source in the dialect surface binds `number`
+                # UInt64 (datasources/system/numbers_table.rs:36-40).
+                # allow_number is set by the caller ONLY when the
+                # statement's FROM actually reads a numbers source — a
+                # real table column named `number` must NOT be typed
+                # statically (it falls through to runtime typeof).
                 return "UInt64"
             raise self._Bail()  # unknown identifier (real column)
         raise self._Bail()
@@ -273,14 +277,17 @@ class _Parser:
                 depth -= 1
 
 
-def infer_fq_type(expr: str) -> str | None:
+def infer_fq_type(expr: str, allow_number: bool = True) -> str | None:
     """Reference type name for a dialect expression, or None when the
-    static surface can't decide (caller falls back to runtime typeof)."""
+    static surface can't decide (caller falls back to runtime typeof).
+    Pass allow_number=False when the surrounding statement does NOT
+    read from a numbers()/system.numbers source, so a real column
+    named `number` is never mistyped."""
     toks = _tokenize(expr)
     if not toks:
         return None
     try:
-        return _Parser(toks).parse()
+        return _Parser(toks, allow_number=allow_number).parse()
     except _Parser._Bail:
         return None
     except (ValueError, IndexError):

@@ -51,3 +51,7 @@ class UnknownTable(FuseQueryError):
 
 class UnsupportedStatement(FuseQueryError):
     code = 5
+
+
+class QueryAborted(FuseQueryError):
+    code = 43  # exception.rs:20 ABORT_QUERY — KILL QUERY / AbortStream

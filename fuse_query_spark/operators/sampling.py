@@ -97,6 +97,7 @@ def temperature_quotas(
     weight_col: str = "n_chars",
     alpha: float = 0.5,
     total_out: int = 200,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Temperature-weighted source mixing (the standard training-data
     recipe: sample source s proportional to weight_s^alpha, alpha<1
@@ -121,7 +122,7 @@ def temperature_quotas(
         source_col,
         F.floor(F.lit(float(total_out)) * F.col("_wa") / F.col("_t")).cast("bigint").alias("quota"),
     )
-    w = Window.partitionBy(source_col).orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    w = Window.partitionBy(source_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
     ranked = df.withColumn("_rk", F.row_number().over(w))
     return (
         ranked.join(F.broadcast(quotas), source_col)
@@ -129,7 +130,7 @@ def temperature_quotas(
         .groupBy(source_col, "quota")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.sum("n_chars").cast("bigint").alias("sum_chars"),
-            F.min("doc_id").alias("first_doc"),
+            F.sum(weight_col).cast("bigint").alias("sum_chars"),
+            F.min(id_col).alias("first_doc"),
         )
     )

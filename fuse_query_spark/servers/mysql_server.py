@@ -212,19 +212,19 @@ class _Conn:
 
     def _run_sql(self, sql: str, init_db: bool = False) -> None:
         try:
-            df = self.engine.sql(sql)
+            # sql_collect, NOT sql + collect: the collect must run
+            # inside the engine's statement scope so the query is
+            # visible in system.processes, cancellable via KILL QUERY,
+            # and traced with its real execution time — a lazy
+            # DataFrame collected here would escape all three.
+            df, rows = self.engine.sql_collect(sql)
         except Exception as e:
             self.send_err(str(e).splitlines()[0] if str(e) else type(e).__name__)
             return
-        if df is None or init_db:
+        if df is None or rows is None or init_db:
             self.send_ok()
             return
-        try:
-            rows = df.collect()
-            fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
-        except Exception as e:
-            self.send_err(str(e).splitlines()[0])
-            return
+        fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
         self._write_resultset(fields, rows)
 
     def _write_resultset(self, fields, rows) -> None:

@@ -218,3 +218,20 @@ def test_totypename_falls_back_on_unknown():
     assert "fq_typename(typeof(some_col))" in out
     out2 = rw("SELECT toTypeName(concat(a, b)) FROM t")
     assert "fq_typename" in out2
+
+
+def test_optimizer_hints_survive_comment_stripping():
+    """/*+ ... */ is a hint, not a comment — it must reach spark.sql."""
+    out = rw("SELECT /*+ BROADCAST(dim) */ uniq(x) FROM fact")
+    assert "/*+ BROADCAST(dim) */" in out
+    assert "count(DISTINCT x)" in out
+
+
+def test_typer_number_gated_on_numbers_source():
+    """A real table column named `number` must NOT be statically typed
+    UInt64 — the fold only applies when the statement reads a
+    numbers() source."""
+    out = rw("SELECT toTypeName(number) FROM real_table")
+    assert "fq_typename" in out and "'UInt64'" not in out
+    out2 = rw("SELECT toTypeName(number) FROM numbers_mt(5)")
+    assert "'UInt64'" in out2

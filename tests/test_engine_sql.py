@@ -558,3 +558,85 @@ class TestConcurrentEngine:
         assert len(results) == 8
         for i, rows in results:
             assert rows == [[1000 + i]], (i, rows)
+
+
+class TestSplitterLexing:
+    """The statement splitter must use the same lexing rules as the
+    rewriter's scanners (block comments, backslash escapes) — r4
+    review findings."""
+
+    def test_semicolon_inside_block_comment(self, engine):
+        assert one(engine.sql("SELECT 1 /* note; another */")) == 1
+
+    def test_escaped_quote_then_semicolon_in_literal(self, engine):
+        rows = engine.sql(r"SELECT 'a\';b' AS s").collect()
+        assert rows[0].s == "a';b"
+
+    def test_hint_passes_through_engine(self, engine):
+        # hint must not break execution (and must not be stripped into
+        # a syntax error)
+        assert one(engine.sql("SELECT /*+ COALESCE(1) */ count(*) FROM numbers(10)")) == 10
+
+
+class TestSleepConcurrency:
+    def test_sleep_does_not_serialize_other_connections(self, engine):
+        """sleep() executes outside the analysis lock: another
+        thread's trivial query must complete while a sleep(2) is in
+        flight, not after it."""
+        import threading
+        import time
+
+        started = threading.Event()
+
+        def sleeper():
+            started.set()
+            engine.sql("SELECT sleep(2)")
+
+        t = threading.Thread(target=sleeper, daemon=True)
+        t.start()
+        started.wait()
+        time.sleep(0.3)  # let the sleeper enter its sleep
+        t0 = time.monotonic()
+        assert one(engine.sql("SELECT 41 + 1")) == 42
+        assert time.monotonic() - t0 < 1.5, "query serialized behind sleep()"
+        t.join(timeout=10)
+
+
+class TestSqlCollect:
+    def test_select_visible_and_killable_during_collect(self, engine):
+        """sql_collect keeps the SELECT inside the statement scope:
+        visible in system.processes while collecting and cancellable
+        via KILL QUERY (the MySQL serving path)."""
+        import threading
+        import time
+
+        outcome = []
+
+        def runner():
+            try:
+                # CPU-heavy by construction (billions of md5s): cannot
+                # finish before the KILL below lands, even on a warm
+                # session — a plain count over numbers() can
+                engine.sql_collect(
+                    "SELECT count(DISTINCT md5(CAST(number AS STRING))) "
+                    "FROM numbers_mt(8000000000)"
+                )
+                outcome.append("completed")
+            except Exception as e:  # noqa: BLE001
+                outcome.append(e)
+
+        t = threading.Thread(target=runner, daemon=True)
+        t.start()
+        pid = None
+        for _ in range(200):
+            rows = engine.sql("SHOW PROCESSLIST").collect()
+            live = [r for r in rows if "numbers_mt(8000000000)" in r.extra_info]
+            if live:
+                pid = live[0].id
+                break
+            time.sleep(0.05)
+        assert pid is not None, "collecting SELECT never appeared in processlist"
+        assert engine.sql(f"KILL QUERY {pid}").collect()[0].result == "killed"
+        t.join(timeout=60)
+        assert not t.is_alive()
+        assert outcome and outcome[0] != "completed"

@@ -96,3 +96,8 @@ def test_debug_home_and_404(api):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 404
+
+
+def test_non_dict_json_body_rejected_400(api):
+    status, body = _post(api, "/v1/cluster/add", [1, 2, 3])
+    assert status == 400 and "object" in body
