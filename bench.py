@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "q05_local_supplier_volume",
     "q10_returned_items",
     "q19_discounted_revenue",
+    "q08_market_share",
+    "q21_waiting_supplier",
     "agg_global_stats",
     "agg_uniq",
     "agg_combinator_if",

@@ -3,6 +3,7 @@ hold in the physical plan (mirrors the intent of the reference's
 EXPLAIN tests, 04_* / 08_0000_optimizer.sql)."""
 
 from fuse_query_spark.plans import (
+    formatted_plan,
     has_broadcast_join,
     has_pushed_filters,
     has_take_ordered,
@@ -184,3 +185,50 @@ def test_correlated_subqueries_decorrelate(spark, sf_dir):
     assert "LeftSemi" in p1 and "LeftAnti" in p1
     p2 = formatted_plan(REG["correlated_scalar_subquery"].fn(spark, sf_dir))
     assert "HashAggregate" in p2
+
+
+def test_q07_q08_two_role_nation_broadcasts(spark, sf_dir):
+    """Q7/Q8 join nation in TWO roles — both must broadcast, and the
+    date windows must reach the fact scans; at 100 TB only the fact
+    equi-joins may shuffle."""
+    q7 = REG["q07_volume_shipping"].fn(spark, sf_dir)
+    assert has_broadcast_join(q7)
+    assert has_pushed_filters(q7)
+    q8 = REG["q08_market_share"].fn(spark, sf_dir)
+    assert has_broadcast_join(q8)
+    assert has_pushed_filters(q8)
+    # region + p_type filters push to their dim scans
+    plan = formatted_plan(q8)
+    assert "AMERICA" in plan and "ECONOMY" in plan
+
+
+def test_q13_outer_join_keeps_condition_in_join(spark, sf_dir):
+    """Q13's non-equi predicate must live in the LEFT JOIN condition
+    (customers with zero qualifying orders survive), not a post-join
+    filter that would turn the outer join inner."""
+    from fuse_query_spark.plans import formatted_plan
+
+    df = REG["q13_customer_distribution"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 2  # both aggs two-phase
+
+
+def test_q17_decorrelated_threshold_is_single_pass(spark, sf_dir):
+    """Q17's avg-threshold subquery decorrelates to one per-part
+    aggregate joined back — no per-row subquery re-execution, part
+    dim broadcast."""
+    df = REG["q17_small_quantity_revenue"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df)
+
+
+def test_q21_q22_anti_join_shapes(spark, sf_dir):
+    """Q21 decorrelates to per-order aggregates (no correlated
+    subquery nodes); Q22's NOT EXISTS is a LEFT ANTI join."""
+    from fuse_query_spark.plans import formatted_plan
+
+    p21 = formatted_plan(REG["q21_waiting_supplier"].fn(spark, sf_dir))
+    assert "HashAggregate" in p21
+    p22 = formatted_plan(REG["q22_global_sales_opportunity"].fn(spark, sf_dir))
+    assert "LeftAnti" in p22
