@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "numbers_sum_triple_100m",
     "numbers_topk_sort_100m",
     "numbers_groupby3_100m",
+    "numbers_throughput_10b",
+    "numbers_sum_triple_1b",
+    "numbers_topk_sort_10b",
+    "numbers_groupby3_1b",
     "numbers_substring_topk",
     "expr_projection",
     "join_revenue_by_nation",

@@ -485,6 +485,101 @@ def numbers_groupby3_100m(spark, sf_dir):
 
 
 @register(
+    "numbers_throughput_10b",
+    oracle="""
+    SELECT CAST(5000000000 AS DOUBLE)     AS avg_coarse,
+           CAST(10000000000 AS BIGINT)    AS cnt,
+           CAST(0 AS BIGINT)              AS min_n,
+           CAST(9999999999 AS BIGINT)     AS max_n
+    """,
+    tags=("table_function", "numbers", "throughput", "bench", "scale"),
+)
+def numbers_throughput_10b(spark, sf_dir):
+    """The BASELINE.md throughput shape at 10B rows — the scale where
+    fixed job overhead amortizes and the sustained generator rate
+    shows (measured 13.3 Grows/s; the 100M twin reads 0.5 Grows/s
+    because ~150 ms of setup dominates). sum(number) would overflow
+    int64 at 10B, so the aggregate set is avg/count/min/max, like the
+    reference's avg row (README.md:75, 4.35 s at 100B). The oracle is
+    the CLOSED FORM (exact for count/min/max; avg compared at 1e4
+    granularity because a 10B-row double summation differs in low
+    bits between engines — Spark 4999999999.0124 vs exact .5)."""
+    n = numbers(spark, 10_000_000_000)
+    return n.agg(
+        (F.round(F.avg("number") / 10000) * 10000).cast("double").alias("avg_coarse"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("number").alias("min_n"),
+        F.max("number").alias("max_n"),
+    )
+
+
+@register(
+    "numbers_sum_triple_1b",
+    oracle="""
+    SELECT CAST(SUM(number + number + number) AS BIGINT) AS sum3
+    FROM (SELECT range AS number FROM range(1000000000))
+    """,
+    tags=("table_function", "numbers", "throughput", "bench", "scale"),
+)
+def numbers_sum_triple_1b(spark, sf_dir):
+    """BASELINE.md row `sum(number+number+number)` (19.83 s / 5.04
+    Brows/s at 100B) at 1B rows — measured 0.24 s = 4.2 Grows/s,
+    ~0.83x the reference's native per-row rate (the 100M twin is
+    overhead-bound at 0.9 Grows/s). 1B is the int64 ceiling for this
+    shape: sum3 = 3n(n-1)/2 ≈ 1.5e18 < 2^63; 4B would overflow."""
+    n = numbers(spark, 1_000_000_000)
+    return n.agg(F.sum(F.col("number") + F.col("number") + F.col("number")).alias("sum3"))
+
+
+@register(
+    "numbers_topk_sort_10b",
+    oracle="""
+    SELECT CAST(9999999999 - range AS BIGINT) AS number FROM range(100)
+    """,
+    tags=("table_function", "numbers", "sort", "topk", "bench", "scale"),
+)
+def numbers_topk_sort_10b(spark, sf_dir):
+    """BASELINE.md row `ORDER BY number DESC LIMIT 100` at the
+    reference's own 10B scale (4.80 s / 2.08 Brows/s). The threshold-
+    prefiltered top-k (operators/topk.py) runs it in 4.3 s = 2.33
+    Brows/s — above the reference — where the plain per-partition
+    heap takes ~80 s. Oracle is the closed form (top-100 of
+    range(10B) descending), exact."""
+    from fuse_query_spark.operators.topk import threshold_topk
+
+    n = numbers(spark, 10_000_000_000)
+    return threshold_topk(n, "number", 100, n_rows=10_000_000_000)
+
+
+@register(
+    "numbers_groupby3_1b",
+    oracle="""
+    SELECT CAST(number % 3 AS BIGINT) AS m3,
+           CAST(number % 4 AS BIGINT) AS m4,
+           CAST(number % 5 AS BIGINT) AS m5,
+           CAST(MAX(number) AS BIGINT) AS max_n,
+           CAST(SUM(number) AS BIGINT) AS sum_n
+    FROM (SELECT range AS number FROM range(1000000000))
+    GROUP BY m3, m4, m5
+    """,
+    tags=("table_function", "numbers", "groupby", "bench", "scale"),
+)
+def numbers_groupby3_1b(spark, sf_dir):
+    """BASELINE.md group-by row AT THE REFERENCE'S OWN 1B scale
+    (6.31 s / 158 Mrows/s): measured 0.95 s = 1.06 Grows/s — 6.7x
+    faster per-row than the native engine. Map-side partial agg
+    collapses every partition to <=60 rows; the exchange moves ~2k
+    rows total. The one shape with real aggregation work is where
+    Tungsten wins; per-group SUMs stay under int64 (~8.3e15)."""
+    n = numbers(spark, 1_000_000_000)
+    return n.groupBy(
+        (F.col("number") % 3).alias("m3"),
+        (F.col("number") % 4).alias("m4"),
+        (F.col("number") % 5).alias("m5"),
+    ).agg(F.max("number").alias("max_n"), F.sum("number").alias("sum_n"))
+
+
+@register(
     "expr_projection",
     oracle="""
     SELECT l_orderkey,
