@@ -1,0 +1,532 @@
+"""ClickHouse native wire-protocol server over Engine.sql().
+
+The reference ships a ClickHouse TCP handler as its second query entry
+point (fusequery/query/src/servers/clickhouse/clickhouse_handler.rs:28
+accepts sessions; interactive_worker.rs:28 `execute_query` runs the
+statement; interactive_worker.rs:50-85 pins the server identity —
+dbms_name/display_name "datafuse", version 2021.5.0, protocol revision
+54405, timezone UTC; writers/query_result_writer.rs:105 sends an empty
+header block with the schema, then the data blocks, then tail
+progress; :121-127 maps engine errors to a `DB:Exception` server
+error; :140-170 maps column types — ints/floats/strings/dates pass
+through, Boolean lowers to UInt8, anything else raises
+BadDataValueType "Unsupported column type"). The reference delegates
+framing to the `clickhouse-srv` crate; here the native protocol is
+implemented directly (varint framing, Hello/Query/Data/Ping packets,
+BlockInfo-prefixed native blocks) on top of the Spark-backed Engine.
+
+Scope notes (documented, deliberate):
+- protocol revision 54405 (the reference's
+  `dbms_tcp_protocol_version`, interactive_worker.rs:85) — below
+  54429, so client settings arrive in the old typed binary format;
+  like the reference's session (which applies them to its
+  clickhouse-srv state, not the engine) we accept and discard them.
+  An empty settings section (the common client default) parses
+  exactly.
+- no compression (clients negotiate it off when the server revision
+  lacks the method byte they need; our Hello advertises none).
+- INSERT arrives as ordinary SQL through Engine (inline VALUES /
+  SELECT); native-protocol streamed INSERT blocks (server echoes a
+  sample block, client streams data) are rejected with a server
+  exception, matching the reference whose clickhouse path has no
+  insert-data worker.
+- Cancel packets are honored between result blocks: the server polls
+  the socket before each block write and stops streaming (sending
+  EndOfStream) when a Cancel arrived; mid-collect cancellation goes
+  through `KILL QUERY` on the MySQL/HTTP surface instead.
+
+Threading matches mysql_server.py: one thread per connection, each
+statement inside the engine's live/cancellable/traced scope.
+"""
+
+from __future__ import annotations
+
+import select
+import socket
+import socketserver
+import struct
+import threading
+from datetime import date, datetime, timezone
+
+# --- client packet types (ClickHouse native protocol) ---------------------
+CLIENT_HELLO = 0
+CLIENT_QUERY = 1
+CLIENT_DATA = 2
+CLIENT_CANCEL = 3
+CLIENT_PING = 4
+
+# --- server packet types ---------------------------------------------------
+SERVER_HELLO = 0
+SERVER_DATA = 1
+SERVER_EXCEPTION = 2
+SERVER_PROGRESS = 3
+SERVER_PONG = 4
+SERVER_END_OF_STREAM = 5
+
+# revision feature gates (public protocol constants)
+MIN_REVISION_WITH_TEMPORARY_TABLES = 50264
+MIN_REVISION_WITH_BLOCK_INFO = 51903
+MIN_REVISION_WITH_CLIENT_INFO = 54032
+MIN_REVISION_WITH_SERVER_TIMEZONE = 54058
+MIN_REVISION_WITH_QUOTA_KEY = 54060
+MIN_REVISION_WITH_SERVER_DISPLAY_NAME = 54372
+MIN_REVISION_WITH_VERSION_PATCH = 54401
+
+# the reference's server identity (interactive_worker.rs:50-85)
+DBMS_NAME = "datafuse"
+VERSION_MAJOR = 2021
+VERSION_MINOR = 5
+VERSION_PATCH = 0
+SERVER_REVISION = 54405
+SERVER_TIMEZONE = "UTC"
+
+# rows per server Data packet; mirrors ClickHouse's default block size
+BLOCK_ROWS = 65536
+
+_EPOCH_DATE = date(1970, 1, 1)
+
+
+def _first_line(e: Exception) -> str:
+    """First NON-EMPTY line of the error — Spark ParseExceptions start
+    with a blank line, which would otherwise serialize as an empty
+    server-exception message."""
+    for line in str(e).splitlines():
+        if line.strip():
+            return line.strip()
+    return type(e).__name__
+
+# Spark simpleString -> (ClickHouse type name, value packer).
+# Packers receive a non-None python value and return bytes. Parity
+# with writers/query_result_writer.rs:140-170: ints/floats map
+# width-for-width, Utf8 -> String, Boolean -> UInt8, Date32 -> Date,
+# Date64 (timestamps) -> DateTime.
+def _pack_str(v) -> bytes:
+    b = str(v).encode()
+    return _varint(len(b)) + b
+
+
+def _pack_date(v) -> bytes:
+    if isinstance(v, datetime):
+        v = v.date()
+    return struct.pack("<H", max(0, (v - _EPOCH_DATE).days) & 0xFFFF)
+
+
+def _pack_datetime(v) -> bytes:
+    if isinstance(v, date) and not isinstance(v, datetime):
+        v = datetime(v.year, v.month, v.day)
+    if v.tzinfo is None:
+        # engine pins the session to UTC (session.tune); collected
+        # naive datetimes are UTC wall clock
+        v = v.replace(tzinfo=timezone.utc)
+    return struct.pack("<I", max(0, int(v.timestamp())) & 0xFFFFFFFF)
+
+
+_SPARK_TO_CH = {
+    "tinyint": ("Int8", lambda v: struct.pack("<b", int(v))),
+    "smallint": ("Int16", lambda v: struct.pack("<h", int(v))),
+    "int": ("Int32", lambda v: struct.pack("<i", int(v))),
+    "bigint": ("Int64", lambda v: struct.pack("<q", int(v))),
+    "float": ("Float32", lambda v: struct.pack("<f", float(v))),
+    "double": ("Float64", lambda v: struct.pack("<d", float(v))),
+    "string": ("String", _pack_str),
+    "boolean": ("UInt8", lambda v: struct.pack("<B", 1 if v else 0)),
+    "date": ("Date", _pack_date),
+    "timestamp": ("DateTime", _pack_datetime),
+    "timestamp_ntz": ("DateTime", _pack_datetime),
+}
+
+def _ch_type_of(spark_simple: str):
+    """(ch_type, packer) for a Spark simpleString, or None. Decimals
+    lower to Float64: the reference's 2021 datavalues has no decimal —
+    its parser types fractional literals Float64
+    (common/datavalues/src/data_type.rs), so this wire surface exposes
+    the same."""
+    if spark_simple.startswith("decimal("):
+        return _SPARK_TO_CH["double"]
+    return _SPARK_TO_CH.get(spark_simple)
+
+
+_ZERO_OF = {
+    "Int8": b"\x00", "Int16": b"\x00\x00", "Int32": b"\x00" * 4,
+    "Int64": b"\x00" * 8, "Float32": b"\x00" * 4, "Float64": b"\x00" * 8,
+    "String": b"\x00", "UInt8": b"\x00", "Date": b"\x00\x00",
+    "DateTime": b"\x00" * 4,
+}
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _chstring(s: str | bytes) -> bytes:
+    b = s.encode() if isinstance(s, str) else s
+    return _varint(len(b)) + b
+
+
+class _Reader:
+    """Buffered varint/string reader over a socket."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+
+    def exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("client closed")
+            buf += chunk
+        return buf
+
+    def varint(self) -> int:
+        shift, out = 0, 0
+        while True:
+            b = self.exact(1)[0]
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def string(self) -> bytes:
+        return self.exact(self.varint())
+
+
+class _CHConn:
+    """One native-protocol connection."""
+
+    def __init__(self, sock: socket.socket, engine):
+        self.sock = sock
+        self.r = _Reader(sock)
+        self.engine = engine
+        self.client_revision = 0
+
+    # -- server-side packet writers --
+    def _send(self, payload: bytes) -> None:
+        self.sock.sendall(payload)
+
+    def send_hello(self) -> None:
+        out = _varint(SERVER_HELLO) + _chstring(DBMS_NAME)
+        out += _varint(VERSION_MAJOR) + _varint(VERSION_MINOR) + _varint(SERVER_REVISION)
+        rev = min(self.client_revision, SERVER_REVISION)
+        if rev >= MIN_REVISION_WITH_SERVER_TIMEZONE:
+            out += _chstring(SERVER_TIMEZONE)
+        if rev >= MIN_REVISION_WITH_SERVER_DISPLAY_NAME:
+            out += _chstring(DBMS_NAME)
+        if rev >= MIN_REVISION_WITH_VERSION_PATCH:
+            out += _varint(VERSION_PATCH)
+        self._send(out)
+
+    def send_exception(self, message: str, code: int = 1002) -> None:
+        # query_writer.rs:121-127: name "DB:Exception", engine code,
+        # message, stack trace, no nested exception
+        out = _varint(SERVER_EXCEPTION)
+        out += struct.pack("<i", code)
+        out += _chstring("DB:Exception")
+        out += _chstring(message)
+        out += _chstring("")  # stack trace
+        out += b"\x00"  # has_nested
+        self._send(out)
+
+    def send_progress(self, rows: int, nbytes: int) -> None:
+        # query_writer.rs:44-52: rows/bytes from the ctx progress,
+        # total_rows pinned to 0
+        out = _varint(SERVER_PROGRESS) + _varint(rows) + _varint(nbytes)
+        rev = min(self.client_revision, SERVER_REVISION)
+        if rev >= MIN_REVISION_WITH_SERVER_TIMEZONE:
+            out += _varint(0)  # total_rows
+        self._send(out)
+
+    def send_end_of_stream(self) -> None:
+        self._send(_varint(SERVER_END_OF_STREAM))
+
+    def send_block(self, columns: list[tuple[str, str, bool]], rows, lo: int, hi: int) -> None:
+        """One server Data packet. columns: (name, ch_type, nullable);
+        rows[lo:hi] is the slice to encode (lo == hi -> header block,
+        query_writer.rs:99-104 sends the empty schema block first)."""
+        rev = min(self.client_revision, SERVER_REVISION)
+        out = bytearray(_varint(SERVER_DATA))
+        if rev >= MIN_REVISION_WITH_TEMPORARY_TABLES:
+            out += _chstring("")  # temporary table name
+        if rev >= MIN_REVISION_WITH_BLOCK_INFO:
+            # BlockInfo: field 1 is_overflows=0, field 2 bucket_num=-1
+            out += _varint(1) + b"\x00" + _varint(2) + struct.pack("<i", -1) + _varint(0)
+        n_rows = hi - lo
+        out += _varint(len(columns)) + _varint(n_rows)
+        for ci, (name, ch_type, nullable) in enumerate(columns):
+            out += _chstring(name)
+            out += _chstring(f"Nullable({ch_type})" if nullable else ch_type)
+            pack = _PACKERS[ch_type]
+            if nullable:
+                # Nullable(T): null mask first, then values with zero
+                # placeholders in null slots
+                mask = bytearray(n_rows)
+                for i in range(lo, hi):
+                    if rows[i][ci] is None:
+                        mask[i - lo] = 1
+                out += bytes(mask)
+                zero = _ZERO_OF[ch_type]
+                for i in range(lo, hi):
+                    v = rows[i][ci]
+                    out += zero if v is None else pack(v)
+            else:
+                for i in range(lo, hi):
+                    out += pack(rows[i][ci])
+        self._send(bytes(out))
+
+    # -- client-side packet readers --
+    def read_hello(self) -> None:
+        ptype = self.r.varint()
+        if ptype != CLIENT_HELLO:
+            raise ConnectionError(f"expected client hello, got {ptype}")
+        self.r.string()  # client name
+        self.r.varint()  # version major
+        self.r.varint()  # version minor
+        self.client_revision = self.r.varint()
+        self.r.string()  # database
+        self.r.string()  # user
+        self.r.string()  # password
+
+    def read_client_info(self) -> None:
+        """ClientInfo section of the Query packet (revision >= 54032)."""
+        kind = self.r.exact(1)[0]
+        if kind == 0:  # no client info serialized
+            return
+        self.r.string()  # initial_user
+        self.r.string()  # initial_query_id
+        self.r.string()  # initial_address
+        iface = self.r.exact(1)[0]
+        if iface == 1:  # TCP
+            self.r.string()  # os_user
+            self.r.string()  # client_hostname
+            self.r.string()  # client_name
+            self.r.varint()  # client version major
+            self.r.varint()  # client version minor
+            self.r.varint()  # client revision
+        elif iface == 2:  # HTTP
+            self.r.exact(1)  # http method
+            self.r.string()  # http user agent
+        rev = min(self.client_revision, SERVER_REVISION)
+        if rev >= MIN_REVISION_WITH_QUOTA_KEY:
+            self.r.string()  # quota key
+        if rev >= MIN_REVISION_WITH_VERSION_PATCH and iface == 1:
+            self.r.varint()  # version patch
+
+    def read_settings(self) -> None:
+        """Pre-54429 typed settings stream: read names until the empty
+        terminator. Typed payloads can't be skipped without a full
+        settings table, so non-empty settings are a documented
+        rejection (clients send none by default)."""
+        name = self.r.string()
+        if name != b"":
+            raise ConnectionError(
+                "client settings in the typed pre-54429 format are not supported; "
+                "send none (the client default)"
+            )
+
+    def read_data_block_skip(self) -> int:
+        """Consume a client Data packet (external-table / insert
+        stream); returns its row count. Body is parsed, content
+        discarded."""
+        rev = min(self.client_revision, SERVER_REVISION)
+        if rev >= MIN_REVISION_WITH_TEMPORARY_TABLES:
+            self.r.string()  # table name
+        if rev >= MIN_REVISION_WITH_BLOCK_INFO:
+            while True:
+                field = self.r.varint()
+                if field == 0:
+                    break
+                if field == 1:
+                    self.r.exact(1)
+                elif field == 2:
+                    self.r.exact(4)
+                else:
+                    raise ConnectionError(f"unknown BlockInfo field {field}")
+        n_cols = self.r.varint()
+        n_rows = self.r.varint()
+        for _ in range(n_cols):
+            self.r.string()  # name
+            ch_type = self.r.string().decode()
+            self._skip_column(ch_type, n_rows)
+        return n_rows
+
+    def _skip_column(self, ch_type: str, n_rows: int) -> None:
+        if ch_type.startswith("Nullable(") and ch_type.endswith(")"):
+            self.r.exact(n_rows)
+            self._skip_column(ch_type[len("Nullable(") : -1], n_rows)
+            return
+        fixed = {
+            "Int8": 1, "UInt8": 1, "Int16": 2, "UInt16": 2, "Date": 2,
+            "Int32": 4, "UInt32": 4, "Float32": 4, "DateTime": 4,
+            "Int64": 8, "UInt64": 8, "Float64": 8,
+        }
+        if ch_type in fixed:
+            self.r.exact(fixed[ch_type] * n_rows)
+        elif ch_type == "String":
+            for _ in range(n_rows):
+                self.r.string()
+        else:
+            raise ConnectionError(f"cannot skip client column type {ch_type}")
+
+    def _cancel_requested(self) -> bool:
+        """Non-blocking peek: did the client send a Cancel packet?"""
+        try:
+            readable, _, _ = select.select([self.sock], [], [], 0)
+            if not readable:
+                return False
+            peeked = self.sock.recv(1, socket.MSG_PEEK)
+            if peeked and peeked[0] == CLIENT_CANCEL:
+                self.sock.recv(1)  # consume it
+                return True
+        except OSError:
+            pass
+        return False
+
+    # -- main loop --
+    def serve(self) -> None:
+        self.read_hello()
+        self.send_hello()
+        while True:
+            try:
+                ptype = self.r.varint()
+            except ConnectionError:
+                return
+            if ptype == CLIENT_PING:
+                self._send(_varint(SERVER_PONG))
+            elif ptype == CLIENT_CANCEL:
+                continue  # nothing running on this connection
+            elif ptype == CLIENT_DATA:
+                # stray data block outside a query: consume to stay in sync
+                self.read_data_block_skip()
+            elif ptype == CLIENT_QUERY:
+                self.handle_query()
+            else:
+                self.send_exception(f"Unsupported client packet: {ptype}")
+                return
+
+    def handle_query(self) -> None:
+        self.r.string()  # query id
+        rev = min(self.client_revision, SERVER_REVISION)
+        if rev >= MIN_REVISION_WITH_CLIENT_INFO:
+            self.read_client_info()
+        try:
+            self.read_settings()
+        except ConnectionError as e:
+            self.send_exception(str(e))
+            raise  # framing is lost; drop the connection
+        self.r.varint()  # processing stage (2 = Complete)
+        compression = self.r.varint()
+        query = self.r.string().decode()
+        if compression:
+            self.send_exception("Compression is not supported by this server")
+            return
+        # the client terminates its external-table stream with one
+        # empty Data block; a non-empty stream would be insert data
+        n_client_rows = 0
+        while True:
+            ptype = self.r.varint()
+            if ptype == CLIENT_DATA:
+                n = self.read_data_block_skip()
+                n_client_rows += n
+                if n == 0:
+                    break
+            elif ptype == CLIENT_CANCEL:
+                self.send_end_of_stream()
+                return
+            else:
+                self.send_exception(f"Unexpected packet {ptype} inside query")
+                return
+        if n_client_rows:
+            self.send_exception(
+                "Native-protocol INSERT data is not supported; use INSERT ... VALUES"
+            )
+            return
+        self.run_query(query)
+
+    def run_query(self, query: str) -> None:
+        try:
+            # serving path: collect inside the engine's statement scope
+            # (live in system.processes, cancellable, traced) — same
+            # rationale as mysql_server._run_sql
+            df, rows = self.engine.sql_collect(query)
+        except Exception as e:
+            self.send_exception(_first_line(e))
+            return
+        if df is None:
+            # DDL / INSERT / SET: no result set; bare end-of-stream,
+            # like the reference's empty interpreter streams
+            self.send_end_of_stream()
+            return
+        rows = rows or []
+        try:
+            columns = []
+            for f in df.schema.fields:
+                st = f.dataType.simpleString()
+                mapped = _ch_type_of(st)
+                if mapped is None:
+                    # query_writer.rs:165-169 verbatim behavior
+                    raise ValueError(f"Unsupported column type:{st}")
+                columns.append((f.name, mapped[0], bool(f.nullable)))
+        except ValueError as e:
+            self.send_exception(str(e))
+            return
+        # header block (schema, zero rows), then data in BLOCK_ROWS chunks
+        self.send_block(columns, rows, 0, 0)
+        sent = 0
+        while sent < len(rows):
+            if self._cancel_requested():
+                break
+            hi = min(sent + BLOCK_ROWS, len(rows))
+            self.send_block(columns, rows, sent, hi)
+            sent = hi
+        self.send_progress(len(rows), 0)
+        self.send_end_of_stream()
+
+
+_PACKERS = {ch: pack for (ch, pack) in _SPARK_TO_CH.values()}
+
+
+class ClickHouseServer:
+    """Threaded TCP server speaking the ClickHouse native protocol,
+    executing every statement through the given Engine. Start with
+    .start() (returns the bound port — pass port=0 for ephemeral);
+    stop with .stop(). Default port 9000 matches the reference's
+    clickhouse_handler default."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 9000):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self._server: socketserver.ThreadingTCPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> int:
+        engine = self.engine
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                try:
+                    _CHConn(self.request, engine).serve()
+                except (ConnectionError, OSError):
+                    pass  # client went away / framing lost
+
+        socketserver.ThreadingTCPServer.allow_reuse_address = True
+        self._server = socketserver.ThreadingTCPServer((self.host, self.port), Handler)
+        self._server.daemon_threads = True
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None

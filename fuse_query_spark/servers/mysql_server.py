@@ -219,7 +219,10 @@ class _Conn:
             # DataFrame collected here would escape all three.
             df, rows = self.engine.sql_collect(sql)
         except Exception as e:
-            self.send_err(str(e).splitlines()[0] if str(e) else type(e).__name__)
+            # first NON-EMPTY line: Spark ParseExceptions lead with a
+            # blank line, which would serialize as an empty ERR message
+            msg = next((l.strip() for l in str(e).splitlines() if l.strip()), type(e).__name__)
+            self.send_err(msg)
             return
         if df is None or rows is None or init_db:
             self.send_ok()
