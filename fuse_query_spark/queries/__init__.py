@@ -31,6 +31,7 @@ _MODULES = [
     "fuse_query_spark.queries.core",
     "fuse_query_spark.queries.tpch",
     "fuse_query_spark.queries.tpch_extended",
+    "fuse_query_spark.queries.tpch_bridge",
     "fuse_query_spark.queries.joins",
     "fuse_query_spark.queries.windows",
     "fuse_query_spark.queries.setops",
