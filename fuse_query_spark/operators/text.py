@@ -124,6 +124,67 @@ def shingles_from_tokens(t: Column, n: int = 3) -> Column:
     return F.array_distinct(F.slice(acc, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))))
 
 
+def ngrams_from_tokens(t: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (unlike shingles_from_tokens,
+    which is array_distinct for Jaccard) — repetition metrics need the
+    multiset. Same zip_with-over-shifted-slices construction, so `t`
+    is evaluated n+1 times per row, never per element."""
+    big = 1 << 30
+    acc = t
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(t, j + 1, big), lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(acc, 1, F.greatest(F.size(t) - (n - 1), F.lit(0)))
+
+
+def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality metrics per document (Rae et
+    al. 2021, §A1.1 repetition filters, adapted to the corpus's
+    single-line texts): duplicate-token fraction and the fraction of
+    token positions covered by the single most frequent bigram, plus
+    a repetition flag at the paper's spirit thresholds. The reference
+    has no text-quality surface; this extends the pipeline family.
+
+    Exactness: counts are integers; the two fractions are one double
+    division of exact integers — bit-identical on any engine. The top
+    bigram tie-breaks lexicographically so the answer is unique.
+
+    Scale: one explode + per-(doc, bigram) count + per-doc window
+    top-1, all keyed by doc_id — uniformly distributed, no skew; the
+    base stats are a narrow per-row projection joined back on doc_id.
+    No driver-side anything."""
+    from pyspark.sql.window import Window
+
+    t = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        ngrams_from_tokens(t, 2).alias("_bgs"),
+    ).filter(F.col("n_tokens") >= 2)
+    counts = (
+        base.select(id_col, F.explode("_bgs").alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("bg_n"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("bg_n").desc(), F.col("bigram"))
+    top = counts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    dup_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens")
+    top_frac = F.col("bg_n").cast("double") / (F.col("n_tokens") - 1)
+    return (
+        base.drop("_bgs")
+        .join(top.select(id_col, "bigram", "bg_n"), id_col)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            dup_frac.alias("dup_token_frac"),
+            F.col("bigram").alias("top_bigram"),
+            F.col("bg_n").cast("bigint").alias("top_bigram_n"),
+            top_frac.alias("top_bigram_frac"),
+            ((dup_frac > 0.8) | (top_frac > 0.18)).alias("repetition_flag"),
+        )
+    )
+
+
 def shingles(text: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings, straight from a text column.
     Distinct set — shingle multiplicity is irrelevant for Jaccard.

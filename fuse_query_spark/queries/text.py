@@ -188,3 +188,46 @@ def text_fingerprint(spark, sf_dir):
         fingerprint_md5("text").alias("fp_md5"),
         min_shingle_fingerprint("text", 3).alias("fp_min_shingle"),
     )
+
+
+@register(
+    "text_repetition_metrics",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+        FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+    ), base AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+        FROM toks GROUP BY doc_id
+    ), bg AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), cnt AS (
+        SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram
+    ), top AS (
+        SELECT doc_id, bigram, n,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, bigram) AS rn
+        FROM cnt
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens AS dup_token_frac,
+           t.bigram AS top_bigram,
+           CAST(t.n AS BIGINT) AS top_bigram_n,
+           CAST(t.n AS DOUBLE) / (b.n_tokens - 1) AS top_bigram_frac,
+           (CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens > 0.8
+            OR CAST(t.n AS DOUBLE) / (b.n_tokens - 1) > 0.18) AS repetition_flag
+    FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+    WHERE b.n_tokens >= 2
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition filters per document: duplicate-token
+    fraction and most-frequent-bigram coverage, with the resulting
+    keep/drop flag. See operators/text.py:repetition_metrics for the
+    exactness and scale notes."""
+    from fuse_query_spark.operators.text import repetition_metrics
+
+    return repetition_metrics(table(spark, sf_dir, "documents"))
