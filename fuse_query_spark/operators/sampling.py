@@ -91,6 +91,64 @@ def contaminated_ids(
     )
 
 
+def contaminated_ids_bloom(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    prefix_bits: int = 20,
+) -> DataFrame:
+    """contaminated_ids with a Bloom-style broadcast prefilter in
+    front of the exact join. Same answer, bit for bit — the prefilter
+    only discards rows the exact join would discard anyway.
+
+    Why not Catalyst's runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, on in
+    session.tune): InjectRuntimeFilter pushes might_contain() onto
+    the application side's SCAN, so it requires the join key to have
+    scan-column lineage — the shingle key here is born inside an
+    explode(transform(split(...))), which has none. This operator is
+    the same idea expressed one level up: the eval side's DISTINCT
+    top-`prefix_bits` hash prefixes (a single-hash Bloom filter with
+    2^prefix_bits buckets, materialized as at most 2^prefix_bits
+    longs ≈ 8 MB — broadcastable regardless of eval-set size) are
+    broadcast-semi-joined onto the corpus shingles BEFORE the shuffle
+    join. Corpus shingles whose bucket no eval shingle occupies —
+    the overwhelming majority when the eval set is benchmark-sized —
+    die map-side, never reaching the exchange. At 100 TB that turns
+    the dominant shuffle from all-corpus-shingles into
+    matching-bucket-shingles (~eval coverage + bucket collisions).
+
+    Larger eval sets saturate the buckets and the prefilter
+    degenerates to a pass-through broadcast — correct, just not
+    helpful; the cutover is #distinct eval shingles ≈ 2^prefix_bits."""
+    shift = 64 - prefix_bits
+    c_sh = (
+        _shingle_table(corpus, text_col, id_col, n)
+        .select("_id", F.explode("_sh").alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_h"))
+    )
+    e_sh = (
+        _shingle_table(eval_set, text_col, id_col, n)
+        .select(F.explode("_sh").alias("_s"))
+        .select(F.xxhash64("_s").alias("_h"))
+        .distinct()
+    )
+    e_buckets = e_sh.select(F.shiftrightunsigned("_h", shift).alias("_b")).distinct()
+    prefiltered = c_sh.join(
+        F.broadcast(e_buckets),
+        F.shiftrightunsigned(c_sh["_h"], shift) == e_buckets["_b"],
+        "left_semi",
+    )
+    return (
+        prefiltered.join(e_sh, "_h")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(F.col("_id").alias(id_col), "n_shared")
+    )
+
+
 def temperature_quotas(
     df: DataFrame,
     source_col: str = "source",

@@ -86,6 +86,35 @@ def decontaminate_ngram(spark, sf_dir):
     eval_set = d.filter(F.col("doc_id") % 97 == 0)
     return contaminated_ids(corpus, eval_set, n=4)
 
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SH4}) AS s FROM documents
+    )
+    SELECT a.doc_id AS doc_id, COUNT(DISTINCT a.s) AS n_shared
+    FROM sh a
+    JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0) e USING (s)
+    WHERE a.doc_id % 97 <> 0
+    GROUP BY a.doc_id
+    """,
+    tags=("pipeline", "dedup", "decontamination", "bloom"),
+)
+def decontaminate_bloom(spark, sf_dir):
+    """Decontamination with the Bloom-style broadcast bucket
+    prefilter in front of the exact shingle join — identical output
+    to decontaminate_ngram (same oracle), but corpus shingles whose
+    hash bucket no eval shingle occupies die map-side before the
+    shuffle. See operators/sampling.py:contaminated_ids_bloom for
+    why Catalyst's runtime bloom filter can't do this one itself."""
+    from fuse_query_spark.operators.sampling import contaminated_ids_bloom
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    eval_set = d.filter(F.col("doc_id") % 97 == 0)
+    return contaminated_ids_bloom(corpus, eval_set, n=4)
+
+
 _Q_TOKS = "string_split_regex(trim(text), '\\s+')"
 
 

@@ -39,6 +39,19 @@ def tune(spark: SparkSession, cpus: int | None = None) -> SparkSession:
         # On a real cluster this would be ~2-3x total executor cores.
         "spark.sql.shuffle.partitions": str(max(cpus, 8)),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Runtime bloom-filter join pruning: when one side of a
+        # shuffle join carries a selective filter, Catalyst builds a
+        # bloom filter from it and pushes might_contain() onto the
+        # other side's SCAN — rows are dropped before the shuffle.
+        # Size thresholds (creation ≤10 MB, application scan ≥10 GB)
+        # keep it a pure at-scale optimization: it never rewrites the
+        # small local test plans, but prunes the lineitem⋈orders /
+        # lineitem⋈part fact joins at the 100 TB target
+        # (plan-gated in tests/test_plans.py with lowered thresholds).
+        # Note: keys derived through explode/transform (the shingle
+        # joins) have no scan lineage, so those use the explicit
+        # bucket prefilter in operators/sampling.py instead.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     }
     for k, v in conf.items():
         try:
@@ -60,6 +73,7 @@ def get_spark(app_name: str = "fuse-query-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # wide aggregates (32-accumulator SimHash votes) stay in
         # whole-stage codegen instead of falling back to interpretation
         .config("spark.sql.codegen.maxFields", "200")

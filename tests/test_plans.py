@@ -232,3 +232,38 @@ def test_q21_q22_anti_join_shapes(spark, sf_dir):
     assert "HashAggregate" in p21
     p22 = formatted_plan(REG["q22_global_sales_opportunity"].fn(spark, sf_dir))
     assert "LeftAnti" in p22
+
+
+def test_runtime_bloom_filter_injects_on_fact_joins(spark, sf_dir):
+    """session.tune enables runtime bloom-filter join pruning; the
+    thresholds (creation <=10 MB, application scan >=10 GB) make it
+    at-scale-only, so to pin the wiring we lower them and check
+    Catalyst injects might_contain onto the lineitem scan side of a
+    selective lineitem⋈orders join."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    app_key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_app, old_bcast = spark.conf.get(app_key), spark.conf.get(bcast_key)
+    spark.conf.set(app_key, "1KB")
+    spark.conf.set(bcast_key, "-1")  # force a shuffle join so the bloom applies
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        spark.conf.set(app_key, old_app)
+        spark.conf.set(bcast_key, old_bcast)
+
+
+def test_decontaminate_bloom_prefilter_is_broadcast_semi(spark, sf_dir):
+    """The bucket prefilter must be a broadcast LEFT SEMI join (the
+    whole point: no extra shuffle in front of the exact join)."""
+    df = REG["decontaminate_bloom"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]

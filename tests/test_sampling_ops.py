@@ -67,3 +67,29 @@ class TestQuantizeInt8:
         a = {tuple(r) for r in quantize_int8(emb).collect()}
         b = {tuple(r) for r in quantize_int8(emb.repartition(7)).collect()}
         assert a == b
+
+
+class TestBloomPrefilterEquality:
+    def test_bloom_variant_matches_exact(self, spark, sf_dir):
+        """contaminated_ids_bloom must be row-identical to
+        contaminated_ids — the prefilter may only drop rows the exact
+        join drops anyway (checked at every prefix width, including a
+        tiny one where buckets saturate and the filter passes all)."""
+        from pyspark.sql import functions as F
+
+        from fuse_query_spark.operators.sampling import (
+            contaminated_ids,
+            contaminated_ids_bloom,
+        )
+        from fuse_query_spark.sources.tables import table
+
+        d = table(spark, sf_dir, "documents")
+        corpus = d.filter(F.col("doc_id") % 97 != 0)
+        ev = d.filter(F.col("doc_id") % 97 == 0)
+        exact = {(r.doc_id, r.n_shared) for r in contaminated_ids(corpus, ev, n=4).collect()}
+        for bits in (4, 20):
+            got = {
+                (r.doc_id, r.n_shared)
+                for r in contaminated_ids_bloom(corpus, ev, n=4, prefix_bits=bits).collect()
+            }
+            assert got == exact, f"prefix_bits={bits}"
