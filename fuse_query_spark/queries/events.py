@@ -172,3 +172,56 @@ def events_hopping_15m(spark, sf_dir):
         )
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
     )
+
+
+@register(
+    "events_funnel_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           COUNT(*) AS n_clicks_30m,
+           CAST(MAX(epoch_us(c.ts)) AS BIGINT) AS last_click_us
+    FROM p JOIN c ON c.user_id = p.user_id
+                 AND c.ts <= p.ts
+                 AND c.ts > p.ts - INTERVAL 30 MINUTE
+    GROUP BY p.event_id, p.user_id
+    """,
+    tags=("events", "join", "interval", "funnel"),
+)
+def events_funnel_attribution(spark, sf_dir):
+    """Funnel attribution: per purchase, the count of the same user's
+    clicks in the preceding 30 minutes and the last such click's
+    time (BIGINT epoch-µs — raw event timestamps never cross the
+    oracle boundary). The batch twin of
+    streaming/events.funnel_join_stream: an equi-join on user_id plus
+    an event-time interval predicate — Spark plans the equi-key
+    shuffle join and applies the range as a post-join filter; state
+    in the streaming form is the same pairs bounded by
+    watermark+lookback."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("interval 30 minutes")),
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_30m"),
+            (F.unix_micros(F.max("c_ts"))).alias("last_click_us"),
+        )
+    )

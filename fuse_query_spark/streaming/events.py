@@ -128,3 +128,43 @@ def rate_limited_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("win_start"), "user_id", "n")
     )
+
+
+def funnel_join_stream(
+    events: DataFrame, lookback: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding `lookback` — the funnel/attribution
+    primitive. Both sides carry watermarks and the join condition
+    bounds click_ts to a closed interval around purchase_ts, so Spark
+    can expire join state: clicks older than watermark+lookback and
+    purchases past the watermark are dropped from the state store —
+    the unbounded-state stream-join trap, avoided by construction.
+    Append-mode output; the batch twin is
+    queries/events.events_funnel_attribution (same pair semantics,
+    aggregated)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND click_ts <= purchase_ts "
+            f"AND click_ts > purchase_ts - interval {lookback}"
+        ),
+    )

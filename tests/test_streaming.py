@@ -113,3 +113,37 @@ def test_rate_limited_counts_conserve_events(spark, sf_dir, events_dir):
     run_to_memory_sink(stream, "rate_sink")
     total = spark.sql("SELECT CAST(sum(n) AS BIGINT) AS t FROM rate_sink").collect()[0].t
     assert total == table(spark, sf_dir, "events").count()
+
+
+def test_funnel_stream_join_matches_batch_pairs(spark, sf_dir, events_dir):
+    """Stream-stream interval join (purchase ⋈ preceding clicks) must
+    produce exactly the batch join's pairs when the watermark is wide
+    enough to keep all cross-file disorder in state."""
+    from fuse_query_spark.streaming.events import funnel_join_stream
+
+    stream = read_events_stream(spark, events_dir)
+    joined = funnel_join_stream(stream, watermark="40 days")
+    run_to_memory_sink(joined, "funnel_test", output_mode="append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("funnel_test").collect()
+    }
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("interval 30 minutes")),
+        ).collect()
+    }
+    assert got == want and want, f"stream={len(got)} batch={len(want)}"
