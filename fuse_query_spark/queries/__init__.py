@@ -95,7 +95,16 @@ DRIVER_PRIORITY = [
     "q01_pricing_summary",
     "agg_global_stats",
     "agg_uniq",
-    "agg_argminmax",
+    # r4-mid rotation: nine never-driver-checked queries take slots
+    # from multi-round-green occupants (each displaced query stays
+    # locally oracle-checked past slot 50; every family keeps >=1
+    # slot). Out -> in: agg_argminmax -> q09, q12 -> q02, join_asof ->
+    # q11, scalar_subquery -> q20, dialect_limit_by -> q16,
+    # text_fingerprint -> text_repetition_metrics, dedup_ngram_jaccard
+    # -> decontaminate_bloom, window_running_total ->
+    # window_first_last_nth, similarity_bucket_histogram ->
+    # events_funnel_attribution.
+    "q09_product_type_profit",
     "sort_topk",
     "limit_by",
     "filter_predicates",
@@ -116,25 +125,25 @@ DRIVER_PRIORITY = [
     # new never-driver-checked Q5/Q10; both stay locally
     # oracle-checked past slot 50
     "q05_local_supplier_volume",
-    "q12_priority_by_returnflag",
+    "q02_min_cost_supplier",
     # joins & subqueries (§2.3)
     "q10_returned_items",
     "join_semi_exists",
-    "scalar_subquery",
-    "join_asof",
+    "q20_potential_part_promotion",
+    "q11_important_stock",
     # windows / set ops / grouping / events
-    "window_running_total",
+    "window_first_last_nth",
     "setop_union_keys",
     "events_sessionize",  # r1's one red row — must re-verify green
     # text analysis (driver-unverified in r1)
     "text_quality_score",
     "text_lang_id",
     "text_bpe_token_count",
-    "text_fingerprint",
+    "text_repetition_metrics",
     # dedup family (driver-unverified in r1)
     "dedup_exact_docs",
     "dedup_near_prefix_groups",
-    "dedup_ngram_jaccard",
+    "decontaminate_bloom",
     "dedup_minhash_lsh_md5",
     "dedup_simhash_md5",
     # sampling / pipeline ops (driver-unverified in r1)
@@ -148,10 +157,10 @@ DRIVER_PRIORITY = [
     "dedup_embedding_cosine",
     "similarity_knn_lsh",
     "similarity_knn_ivf_md5",
-    "similarity_bucket_histogram",
+    "events_funnel_attribution",
     # dialect surface (driver-unverified in r1)
     "dialect_combinators",
-    "dialect_limit_by",
+    "q16_parts_supplier_relationship",
     "dialect_scalar_surface",
     # misc operators (driver-unverified in r1)
     "pivot_events",

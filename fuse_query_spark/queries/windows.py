@@ -202,3 +202,43 @@ def window_distribution(spark, sf_dir):
             F.cume_dist().over(w).alias("cume"),
         )
     )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           COALESCE(nth_value(o_orderkey, 2) OVER w, -1) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "navigation"),
+)
+def window_first_last_nth(spark, sf_dir):
+    """Navigation window functions (first_value/last_value/nth_value)
+    over each customer's order history, with the full-partition frame
+    spelled out — last_value over the DEFAULT frame (up to current
+    row) is the classic silent-wrong-answer; the explicit unbounded
+    frame makes both engines see the whole partition. The
+    (o_orderdate, o_orderkey) ordering is total, so every value is
+    deterministic. One shuffle on o_custkey like any window."""
+    from pyspark.sql.window import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        # single-order customers have no 2nd order: NULL would turn
+        # the whole oracle column float64 through pandas — pin to -1
+        F.coalesce(F.nth_value("o_orderkey", 2).over(w), F.lit(-1)).alias("second_order"),
+    )
