@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "q19_discounted_revenue",
     "q08_market_share",
     "q21_waiting_supplier",
+    "q02_min_cost_supplier",
+    "q09_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q20_potential_part_promotion",
     "agg_global_stats",
     "agg_uniq",
     "agg_combinator_if",
@@ -74,6 +79,9 @@ BENCH_QUERIES = [
     "text_token_stats",
     "dedup_exact_docs",
     "decontaminate_ngram",
+    "decontaminate_bloom",
+    "text_repetition_metrics",
+    "events_funnel_attribution",
     "sample_split_documents",
     "dedup_minhash_lsh",
     "dedup_simhash",
