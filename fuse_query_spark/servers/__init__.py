@@ -6,6 +6,14 @@ HTTP API (http_api.py, api/http_service.rs)."""
 
 from fuse_query_spark.servers.clickhouse_server import ClickHouseServer
 from fuse_query_spark.servers.http_api import ClusterRegistry, HttpApiServer
+from fuse_query_spark.servers.metrics import METRICS, MetricService
 from fuse_query_spark.servers.mysql_server import MySQLServer
 
-__all__ = ["ClickHouseServer", "ClusterRegistry", "HttpApiServer", "MySQLServer"]
+__all__ = [
+    "ClickHouseServer",
+    "ClusterRegistry",
+    "HttpApiServer",
+    "METRICS",
+    "MetricService",
+    "MySQLServer",
+]

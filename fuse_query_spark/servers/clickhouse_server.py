@@ -46,7 +46,15 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 from datetime import date, datetime, timezone
+
+from fuse_query_spark.servers.metrics import (
+    METRIC_CLICKHOUSE_PROCESSOR_REQUEST_DURATION,
+    METRIC_SESSION_CLOSE_NUMBERS,
+    METRIC_SESSION_CONNECT_NUMBERS,
+    METRICS,
+)
 
 # --- client packet types (ClickHouse native protocol) ---------------------
 CLIENT_HELLO = 0
@@ -391,6 +399,14 @@ class _CHConn:
 
     # -- main loop --
     def serve(self) -> None:
+        # sessions.rs:73/114 counts every connect/close
+        METRICS.counter(METRIC_SESSION_CONNECT_NUMBERS)
+        try:
+            self._serve()
+        finally:
+            METRICS.counter(METRIC_SESSION_CLOSE_NUMBERS)
+
+    def _serve(self) -> None:
         self.read_hello()
         self.send_hello()
         while True:
@@ -451,6 +467,16 @@ class _CHConn:
         self.run_query(query)
 
     def run_query(self, query: str) -> None:
+        # interactive_worker.rs:35-46: per-statement duration histogram
+        start = time.monotonic()
+        try:
+            self._run_query_inner(query)
+        finally:
+            METRICS.observe(
+                METRIC_CLICKHOUSE_PROCESSOR_REQUEST_DURATION, time.monotonic() - start
+            )
+
+    def _run_query_inner(self, query: str) -> None:
         try:
             # serving path: collect inside the engine's statement scope
             # (live in system.processes, cancellable, traced) — same

@@ -29,7 +29,15 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 from datetime import date, datetime
+
+from fuse_query_spark.servers.metrics import (
+    METRIC_MYSQL_PROCESSOR_REQUEST_DURATION,
+    METRIC_SESSION_CLOSE_NUMBERS,
+    METRIC_SESSION_CONNECT_NUMBERS,
+    METRICS,
+)
 
 # --- MySQL protocol constants ---------------------------------------------
 
@@ -185,6 +193,14 @@ class _Conn:
         self.send_ok()
 
     def serve(self) -> None:
+        # sessions.rs:73/114 counts every connect/close
+        METRICS.counter(METRIC_SESSION_CONNECT_NUMBERS)
+        try:
+            self._serve()
+        finally:
+            METRICS.counter(METRIC_SESSION_CLOSE_NUMBERS)
+
+    def _serve(self) -> None:
         self.handshake()
         while True:
             self.seq = 0
@@ -211,6 +227,16 @@ class _Conn:
                 self.send_err(f"Unsupported command: {cmd:#x}", errno=1047)
 
     def _run_sql(self, sql: str, init_db: bool = False) -> None:
+        # mysql_interactive_worker.rs:92-101: per-statement duration
+        start = time.monotonic()
+        try:
+            self._run_sql_inner(sql, init_db)
+        finally:
+            METRICS.observe(
+                METRIC_MYSQL_PROCESSOR_REQUEST_DURATION, time.monotonic() - start
+            )
+
+    def _run_sql_inner(self, sql: str, init_db: bool = False) -> None:
         try:
             # sql_collect, NOT sql + collect: the collect must run
             # inside the engine's statement scope so the query is
