@@ -1,0 +1,50 @@
+"""Partitioned parquet sinks — the write side of a 100 TB pipeline.
+
+The reference's write surface is Table::append_data into Memory/Null
+or a flat file directory (fusequery/query/src/interpreters/
+interpreter_insert_into.rs:33-45; our Engine._insert mirrors it).
+This module is the capability extension a training-data pipeline
+actually deploys: hive-layout partitioned writes, so that every
+downstream read with a partition predicate prunes to the matching
+directories at PLANNING time — the scan never even lists the other
+partitions' files. That directory-level pruning composes with (and
+precedes) row-group statistics and predicate pushdown.
+
+Scale posture: partition by LOW-cardinality routing columns only
+(source, date, lang — tens to thousands of values). A high-cardinality
+partition column is the classic small-files catastrophe: #partitions ×
+#write-tasks output files. maxRecordsPerFile bounds the other extreme
+(one giant file per partition). Dynamic partition overwrite replaces
+ONLY the partitions present in the incoming data — the idempotent
+re-run story for a daily pipeline (a failed day re-runs without
+touching other days).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("source",),
+    mode: str = "overwrite",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Hive-layout partitioned parquet write (path/col=value/part-*).
+    Dynamic overwrite: only partitions present in `df` are replaced."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a hive-layout directory; partition columns come back as
+    real columns and predicates on them prune directories at planning
+    time (gated in tests/test_sources.py)."""
+    return spark.read.parquet(path)

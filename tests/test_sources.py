@@ -13,6 +13,7 @@ import datetime
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from fuse_query_spark.sources.tables import _normalize_event_ts, read_parquet_maybe_nanos
 
@@ -81,3 +82,61 @@ def test_normalize_requires_utc_session(spark, nanos_events_path):
     # back under UTC the cast is applied
     out = _normalize_event_ts(ntz, "ts")
     assert dict(out.dtypes)["ts"] == "timestamp"
+
+
+class TestPartitionedSink:
+    def test_write_read_roundtrip_and_pruning(self, spark, sf_dir, tmp_path):
+        from fuse_query_spark.sources.sinks import read_partitioned, write_partitioned
+        from fuse_query_spark.sources.tables import table
+
+        out = str(tmp_path / "docs_by_source")
+        docs = table(spark, sf_dir, "documents")
+        write_partitioned(docs, out, partition_by=("source",))
+
+        back = read_partitioned(spark, out)
+        assert back.count() == docs.count()
+
+        one = back.filter(F.col("source") == "src1")
+        want = docs.filter(F.col("source") == "src1").count()
+        assert one.count() == want and want > 0
+
+        # the predicate must prune DIRECTORIES at planning time: it
+        # appears as a PartitionFilter on the scan, not a data filter
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "src1" in plan, plan[:1500]
+        # cross-check after execution: the scan's numFiles metric must
+        # be a fraction of the 20 partition dirs' files (inputFiles()
+        # can't show this — it lists the relation pre-pruning)
+        one.collect()
+        total_files = len(back.inputFiles())
+        qe = one._jdf.queryExecution().executedPlan()
+        leaves = qe.collectLeaves()
+        read_files = None
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numFiles"):
+                read_files = m.apply("numFiles").value()
+                break
+        assert read_files is not None and 0 < read_files < total_files, (
+            read_files,
+            total_files,
+        )
+
+    def test_dynamic_overwrite_touches_only_incoming_partitions(self, spark, sf_dir, tmp_path):
+        from fuse_query_spark.sources.sinks import read_partitioned, write_partitioned
+        from fuse_query_spark.sources.tables import table
+
+        out = str(tmp_path / "docs_dyn")
+        docs = table(spark, sf_dir, "documents")
+        write_partitioned(docs, out, partition_by=("source",))
+        total = docs.count()
+
+        # rewrite ONLY src1, with a 1-row replacement
+        repl = docs.filter(F.col("source") == "src1").limit(1)
+        write_partitioned(repl, out, partition_by=("source",), mode="overwrite")
+
+        back = read_partitioned(spark, out)
+        n_src1 = back.filter(F.col("source") == "src1").count()
+        n_rest = back.filter(F.col("source") != "src1").count()
+        assert n_src1 == 1  # replaced
+        assert n_rest == total - docs.filter(F.col("source") == "src1").count()  # untouched
