@@ -19,10 +19,16 @@ published SipHash-2-4 test vector (empty input, key 0x0f0e..00) in
 tests — the round function is shared, so matching 2-4 exercises the
 same code paths 1-3 uses.
 
-This is the parity path, NOT the hot path: ``siphash`` in the dialect
-maps to Spark's JVM-side ``xxhash64`` (stable 64-bit hash, ~100x
-faster). Use ``siphash_exact`` when byte-for-byte agreement with the
-reference engine's output is required.
+Three column-path tiers, fastest first:
+- ``xxhash64`` (the dialect default): JVM codegen, a stable 64-bit
+  hash but a DIFFERENT function — right whenever any good hash will
+  do (joins, bucketing, sampling).
+- ``siphash_exact`` (pandas UDF): byte-exact; numeric batches run a
+  numpy-vectorized kernel (whole Arrow batch per round op), strings
+  per-value.
+- ``siphash64_long_column``: byte-exact as a PURE Column fold — no
+  Python workers at all; interpreted higher-order functions make it
+  the slow-but-anywhere option (docstring has the measured numbers).
 """
 
 from __future__ import annotations
@@ -90,18 +96,155 @@ def _to_signed64(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+def _sipround_np(v0, v1, v2, v3):
+    """One SipHash round over numpy uint64 LANES — every value in the
+    Arrow batch advances together; uint64 arithmetic wraps natively."""
+    import numpy as np
+
+    u = np.uint64
+    v0 = v0 + v1
+    v1 = ((v1 << u(13)) | (v1 >> u(51))) ^ v0
+    v0 = (v0 << u(32)) | (v0 >> u(32))
+    v2 = v2 + v3
+    v3 = ((v3 << u(16)) | (v3 >> u(48))) ^ v2
+    v0 = v0 + v3
+    v3 = ((v3 << u(21)) | (v3 >> u(43))) ^ v0
+    v2 = v2 + v1
+    v1 = ((v1 << u(17)) | (v1 >> u(47))) ^ v2
+    v2 = (v2 << u(32)) | (v2 >> u(32))
+    return v0, v1, v2, v3
+
+
+def _siphash_u64_np(m):
+    """Vectorized SipHash-1-3 (zero key) of u64 lanes: the 8-byte LE
+    message word of a u64 IS its bit pattern, so the whole kernel is
+    five vector rounds + xors — no per-value Python."""
+    import numpy as np
+
+    u = np.uint64
+    with np.errstate(over="ignore"):
+        v0 = np.full_like(m, 0x736F6D6570736575, dtype=np.uint64)
+        v1 = np.full_like(m, 0x646F72616E646F6D, dtype=np.uint64)
+        v2 = np.full_like(m, 0x6C7967656E657261, dtype=np.uint64)
+        v3 = np.full_like(m, 0x7465646279746573, dtype=np.uint64)
+        v3 = v3 ^ m
+        v0, v1, v2, v3 = _sipround_np(v0, v1, v2, v3)  # c=1 compression
+        v0 = v0 ^ m
+        b = u(8 << 56)  # tail word: len byte only, no residual bytes
+        v3 = v3 ^ b
+        v0, v1, v2, v3 = _sipround_np(v0, v1, v2, v3)
+        v0 = v0 ^ b
+        v2 = v2 ^ u(0xFF)
+        for _ in range(3):  # d=3 finalization
+            v0, v1, v2, v3 = _sipround_np(v0, v1, v2, v3)
+        return v0 ^ v1 ^ v2 ^ v3
+
+
 def _siphash_exact_series(col: pd.Series) -> pd.Series:
-    """Pandas-UDF kernel: UInt64-domain SipHash-1-3 per value, returned
-    as Spark LongType (the UInt64 bit pattern, two's complement — same
-    convention as the LongType mapping of the reference's UInt64)."""
+    """Pandas-UDF kernel: UInt64-domain SipHash-1-3, returned as Spark
+    LongType (the UInt64 bit pattern, two's complement — same
+    convention as the LongType mapping of the reference's UInt64).
+    Numeric batches run the numpy-vectorized kernel (whole Arrow batch
+    per round op); strings remain per-value (variable length)."""
+    import numpy as np
+
     if col.dtype == object:  # strings
         out = [None if v is None else _to_signed64(rust_hash_str(v)) for v in col]
-    else:
+        return pd.Series(out, dtype="Int64")
+    if col.isna().any():
         out = [
-            None if pd.isna(v) else _to_signed64(rust_hash_u64(int(v)))
-            for v in col
+            None if pd.isna(v) else _to_signed64(rust_hash_u64(int(v))) for v in col
         ]
-    return pd.Series(out, dtype="Int64")
+        return pd.Series(out, dtype="Int64")
+    h = _siphash_u64_np(col.to_numpy().astype(np.uint64))
+    return pd.Series(h.view(np.int64), dtype="Int64")
+
+
+def siphash64_long_column(col):
+    """SipHash-1-3 (zero key, u64 message) as a PURE Column expression —
+    byte-exact with the reference's siphash on integer columns with no
+    Python workers at all.
+
+    Construction notes (both load-bearing):
+    - 64-bit wrapping adds are built from 32-bit halves (shifts +
+      masks + one carry), because Spark runs ANSI mode and a plain
+      long `+` throws ARITHMETIC_OVERFLOW exactly where SipHash wants
+      wraparound. Shifts/xor/and are bitwise and never overflow.
+    - rounds are folded with F.aggregate over the message words (and a
+      3-element sequence for finalization) instead of chaining Column
+      expressions: Columns are TREES, not DAGs — five chained
+      siprounds duplicate subexpressions multiplicatively and OOM the
+      driver during analysis (measured). The fold applies one small
+      lambda per step at runtime, so the tree stays constant-size.
+
+    Cost posture: higher-order-function lambdas run interpreted (no
+    whole-stage codegen), ~60 µs/row on this host — use
+    `siphash_exact` (numpy-vectorized pandas UDF, ~100x faster) when
+    Python workers are available, or the default xxhash64 dialect
+    mapping when any stable 64-bit hash will do. This path exists for
+    environments where exactness is required and Python workers are
+    not (pure-JVM deployments)."""
+    from pyspark.sql import functions as F
+
+    M32 = 0xFFFFFFFF
+
+    def lit64(v: int):
+        return F.lit(v - (1 << 64) if v >= (1 << 63) else v).cast("long")
+
+    def wadd(a, b):
+        lo = a.bitwiseAND(F.lit(M32)) + b.bitwiseAND(F.lit(M32))
+        hi = (
+            F.shiftrightunsigned(a, 32)
+            + F.shiftrightunsigned(b, 32)
+            + F.shiftrightunsigned(lo, 32)
+        )
+        return F.shiftleft(hi.bitwiseAND(F.lit(M32)), 32).bitwiseOR(
+            lo.bitwiseAND(F.lit(M32))
+        )
+
+    def rotl(x, b):
+        return F.shiftleft(x, b).bitwiseOR(F.shiftrightunsigned(x, 64 - b))
+
+    def sipround(v0, v1, v2, v3):
+        v0 = wadd(v0, v1)
+        v1 = rotl(v1, 13).bitwiseXOR(v0)
+        v0 = rotl(v0, 32)
+        v2 = wadd(v2, v3)
+        v3 = rotl(v3, 16).bitwiseXOR(v2)
+        v0 = wadd(v0, v3)
+        v3 = rotl(v3, 21).bitwiseXOR(v0)
+        v2 = wadd(v2, v1)
+        v1 = rotl(v1, 17).bitwiseXOR(v2)
+        v2 = rotl(v2, 32)
+        return v0, v1, v2, v3
+
+    def st(v0, v1, v2, v3):
+        return F.struct(
+            v0.alias("v0"), v1.alias("v1"), v2.alias("v2"), v3.alias("v3")
+        )
+
+    init = st(
+        lit64(0x736F6D6570736575),
+        lit64(0x646F72616E646F6D),
+        lit64(0x6C7967656E657261),
+        lit64(0x7465646279746573),
+    )
+
+    def compress(acc, w):
+        v0, v1, v2, v3 = acc.v0, acc.v1, acc.v2, acc.v3.bitwiseXOR(w)
+        v0, v1, v2, v3 = sipround(v0, v1, v2, v3)
+        return st(v0.bitwiseXOR(w), v1, v2, v3)
+
+    # words: the u64 bit pattern itself, then the tail word (len=8)
+    words = F.array(col.cast("long"), lit64(8 << 56))
+    after = F.aggregate(words, init, compress)
+    fin_init = st(after.v0, after.v1, after.v2.bitwiseXOR(lit64(0xFF)), after.v3)
+    fin = F.aggregate(
+        F.sequence(F.lit(1), F.lit(3)),
+        fin_init,
+        lambda acc, _: st(*sipround(acc.v0, acc.v1, acc.v2, acc.v3)),
+    )
+    return fin.v0.bitwiseXOR(fin.v1).bitwiseXOR(fin.v2).bitwiseXOR(fin.v3)
 
 
 def register_siphash(spark) -> None:

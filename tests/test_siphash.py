@@ -69,3 +69,36 @@ def test_spark_udf_roundtrip(spark):
     for i, r in enumerate(rows):
         assert r["h"] == _to_signed64(rust_hash_u64(i))
         assert r["hs"] == _to_signed64(rust_hash_str(str(i)))
+
+
+def test_vectorized_numeric_kernel_matches_scalar():
+    import numpy as np
+
+    from fuse_query_spark.functions.siphash import _siphash_u64_np
+
+    vals = [0, 1, 2**63, 2**64 - 1, 123456789012345]
+    got = _siphash_u64_np(np.array(vals, dtype=np.uint64))
+    assert [int(x) for x in got] == [rust_hash_u64(v) for v in vals]
+    # dense batch path through the pandas kernel (no NULLs)
+    out = _siphash_exact_series(pd.Series([0, 1, 2], dtype="int64"))
+    assert list(out) == [_to_signed64(rust_hash_u64(i)) for i in range(3)]
+
+
+def test_jvm_column_path_matches_reference(spark):
+    """siphash64_long_column: byte-exact SipHash with ZERO Python —
+    pure Column fold (see its docstring for why aggregate, not
+    expression chaining)."""
+    from pyspark.sql import functions as F
+
+    from fuse_query_spark.functions.siphash import siphash64_long_column
+
+    rows = spark.range(16).select(
+        "id", siphash64_long_column(F.col("id")).alias("h")
+    ).collect()
+    for r in rows:
+        assert r["h"] == _to_signed64(rust_hash_u64(r["id"]))
+    # negative longs hash as their u64 bit pattern (reference UInt64 view)
+    neg = spark.sql("SELECT CAST(-1 AS BIGINT) AS v").select(
+        siphash64_long_column(F.col("v")).alias("h")
+    ).collect()[0]["h"]
+    assert neg == _to_signed64(rust_hash_u64(2**64 - 1))
