@@ -116,8 +116,8 @@ class MiniCHClient:
             + _varint(1)
             + _varint(0)
             + _varint(self.revision)
-            + _s("")  # quota key
-            + _varint(0)  # version patch
+            + (_s("") if self.revision >= 54060 else b"")  # quota key
+            + (_varint(0) if self.revision >= 54401 else b"")  # version patch
             + _s("")  # settings terminator
             + _varint(2)  # stage: complete
             + _varint(0)  # no compression
@@ -369,3 +369,21 @@ def test_two_concurrent_connections(ch_port):
     finally:
         a.close()
         b.close()
+
+
+def test_older_client_revision_negotiates_down(ch_port):
+    """A 54058-era client sends a shorter Hello-dependent surface (no
+    quota key, no version patch, no display name expected back); the
+    server must negotiate min(client, server) and parse/emit packets
+    at that revision."""
+    c = MiniCHClient(ch_port, revision=54058)
+    try:
+        s = c.server
+        assert s["revision"] == 54405  # server states its own revision
+        assert s["timezone"] == "UTC"  # >= 54058 so still present
+        assert s["display_name"] is None and s["patch"] is None
+        columns, rows, _, exc = c.query("SELECT number FROM numbers(3)")
+        assert exc is None
+        assert len(rows) == 3
+    finally:
+        c.close()

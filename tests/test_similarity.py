@@ -127,3 +127,36 @@ def test_lsh_bucket_is_deterministic(spark, sf_dir):
     b2 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(e, n_planes=8).collect()}
     assert b1 == b2
     assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_ivf_index_persist_and_search(spark, sf_dir, tmp_path):
+    """Persisted IVF index: search results must equal the in-memory
+    knn_ivf_lloyd with the same parameters (same deterministic
+    centroids → same probes → same exact top-k), and the probe must
+    prune partitions at planning time."""
+    from fuse_query_spark.operators.similarity import (
+        ivf_index_search,
+        ivf_index_write,
+        knn_ivf_lloyd,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 7).first()["embedding"]]
+
+    idx = str(tmp_path / "ivf_idx")
+    centroids = ivf_index_write(e, idx, k_cells=16, iters=2)
+    assert len(centroids) == 16
+
+    got_df = ivf_index_search(spark, idx, q, k=5, n_probe=4)
+    got = [(r["vec_id"], round(r["cos_sim"], 9)) for r in got_df.collect()]
+    want = [
+        (r["vec_id"], round(r["cos_sim"], 9))
+        for r in knn_ivf_lloyd(e, q, k=5, k_cells=16, n_probe=4, iters=2).collect()
+    ]
+    assert got == want and got[0][0] == 7  # self is nearest
+
+    # the probe is a partition PRUNE: cell filter reaches the scan as
+    # a PartitionFilter, and only probed directories are read
+    probed = ivf_index_search(spark, idx, q, k=5, n_probe=4)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan[:1500]
