@@ -151,12 +151,16 @@ def _siphash_exact_series(col: pd.Series) -> pd.Series:
     if col.dtype == object:  # strings
         out = [None if v is None else _to_signed64(rust_hash_str(v)) for v in col]
         return pd.Series(out, dtype="Int64")
-    if col.isna().any():
+    # vectorize ONLY dense integer batches: float→uint64 astype of
+    # negative values is C-undefined (wraps on x86-64, saturates to 0
+    # on aarch64) — the per-value int(v) path is deterministic on
+    # every platform, which is this function's entire contract
+    if col.isna().any() or not pd.api.types.is_integer_dtype(col.dtype):
         out = [
             None if pd.isna(v) else _to_signed64(rust_hash_u64(int(v))) for v in col
         ]
         return pd.Series(out, dtype="Int64")
-    h = _siphash_u64_np(col.to_numpy().astype(np.uint64))
+    h = _siphash_u64_np(col.to_numpy().astype(np.int64).view(np.uint64))
     return pd.Series(h.view(np.int64), dtype="Int64")
 
 

@@ -41,6 +41,18 @@ def deterministic_split(
     )
 
 
+def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(_id, _h) rows: xxhash64 of every distinct word n-gram per doc.
+    Single source of truth for both decontamination variants — the
+    bloom-prefiltered path's bit-equality with the exact path (tested)
+    depends on them sharing this construction."""
+    return (
+        _shingle_table(df, text_col, id_col, n)
+        .select("_id", F.explode("_sh").alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_h"))
+    )
+
+
 def contaminated_ids(
     corpus: DataFrame,
     eval_set: DataFrame,
@@ -72,17 +84,8 @@ def contaminated_ids(
     is the single most expensive stage of the query, spent
     re-deriving an invariant the shingle builder already guarantees
     (and it halved the sf0.1 wall time when dropped)."""
-    c_sh = (
-        _shingle_table(corpus, text_col, id_col, n)
-        .select("_id", F.explode("_sh").alias("_s"))
-        .select("_id", F.xxhash64("_s").alias("_h"))
-    )
-    e_sh = (
-        _shingle_table(eval_set, text_col, id_col, n)
-        .select(F.explode("_sh").alias("_s"))
-        .select(F.xxhash64("_s").alias("_h"))
-        .distinct()
-    )
+    c_sh = _shingle_hashes(corpus, text_col, id_col, n)
+    e_sh = _shingle_hashes(eval_set, text_col, id_col, n).select("_h").distinct()
     return (
         c_sh.join(e_sh, "_h")
         .groupBy("_id")
@@ -122,19 +125,17 @@ def contaminated_ids_bloom(
 
     Larger eval sets saturate the buckets and the prefilter
     degenerates to a pass-through broadcast — correct, just not
-    helpful; the cutover is #distinct eval shingles ≈ 2^prefix_bits."""
+    helpful; the cutover is #distinct eval shingles ≈ 2^prefix_bits.
+
+    The eval-side shingle pipeline feeds two plan branches (the bucket
+    set and the confirm join); Spark computes it twice. Deliberate:
+    the eval side is the SMALL side by assumption, and a persist()
+    here would trade a cheap recompute for cache-manager state the
+    caller never asked for. The shared _shingle_hashes construction
+    is what guarantees bit-equality with contaminated_ids."""
     shift = 64 - prefix_bits
-    c_sh = (
-        _shingle_table(corpus, text_col, id_col, n)
-        .select("_id", F.explode("_sh").alias("_s"))
-        .select("_id", F.xxhash64("_s").alias("_h"))
-    )
-    e_sh = (
-        _shingle_table(eval_set, text_col, id_col, n)
-        .select(F.explode("_sh").alias("_s"))
-        .select(F.xxhash64("_s").alias("_h"))
-        .distinct()
-    )
+    c_sh = _shingle_hashes(corpus, text_col, id_col, n)
+    e_sh = _shingle_hashes(eval_set, text_col, id_col, n).select("_h").distinct()
     e_buckets = e_sh.select(F.shiftrightunsigned("_h", shift).alias("_b")).distinct()
     prefiltered = c_sh.join(
         F.broadcast(e_buckets),

@@ -210,6 +210,36 @@ def ivf_assign(
     return _assign_cells(df, centroids, vec_col), centroids
 
 
+def _md5_seed_centroids(
+    df: DataFrame, k_cells: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """Deterministic engine-portable centroid seeds: the k_cells
+    vectors with the smallest (md5(CAST(id AS VARCHAR)), id). Single
+    source of truth — knn_ivf_lloyd, ivf_assign_md5 and the persisted
+    index all seed HERE, so their bit-equality (tested) cannot drift."""
+    seeds = (
+        df.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(k_cells)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in seeds]
+
+
+def _rank_probe_cells(centroids, query_vec, n_probe: int) -> list[int]:
+    """Cells ordered by centroid cosine to the query (driver-side
+    numpy over k_cells rows), deterministic tie-break on cell id."""
+    import numpy as np
+
+    c = np.array(centroids, dtype="float64")
+    c_norm = c / np.maximum(np.sqrt((c * c).sum(axis=1))[:, None], 1e-12)
+    q = np.array(query_vec, dtype="float64")
+    qn = q / max(float(np.sqrt((q * q).sum())), 1e-12)
+    sims = c_norm @ qn
+    return sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
+
+
 def ivf_assign_md5(
     df: DataFrame,
     k_cells: int = 16,
@@ -220,14 +250,7 @@ def ivf_assign_md5(
     with the smallest (md5(CAST(id AS STRING)), id) — the same uniform
     sample any SQL engine can reproduce; centroid index = that sort
     order. Used by the fully oracle-checked IVF variant."""
-    seeds = (
-        df.select(id_col, vec_col)
-        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h", id_col)
-        .limit(k_cells)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    centroids = _md5_seed_centroids(df, k_cells, vec_col, id_col)
     return _assign_cells(df, centroids, vec_col), centroids
 
 
@@ -297,24 +320,10 @@ def knn_ivf_lloyd(
     sample, run `iters` refinement rounds, then probe as usual. Tighter
     cells raise recall at the same n_probe (asserted vs the seed-only
     quantizer in tests)."""
-    import numpy as np
-
-    seeds = (
-        df.select(id_col, vec_col)
-        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h", id_col)
-        .limit(k_cells)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    centroids = _md5_seed_centroids(df, k_cells, vec_col, id_col)
     centroids = ivf_lloyd_refine(df, centroids, iters, vec_col)
     assigned = _assign_cells(df, centroids, vec_col)
-    c = np.array(centroids, dtype="float64")
-    c_norm = c / np.maximum(np.sqrt((c * c).sum(axis=1))[:, None], 1e-12)
-    q = np.array(query_vec, dtype="float64")
-    qn = q / max(float(np.sqrt((q * q).sum())), 1e-12)
-    sims = c_norm @ qn
-    probe_cells = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
+    probe_cells = _rank_probe_cells(centroids, query_vec, n_probe)
     cands = assigned.filter(F.col("cell").isin(probe_cells))
     return brute_force_topk(cands, query_vec, vec_col=vec_col, id_col=id_col, k=k)
 
@@ -451,17 +460,15 @@ def ivf_index_write(
     scan planner instead of a bespoke index reader."""
     from fuse_query_spark.sources.sinks import write_partitioned
 
-    seeds = (
-        df.select(id_col, vec_col)
-        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h", id_col)
-        .limit(k_cells)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    centroids = _md5_seed_centroids(df, k_cells, vec_col, id_col)
     centroids = ivf_lloyd_refine(df, centroids, iters, vec_col)
     assigned = _assign_cells(df, centroids, vec_col)
-    write_partitioned(assigned, f"{path}/vectors", partition_by=("cell",))
+    # STATIC overwrite: an index rebuild must drop cells that received
+    # no vectors this time — dynamic overwrite would leave last
+    # build's cell directory in place, silently serving stale rows
+    write_partitioned(
+        assigned, f"{path}/vectors", partition_by=("cell",), overwrite_mode="static"
+    )
     spark = df.sparkSession
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell INT, centroid ARRAY<DOUBLE>"
@@ -483,15 +490,9 @@ def ivf_index_search(
     (k_cells rows — driver-side numpy), then exact top-k inside the
     probed cells. The cell predicate prunes partitions at planning
     time (gated in tests): only the probed directories are listed."""
-    import numpy as np
-
     crows = spark.read.parquet(f"{path}/centroids").collect()
-    centroids = {r["cell"]: r["centroid"] for r in crows}
-    c = np.array([centroids[i] for i in sorted(centroids)], dtype="float64")
-    c_norm = c / np.maximum(np.sqrt((c * c).sum(axis=1))[:, None], 1e-12)
-    q = np.array(query_vec, dtype="float64")
-    qn = q / max(float(np.sqrt((q * q).sum())), 1e-12)
-    sims = c_norm @ qn
-    probe_cells = sorted(range(len(c)), key=lambda i: (-sims[i], i))[:n_probe]
+    by_cell = {r["cell"]: r["centroid"] for r in crows}
+    centroids = [by_cell[i] for i in sorted(by_cell)]
+    probe_cells = _rank_probe_cells(centroids, query_vec, n_probe)
     vectors = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probe_cells))
     return brute_force_topk(vectors, query_vec, vec_col=vec_col, id_col=id_col, k=k)

@@ -49,6 +49,7 @@ import threading
 import time
 from datetime import date, datetime, timezone
 
+from fuse_query_spark.servers.common import first_line
 from fuse_query_spark.servers.metrics import (
     METRIC_CLICKHOUSE_PROCESSOR_REQUEST_DURATION,
     METRIC_SESSION_CLOSE_NUMBERS,
@@ -73,12 +74,17 @@ SERVER_END_OF_STREAM = 5
 
 # revision feature gates (public protocol constants)
 MIN_REVISION_WITH_TEMPORARY_TABLES = 50264
+MIN_REVISION_WITH_TOTAL_ROWS_IN_PROGRESS = 51554
 MIN_REVISION_WITH_BLOCK_INFO = 51903
 MIN_REVISION_WITH_CLIENT_INFO = 54032
 MIN_REVISION_WITH_SERVER_TIMEZONE = 54058
 MIN_REVISION_WITH_QUOTA_KEY = 54060
 MIN_REVISION_WITH_SERVER_DISPLAY_NAME = 54372
 MIN_REVISION_WITH_VERSION_PATCH = 54401
+# written_rows/written_bytes join the Progress packet at 54420 — above
+# this server's 54405, so they are never sent at any negotiated
+# revision (clients gate their read on min(client, server) too)
+MIN_REVISION_WITH_CLIENT_WRITE_INFO = 54420
 
 # the reference's server identity (interactive_worker.rs:50-85)
 DBMS_NAME = "datafuse"
@@ -93,15 +99,7 @@ BLOCK_ROWS = 65536
 
 _EPOCH_DATE = date(1970, 1, 1)
 
-
-def _first_line(e: Exception) -> str:
-    """First NON-EMPTY line of the error — Spark ParseExceptions start
-    with a blank line, which would otherwise serialize as an empty
-    server-exception message."""
-    for line in str(e).splitlines():
-        if line.strip():
-            return line.strip()
-    return type(e).__name__
+_first_line = first_line  # shared wire-front error rendering
 
 # Spark simpleString -> (ClickHouse type name, value packer).
 # Packers receive a non-None python value and return bytes. Parity
@@ -116,17 +114,39 @@ def _pack_str(v) -> bytes:
 def _pack_date(v) -> bytes:
     if isinstance(v, datetime):
         v = v.date()
-    return struct.pack("<H", max(0, (v - _EPOCH_DATE).days) & 0xFFFF)
+    days = (v - _EPOCH_DATE).days
+    if not 0 <= days <= 0xFFFF:
+        # refuse rather than silently wrap/clamp — same contract as the
+        # unsupported-type path (a DB:Exception on the wire)
+        raise ValueError(f"Date out of ClickHouse Date range 1970..2149: {v}")
+    return struct.pack("<H", days)
 
 
 def _pack_datetime(v) -> bytes:
+    """TimestampType values are INSTANTS. PySpark's collect() renders
+    them as naive datetimes in the HOST-LOCAL zone (fromInternal uses
+    datetime.fromtimestamp — the session timeZone conf does not change
+    the Python conversion), so a naive value round-trips through
+    .timestamp(), which applies the same local interpretation."""
+    if isinstance(v, date) and not isinstance(v, datetime):
+        v = datetime(v.year, v.month, v.day)
+    epoch = int(v.timestamp())
+    if not 0 <= epoch <= 0xFFFFFFFF:
+        raise ValueError(f"Timestamp out of ClickHouse DateTime range 1970..2106: {v}")
+    return struct.pack("<I", epoch)
+
+
+def _pack_datetime_ntz(v) -> bytes:
+    """TIMESTAMP_NTZ is a wall clock without a zone; expose it on the
+    wire as that wall clock read in UTC (the server's declared tz)."""
     if isinstance(v, date) and not isinstance(v, datetime):
         v = datetime(v.year, v.month, v.day)
     if v.tzinfo is None:
-        # engine pins the session to UTC (session.tune); collected
-        # naive datetimes are UTC wall clock
         v = v.replace(tzinfo=timezone.utc)
-    return struct.pack("<I", max(0, int(v.timestamp())) & 0xFFFFFFFF)
+    epoch = int(v.timestamp())
+    if not 0 <= epoch <= 0xFFFFFFFF:
+        raise ValueError(f"Timestamp out of ClickHouse DateTime range 1970..2106: {v}")
+    return struct.pack("<I", epoch)
 
 
 _SPARK_TO_CH = {
@@ -140,7 +160,7 @@ _SPARK_TO_CH = {
     "boolean": ("UInt8", lambda v: struct.pack("<B", 1 if v else 0)),
     "date": ("Date", _pack_date),
     "timestamp": ("DateTime", _pack_datetime),
-    "timestamp_ntz": ("DateTime", _pack_datetime),
+    "timestamp_ntz": ("DateTime", _pack_datetime_ntz),
 }
 
 def _ch_type_of(spark_simple: str):
@@ -248,17 +268,22 @@ class _CHConn:
         # total_rows pinned to 0
         out = _varint(SERVER_PROGRESS) + _varint(rows) + _varint(nbytes)
         rev = min(self.client_revision, SERVER_REVISION)
-        if rev >= MIN_REVISION_WITH_SERVER_TIMEZONE:
+        if rev >= MIN_REVISION_WITH_TOTAL_ROWS_IN_PROGRESS:
             out += _varint(0)  # total_rows
+        if rev >= MIN_REVISION_WITH_CLIENT_WRITE_INFO:  # unreachable at 54405
+            out += _varint(0) + _varint(0)  # written_rows, written_bytes
         self._send(out)
 
     def send_end_of_stream(self) -> None:
         self._send(_varint(SERVER_END_OF_STREAM))
 
-    def send_block(self, columns: list[tuple[str, str, bool]], rows, lo: int, hi: int) -> None:
-        """One server Data packet. columns: (name, ch_type, nullable);
-        rows[lo:hi] is the slice to encode (lo == hi -> header block,
-        query_writer.rs:99-104 sends the empty schema block first)."""
+    def send_block(self, columns: list[tuple[str, str, bool, object]], rows, lo: int, hi: int) -> None:
+        """One server Data packet. columns: (name, ch_type, nullable,
+        packer) — the packer travels with the column because one CH
+        type name can have two encodings (DateTime from timestamp vs
+        timestamp_ntz). rows[lo:hi] is the slice to encode (lo == hi
+        -> header block, query_writer.rs:99-104 sends the empty schema
+        block first)."""
         rev = min(self.client_revision, SERVER_REVISION)
         out = bytearray(_varint(SERVER_DATA))
         if rev >= MIN_REVISION_WITH_TEMPORARY_TABLES:
@@ -268,10 +293,9 @@ class _CHConn:
             out += _varint(1) + b"\x00" + _varint(2) + struct.pack("<i", -1) + _varint(0)
         n_rows = hi - lo
         out += _varint(len(columns)) + _varint(n_rows)
-        for ci, (name, ch_type, nullable) in enumerate(columns):
+        for ci, (name, ch_type, nullable, pack) in enumerate(columns):
             out += _chstring(name)
             out += _chstring(f"Nullable({ch_type})" if nullable else ch_type)
-            pack = _PACKERS[ch_type]
             if nullable:
                 # Nullable(T): null mask first, then values with zero
                 # placeholders in null slots
@@ -499,24 +523,28 @@ class _CHConn:
                 if mapped is None:
                     # query_writer.rs:165-169 verbatim behavior
                     raise ValueError(f"Unsupported column type:{st}")
-                columns.append((f.name, mapped[0], bool(f.nullable)))
+                columns.append((f.name, mapped[0], bool(f.nullable), mapped[1]))
         except ValueError as e:
             self.send_exception(str(e))
             return
         # header block (schema, zero rows), then data in BLOCK_ROWS chunks
-        self.send_block(columns, rows, 0, 0)
-        sent = 0
-        while sent < len(rows):
-            if self._cancel_requested():
-                break
-            hi = min(sent + BLOCK_ROWS, len(rows))
-            self.send_block(columns, rows, sent, hi)
-            sent = hi
+        try:
+            self.send_block(columns, rows, 0, 0)
+            sent = 0
+            while sent < len(rows):
+                if self._cancel_requested():
+                    break
+                hi = min(sent + BLOCK_ROWS, len(rows))
+                self.send_block(columns, rows, sent, hi)
+                sent = hi
+        except ValueError as e:
+            # out-of-range Date/DateTime mid-stream: the protocol
+            # permits an Exception packet after data blocks; refuse
+            # loudly instead of wrapping values silently
+            self.send_exception(_first_line(e))
+            return
         self.send_progress(len(rows), 0)
         self.send_end_of_stream()
-
-
-_PACKERS = {ch: pack for (ch, pack) in _SPARK_TO_CH.values()}
 
 
 class ClickHouseServer:

@@ -32,6 +32,7 @@ import threading
 import time
 from datetime import date, datetime
 
+from fuse_query_spark.servers.common import first_line
 from fuse_query_spark.servers.metrics import (
     METRIC_MYSQL_PROCESSOR_REQUEST_DURATION,
     METRIC_SESSION_CLOSE_NUMBERS,
@@ -245,10 +246,7 @@ class _Conn:
             # DataFrame collected here would escape all three.
             df, rows = self.engine.sql_collect(sql)
         except Exception as e:
-            # first NON-EMPTY line: Spark ParseExceptions lead with a
-            # blank line, which would serialize as an empty ERR message
-            msg = next((l.strip() for l in str(e).splitlines() if l.strip()), type(e).__name__)
-            self.send_err(msg)
+            self.send_err(first_line(e))
             return
         if df is None or rows is None or init_db:
             self.send_ok()

@@ -31,12 +31,21 @@ def write_partitioned(
     partition_by: tuple[str, ...] = ("source",),
     mode: str = "overwrite",
     max_records_per_file: int = 5_000_000,
+    overwrite_mode: str = "dynamic",
 ) -> None:
     """Hive-layout partitioned parquet write (path/col=value/part-*).
-    Dynamic overwrite: only partitions present in `df` are replaced."""
+
+    overwrite_mode picks the overwrite contract and the choice is
+    semantic, not cosmetic:
+    - "dynamic" (default): only partitions PRESENT in `df` are
+      replaced — the idempotent incremental/daily-rerun story.
+    - "static": the whole layout is replaced — required for full
+      REBUILDS, where a partition that received no rows this time
+      must disappear (dynamic would leave its stale directory
+      behind, silently serving last build's rows)."""
     (
         df.write.mode(mode)
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode", overwrite_mode)
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_by)
         .parquet(path)

@@ -178,7 +178,7 @@ class MiniCHClient:
                 return columns, rows, progresses, (code, name, message)
             if ptype == 3:  # Progress
                 p_rows, p_bytes = self._varint(), self._varint()
-                total = self._varint() if min(self.revision, 54405) >= 54058 else 0
+                total = self._varint() if min(self.revision, 54405) >= 51554 else 0
                 progresses.append((p_rows, p_bytes, total))
                 continue
             assert ptype == 1, f"unexpected packet {ptype}"
@@ -387,3 +387,12 @@ def test_older_client_revision_negotiates_down(ch_port):
         assert len(rows) == 3
     finally:
         c.close()
+
+
+def test_out_of_range_date_is_refused_not_wrapped(client):
+    """A pre-1970 date must produce a DB:Exception, not silently clamp
+    to the epoch (and post-2149 must not wrap modulo 65536 days)."""
+    _, _, _, exc = client.query("SELECT CAST('1960-01-01' AS DATE) AS d")
+    assert exc is not None and "range" in exc[2]
+    _, _, _, exc = client.query("SELECT CAST('2200-01-01' AS DATE) AS d")
+    assert exc is not None and "range" in exc[2]

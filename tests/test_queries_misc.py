@@ -88,3 +88,32 @@ def test_driver_priority_covers_every_component():
     dreg = driver_registry()
     assert list(dreg)[:50] == DRIVER_PRIORITY
     assert set(dreg) == set(reg) - DRIVER_HIDDEN
+
+
+def test_repetition_metrics_degenerate_docs(spark):
+    """A doc of one repeated token is maximal on both metrics; a doc
+    of all-distinct tokens is zero on both."""
+    from fuse_query_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "a b c d e f g h i j")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert r1["dup_token_frac"] == 1 - 1 / 5
+    assert r1["top_bigram"] == "spam spam" and r1["top_bigram_n"] == 4
+    assert r1["top_bigram_frac"] == 1.0 and bool(r1["repetition_flag"])
+    assert r2["dup_token_frac"] == 0.0
+    assert r2["top_bigram_frac"] == 1 / 9  # every bigram count 1 of 9
+    assert not r2["repetition_flag"]
+
+
+def test_repetition_top_bigram_tiebreak_is_lexicographic(spark):
+    from fuse_query_spark.operators.text import repetition_metrics
+
+    # "b a b" and "a b a": both have two bigrams each with count 1;
+    # the lexicographically smallest must win deterministically
+    df = spark.createDataFrame([(1, "b a b"), (2, "c a c")], "doc_id LONG, text STRING")
+    rows = {r["doc_id"]: r["top_bigram"] for r in repetition_metrics(df).collect()}
+    assert rows[1] == "a b" and rows[2] == "a c"
