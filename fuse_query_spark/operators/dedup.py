@@ -291,3 +291,49 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact duplicated-substring detection, k-gram formulation (the
+    scalable core of "Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2021 — their suffix array finds
+    duplicated spans >= k tokens; a span is duplicated iff every one
+    of its k-grams is, so the k-gram occurrence counts are the
+    distributable form). Per doc: how many token positions start a
+    k-gram that occurs >= 2 times in the CORPUS (within-doc repeats
+    count, as in the paper), the fraction, and the distinct such
+    k-grams.
+
+    Plan: one explode of the k-gram multiset (multiplicity matters —
+    ngrams_from_tokens, not the distinct shingles), hashed to
+    xxhash64 longs for narrow shuffles; per-(doc, gram) counts; a
+    per-gram global-count aggregate joined back on the hash; one
+    final per-doc aggregate. All keys uniform — no skew; nothing on
+    the driver. The DuckDB oracle recomputes it on raw gram STRINGS,
+    so the hash path is independently cross-checked."""
+    from fuse_query_spark.operators.text import ngrams_from_tokens
+
+    tok = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    tok = _spread(tok, "_id")
+    g = tok.select(
+        "_id", F.explode(ngrams_from_tokens(F.col("_toks"), k)).alias("_g")
+    ).select("_id", F.xxhash64("_g").alias("_h"))
+    per_doc = g.groupBy("_id", "_h").agg(F.count(F.lit(1)).alias("_c"))
+    totals = per_doc.groupBy("_h").agg(F.sum("_c").alias("_t"))
+    dup = F.when(F.col("_t") >= 2, F.col("_c")).otherwise(F.lit(0))
+    return (
+        per_doc.join(totals, "_h")
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_grams"),
+            F.sum(dup).cast("bigint").alias("dup_positions"),
+            (F.sum(dup).cast("double") / F.sum("_c")).alias("dup_fraction"),
+            F.sum((F.col("_t") >= 2).cast("int")).cast("bigint").alias("distinct_dup_grams"),
+        )
+        .select(F.col("_id").alias(id_col), "n_grams", "dup_positions", "dup_fraction", "distinct_dup_grams")
+    )

@@ -252,3 +252,39 @@ def dedup_exact_retention(spark, sf_dir):
         F.countDistinct(fp).alias("n_unique"),
         (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_removed"),
     )
+
+
+@register(
+    "dedup_duplicated_spans",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len({_TOKS}) - 2),
+                      i -> list_aggregate({_TOKS}[i+1:i+3], 'string_agg', ' ')))
+                   AS gram
+        FROM documents
+    ), per_doc AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+    ), tot AS (
+        SELECT gram, SUM(c) AS t FROM per_doc GROUP BY gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN t >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_positions,
+           CAST(SUM(CASE WHEN t >= 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+               AS dup_fraction,
+           CAST(SUM(CASE WHEN t >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS distinct_dup_grams
+    FROM per_doc JOIN tot USING (gram)
+    GROUP BY doc_id
+    """,
+    tags=("pipeline", "dedup", "substring"),
+)
+def dedup_duplicated_spans(spark, sf_dir):
+    """Exact duplicated-substring metrics (Lee et al. 2021, k-gram
+    form, k=3): per doc, the positions starting a corpus-duplicated
+    k-gram, their fraction, and the distinct duplicated k-grams. See
+    operators/dedup.py:duplicated_spans for the plan/scale notes."""
+    from fuse_query_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(table(spark, sf_dir, "documents"), k=3)
