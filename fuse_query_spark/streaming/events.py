@@ -168,3 +168,31 @@ def funnel_join_stream(
             f"AND click_ts > purchase_ts - interval {lookback}"
         ),
     )
+
+
+def stream_to_partitioned_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] = ("event_type",),
+    timeout_sec: int = 120,
+) -> None:
+    """Stream into a hive-partitioned parquet sink with EXACTLY-ONCE
+    file semantics: the checkpoint's write-ahead log + the sink's
+    _spark_metadata transaction log mean a restart (same checkpoint)
+    re-emits nothing, and readers only see committed files. This is
+    the landing-zone topology of a 100 TB ingest: partition columns
+    route (low cardinality), downstream batch reads partition-prune,
+    and a crashed run resumes idempotently. availableNow drains the
+    backlog and stops — the batch-refresh pattern; drop the trigger
+    for continuous ingest."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_by)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

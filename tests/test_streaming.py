@@ -147,3 +147,27 @@ def test_funnel_stream_join_matches_batch_pairs(spark, sf_dir, events_dir):
         ).collect()
     }
     assert got == want and want, f"stream={len(got)} batch={len(want)}"
+
+
+def test_stream_to_partitioned_parquet_exactly_once(spark, sf_dir, events_dir, tmp_path):
+    """File sink + checkpoint = exactly-once: a second run over the
+    same source with the same checkpoint must add NOTHING, and the
+    layout must partition-prune on read."""
+    from fuse_query_spark.streaming.events import stream_to_partitioned_parquet
+
+    out, ckpt = str(tmp_path / "landed"), str(tmp_path / "ckpt")
+    stream_to_partitioned_parquet(read_events_stream(spark, events_dir), out, ckpt)
+    n_src = table(spark, sf_dir, "events").count()
+    landed = spark.read.parquet(out)
+    assert landed.count() == n_src
+
+    # idempotent restart: same checkpoint, no new source files
+    stream_to_partitioned_parquet(read_events_stream(spark, events_dir), out, ckpt)
+    assert spark.read.parquet(out).count() == n_src
+
+    pruned = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "click" in plan
+    assert pruned.count() == table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).count()
