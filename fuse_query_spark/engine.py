@@ -478,6 +478,7 @@ class Engine:
             "contributors": lambda: systbl.contributors_table(self.spark),
             "clusters": lambda: systbl.clusters_table(self.spark, self.cluster),
             "tracing": lambda: systbl.tracing_table(self.spark, self._trace),
+            "metrics": lambda: systbl.metrics_table(self.spark),
         }
         if name not in factories:
             raise UnknownTable(f"Unknown system table: '{name}'")

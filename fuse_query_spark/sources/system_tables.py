@@ -140,6 +140,25 @@ def tracing_table(spark: SparkSession, records=None) -> DataFrame:
     )
 
 
+def metrics_table(spark: SparkSession) -> DataFrame:
+    """system.metrics: (metric, value) — the SQL view of the
+    process-wide metrics registry the wire servers record into
+    (servers/metrics.py; the reference exposes the same counters only
+    through its Prometheus endpoint, metric_service.rs:73-87 — a SQL
+    surface for them is the natural system-table extension).
+    Histograms surface as <name>_sum / <name>_count rows."""
+    from fuse_query_spark.servers.metrics import METRICS
+
+    with METRICS._lock:
+        rows = [(k, float(v)) for k, v in METRICS._counters.items()]
+        for k, h in METRICS._hists.items():
+            rows.append((f"{k}_sum", float(h["sum"])))
+            rows.append((f"{k}_count", float(h["count"])))
+    return spark.createDataFrame(
+        sorted(rows) or [("", 0.0)], "metric STRING, value DOUBLE"
+    ).filter("metric != ''")
+
+
 SYSTEM_TABLE_NAMES = (
     "tables",
     "databases",
@@ -150,4 +169,5 @@ SYSTEM_TABLE_NAMES = (
     "contributors",
     "clusters",
     "tracing",
+    "metrics",
 )

@@ -98,3 +98,22 @@ class TestWireServersRecord:
         assert h1.get("clickhouse.process_request_duration", 0) > h0.get(
             "clickhouse.process_request_duration", 0
         )
+
+
+class TestSystemMetricsTable:
+    def test_select_from_system_metrics(self, spark):
+        from fuse_query_spark.engine import Engine
+        from fuse_query_spark.servers.metrics import METRICS
+
+        METRICS.counter("session.connect_numbers")
+        METRICS.observe("mysql.process_request_duration", 0.01)
+        engine = Engine(spark)
+        df, rows = engine.sql_collect("SELECT metric, value FROM system.metrics")
+        got = {r["metric"]: r["value"] for r in rows}
+        assert got.get("session.connect_numbers", 0) >= 1
+        assert got.get("mysql.process_request_duration_count", 0) >= 1
+        # registered in the system catalog too
+        df, rows = engine.sql_collect(
+            "SELECT name FROM system.tables WHERE database = 'system'"
+        )
+        assert any(r["name"] == "metrics" for r in rows)
