@@ -203,3 +203,51 @@ def json_engine_scan(spark, sf_dir):
     path = os.path.join(_fixture_dir(), "sample.jsonl")
     df = spark.read.schema("id INT, name STRING, tags ARRAY<STRING>").json(path)
     return df.select("id", "name", F.size("tags").alias("n_tags")).orderBy("id")
+
+
+@register(
+    "recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '2001-08-01'
+    )
+    SELECT m AS month_start,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE)
+               AS sum_total
+    FROM months
+    LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+    GROUP BY m
+    """,
+    tags=("recursive", "calendar", "join"),
+)
+def recursive_month_spine(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE) generating the monthly
+    calendar spine across the order-date range, LEFT-joined to orders
+    so empty months survive with zero counts — the classic warehouse
+    gap-filling pattern, impossible without recursion or a generator.
+    The recursion itself is ~80 driver-side rows (UnionLoop); the
+    spine then BROADCASTS onto the orders aggregate, so the fact side
+    still does one scan + one partial/final agg at any scale. The
+    reference has no recursion (SURVEY §2 — SELECT pipeline only);
+    capability-superset entry."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_rms_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT add_months(m, 1) FROM months WHERE m < DATE '2001-08-01'
+        )
+        SELECT m AS month_start,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))),
+                             CAST(0 AS DECIMAL(14,2))) AS DOUBLE) AS sum_total
+        FROM months
+        LEFT JOIN _rms_orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+        """
+    )

@@ -175,3 +175,50 @@ def grouping_sets_disjoint(spark, sf_dir):
             F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "setop_except_intersect_all",
+    oracle="""
+    WITH h1 AS (
+        SELECT o_orderpriority AS p FROM orders
+    ), h2 AS (
+        SELECT o_orderpriority AS p FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT 'except_all' AS op, p, COUNT(*) AS n
+    FROM (SELECT p FROM h1 EXCEPT ALL SELECT p FROM h2) GROUP BY p
+    UNION ALL
+    SELECT 'intersect_all' AS op, p, COUNT(*) AS n
+    FROM (SELECT p FROM h1 INTERSECT ALL SELECT p FROM h2) GROUP BY p
+    """,
+    tags=("setop", "multiset"),
+)
+def setop_except_intersect_all(spark, sf_dir):
+    """EXCEPT ALL / INTERSECT ALL — MULTISET semantics (the distinct
+    variants kill duplicate counts; the ALL forms subtract/min them):
+    all orders EXCEPT ALL / INTERSECT ALL the 1997+ tail, aggregated
+    so the result is hash-stable — except_all counts the pre-1997
+    multiset remainder, intersect_all the common multiplicities; both
+    sides non-empty by construction. Spark plans both as a single aggregate computing
+    per-key counts on each side then replicating rows max(n1-n2, 0) /
+    min(n1, n2) times — one shuffle per setop, no join. The reference
+    errors on set ops (SURVEY §2.7) — capability superset."""
+    o = table(spark, sf_dir, "orders")
+    h1 = o.select(F.col("o_orderpriority").alias("p"))
+    h2 = o.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_orderpriority").alias("p"))
+    exc = (
+        h1.exceptAll(h2)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "p", "n")
+    )
+    inter = (
+        h1.intersectAll(h2)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "p", "n")
+    )
+    return exc.unionAll(inter)
