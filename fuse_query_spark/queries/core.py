@@ -614,3 +614,32 @@ def expr_projection(spark, sf_dir):
         (F.col("l_quantity") >= 25).alias("is_big"),
         F.col("l_shipdate").cast("date").alias("ship_day"),
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90,
+           ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS q1_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "percentile"),
+)
+def agg_percentiles(spark, sf_dir):
+    """EXACT interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`: sort, index (n-1)*q, linear interpolation).
+    Rounded to 4 decimals on BOTH engines: the interpolation's float
+    op ORDER differs between implementations, so the last ulp can
+    disagree while the value is identical to 1e-10. Exact percentile
+    is a full sort per group — at extreme scale switch to
+    approx_percentile (t-digest, agg_approx shows the pattern); this
+    entry pins the exact semantics."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile(F.col("l_quantity").cast("double"), F.lit(0.25)), 4).alias("q1_qty"),
+    )
