@@ -643,3 +643,45 @@ def agg_percentiles(spark, sf_dir):
         F.round(F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile(F.col("l_quantity").cast("double"), F.lit(0.25)), 4).alias("q1_qty"),
     )
+
+
+@register(
+    "expr_string_surface",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up,
+           replace(p_name, ' ', '_') AS underscored,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS masked,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CAST(LENGTH(p_name) AS INT) AS len,
+           LPAD(p_brand, 10, '.') AS padded,
+           CAST(strpos(p_name, 'e') AS INT) AS first_e
+    FROM part
+    ORDER BY p_partkey
+    LIMIT 500
+    """,
+    tags=("expression", "string"),
+)
+def expr_string_surface(spark, sf_dir):
+    """String-function surface: case, replace, global regexp_replace
+    (Spark replaces all matches by default; DuckDB needs the 'g'
+    flag — a classic cross-engine trap), group-1 regexp_extract,
+    length, lpad, 1-based first-occurrence position (instr/strpos).
+    Patterns stick to simple character classes so Java regex and
+    DuckDB's RE2 agree. Pure codegen projection — scan-speed at any
+    scale; the LIMIT keeps the oracle hash small."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("underscored"),
+            F.regexp_replace("p_name", "[aeiou]", "*").alias("masked"),
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+            F.length("p_name").cast("int").alias("len"),
+            F.lpad("p_brand", 10, ".").alias("padded"),
+            F.instr("p_name", "e").cast("int").alias("first_e"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
