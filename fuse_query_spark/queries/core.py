@@ -685,3 +685,89 @@ def expr_string_surface(spark, sf_dir):
         .orderBy("p_partkey")
         .limit(500)
     )
+
+
+@register(
+    "expr_datetime_surface",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dw,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS INT) AS days_since_epoch_start
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 1000
+    """,
+    tags=("expression", "datetime"),
+)
+def expr_datetime_surface(spark, sf_dir):
+    """Datetime-function surface: field extraction, ISO weekday
+    (Spark's dayofweek is 1=SUNDAY while DuckDB's isodow is
+    1=Monday — the classic off-by-locale trap; weekday()+1 IS isodow),
+    month-end, date arithmetic, day difference. All integer/date
+    valued — no float anywhere — so the comparison is exact."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("int").alias("d"),
+            (F.weekday("o_orderdate") + F.lit(1)).cast("int").alias("iso_dw"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            ).cast("int").alias("days_since_epoch_start"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@register(
+    "expr_array_surface",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           ROUND(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), 'sum'), 4) AS sum_val,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+           list_contains(list_transform(embedding, x -> x > 0), true) AS has_pos
+    FROM embeddings
+    ORDER BY vec_id
+    LIMIT 1000
+    """,
+    tags=("expression", "array"),
+)
+def expr_array_surface(spark, sf_dir):
+    """Array-function surface over the embedding column: length,
+    1-based element access (element_at == DuckDB's [1]), a
+    left-to-right fold sum (same evaluation order on both engines,
+    rounded for the widening difference), max, and an existential
+    predicate. All JVM-side higher-order functions — no UDF."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").cast("int").alias("dim"),
+            F.round(F.element_at(v, 1), 4).alias("first_val"),
+            F.round(
+                F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 4
+            ).alias("sum_val"),
+            F.round(F.array_max("embedding").cast("double"), 4).alias("max_val"),
+            F.exists("embedding", lambda x: x > 0).alias("has_pos"),
+        )
+        .orderBy("vec_id")
+        .limit(1000)
+    )
