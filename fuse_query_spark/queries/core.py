@@ -771,3 +771,48 @@ def expr_array_surface(spark, sf_dir):
         .orderBy("vec_id")
         .limit(1000)
     )
+
+
+@register(
+    "expr_null_semantics",
+    oracle="""
+    SELECT doc_id,
+           NULLIF(lang, 'en') AS lang_or_null,
+           COALESCE(NULLIF(lang, 'en'), 'english') AS coalesced,
+           CASE WHEN n_chars > 300 THEN 'long'
+                WHEN n_chars > 150 THEN 'mid'
+                ELSE 'short' END AS bucket,
+           GREATEST(n_chars, 200) AS floored,
+           LEAST(n_chars, 200) AS capped,
+           (NULLIF(lang, 'en') IS NOT DISTINCT FROM NULL) AS is_en
+    FROM documents
+    ORDER BY lang_or_null NULLS FIRST, doc_id
+    LIMIT 300
+    """,
+    tags=("expression", "null", "sort"),
+)
+def expr_null_semantics(spark, sf_dir):
+    """NULL semantics surface: NULLIF/COALESCE/CASE/GREATEST/LEAST,
+    null-safe equality (<=> == IS NOT DISTINCT FROM), and an EXPLICIT
+    NULLS FIRST sort — load-bearing because the engines' defaults
+    DISAGREE (Spark ascending sorts NULLS FIRST, DuckDB NULLS LAST):
+    any ORDER BY on a nullable key must pin the placement or the
+    same query returns different prefixes under LIMIT."""
+    d = table(spark, sf_dir, "documents")
+    lang_or_null = F.nullif(F.col("lang"), F.lit("en"))
+    return (
+        d.select(
+            "doc_id",
+            lang_or_null.alias("lang_or_null"),
+            F.coalesce(lang_or_null, F.lit("english")).alias("coalesced"),
+            F.when(F.col("n_chars") > 300, "long")
+            .when(F.col("n_chars") > 150, "mid")
+            .otherwise("short")
+            .alias("bucket"),
+            F.greatest("n_chars", F.lit(200)).alias("floored"),
+            F.least("n_chars", F.lit(200)).alias("capped"),
+            lang_or_null.eqNullSafe(F.lit(None)).alias("is_en"),
+        )
+        .orderBy(F.col("lang_or_null").asc_nulls_first(), "doc_id")
+        .limit(300)
+    )
