@@ -337,3 +337,41 @@ def duplicated_spans(
         )
         .select(F.col("_id").alias(id_col), "n_grams", "dup_positions", "dup_fraction", "distinct_dup_grams")
     )
+
+
+def lsh_cross_candidate_pairs_md5(
+    sigs_new: DataFrame,
+    sigs_base: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-corpus LSH banding: candidates are (new, base) pairs
+    sharing any band hash — the production dedup flow (dedup a NEW
+    crawl against the EXISTING corpus) rather than a self-join. Same
+    bucket-join shape: each side explodes to (band, band_hash, id)
+    rows and the join key is the bucket, never all-pairs; the base
+    side's banded form is exactly what a standing corpus would keep
+    materialized between crawls. Returns distinct (id_new, id_base)."""
+    r = k // bands
+
+    def banded(sigs: DataFrame, out: str) -> DataFrame:
+        rows = []
+        for b in range(bands):
+            cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+            rows.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *cols)).alias("bh"),
+                    F.col(id_col).alias(out),
+                )
+            )
+        return sigs.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+    a = banded(sigs_new, "id_new")
+    b = banded(sigs_base, "id_base")
+    return (
+        a.join(b, ["band", "bh"])
+        .select("id_new", "id_base")
+        .distinct()
+    )

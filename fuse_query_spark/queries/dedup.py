@@ -288,3 +288,64 @@ def dedup_duplicated_spans(spark, sf_dir):
     from fuse_query_spark.operators.dedup import duplicated_spans
 
     return duplicated_spans(table(spark, sf_dir, "documents"), k=3)
+
+
+def _md5_minhash_cross_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(s || '|{i}')), 'min') AS mh{i}"
+        for i in range(k)
+    )
+    r = k // bands
+    band_cols = ", ".join(
+        "md5({}) AS b{}".format(" || '|' || ".join(f"mh{b * r + j}" for j in range(r)), b)
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH t AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM documents),
+    mh AS (SELECT doc_id, source, {mh_cols} FROM t),
+    bn AS (SELECT doc_id, {band_cols} FROM mh WHERE source IN ('src0', 'src1')),
+    bb AS (SELECT doc_id, {band_cols} FROM mh WHERE source NOT IN ('src0', 'src1')),
+    cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_base
+             FROM bn a JOIN bb b ON ({band_match}))
+    SELECT c.id_new, c.id_base,
+           len(list_intersect(ta.sh, tb.sh))
+             / greatest(len(list_distinct(list_concat(ta.sh, tb.sh))), 1) AS jaccard
+    FROM cand c
+    JOIN t ta ON ta.doc_id = c.id_new
+    JOIN t tb ON tb.doc_id = c.id_base
+    WHERE len(list_intersect(ta.sh, tb.sh))
+            / greatest(len(list_distinct(list_concat(ta.sh, tb.sh))), 1) >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash_cross_corpus",
+    oracle=_md5_minhash_cross_oracle(),
+    tags=("dedup", "minhash", "lsh", "cross_corpus", "portable"),
+)
+def dedup_minhash_cross_corpus(spark, sf_dir):
+    """Cross-corpus near-dedup — the production flow: a NEW slice
+    (sources src0/src1) deduped against the EXISTING corpus (the
+    rest), not a self-join. MinHash signatures per side, banded
+    bucket join between them, exact Jaccard on candidates only. At
+    100 TB the base side's banded signatures are the standing index a
+    crawler keeps between runs; per-crawl cost is the new side's
+    signatures + one bucket join. Fully oracle-checked via the md5
+    permutation variant."""
+    from fuse_query_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_cross_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    new = d.filter(F.col("source").isin("src0", "src1"))
+    base = d.filter(~F.col("source").isin("src0", "src1"))
+    pairs = lsh_cross_candidate_pairs_md5(
+        minhash_signatures_md5(new, k=8), minhash_signatures_md5(base, k=8), k=8, bands=4
+    ).select(F.col("id_new").alias("id_a"), F.col("id_base").alias("id_b"))
+    verified = jaccard_verify(d, pairs, threshold=0.2)
+    return verified.select(
+        F.col("id_a").alias("id_new"), F.col("id_b").alias("id_base"), "jaccard"
+    )
