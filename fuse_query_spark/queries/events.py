@@ -225,3 +225,47 @@ def events_funnel_attribution(spark, sf_dir):
             (F.unix_micros(F.max("c_ts"))).alias("last_click_us"),
         )
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM firsts JOIN active USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen week,
+    counted in each later active week — the canonical product-
+    analytics shape. Both week truncations are Monday-based on both
+    engines; the offset divides an exact multiple of 7 days, so
+    everything is integer-exact. Plan: one aggregate for first-seen,
+    one distinct for activity, an equi-join on user_id (uniform key),
+    and a tiny final group-by — the join is the only real shuffle and
+    AQE sizes it; at 100 TB firsts is #users rows, far below the
+    activity fact."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    active = e.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+    return (
+        firsts.join(active, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("week").cast("date"), F.col("cohort_week").cast("date")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
