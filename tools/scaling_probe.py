@@ -77,10 +77,15 @@ def probe_ops(spark, docs):
 
 
 def main():
-    rs = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    rs = [int(a) for a in sys.argv[1:]] or [4, 16, 64]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scaling-probe")
     base = table(spark, sf_dir, "documents")
+    # warm-up: run every operator once at R=1 so codegen compilation
+    # and shuffle-service spin-up don't pollute the smallest R's time
+    warm = replicated(base, 1)
+    for build in probe_ops(spark, warm).values():
+        build().write.format("noop").mode("overwrite").save()
     results: dict[str, dict[int, float]] = {}
     for r in rs:
         docs = replicated(base, r)
@@ -91,12 +96,15 @@ def main():
             dt = round(time.monotonic() - t0, 3)
             results.setdefault(name, {})[r] = dt
             print(json.dumps({"op": name, "replication": r, "sec": dt}), flush=True)
-    summary = {}
-    rmax = max(rs)
+    # slope between consecutive Rs: t(Rb)/t(Ra) / (Rb/Ra); 1.0 = linear
+    slopes = {}
     for name, times in results.items():
-        if 1 in times and rmax in times and times[1] > 0:
-            summary[name] = round(times[rmax] / times[1] / rmax, 3)
-    print(json.dumps({"slope_vs_linear": summary, "rows_base": base.count(), "r_max": rmax}))
+        pairs = {}
+        for ra, rb in zip(rs, rs[1:]):
+            if times.get(ra, 0) > 0:
+                pairs[f"{ra}->{rb}"] = round(times[rb] / times[ra] / (rb / ra), 3)
+        slopes[name] = pairs
+    print(json.dumps({"slope_vs_linear": slopes, "rows_base": base.count(), "rs": rs}))
 
 
 if __name__ == "__main__":
