@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this
-container): `decode_image_meta` produces deterministic fake metadata
-derived from the bytes, and `decode_image_pixels` raises
-NotImplementedError with the exact integration point documented. The
-Spark-side contract — schema, batch iterator signature, partitioning —
-is real and tested (tests/test_multimodal.py).
+The metadata path is a REAL container-header decoder for four image
+formats whose headers are pure struct/ascii parsing (PPM P6, PNG,
+GIF87a/89a, BMP) — no image library needed; unrecognized bytes fall
+back to deterministic byte-derived pseudo-metadata (format
+'fake/binary'), which is also what the text-derived test blobs hit.
+Pixel decode is REAL for PPM (raw RGB, no codec); compressed codecs
+(PNG/JPEG deflate/DCT) genuinely need a library absent from this
+container and raise NotImplementedError with the integration point
+documented. Frame sampling is REAL over the concatenated-P6 toy video
+container synthesized here (parse frame boundaries, emit every Nth).
 
 Scale notes: mapInPandas streams Arrow batches; binary payloads never
 materialize on the driver. Partition sizing for blob columns should be
@@ -17,6 +21,8 @@ for byte size at the parquet scan).
 from __future__ import annotations
 
 import hashlib
+import re
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,54 +31,165 @@ from pyspark.sql import functions as F
 
 BLOB_META_SCHEMA = "doc_id LONG, n_bytes INT, checksum STRING, width INT, height INT, format STRING"
 
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def parse_image_header(b: bytes) -> tuple[int, int, str] | None:
+    """(width, height, format) from the container header, or None.
+    All four formats store dimensions in the first bytes: PPM as
+    ascii, PNG big-endian in IHDR, GIF/BMP little-endian."""
+    if b[:2] == b"P6":
+        m = _PPM_HEADER.match(b)
+        if m:
+            return int(m.group(1)), int(m.group(2)), "image/ppm"
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h, "image/png"
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h, "image/gif"
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return w, abs(h), "image/bmp"  # negative h = top-down BMP
+    return None
+
 
 def synthesize_blobs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic fake binary column (UTF-8 bytes of the text) —
-    stands in for real image/audio payloads in tests."""
+    exercises the unknown-format fallback path."""
     return df.select(id_col, F.encode(F.col(text_col), "UTF-8").alias("content"))
 
 
+def _ppm_bytes(doc_id: int) -> bytes:
+    """A real, valid P6 image, fully determined by doc_id: dims from
+    the id, pixels from an md5 keystream."""
+    w, h = 4 + doc_id % 13, 4 + doc_id % 11
+    need = w * h * 3
+    out = bytearray()
+    i = 0
+    while len(out) < need:
+        out += hashlib.md5(f"{doc_id}:{i}".encode()).digest()
+        i += 1
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(out[:need])
+
+
+def synthesize_ppm_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real P6 images per row (deterministic), via mapInPandas."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "content": pdf[id_col].map(_ppm_bytes)}
+            )
+
+    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+
+
 def decode_image_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Extract per-blob metadata via mapInPandas (Arrow batches).
+    """Per-blob metadata via mapInPandas (Arrow batches): REAL header
+    parsing for PPM/PNG/GIF/BMP; unknown formats get deterministic
+    byte-derived pseudo-dimensions and format 'fake/binary' (the
+    documented fallback the text-derived test blobs exercise)."""
 
-    STUB: width/height are deterministic functions of the byte length;
-    a real deployment replaces `_fake_meta` with PIL/libvips decode of
-    `row.content` — the batch shape and output schema stay identical.
-    """
-
-    def _fake_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = pdf["content"].map(len)
+            parsed = pdf["content"].map(parse_image_header)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": n.astype("int32"),
                     "checksum": pdf["content"].map(lambda b: hashlib.md5(b).hexdigest()),
-                    # deterministic fake dimensions (real impl: decoded size)
-                    "width": (n % 640 + 1).astype("int32"),
-                    "height": (n % 480 + 1).astype("int32"),
-                    "format": "fake/binary",
+                    "width": [
+                        p[0] if p else ln % 640 + 1 for p, ln in zip(parsed, n)
+                    ],
+                    "height": [
+                        p[1] if p else ln % 480 + 1 for p, ln in zip(parsed, n)
+                    ],
+                    "format": [p[2] if p else "fake/binary" for p in parsed],
+                }
+            ).astype({"width": "int32", "height": "int32"})
+
+    return blobs.mapInPandas(_meta, BLOB_META_SCHEMA)
+
+
+def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL pixel decode for PPM (raw RGB — a header parse and a
+    slice, no codec): (doc_id, width, height, pixels) with
+    len(pixels) == 3*w*h. Compressed formats raise — PNG/JPEG need
+    zlib/DCT codecs from an image library absent here; wire PIL into
+    this same mapInPandas batch contract to add them."""
+
+    def _pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, px = [], [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf["content"]):
+                parsed = parse_image_header(bytes(b))
+                if parsed is None or parsed[2] != "image/ppm":
+                    raise NotImplementedError(
+                        "pixel decode implemented for raw PPM only; "
+                        f"got {parsed[2] if parsed else 'unknown bytes'} — "
+                        "compressed codecs need an image library (PIL/libvips)"
+                    )
+                w, h, _ = parsed
+                m = _PPM_HEADER.match(bytes(b))
+                body = bytes(b)[m.end() :]
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                px.append(body[: 3 * w * h])
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "pixels": px}
+            )
+
+    return blobs.mapInPandas(
+        _pixels, "doc_id LONG, width INT, height INT, pixels BINARY"
+    )
+
+
+def synthesize_ppm_video(
+    df: DataFrame, n_frames: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Toy video container: n_frames concatenated P6 frames (each a
+    valid PPM; frame k of doc d is the PPM of id d*1000+k)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": pdf[id_col].map(
+                        lambda d: b"".join(_ppm_bytes(d * 1000 + k) for k in range(n_frames))
+                    ),
                 }
             )
 
-    return blobs.mapInPandas(_fake_meta, BLOB_META_SCHEMA)
+    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
 
 
-def decode_image_pixels(blobs: DataFrame) -> DataFrame:
-    """Real pixel decode — requires an image library absent from this
-    environment. Integration point: a mapInPandas with schema
-    `doc_id LONG, pixels BINARY, width INT, height INT`."""
-    raise NotImplementedError(
-        "pixel decode requires PIL/libvips; wire it into a mapInPandas "
-        "with the same batch contract as decode_image_meta"
-    )
+def frame_sample(blobs: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """REAL frame sampling over the concatenated-P6 container: walk
+    the byte stream parsing each frame's header (its length is fully
+    determined by the header), keep every `every_n`-th frame. One
+    input row flat-maps to ceil(n_frames / every_n) output rows —
+    the Arrow batch shape every real video sampler uses."""
 
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf["content"]):
+                data, off, k = bytes(b), 0, 0
+                while off < len(data):
+                    m = _PPM_HEADER.match(data[off:])
+                    if not m:
+                        raise ValueError(f"doc {doc_id}: bad frame header at {off}")
+                    w, h = int(m.group(1)), int(m.group(2))
+                    end = off + m.end() + 3 * w * h
+                    if k % every_n == 0:
+                        ids.append(doc_id)
+                        idxs.append(k)
+                        frames.append(data[off:end])
+                    off, k = end, k + 1
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "content": frames})
 
-def frame_sample(blobs: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB for the same reason; the real
-    operator emits one row per sampled frame (doc_id, frame_idx,
-    content) via a flat-mapping mapInPandas."""
-    raise NotImplementedError(
-        "frame sampling requires a video decoder; the operator shape is "
-        "mapInPandas producing (doc_id LONG, frame_idx INT, content BINARY)"
-    )
+    return blobs.mapInPandas(_frames, "doc_id LONG, frame_idx INT, content BINARY")

@@ -338,17 +338,10 @@ def knn_ivf_md5(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """knn_ivf with the portable md5 quantizer. Probe choice uses the
-    explicit (-cos, idx) sort so ties break to the lowest centroid
-    index, matching a SQL ORDER BY cos DESC, idx mirror."""
-    import numpy as np
-
+    shared _rank_probe_cells ordering ((-cos, idx) — ties break to the
+    lowest centroid index, matching a SQL ORDER BY cos DESC, idx)."""
     assigned, centroids = ivf_assign_md5(df, k_cells, vec_col, id_col)
-    c = np.array(centroids, dtype="float64")
-    c_norm = c / np.maximum(np.sqrt((c * c).sum(axis=1))[:, None], 1e-12)
-    q = np.array(query_vec, dtype="float64")
-    qn = q / max(float(np.sqrt((q * q).sum())), 1e-12)
-    sims = c_norm @ qn
-    probe_cells = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
+    probe_cells = _rank_probe_cells(centroids, query_vec, n_probe)
     cands = assigned.filter(F.col("cell").isin(probe_cells))
     return brute_force_topk(cands, query_vec, vec_col=vec_col, id_col=id_col, k=k)
 

@@ -35,3 +35,34 @@ def multimodal_blob_meta(spark, sf_dir):
     tested."""
     blobs = synthesize_blobs(table(spark, sf_dir, "documents"))
     return decode_image_meta(blobs)
+
+
+@register(
+    "multimodal_ppm_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(9 + strlen(CAST(4 + doc_id % 13 AS VARCHAR))
+                  + strlen(CAST(4 + doc_id % 11 AS VARCHAR))
+                  + 3 * (4 + doc_id % 13) * (4 + doc_id % 11) AS INT) AS n_bytes,
+           CAST(4 + doc_id % 13 AS INT) AS width,
+           CAST(4 + doc_id % 11 AS INT) AS height,
+           'image/ppm' AS format
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal", "decode"),
+)
+def multimodal_ppm_decode(spark, sf_dir):
+    """REAL image decode end-to-end: synthesize valid P6 images
+    (dims a pure function of doc_id), parse their headers in the
+    Arrow-batched decoder, and hash-verify width/height/format/
+    n_bytes against the closed-form oracle ('P6\\n{w} {h}\\n255\\n'
+    header + 3wh pixel bytes). This is the container-parsing half of
+    a production image pipeline — the codec half (PNG/JPEG) is the
+    documented library boundary."""
+    from fuse_query_spark.operators.multimodal import (
+        decode_image_meta,
+        synthesize_ppm_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_image_meta(synthesize_ppm_blobs(docs)).drop("checksum")

@@ -46,6 +46,17 @@ class MetricsRegistry:
                 if seconds <= bound:
                     h["buckets"][i] += 1
 
+    def snapshot(self) -> list[tuple[str, float]]:
+        """Locked (name, value) snapshot: counters plus histogram
+        _sum/_count rows — the read API for non-Prometheus consumers
+        (system.metrics), keeping the locking discipline here."""
+        with self._lock:
+            rows = [(k, float(v)) for k, v in self._counters.items()]
+            for k, h in self._hists.items():
+                rows.append((f"{k}_sum", float(h["sum"])))
+                rows.append((f"{k}_count", float(h["count"])))
+            return sorted(rows)
+
     @staticmethod
     def _sanitize(name: str) -> str:
         # metrics-exporter-prometheus maps every non-[a-zA-Z0-9_:] to _

@@ -149,13 +149,9 @@ def metrics_table(spark: SparkSession) -> DataFrame:
     Histograms surface as <name>_sum / <name>_count rows."""
     from fuse_query_spark.servers.metrics import METRICS
 
-    with METRICS._lock:
-        rows = [(k, float(v)) for k, v in METRICS._counters.items()]
-        for k, h in METRICS._hists.items():
-            rows.append((f"{k}_sum", float(h["sum"])))
-            rows.append((f"{k}_count", float(h["count"])))
+    rows = METRICS.snapshot()
     return spark.createDataFrame(
-        sorted(rows) or [("", 0.0)], "metric STRING, value DOUBLE"
+        rows or [("", 0.0)], "metric STRING, value DOUBLE"
     ).filter("metric != ''")
 
 

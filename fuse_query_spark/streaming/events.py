@@ -99,7 +99,11 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # returning as if drained would hand the caller a partial sink
+        # and leave a live query holding the checkpoint
+        q.stop()
+        raise TimeoutError(f"stream '{name}' did not drain within {timeout_sec}s")
 
 
 def dedup_events_stream(
@@ -195,4 +199,6 @@ def stream_to_partitioned_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"landing stream to {path} did not drain within {timeout_sec}s")

@@ -2,16 +2,17 @@
 
 The 100 TB claim rests on plan shape (SCALE.md); this probe adds
 measurement: replicate the sf0.1 documents corpus R times with
-disjoint doc_ids (UNION of shifted copies — same row width, R times
-the rows, same duplicate structure per copy) and time the flagship
-pipeline operators at R = 1, 4, 16. A scale-safe operator's wall
-time grows ~linearly in R on fixed cores (work/core grows R times);
-a super-linear slope exposes an all-pairs or driver bottleneck.
+disjoint doc_ids and a per-copy-salted vocabulary (dup structure
+preserved within copies, never across) and time the flagship
+pipeline operators at each R after a warm-up pass. A scale-safe
+operator's wall time grows ~linearly in R on fixed cores (work/core
+grows R times); a super-linear slope exposes an all-pairs or driver
+bottleneck.
 
-Usage: python tools/scaling_probe.py [R ...]   (default 1 4 16)
-Prints one JSON line per (operator, R) and a slope summary:
-slope = t(R_max)/t(1) / R_max — 1.0 is perfectly linear, <1 means
-fixed overhead still dominates, >>1 means super-linear (bad).
+Usage: python tools/scaling_probe.py [R ...]   (default 4 16 64)
+Prints one JSON line per (operator, R) and consecutive-pair slopes
+t(Rb)/t(Ra) / (Rb/Ra) — 1.0 is perfectly linear, <1 means fixed
+overhead still dominates, >>1 means super-linear (bad).
 """
 
 from __future__ import annotations
