@@ -53,7 +53,11 @@ SUITES = [
     # extension ops (beyond the reference's perf suite)
     {"name": "MinHash LSH dedup", "query": "dedup_minhash_lsh"},
     {"name": "Decontaminate 4gram", "query": "decontaminate_ngram"},
+    {"name": "Decontaminate bloom", "query": "decontaminate_bloom"},
     {"name": "ANN topk bruteforce", "query": "similarity_topk_bruteforce"},
+    {"name": "Repetition metrics", "query": "text_repetition_metrics"},
+    {"name": "Duplicated spans", "query": "dedup_duplicated_spans"},
+    {"name": "Cross-corpus minhash", "query": "dedup_minhash_cross_corpus"},
 ]
 
 DEFAULTS = {"iterations": 3, "concurrency": 1}
