@@ -95,6 +95,13 @@ DRIVER_PRIORITY = [
     "q01_pricing_summary",
     "agg_global_stats",
     "agg_uniq",
+    # r4-late rotation (on top of the mid-round one): five more
+    # never-checked flagships in — recursive_month_spine,
+    # dedup_duplicated_spans, dedup_minhash_cross_corpus,
+    # multimodal_ppm_decode, events_cohort_retention; out (all
+    # multi-round green, still locally checked): text_bpe_token_count,
+    # dedup_near_prefix_groups, similarity_knn_lsh,
+    # sample_quota_per_source, dialect_combinators.
     # r4-mid rotation: nine never-driver-checked queries take slots
     # from multi-round-green occupants (each displaced query stays
     # locally oracle-checked past slot 50; every family keeps >=1
@@ -138,11 +145,11 @@ DRIVER_PRIORITY = [
     # text analysis (driver-unverified in r1)
     "text_quality_score",
     "text_lang_id",
-    "text_bpe_token_count",
+    "recursive_month_spine",
     "text_repetition_metrics",
     # dedup family (driver-unverified in r1)
     "dedup_exact_docs",
-    "dedup_near_prefix_groups",
+    "dedup_duplicated_spans",
     "decontaminate_bloom",
     "dedup_minhash_lsh_md5",
     "dedup_simhash_md5",
@@ -150,16 +157,16 @@ DRIVER_PRIORITY = [
     "sample_split_documents",
     "decontaminate_ngram",
     "pack_token_bins",
-    "sample_quota_per_source",
+    "multimodal_ppm_decode",
     # similarity family (driver-unverified in r1)
     "similarity_topk_bruteforce",
     "similarity_pairs_label_blocked",
     "dedup_embedding_cosine",
-    "similarity_knn_lsh",
+    "dedup_minhash_cross_corpus",
     "similarity_knn_ivf_md5",
     "events_funnel_attribution",
     # dialect surface (driver-unverified in r1)
-    "dialect_combinators",
+    "events_cohort_retention",
     "q16_parts_supplier_relationship",
     "dialect_scalar_surface",
     # misc operators (driver-unverified in r1)
