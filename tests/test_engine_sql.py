@@ -628,7 +628,11 @@ class TestSqlCollect:
         t = threading.Thread(target=runner, daemon=True)
         t.start()
         pid = None
-        for _ in range(200):
+        # wall-clock deadline, not iteration count: under heavy host
+        # load each SHOW PROCESSLIST round-trip can take seconds, and
+        # the runner's own statement takes longer to register
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
             rows = engine.sql("SHOW PROCESSLIST").collect()
             live = [r for r in rows if "numbers_mt(8000000000)" in r.extra_info]
             if live:
@@ -637,6 +641,6 @@ class TestSqlCollect:
             time.sleep(0.05)
         assert pid is not None, "collecting SELECT never appeared in processlist"
         assert engine.sql(f"KILL QUERY {pid}").collect()[0].result == "killed"
-        t.join(timeout=60)
+        t.join(timeout=180)  # loaded-host task teardown can be slow
         assert not t.is_alive()
         assert outcome and outcome[0] != "completed"
