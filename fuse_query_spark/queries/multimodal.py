@@ -1,11 +1,10 @@
-"""Multimodal plumbing as an oracle-checked query: the Arrow-batched
-mapInPandas metadata path runs end-to-end against a DuckDB oracle
-computing the same deterministic facts SQL-side (byte length, md5 of
-the utf-8 payload, the stub's dimension arithmetic). The pixel/frame
-decode steps remain documented NotImplementedError stubs
-(operators/multimodal.py) — what this verifies is everything Spark
-owns: schema, Arrow batch iteration, partition-parallel execution,
-value fidelity of the bytes round-trip."""
+"""Multimodal plumbing as oracle-checked queries. Two entries:
+multimodal_blob_meta drives the UNKNOWN-format fallback path (text
+bytes; DuckDB recomputes length/md5/pseudo-dims SQL-side), and
+multimodal_ppm_decode drives the REAL decoder (valid P6 images whose
+dims are a closed-form function of doc_id, parsed by the Arrow-batched
+header decoder). Compressed-codec pixel decode (PNG/JPEG) is the one
+remaining library boundary, documented in operators/multimodal.py."""
 
 from __future__ import annotations
 
