@@ -253,3 +253,62 @@ def sample_temperature_mix(spark, sf_dir):
     for the scale posture (tiny weight aggregate, broadcast quota
     join, one per-source window; no corpus-wide sort)."""
     return temperature_quotas(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id, text, len({_Q_TOKS}) AS ntok FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, text, ntok,
+               SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source, CAST(floor((cum - ntok) / 4096) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+           md5(string_agg(text, ' <|eos|> ' ORDER BY doc_id)) AS seq_md5
+    FROM c GROUP BY source, bin
+    """,
+    tags=("pipeline", "packing", "sequence"),
+)
+def pack_sequences(spark, sf_dir):
+    """The packing pipeline's FINAL step: materialize each ~4096-token
+    bin as one training sequence — documents concatenated in
+    deterministic doc_id order with an EOS separator (md5 of the
+    sequence in the output so the oracle compares content, not
+    megabytes). Same binning as pack_token_bins; the concat is a
+    collect_list sorted by a struct key — per-bin data, never
+    driver-side. At 100 TB bins are bounded (~4096 tokens), so the
+    per-group state the sort+concat holds is constant-size regardless
+    of corpus scale — the property that makes this shape safe where
+    an unbounded per-key collect would OOM."""
+    from pyspark.sql.window import Window
+
+    from fuse_query_spark.operators.text import token_count
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select("source", "doc_id", "text", token_count("text").alias("ntok"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.withColumn("cum", F.sum("ntok").over(w))
+    seq = F.concat_ws(
+        " <|eos|> ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda x: x.text,
+        ),
+    )
+    return (
+        c.withColumn("bin", F.floor((F.col("cum") - F.col("ntok")) / 4096))
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("sum_tokens"),
+            F.md5(seq).alias("seq_md5"),
+        )
+    )
