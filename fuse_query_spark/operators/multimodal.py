@@ -31,27 +31,58 @@ from pyspark.sql import functions as F
 
 BLOB_META_SCHEMA = "doc_id LONG, n_bytes INT, checksum STRING, width INT, height INT, format STRING"
 
-_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+_PPM_HEADER = re.compile(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+_MAX_DIM = 1 << 30  # sanity bound: larger "dims" mean garbage after a
+# magic-looking prefix (or a hostile header) — treat as not-an-image
+# rather than emitting values that overflow int32 downstream
+
+
+def _bounded(w: int, h: int, fmt: str) -> tuple[int, int, str] | None:
+    if 0 < w <= _MAX_DIM and 0 < h <= _MAX_DIM:
+        return w, h, fmt
+    return None
 
 
 def parse_image_header(b: bytes) -> tuple[int, int, str] | None:
     """(width, height, format) from the container header, or None.
     All four formats store dimensions in the first bytes: PPM as
-    ascii, PNG big-endian in IHDR, GIF/BMP little-endian."""
+    ascii, PNG big-endian in IHDR, GIF/BMP little-endian. Dims are
+    sanity-bounded — a declared width of 2^31 after a magic-looking
+    prefix is garbage, not a four-gigapixel scan."""
     if b[:2] == b"P6":
         m = _PPM_HEADER.match(b)
         if m:
-            return int(m.group(1)), int(m.group(2)), "image/ppm"
+            return _bounded(int(m.group(1)), int(m.group(2)), "image/ppm")
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
         w, h = struct.unpack(">II", b[16:24])
-        return w, h, "image/png"
+        return _bounded(w, h, "image/png")
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
-        return w, h, "image/gif"
+        return _bounded(w, h, "image/gif")
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])
-        return w, abs(h), "image/bmp"  # negative h = top-down BMP
+        return _bounded(w, abs(h), "image/bmp")  # negative h = top-down BMP
     return None
+
+
+def _ppm_frame(data: bytes, off: int) -> tuple[int, int, int, int, int]:
+    """(width, height, bytes_per_sample, body_start, body_end) of the
+    P6 frame at `off`; raises on malformed or truncated frames. P6
+    samples are 1 byte for maxval < 256, 2 bytes otherwise."""
+    m = _PPM_HEADER.match(data, off)
+    if not m:
+        raise ValueError(f"bad P6 frame header at offset {off}")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    bps = 1 if maxval < 256 else 2
+    start = m.end()
+    end = start + 3 * w * h * bps
+    if end > len(data):
+        raise ValueError(
+            f"truncated P6 frame at offset {off}: need {end - off} bytes, have {len(data) - off}"
+        )
+    return w, h, bps, start, end
 
 
 def synthesize_blobs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -85,16 +116,25 @@ def synthesize_ppm_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
 
 
-def decode_image_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_image_meta(blobs: DataFrame, id_col: str = "doc_id", sniff: bool = True) -> DataFrame:
     """Per-blob metadata via mapInPandas (Arrow batches): REAL header
     parsing for PPM/PNG/GIF/BMP; unknown formats get deterministic
-    byte-derived pseudo-dimensions and format 'fake/binary' (the
-    documented fallback the text-derived test blobs exercise)."""
+    byte-derived pseudo-dimensions and format 'fake/binary'.
+    sniff=False skips magic detection entirely (every blob takes the
+    fallback) — for callers whose payloads are KNOWN not to be images
+    and whose downstream contract depends on the fallback values
+    (multimodal_blob_meta's oracle): with sniffing on, a text that
+    merely STARTS with 'BM' or 'GIF8' would be struct-parsed as an
+    image, a content-dependent surprise."""
 
     def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n = pdf["content"].map(len)
-            parsed = pdf["content"].map(parse_image_header)
+            parsed = (
+                pdf["content"].map(parse_image_header)
+                if sniff
+                else pd.Series([None] * len(pdf), index=pdf.index)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -116,28 +156,32 @@ def decode_image_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL pixel decode for PPM (raw RGB — a header parse and a
     slice, no codec): (doc_id, width, height, pixels) with
-    len(pixels) == 3*w*h. Compressed formats raise — PNG/JPEG need
-    zlib/DCT codecs from an image library absent here; wire PIL into
-    this same mapInPandas batch contract to add them."""
+    len(pixels) == 3*w*h*bytes_per_sample (1 byte for maxval<256,
+    2 for 16-bit P6); truncated bodies raise instead of returning a
+    short buffer. Compressed formats raise — PNG/JPEG need zlib/DCT
+    codecs from an image library absent here; wire PIL into this
+    same mapInPandas batch contract to add them."""
 
     def _pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, px = [], [], [], []
             for doc_id, b in zip(pdf[id_col], pdf["content"]):
-                parsed = parse_image_header(bytes(b))
+                data = bytes(b)  # bind once: Arrow may hand back bytearray
+                parsed = parse_image_header(data)
                 if parsed is None or parsed[2] != "image/ppm":
                     raise NotImplementedError(
                         "pixel decode implemented for raw PPM only; "
                         f"got {parsed[2] if parsed else 'unknown bytes'} — "
                         "compressed codecs need an image library (PIL/libvips)"
                     )
-                w, h, _ = parsed
-                m = _PPM_HEADER.match(bytes(b))
-                body = bytes(b)[m.end() :]
+                # _ppm_frame re-derives dims + bytes-per-sample and
+                # REJECTS truncated bodies (a silent short buffer would
+                # crash a downstream reshape far from the cause)
+                w, h, bps, start, end = _ppm_frame(data, 0)
                 ids.append(doc_id)
                 ws.append(w)
                 hs.append(h)
-                px.append(body[: 3 * w * h])
+                px.append(data[start:end])
             yield pd.DataFrame(
                 {"doc_id": ids, "width": ws, "height": hs, "pixels": px}
             )
@@ -180,11 +224,12 @@ def frame_sample(blobs: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> 
             for doc_id, b in zip(pdf[id_col], pdf["content"]):
                 data, off, k = bytes(b), 0, 0
                 while off < len(data):
-                    m = _PPM_HEADER.match(data[off:])
-                    if not m:
-                        raise ValueError(f"doc {doc_id}: bad frame header at {off}")
-                    w, h = int(m.group(1)), int(m.group(2))
-                    end = off + m.end() + 3 * w * h
+                    # zero-copy walk: match at an OFFSET, never slice
+                    # the remaining buffer per frame (that slice is
+                    # O(frames^2) bytes copied over a long video);
+                    # _ppm_frame also handles 16-bit samples and
+                    # rejects truncated tails
+                    _, _, _, _, end = _ppm_frame(data, off)
                     if k % every_n == 0:
                         ids.append(doc_id)
                         idxs.append(k)

@@ -33,7 +33,10 @@ def multimodal_blob_meta(spark, sf_dir):
     the whole Python-batch path is hash-verified, not just shape-
     tested."""
     blobs = synthesize_blobs(table(spark, sf_dir, "documents"))
-    return decode_image_meta(blobs)
+    # sniff=False: this entry's oracle IS the fallback arithmetic; a
+    # text that merely started with image magic bytes would otherwise
+    # be struct-parsed and diverge (content-dependent fragility)
+    return decode_image_meta(blobs, sniff=False)
 
 
 @register(

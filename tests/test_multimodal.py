@@ -40,12 +40,32 @@ class TestHeaderParser:
     def test_unknown(self):
         assert parse_image_header(b"plain text bytes") is None
 
+    def test_garbage_dims_rejected(self):
+        # PNG magic with a 2^31 declared width: garbage, not an image
+        ihdr = struct.pack(">II", 1 << 31, 480)
+        b = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + ihdr
+        assert parse_image_header(b) is None
+
+    def test_16bit_ppm_frame_length(self):
+        from fuse_query_spark.operators.multimodal import _ppm_frame
+
+        b = b"P6\n2 2\n65535\n" + b"\x00" * (2 * 2 * 3 * 2)
+        w, h, bps, start, end = _ppm_frame(b, 0)
+        assert (w, h, bps) == (2, 2, 2) and end == len(b)
+
+    def test_truncated_ppm_rejected(self):
+        from fuse_query_spark.operators.multimodal import _ppm_frame
+
+        b = b"P6\n4 4\n255\n" + b"\x00" * 10  # needs 48 body bytes
+        with pytest.raises(ValueError, match="truncated"):
+            _ppm_frame(b, 0)
+
 
 def test_blob_meta_pipeline_fallback_path(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").limit(50)
     blobs = synthesize_blobs(docs)
     assert dict(blobs.dtypes)["content"] == "binary"
-    meta = decode_image_meta(blobs)
+    meta = decode_image_meta(blobs, sniff=False)
     rows = meta.collect()
     assert len(rows) == 50
     by_id = {r["doc_id"]: r for r in rows}
@@ -99,3 +119,17 @@ def test_frame_sampling_every_nth(spark, sf_dir):
     for r in sampled:
         parsed = parse_image_header(bytes(r["content"]))
         assert parsed is not None and parsed[2] == "image/ppm"
+
+
+def test_sniffing_classifies_magic_prefixed_text(spark):
+    """With sniffing ON (the default), bytes that begin with image
+    magic ARE parsed as images — the reason multimodal_blob_meta pins
+    sniff=False for its content-independent fallback oracle."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"GIF89a" + struct.pack("<HH", 320, 200) + b"!"))],
+        "doc_id LONG, content BINARY",
+    )
+    r = decode_image_meta(df).collect()[0]
+    assert (r["width"], r["height"], r["format"]) == (320, 200, "image/gif")
+    r = decode_image_meta(df, sniff=False).collect()[0]
+    assert r["format"] == "fake/binary"
