@@ -123,9 +123,19 @@ def contaminated_ids_bloom(
     the dominant shuffle from all-corpus-shingles into
     matching-bucket-shingles (~eval coverage + bucket collisions).
 
-    Larger eval sets saturate the buckets and the prefilter
-    degenerates to a pass-through broadcast — correct, just not
-    helpful; the cutover is #distinct eval shingles ≈ 2^prefix_bits.
+    The prefilter is ADAPTIVE: a cheap upper-bound estimate of the
+    eval side's distinct shingles (one token-count scan — shingles
+    per doc are at most tokens - n + 1, no explode/distinct needed)
+    gates it. When the estimate says the bucket set would saturate
+    (> half of 2^prefix_bits), the prefilter can no longer reject
+    much — and a ~1M-row broadcast probed per corpus shingle is pure
+    overhead — so the operator falls back to the exact plan without
+    ever building the bucket set. Measured (tools/scaling_probe.py
+    at 256x replication): unconditional prefiltering went 1.7x
+    SUPER-linear exactly at saturation (94.7 s vs the exact path's
+    56.5 s), while at 64x — buckets sparse — it beat the exact path
+    (14.0 s vs 16.6 s). The estimate errs conservative (it can only
+    skip the prefilter early, never keep a useless one).
 
     The eval-side shingle pipeline feeds two plan branches (the bucket
     set and the confirm join); Spark computes it twice. Deliberate:
@@ -133,17 +143,28 @@ def contaminated_ids_bloom(
     here would trade a cheap recompute for cache-manager state the
     caller never asked for. The shared _shingle_hashes construction
     is what guarantees bit-equality with contaminated_ids."""
+    from fuse_query_spark.operators.text import tokens
+
     shift = 64 - prefix_bits
     c_sh = _shingle_hashes(corpus, text_col, id_col, n)
     e_sh = _shingle_hashes(eval_set, text_col, id_col, n).select("_h").distinct()
-    e_buckets = e_sh.select(F.shiftrightunsigned("_h", shift).alias("_b")).distinct()
-    prefiltered = c_sh.join(
-        F.broadcast(e_buckets),
-        F.shiftrightunsigned(c_sh["_h"], shift) == e_buckets["_b"],
-        "left_semi",
+    est = (
+        eval_set.select(
+            F.sum(F.greatest(F.size(tokens(text_col)) - (n - 1), F.lit(0)))
+        ).first()[0]
+        or 0
     )
+    if est > (1 << prefix_bits) // 2:  # would saturate: prefilter can't reject
+        probe = c_sh
+    else:
+        e_buckets = e_sh.select(F.shiftrightunsigned("_h", shift).alias("_b")).distinct()
+        probe = c_sh.join(
+            F.broadcast(e_buckets),
+            F.shiftrightunsigned(c_sh["_h"], shift) == e_buckets["_b"],
+            "left_semi",
+        )
     return (
-        prefiltered.join(e_sh, "_h")
+        probe.join(e_sh, "_h")
         .groupBy("_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(F.col("_id").alias(id_col), "n_shared")

@@ -148,12 +148,14 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
     division of exact integers — bit-identical on any engine. The top
     bigram tie-breaks lexicographically so the answer is unique.
 
-    Scale: one explode + per-(doc, bigram) count + per-doc window
-    top-1, all keyed by doc_id — uniformly distributed, no skew; the
-    base stats are a narrow per-row projection joined back on doc_id.
-    No driver-side anything."""
-    from pyspark.sql.window import Window
-
+    Scale: one explode + per-(doc, bigram) count, then the per-doc
+    top-1 as TWO HASH AGGREGATES (max count per doc, then min bigram
+    at that count) joined back — NOT a row_number window: the window
+    formulation sorts every (doc, bigram) row inside each shuffle
+    partition, and at 1.28M docs (tools/scaling_probe.py, 256x) that
+    sort went 1.6x super-linear while hash aggregates with map-side
+    combine stay flat. All keys are doc_id-uniform, no skew, nothing
+    driver-side."""
     t = tokens(F.col(text_col))
     base = df.select(
         F.col(id_col),
@@ -166,8 +168,12 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
         .groupBy(id_col, "bigram")
         .agg(F.count(F.lit(1)).alias("bg_n"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("bg_n").desc(), F.col("bigram"))
-    top = counts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    max_n = counts.groupBy(id_col).agg(F.max("bg_n").alias("bg_n"))
+    top = (
+        counts.join(max_n, [id_col, "bg_n"])  # rows at the max count
+        .groupBy(id_col, "bg_n")
+        .agg(F.min("bigram").alias("bigram"))  # lexicographic tie-break
+    )
     dup_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens")
     top_frac = F.col("bg_n").cast("double") / (F.col("n_tokens") - 1)
     return (
