@@ -177,7 +177,10 @@ def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 # _ppm_frame re-derives dims + bytes-per-sample and
                 # REJECTS truncated bodies (a silent short buffer would
                 # crash a downstream reshape far from the cause)
-                w, h, bps, start, end = _ppm_frame(data, 0)
+                try:
+                    w, h, bps, start, end = _ppm_frame(data, 0)
+                except ValueError as e:
+                    raise ValueError(f"doc {doc_id}: {e}") from None
                 ids.append(doc_id)
                 ws.append(w)
                 hs.append(h)
@@ -229,7 +232,12 @@ def frame_sample(blobs: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> 
                     # O(frames^2) bytes copied over a long video);
                     # _ppm_frame also handles 16-bit samples and
                     # rejects truncated tails
-                    _, _, _, _, end = _ppm_frame(data, off)
+                    try:
+                        _, _, _, _, end = _ppm_frame(data, off)
+                    except ValueError as e:
+                        # identify the ROW — an executor traceback from
+                        # a million-row batch is useless without it
+                        raise ValueError(f"doc {doc_id}: {e}") from None
                     if k % every_n == 0:
                         ids.append(doc_id)
                         idxs.append(k)

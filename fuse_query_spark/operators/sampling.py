@@ -101,6 +101,7 @@ def contaminated_ids_bloom(
     id_col: str = "doc_id",
     n: int = 4,
     prefix_bits: int = 20,
+    adaptive: bool = True,
 ) -> DataFrame:
     """contaminated_ids with a Bloom-style broadcast prefilter in
     front of the exact join. Same answer, bit for bit — the prefilter
@@ -137,23 +138,34 @@ def contaminated_ids_bloom(
     (14.0 s vs 16.6 s). The estimate errs conservative (it can only
     skip the prefilter early, never keep a useless one).
 
+    The gate is EAGER — building this DataFrame runs one small Spark
+    job over the eval side (like AQE, adapting needs a statistic; a
+    declarative plan cannot switch join branches on data). Callers
+    that need pure laziness — plan-shape tests, streaming eval sets —
+    pass adaptive=False to pin the prefilter unconditionally.
+
     The eval-side shingle pipeline feeds two plan branches (the bucket
     set and the confirm join); Spark computes it twice. Deliberate:
     the eval side is the SMALL side by assumption, and a persist()
     here would trade a cheap recompute for cache-manager state the
     caller never asked for. The shared _shingle_hashes construction
     is what guarantees bit-equality with contaminated_ids."""
-    from fuse_query_spark.operators.text import tokens
+    from fuse_query_spark.operators.text import token_count
 
     shift = 64 - prefix_bits
     c_sh = _shingle_hashes(corpus, text_col, id_col, n)
     e_sh = _shingle_hashes(eval_set, text_col, id_col, n).select("_h").distinct()
-    est = (
-        eval_set.select(
-            F.sum(F.greatest(F.size(tokens(text_col)) - (n - 1), F.lit(0)))
-        ).first()[0]
-        or 0
-    )
+    est = 0
+    if adaptive:
+        # upper bound on distinct eval shingles: per doc at most
+        # token_count - (n-1) of them (same tokenization the shingle
+        # builder uses, via the shared helper)
+        est = (
+            eval_set.select(
+                F.sum(F.greatest(token_count(text_col) - (n - 1), F.lit(0)))
+            ).first()[0]
+            or 0
+        )
     if est > (1 << prefix_bits) // 2:  # would saturate: prefilter can't reject
         probe = c_sh
     else:

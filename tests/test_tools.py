@@ -2,11 +2,12 @@
 replication scheme must preserve dup structure within copies and
 create none across copies — otherwise its slopes measure an artifact."""
 
+import os
 import sys
 
 from pyspark.sql import functions as F
 
-sys.path.insert(0, "tools")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 from fuse_query_spark.sources.tables import table
 
@@ -15,6 +16,8 @@ def test_replicated_copies_are_disjoint_and_salted(spark, sf_dir):
     from scaling_probe import replicated
 
     base = table(spark, sf_dir, "documents").limit(100)
+    # the probe's copy arithmetic assumes base ids < the 10M shift
+    assert base.agg(F.max("doc_id")).first()[0] < 10_000_000
     rep = replicated(base, 3)
     n = base.count()
     assert rep.count() == 3 * n
@@ -22,10 +25,12 @@ def test_replicated_copies_are_disjoint_and_salted(spark, sf_dir):
 
     # no token is shared between copies (per-copy vocabulary salt):
     # tokens of copy 0 start with c0, copy 1 with c1, ...
+    # restrict to word-bearing tokens: a pure-punctuation token has
+    # nothing for the \w+ salt to rewrite and is legitimately shared
     toks = rep.select(
         (F.col("doc_id") / 10_000_000).cast("int").alias("copy"),
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
-    )
+    ).filter(F.col("tok").rlike(r"\w"))
     cross = (
         toks.groupBy("tok")
         .agg(F.count_distinct("copy").alias("n_copies"))
