@@ -269,3 +269,40 @@ def events_cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN value < 0 THEN 0
+                WHEN value >= 100 THEN 21
+                ELSE CAST(floor(value / 5.0) AS INT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+    tags=("events", "histogram", "aggregate"),
+)
+def events_value_histogram(spark, sf_dir):
+    """Equi-width histogram of event values per type (20 buckets of
+    width 5 over [0, 100); bucket 0 = underflow, 21 = overflow — the
+    width_bucket convention spelled out as explicit floor arithmetic
+    because the same expression must run on both engines, and /5.0 +
+    floor on doubles is bit-identical). The OLAP histogram shape: one
+    partial/final aggregate over (type, bucket) — at most
+    #types x 22 groups regardless of corpus size."""
+    e = table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0, 0)
+        .when(F.col("value") >= 100, 21)
+        .otherwise(F.floor(F.col("value") / 5.0).cast("int") + 1)
+    )
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )

@@ -312,3 +312,45 @@ def pack_sequences(spark, sf_dir):
             F.md5(seq).alias("seq_md5"),
         )
     )
+
+
+@register(
+    "sample_stratified_rates",
+    oracle=f"""
+    WITH b AS (SELECT *, {_BUCKET} AS bucket FROM documents)
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS first_kept,
+           CAST(MAX(doc_id) AS BIGINT) AS last_kept
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 30
+                             WHEN 'zh' THEN 60
+                             ELSE 100 END
+    GROUP BY lang
+    """,
+    tags=("pipeline", "sampling", "stratified"),
+)
+def sample_stratified_rates(spark, sf_dir):
+    """Rate-based stratified sampling — the data-mixing primitive:
+    keep 30% of English, 60% of Chinese, 100% of everything else, by
+    the SAME md5 hash bucket as the train/val/test split, so the
+    decision is deterministic per document and stable under corpus
+    growth (df.sampleBy cannot promise either). A pure narrow filter
+    — no shuffle at all before the stats aggregate; at 100 TB this
+    is a scan predicate."""
+    from fuse_query_spark.operators.sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 30)
+        .when(F.col("lang") == "zh", 60)
+        .otherwise(100)
+    )
+    return (
+        d.filter(hash_bucket("doc_id") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("first_kept"),
+            F.max("doc_id").alias("last_kept"),
+        )
+    )
