@@ -354,3 +354,113 @@ def sample_stratified_rates(spark, sf_dir):
             F.max("doc_id").alias("last_kept"),
         )
     )
+
+
+@register(
+    "pipeline_curation_end_to_end",
+    oracle=_quality_oracle_cte()
+    + f""",
+    fp AS (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canon
+        FROM documents
+    ),
+    tk AS (
+        SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+        FROM (SELECT doc_id, {_Q_TOKS} AS l FROM documents)
+    ),
+    base AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+        FROM tk GROUP BY doc_id
+    ),
+    topn AS (
+        SELECT doc_id, MAX(n) AS top_n
+        FROM (SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram, COUNT(*) AS n
+              FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+              GROUP BY a.doc_id, bigram)
+        GROUP BY doc_id
+    ),
+    bk AS (SELECT doc_id, {_BUCKET} AS bucket FROM documents)
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(base.n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(d.doc_id) AS BIGINT) AS first_doc
+    FROM documents d
+    JOIN fp   ON fp.doc_id = d.doc_id
+    JOIN base ON base.doc_id = d.doc_id
+    JOIN topn ON topn.doc_id = d.doc_id
+    JOIN q    ON q.doc_id = d.doc_id
+    JOIN bk   ON bk.doc_id = d.doc_id
+    WHERE fp.canon = d.doc_id
+      AND NOT ((base.n_tokens - base.n_distinct)
+                   / CAST(base.n_tokens AS DOUBLE) > 0.8
+               OR topn.top_n / CAST(base.n_tokens - 1 AS DOUBLE) > 0.18)
+      AND q.quality >= 0.5
+      AND d.lang <> 'zh'
+      AND bk.bucket < 90
+    GROUP BY d.source
+    """,
+    tags=("pipeline", "curation", "capstone"),
+)
+def pipeline_curation_end_to_end(spark, sf_dir):
+    """The whole curation pass as ONE declarative plan — the capstone
+    composition a real training-data pipeline runs: exact-dedup
+    canonical pick (min doc_id per md5 fingerprint), Gopher
+    repetition filter (dup-token and top-bigram thresholds), quality
+    score >= 0.5, language gate, and the deterministic train split,
+    rolled up per source. Every stage reuses the operator the
+    standalone queries verify; composing them stays a single Catalyst
+    plan — shared scans, one aggregate per stage, no materialization
+    between stages. Docs too short to have bigrams (<2 tokens) drop
+    out of the repetition join on both engines identically."""
+    from pyspark.sql.window import Window
+
+    from fuse_query_spark.operators.text import (
+        fingerprint_md5,
+        ngrams_from_tokens,
+        quality_score,
+        tokens,
+    )
+    from fuse_query_spark.operators.sampling import hash_bucket
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", "lang", "text", tokens("text").alias("_toks")
+    )
+    enriched = tok.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("n_distinct"),
+        quality_score("text", toks=F.col("_toks")).alias("quality"),
+        fingerprint_md5("text").alias("_fp"),
+        hash_bucket("doc_id").alias("bucket"),
+        ngrams_from_tokens(F.col("_toks"), 2).alias("_bgs"),
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("_fp"))
+    topn = (
+        enriched.select("doc_id", F.explode("_bgs").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"))
+    )
+    dup_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens")
+    top_frac = F.col("top_n").cast("double") / (F.col("n_tokens") - 1)
+    return (
+        enriched.withColumn("_canon", canon)
+        .join(topn, "doc_id")
+        .filter(
+            (F.col("_canon") == F.col("doc_id"))
+            & ~((dup_frac > 0.8) | (top_frac > 0.18))
+            & (F.col("quality") >= 0.5)
+            & (F.col("lang") != "zh")
+            & (F.col("bucket") < 90)
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
