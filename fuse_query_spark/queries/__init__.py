@@ -124,7 +124,7 @@ DRIVER_PRIORITY = [
     # oracle=None) in the prefix, wasting 2 of 50 slots on rows that can
     # never hash-match (judge r3 wrong #3); approx/ANN error-bound
     # validation lives in pytest instead.
-    "dedup_exact_retention",
+    "pipeline_curation_end_to_end",  # capstone (r4-final; dedup_exact_retention out, green r3, locally checked)
     "expr_projection",
     "dialect_numbers_groupby",
     # TPC-H shapes — r4 rotation: q04 (green r3) and
