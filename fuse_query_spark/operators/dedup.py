@@ -315,7 +315,19 @@ def duplicated_spans(
     per-gram global-count aggregate joined back on the hash; one
     final per-doc aggregate. All keys uniform — no skew; nothing on
     the driver. The DuckDB oracle recomputes it on raw gram STRINGS,
-    so the hash path is independently cross-checked."""
+    so the hash path is independently cross-checked.
+
+    Collision bound (ADVICE r4): grouping on xxhash64(gram) merges
+    any two distinct grams that collide in 64 bits, so at scale
+    dup_positions / distinct_dup_grams are UPPER bounds. Birthday
+    bound: for G distinct grams the expected collisions are
+    ~G^2 / 2^65; at G = 10^9 that is ~0.03 expected merged pairs
+    corpus-wide, at G = 10^11 ~270 — i.e. a per-doc error measured
+    in single positions at 100 TB, against billions of true
+    positions. Callers needing exactness at that scale can group on
+    the gram string itself (wider shuffle, same plan shape); the
+    test-scale oracle cross-check on raw strings verifies the logic
+    is exact whenever the hash is collision-free."""
     from fuse_query_spark.operators.text import ngrams_from_tokens
 
     tok = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))

@@ -101,7 +101,7 @@ def contaminated_ids_bloom(
     id_col: str = "doc_id",
     n: int = 4,
     prefix_bits: int = 20,
-    adaptive: bool = True,
+    adaptive: bool = False,
 ) -> DataFrame:
     """contaminated_ids with a Bloom-style broadcast prefilter in
     front of the exact join. Same answer, bit for bit — the prefilter
@@ -138,11 +138,15 @@ def contaminated_ids_bloom(
     (14.0 s vs 16.6 s). The estimate errs conservative (it can only
     skip the prefilter early, never keep a useless one).
 
-    The gate is EAGER — building this DataFrame runs one small Spark
-    job over the eval side (like AQE, adapting needs a statistic; a
-    declarative plan cannot switch join branches on data). Callers
-    that need pure laziness — plan-shape tests, streaming eval sets —
-    pass adaptive=False to pin the prefilter unconditionally.
+    The gate is EAGER — adaptive=True runs one small Spark job over
+    the eval side AT DATAFRAME-CONSTRUCTION TIME (like AQE, adapting
+    needs a statistic; a declarative plan cannot switch join branches
+    on data). Because an eager job inside a constructor surprises
+    lazily-composing callers (ADVICE r4), adaptive defaults to FALSE:
+    the default build is fully lazy and pins the prefilter
+    unconditionally. Pass adaptive=True when the eval set's size is
+    unknown and saturation is a real risk (the measured 1.7x
+    super-linear regime below).
 
     The eval-side shingle pipeline feeds two plan branches (the bucket
     set and the confirm join); Spark computes it twice. Deliberate:

@@ -112,7 +112,9 @@ def decontaminate_bloom(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     eval_set = d.filter(F.col("doc_id") % 97 == 0)
-    return contaminated_ids_bloom(corpus, eval_set, n=4)
+    # adaptive=True: keep the measured saturation gate on the driver/
+    # bench path (construction-time laziness is the operator default)
+    return contaminated_ids_bloom(corpus, eval_set, n=4, adaptive=True)
 
 
 _Q_TOKS = "string_split_regex(trim(text), '\\s+')"

@@ -5,7 +5,7 @@ point (fusequery/query/src/servers/clickhouse/clickhouse_handler.rs:28
 accepts sessions; interactive_worker.rs:28 `execute_query` runs the
 statement; interactive_worker.rs:50-85 pins the server identity —
 dbms_name/display_name "datafuse", version 2021.5.0, protocol revision
-54405, timezone UTC; writers/query_result_writer.rs:105 sends an empty
+54405, timezone UTC; writers/query_writer.rs:105 sends an empty
 header block with the schema, then the data blocks, then tail
 progress; :121-127 maps engine errors to a `DB:Exception` server
 error; :140-170 maps column types — ints/floats/strings/dates pass
@@ -49,7 +49,7 @@ import threading
 import time
 from datetime import date, datetime, timezone
 
-from fuse_query_spark.servers.common import first_line
+from fuse_query_spark.servers.common import ReusableThreadingTCPServer, first_line
 from fuse_query_spark.servers.metrics import (
     METRIC_CLICKHOUSE_PROCESSOR_REQUEST_DURATION,
     METRIC_SESSION_CLOSE_NUMBERS,
@@ -103,7 +103,7 @@ _first_line = first_line  # shared wire-front error rendering
 
 # Spark simpleString -> (ClickHouse type name, value packer).
 # Packers receive a non-None python value and return bytes. Parity
-# with writers/query_result_writer.rs:140-170: ints/floats map
+# with writers/query_writer.rs:140-170: ints/floats map
 # width-for-width, Utf8 -> String, Boolean -> UInt8, Date32 -> Date,
 # Date64 (timestamps) -> DateTime.
 def _pack_str(v) -> bytes:
@@ -537,10 +537,16 @@ class _CHConn:
                 hi = min(sent + BLOCK_ROWS, len(rows))
                 self.send_block(columns, rows, sent, hi)
                 sent = hi
-        except ValueError as e:
-            # out-of-range Date/DateTime mid-stream: the protocol
-            # permits an Exception packet after data blocks; refuse
-            # loudly instead of wrapping values silently
+        except (ConnectionError, OSError):
+            raise  # socket gone — nothing can be sent to this client
+        except Exception as e:
+            # out-of-range Date/DateTime, a None in a column Spark
+            # declared non-nullable (TypeError/struct.error in the
+            # packer), or any other serialization fault mid-stream:
+            # the protocol permits an Exception packet after data
+            # blocks; refuse loudly instead of dying silently with
+            # the error lost (ADVICE r4: only ValueError was caught,
+            # so packer TypeErrors escaped to Handler.handle)
             self.send_exception(_first_line(e))
             return
         self.send_progress(len(rows), 0)
@@ -571,9 +577,7 @@ class ClickHouseServer:
                 except (ConnectionError, OSError):
                     pass  # client went away / framing lost
 
-        socketserver.ThreadingTCPServer.allow_reuse_address = True
-        self._server = socketserver.ThreadingTCPServer((self.host, self.port), Handler)
-        self._server.daemon_threads = True
+        self._server = ReusableThreadingTCPServer((self.host, self.port), Handler)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()

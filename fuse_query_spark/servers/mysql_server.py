@@ -32,7 +32,7 @@ import threading
 import time
 from datetime import date, datetime
 
-from fuse_query_spark.servers.common import first_line
+from fuse_query_spark.servers.common import ReusableThreadingTCPServer, first_line
 from fuse_query_spark.servers.metrics import (
     METRIC_MYSQL_PROCESSOR_REQUEST_DURATION,
     METRIC_SESSION_CLOSE_NUMBERS,
@@ -309,9 +309,7 @@ class MySQLServer:
                 except (ConnectionError, OSError):
                     pass  # client went away
 
-        socketserver.ThreadingTCPServer.allow_reuse_address = True
-        self._server = socketserver.ThreadingTCPServer((self.host, self.port), Handler)
-        self._server.daemon_threads = True
+        self._server = ReusableThreadingTCPServer((self.host, self.port), Handler)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()

@@ -71,7 +71,7 @@ def probe_ops(spark, docs):
         "dedup_exact": lambda: dedup_exact(docs),
         "minhash_lsh_pairs": lambda: minhash_dedup_pairs(docs, k=16, bands=4, threshold=0.2),
         "decontaminate": lambda: contaminated_ids(corpus, ev, n=4),
-        "decontaminate_bloom": lambda: contaminated_ids_bloom(corpus, ev, n=4),
+        "decontaminate_bloom": lambda: contaminated_ids_bloom(corpus, ev, n=4, adaptive=True),
         "repetition_metrics": lambda: repetition_metrics(docs),
         "duplicated_spans": lambda: duplicated_spans(docs, k=3),
     }
