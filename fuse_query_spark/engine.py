@@ -11,13 +11,14 @@ reference's 4-pass optimizer + pipeline builder.
 from __future__ import annotations
 
 import itertools
+import json
 import re
 import threading
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+from pyspark.sql.types import StringType, StructField, StructType, _parse_datatype_string
 
 from fuse_query_spark import session as _session
 from fuse_query_spark.dialect.rewriter import (
@@ -51,6 +52,8 @@ _COL_TYPES = {
     "datetime": "timestamp",
     "string": "string",
     "utf8": "string",
+    "varchar": "string",  # bare VARCHAR (09_0000: `b varchar`)
+    "text": "string",
     "int8": "tinyint",
     "int16": "smallint",
     "int32": "int",
@@ -84,11 +87,14 @@ class TableDef:
 @dataclass
 class Catalog:
     """Flat two-level namespace db.table (datasource.rs:29-52: databases
-    `system`, `local`, `default` registered at startup)."""
+    `system`, `local`, `default` registered at startup). `remote_dbs`
+    marks databases backed by an attached store (remote_database.rs:
+    engine() == "remote"); their tables live store-side."""
 
     databases: dict[str, dict[str, TableDef]] = field(
         default_factory=lambda: {"default": {}, "local": {}}
     )
+    remote_dbs: set[str] = field(default_factory=set)
 
     def db(self, name: str) -> dict[str, TableDef]:
         if name == "system":
@@ -105,6 +111,7 @@ class Engine:
         register_udfs(self.spark)
         self.catalog = Catalog()
         self.current_db = "default"
+        self.store = None  # StoreClient once attach_store() is called
         # live-statement registry backing system.processes
         # (processes_table.rs:27 keeps a ProcessInfo per running query)
         self._live: dict[str, dict] = {}
@@ -136,6 +143,28 @@ class Engine:
         }
 
     # ---------- public API ----------
+
+    def attach_store(self, url: str) -> None:
+        """Attach a remote store (sources/remote_store.FuseStore). The
+        reference connects to fusestore at session build
+        (store_client_provider.rs) and registers its databases
+        (datasource.rs register_remote_database); here: every store
+        database becomes a remote-engine catalog entry, and CREATE
+        DATABASE without `ENGINE = Local` lands store-side from now
+        on (09_0000_remote_create_table: engine shows `remote`)."""
+        from fuse_query_spark.sources.remote_store import StoreClient
+
+        self.store = StoreClient(url)
+        for db, tables in self.store.databases().items():
+            self.catalog.databases.setdefault(db, {})
+            self.catalog.remote_dbs.add(db)
+            for table, schema_json in tables.items():
+                self.catalog.databases[db][table] = TableDef(
+                    name=table,
+                    database=db,
+                    engine="remote",
+                    schema=StructType.fromJson(json.loads(schema_json)),
+                )
 
     def attach_parquet_dir(self, sf_dir: str, db: str = "default") -> None:
         """Attach every parquet table in a directory as a Parquet-engine
@@ -491,6 +520,19 @@ class Engine:
             return tdef.data
         if tdef.engine == "Null":
             return self.spark.createDataFrame([], tdef.schema)
+        if tdef.engine == "remote":
+            # remote_table.rs read_plan: ask the store for the part
+            # list, then scan the parts. Executors read the parquet
+            # parts directly (the metastore/object-store split) — the
+            # HTTP hop carries only metadata, never rows.
+            if self.store is None:
+                raise UnsupportedStatement(
+                    f"Table '{tdef.database}.{tdef.name}' is remote but no store is attached"
+                )
+            plan = self.store.read_plan(tdef.database, tdef.name)
+            if not plan["parts"]:
+                return self.spark.createDataFrame([], tdef.schema)
+            return self.spark.read.schema(tdef.schema).parquet(*plan["parts"])
         if tdef.engine in ("CSV", "Parquet", "JSONEachRow"):
             import os
 
@@ -536,8 +578,16 @@ class Engine:
             if if_not_exists:
                 return None
             raise TableAlreadyExists(f"Table '{db}.{table}' already exists")
+        schema = self._parse_schema(cols)
+        if db in self.catalog.remote_dbs:
+            # a remote database stores ALL its tables store-side
+            # (remote_database.rs create_table goes through MetaApi;
+            # the engine clause is not part of the remote schema) —
+            # 09_0000 expects engine `remote` for a bare CREATE TABLE
+            self.store.create_table(db, table, json.dumps(schema.jsonValue()))
+            engine = "remote"
         tables[table] = TableDef(
-            name=table, database=db, engine=engine, schema=self._parse_schema(cols), location=location
+            name=table, database=db, engine=engine, schema=schema, location=location
         )
         return None
 
@@ -585,18 +635,33 @@ class Engine:
             if if_exists:
                 return None
             raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        if db in self.catalog.remote_dbs:
+            self.store.drop_table(db, table)
         del tables[table]
         self.spark.catalog.dropTempView(table)
         self.spark.catalog.dropTempView(f"{db}__{table}")
         return None
 
     def _create_database(self, s: str):
-        m = re.match(r"(?is)^CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)", s)
-        if_not_exists, name = m.groups()
+        m = re.match(
+            r"(?is)^CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:ENGINE\s*=\s*(\w+))?\s*$",
+            s,
+        )
+        if m is None:
+            raise UnsupportedStatement(f"Cannot parse CREATE DATABASE: {s[:80]}")
+        if_not_exists, name, engine = m.groups()
         if name in self.catalog.databases or name == "system":
             if if_not_exists:
                 return None
             raise DatabaseAlreadyExists(f"Database '{name}' already exists")
+        # Engine selection mirrors the reference's database factories
+        # (datasource.rs:70-96): `ENGINE = Local` → LocalDatabase; no
+        # engine clause → the remote store when one is attached
+        # (09_0000: tables there report engine `remote`), else local.
+        remote = self.store is not None and (engine or "").strip().lower() != "local"
+        if remote:
+            self.store.create_database(name)
+            self.catalog.remote_dbs.add(name)
         self.catalog.databases[name] = {}
         return None
 
@@ -607,6 +672,9 @@ class Engine:
             if if_exists:
                 return None
             raise UnknownDatabase(f"Unknown database: '{name}'")
+        if name in self.catalog.remote_dbs:
+            self.store.drop_database(name)
+            self.catalog.remote_dbs.discard(name)
         del self.catalog.databases[name]
         if self.current_db == name:
             self.current_db = "default"
@@ -692,6 +760,26 @@ class Engine:
             raise UnknownTable(f"Unknown table: '{db}.{table}'")
         tdef = tables[table]
         colnames = [c.strip() for c in cols.split(",")] if cols else [f.name for f in tdef.schema]
+        if tdef.engine == "remote":
+            # Reference parity, deliberately scoped to the remote
+            # engine: insert_to_plan (plan_parser.rs:348-371) renders
+            # every value tuple via `Expr::Value(v).to_string()` into
+            # an all-Utf8 block — single-quoted strings KEEP their
+            # quotes (09_0001_remote_insert.result pins `'1'  'v1'`).
+            # The remote path is the only INSERT observable in the
+            # reference suite; the repo's extended engines (Memory/
+            # Parquet/CSV/JSON) keep sane literal parsing below.
+            rows = [
+                tuple(item.strip() for item in self._split_cols(t))
+                for t in self._split_tuples(values)
+            ]
+            sub_schema = StructType(
+                [StructField(c, tdef.schema[c].dataType, True) for c in colnames]
+            )
+            str_schema = StructType([StructField(c, StringType(), True) for c in colnames])
+            df = self.spark.createDataFrame(rows, str_schema)
+            df = df.select(*[F.col(c).cast(sub_schema[c].dataType).alias(c) for c in colnames])
+            return self._append(tdef, df)
         rows = [self._parse_tuple(t) for t in self._split_tuples(values)]
         sub_schema = StructType([tdef.schema[c] for c in colnames])
         df = self.spark.createDataFrame(rows, sub_schema)
@@ -711,20 +799,50 @@ class Engine:
                 raise UnsupportedStatement(
                     f"INSERT into a single-file {tdef.engine} table; use a directory location"
                 )
-            ordered = df.select(
-                *[
-                    (
-                        F.col(c)
-                        if c in df.columns
-                        else F.lit(None).cast(tdef.schema[c].dataType)
-                    ).alias(c)
-                    for c in tdef.schema.names
-                ]
-            )
+            ordered = self._align_to_schema(df, tdef.schema)
             getattr(ordered.write.mode("append"), writers[tdef.engine])(tdef.location)
+        elif tdef.engine == "remote":
+            # remote_table.rs append_data streams the insert's blocks
+            # to the store. Spark-side: write the blocks as parquet
+            # (distributed — rows never pass through the driver as
+            # rows), then ship the part FILES to the store's data
+            # endpoint. At cluster scale this is a direct executor
+            # write to the store's object prefix; the byte-upload is
+            # the single-process stand-in.
+            if self.store is None:
+                raise UnsupportedStatement(
+                    f"Table '{tdef.database}.{tdef.name}' is remote but no store is attached"
+                )
+            import glob
+            import os
+            import tempfile
+
+            ordered = self._align_to_schema(df, tdef.schema)
+            with tempfile.TemporaryDirectory() as tmp:
+                out = os.path.join(tmp, "blocks")
+                ordered.write.mode("overwrite").parquet(out)
+                for p in sorted(glob.glob(os.path.join(out, "*.parquet"))):
+                    with open(p, "rb") as fh:
+                        self.store.append_parquet(tdef.database, tdef.name, fh.read())
         elif tdef.engine != "Null":
             raise UnsupportedStatement(f"INSERT into engine {tdef.engine} not supported")
         return None
+
+    @staticmethod
+    def _align_to_schema(df: DataFrame, schema: StructType) -> DataFrame:
+        """Column order/type normalization to the declared schema (so
+        positional formats stay readable and remote parts all share
+        one physical schema)."""
+        return df.select(
+            *[
+                (
+                    F.col(c).cast(schema[c].dataType)
+                    if c in df.columns
+                    else F.lit(None).cast(schema[c].dataType)
+                ).alias(c)
+                for c in schema.names
+            ]
+        )
 
     def _insert_select(self, name: str, cols: str | None, select_sql: str):
         """INSERT INTO t [(cols)] SELECT … — the reference streams

@@ -251,3 +251,71 @@ def recursive_month_spine(spark, sf_dir):
         GROUP BY m
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Remote engine (r5): the fusestore analog end-to-end — CREATE DATABASE
+# (remote), CREATE TABLE, INSERT … SELECT through the store, SELECT back.
+# ---------------------------------------------------------------------------
+
+_REMOTE = {"store": None, "engines": {}}
+
+
+def _remote_engine(spark, sf_dir):
+    """One process-lifetime FuseStore (ephemeral port, mkdtemp root)
+    and one Engine per (session, sf_dir) attached to it. The store
+    outlives the query call so the returned DataFrame's part paths
+    stay readable when the driver collects later."""
+    import tempfile
+
+    from fuse_query_spark.engine import Engine
+    from fuse_query_spark.sources.remote_store import FuseStore
+
+    if _REMOTE["store"] is None:
+        store = FuseStore(os.path.join(tempfile.mkdtemp(prefix="fuse_store_"), "root"))
+        store.start()
+        _REMOTE["store"] = store
+    key = (id(spark), sf_dir)
+    if key not in _REMOTE["engines"]:
+        eng = Engine(spark)
+        eng.attach_parquet_dir(sf_dir)
+        eng.attach_store(_REMOTE["store"].url)
+        _REMOTE["engines"][key] = eng
+    return _REMOTE["engines"][key]
+
+
+@register(
+    "remote_engine_scan",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("source", "remote", "engine"),
+)
+def remote_engine_scan(spark, sf_dir):
+    """Remote engine end-to-end (remote_table.rs:27-181,
+    remote_database.rs, remote_table_do_read.rs re-expressed over the
+    HTTP store analog in sources/remote_store.py): CREATE DATABASE →
+    store-side database, CREATE TABLE → store schema registry,
+    INSERT … SELECT → Spark writes parquet blocks shipped to the
+    store, SELECT → read_plan returns part locations that Spark scans
+    directly (the metastore/object-store split — data never funnels
+    through the store socket on read)."""
+    eng = _remote_engine(spark, sf_dir)
+    eng.sql("DROP DATABASE IF EXISTS remote_db")
+    return eng.sql(
+        """
+        CREATE DATABASE remote_db;
+        USE remote_db;
+        CREATE TABLE docs_mirror(doc_id bigint, source varchar, n_chars bigint);
+        INSERT INTO docs_mirror SELECT doc_id, source, n_chars FROM default.documents WHERE n_chars > 0;
+        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, MAX(doc_id) AS max_doc
+        FROM docs_mirror GROUP BY source ORDER BY source
+        """
+    )

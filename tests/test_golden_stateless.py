@@ -39,13 +39,7 @@ from fuse_query_spark.errors import FuseQueryError
 
 SUITE_DIR = "/root/reference/tests/suites/0_stateless"
 
-SKIP = {
-    # Remote/fusestore engine is out of scope (SURVEY §2.1): tables
-    # created without ENGINE default to Null here, not `remote`, and
-    # there is no remote flight endpoint to insert through.
-    "09_0000_remote_create_table",
-    "09_0001_remote_insert",
-}
+SKIP: set[str] = set()  # r5: the remote-engine analog closed the last 2 skips
 
 # Environment parity: the reference CI leaves a `for_test` database
 # behind (created outside the 0_stateless suite) and its recorded
@@ -123,10 +117,18 @@ def _produces_output(stmt: str) -> bool:
 
 
 @pytest.mark.parametrize("name", _sql_files())
-def test_reference_golden_file(spark, name):
+def test_reference_golden_file(spark, name, tmp_path, request):
     statements = _parse(os.path.join(SUITE_DIR, f"{name}.sql"))
     expected = open(os.path.join(SUITE_DIR, f"{name}.result")).read().splitlines()
     engine = Engine(spark)
+    # The reference CI runs fuse-query connected to fusestore, so
+    # `CREATE DATABASE x` (no ENGINE clause) lands remote (09_*). A
+    # fresh per-test store keeps files isolated from each other.
+    from fuse_query_spark.sources.remote_store import FuseStore
+
+    store = FuseStore(str(tmp_path / "store"))
+    engine.attach_store(store.start())
+    request.addfinalizer(store.stop)
     for pre in PRE_SQL.get(name, []):
         engine.sql(pre)
     cursor = 0
