@@ -785,6 +785,25 @@ class Engine:
         df = self.spark.createDataFrame(rows, sub_schema)
         return self._append(tdef, df)
 
+    def resolve_table(self, name: str) -> TableDef:
+        """Catalog lookup for `[db.]table` against the current
+        database (wire front-ends resolve INSERT targets through
+        this)."""
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table not in tables:
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        return tables[table]
+
+    def append_rows(self, tdef: TableDef, colnames: list[str], rows: list[tuple]):
+        """Append already-decoded Python rows to a table — the wire
+        servers' Table::append_data entry (native-protocol INSERT
+        blocks land here). Bounded by the serving socket, so
+        driver-side row materialization is inherent to the path."""
+        sub_schema = StructType([StructField(c, tdef.schema[c].dataType, True) for c in colnames])
+        df = self.spark.createDataFrame(rows, sub_schema)
+        return self._append(tdef, df)
+
     def _append(self, tdef: TableDef, df: DataFrame):
         """Table::append_data (interpreter_insert_into.rs:33-45):
         Memory unions, Null discards; Parquet/CSV/JSONEachRow append to

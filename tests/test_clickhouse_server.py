@@ -396,3 +396,166 @@ def test_out_of_range_date_is_refused_not_wrapped(client):
     assert exc is not None and "range" in exc[2]
     _, _, _, exc = client.query("SELECT CAST('2200-01-01' AS DATE) AS d")
     assert exc is not None and "range" in exc[2]
+
+
+# ---------------------------------------------------------------------------
+# Native-protocol streamed INSERT (r5): query text ends at VALUES, data
+# arrives as client Data blocks after the server echoes the header block.
+# ---------------------------------------------------------------------------
+
+_ENC_FIXED = {
+    "Int8": "<b", "Int16": "<h", "Int32": "<i", "Int64": "<q",
+    "UInt8": "<B", "UInt16": "<H", "UInt32": "<I", "UInt64": "<Q",
+    "Float32": "<f", "Float64": "<d", "Date": "<H", "DateTime": "<I",
+}
+
+
+def _encode_column(ch_type, values):
+    if ch_type.startswith("Nullable(") and ch_type.endswith(")"):
+        inner = ch_type[len("Nullable(") : -1]
+        mask = bytes(1 if v is None else 0 for v in values)
+        filler = 0 if inner in _ENC_FIXED else ""
+        return mask + _encode_column(inner, [filler if v is None else v for v in values])
+    if ch_type in _ENC_FIXED:
+        return b"".join(struct.pack(_ENC_FIXED[ch_type], v) for v in values)
+    if ch_type == "String":
+        return b"".join(_s(v) for v in values)
+    raise AssertionError(f"cannot encode {ch_type}")
+
+
+class InsertCHClient(MiniCHClient):
+    def read_one_packet(self):
+        """One server packet: ('data', columns) | ('exc', (code, name,
+        msg)) | ('progress', ...) | ('eos', None)."""
+        ptype = self._varint()
+        if ptype == 5:
+            return ("eos", None)
+        if ptype == 2:
+            code = struct.unpack("<i", self._exact(4))[0]
+            name = self._string().decode()
+            message = self._string().decode()
+            self._string()
+            assert not self._exact(1)[0]
+            return ("exc", (code, name, message))
+        if ptype == 3:
+            p = (self._varint(), self._varint(), self._varint())
+            return ("progress", p)
+        assert ptype == 1, f"unexpected packet {ptype}"
+        self._string()
+        while True:
+            field = self._varint()
+            if field == 0:
+                break
+            self._exact(1 if field == 1 else 4)
+        n_cols, n_rows = self._varint(), self._varint()
+        cols = []
+        for _ in range(n_cols):
+            cname = self._string().decode()
+            ch_type = self._string().decode()
+            cols.append((cname, ch_type, self._read_column(ch_type, n_rows)))
+        return ("data", cols)
+
+    def send_data_block(self, columns, col_values):
+        """columns: [(name, ch_type)]; col_values: per-column lists."""
+        n_rows = len(col_values[0]) if col_values else 0
+        pkt = (
+            _varint(2) + _s("")
+            + _varint(1) + b"\x00" + _varint(2) + struct.pack("<i", -1) + _varint(0)
+            + _varint(len(columns)) + _varint(n_rows)
+        )
+        for (cname, ch_type), vals in zip(columns, col_values):
+            pkt += _s(cname) + _s(ch_type) + _encode_column(ch_type, vals)
+        self.sock.sendall(pkt)
+
+    def wire_insert(self, sql, blocks):
+        """blocks: list of per-column value-list groups. Returns
+        (header_columns, progresses, exception)."""
+        self.send_query(sql)
+        kind, payload = self.read_one_packet()
+        if kind == "exc":
+            return None, [], payload
+        assert kind == "data", f"expected header block, got {kind}"
+        header = [(n, t) for n, t, _ in payload]
+        for col_values in blocks:
+            self.send_data_block(header, col_values)
+        self.send_data_block(header, [[] for _ in header])  # terminator
+        progresses = []
+        while True:
+            kind, payload = self.read_one_packet()
+            if kind == "progress":
+                progresses.append(payload)
+            elif kind == "eos":
+                return header, progresses, None
+            elif kind == "exc":
+                return header, progresses, payload
+
+
+@pytest.fixture()
+def insert_client(ch_port):
+    c = InsertCHClient(ch_port)
+    yield c
+    c.close()
+
+
+def test_wire_insert_roundtrip(insert_client):
+    c = insert_client
+    c.query("DROP TABLE IF EXISTS wi1")
+    c.query("CREATE TABLE wi1(n bigint, s string) ENGINE = Memory")
+    header, progresses, exc = c.wire_insert(
+        "INSERT INTO wi1 VALUES",
+        [
+            [[1, 2, 3], ["a", "b", "c"]],
+            [[4, 5], ["d", "e"]],  # second block on the same stream
+        ],
+    )
+    assert exc is None
+    # the server echoes the table's header block: names + CH types
+    assert header == [("n", "Nullable(Int64)"), ("s", "Nullable(String)")]
+    assert progresses and progresses[-1][0] == 5  # rows written
+    _, rows, _, exc2 = c.query("SELECT n, s FROM wi1 ORDER BY n")
+    assert exc2 is None
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+
+def test_wire_insert_column_subset_and_nulls(insert_client):
+    c = insert_client
+    c.query("DROP TABLE IF EXISTS wi2")
+    c.query("CREATE TABLE wi2(a int, b string) ENGINE = Memory")
+    header, _, exc = c.wire_insert(
+        "INSERT INTO wi2 (b) VALUES", [[["x", None, "z"]]]
+    )
+    assert exc is None
+    assert header == [("b", "Nullable(String)")]
+    _, rows, _, _ = c.query("SELECT a, b FROM wi2")
+    assert sorted(rows, key=str) == sorted([(None, "x"), (None, None), (None, "z")], key=str)
+
+
+def test_wire_insert_unknown_table_is_db_exception(insert_client):
+    header, _, exc = insert_client.wire_insert("INSERT INTO no_such_tbl VALUES", [])
+    assert header is None
+    assert exc is not None and exc[1] == "DB:Exception" and "no_such_tbl" in exc[2]
+
+
+def test_wire_insert_block_column_mismatch(insert_client):
+    c = insert_client
+    c.query("DROP TABLE IF EXISTS wi3")
+    c.query("CREATE TABLE wi3(a int, b string) ENGINE = Memory")
+    c.send_query("INSERT INTO wi3 VALUES")
+    kind, payload = c.read_one_packet()
+    assert kind == "data"
+    # send a block with only ONE column against a two-column insert
+    c.send_data_block([("a", "Nullable(Int32)")], [[7]])
+    kind, payload = c.read_one_packet()
+    assert kind == "exc" and "expected 2" in payload[2]
+
+
+def test_wire_insert_inline_values_stay_on_sql_path(insert_client):
+    # inline VALUES must not trigger the streamed-insert handshake:
+    # the server answers with EndOfStream directly, no header block
+    c = insert_client
+    c.query("DROP TABLE IF EXISTS wi4")
+    c.query("CREATE TABLE wi4(a int) ENGINE = Memory")
+    _, rows, _, exc = c.query("INSERT INTO wi4 VALUES (41), (42)")
+    assert exc is None and rows == []
+    _, rows, _, _ = c.query("SELECT a FROM wi4 ORDER BY a")
+    assert rows == [(41,), (42,)]
