@@ -90,6 +90,9 @@ class MiniClient:
         """Returns (columns, rows) for result sets, "OK" for OK
         packets; raises RuntimeError on ERR."""
         self.send_packet(b"\x03" + sql.encode(), seq=0)
+        return self._response()
+
+    def _response(self):
         first = self.read_packet()
         if first[0] == 0x00:
             return "OK"
@@ -130,6 +133,59 @@ class MiniClient:
     def ping(self):
         self.send_packet(b"\x0e", seq=0)
         return self.read_packet()[0] == 0x00
+
+    # -- prepared statements (COM_STMT_*) --
+    def prepare(self, sql: str):
+        """Returns (stmt_id, n_cols, n_params); raises on ERR."""
+        self.send_packet(b"\x16" + sql.encode(), seq=0)
+        p = self.read_packet()
+        if p[0] == 0xFF:
+            errno = struct.unpack_from("<H", p, 1)[0]
+            raise RuntimeError(f"[{errno}] {p[9:].decode(errors='replace')}")
+        assert p[0] == 0x00
+        sid = struct.unpack_from("<I", p, 1)[0]
+        ncols = struct.unpack_from("<H", p, 5)[0]
+        nparams = struct.unpack_from("<H", p, 7)[0]
+        for block in (nparams, ncols):
+            if block:
+                for _ in range(block):
+                    self.read_packet()  # definitions
+                assert self.read_packet()[0] == 0xFE  # EOF
+        return sid, ncols, nparams
+
+    @staticmethod
+    def _param(v):
+        """(type_byte, flags, wire_bytes) for a python value."""
+        if v is None:
+            return 0x06, 0, b""
+        if isinstance(v, int):
+            return 0x08, 0, struct.pack("<q", v)
+        if isinstance(v, float):
+            return 0x05, 0, struct.pack("<d", v)
+        b = v.encode() if isinstance(v, str) else bytes(v)
+        assert len(b) < 251
+        return 0xFD, 0, bytes([len(b)]) + b
+
+    def execute(self, sid: int, params=(), send_types=True):
+        payload = struct.pack("<I", sid) + b"\x00" + struct.pack("<I", 1)
+        if params:
+            nb = bytearray((len(params) + 7) // 8)
+            specs = [self._param(v) for v in params]
+            for i, v in enumerate(params):
+                if v is None:
+                    nb[i // 8] |= 1 << (i % 8)
+            payload += bytes(nb) + (b"\x01" if send_types else b"\x00")
+            if send_types:
+                for t, f, _ in specs:
+                    payload += bytes([t, f])
+            for i, (_, _, wire) in enumerate(specs):
+                if params[i] is not None:
+                    payload += wire
+        self.send_packet(b"\x17" + payload, seq=0)
+        return self._response()
+
+    def close_stmt(self, sid: int):
+        self.send_packet(b"\x19" + struct.pack("<I", sid), seq=0)  # no response
 
     def init_db(self, db: str):
         self.send_packet(b"\x02" + db.encode(), seq=0)
@@ -226,10 +282,39 @@ def test_ping_and_concurrent_connections(server):
         b.quit()
 
 
-def test_stmt_prepare_rejected_like_reference(client):
-    # the reference errors on COM_STMT_PREPARE
-    # (mysql_interactive_worker.rs:130-133) — byte parity on the message
-    client.send_packet(b"\x16SELECT ?", seq=0)
-    p = client.read_packet()
-    assert p[0] == 0xFF
-    assert b"Prepare is not support in DataFuse." in p
+def test_stmt_prepare_execute_roundtrip(client):
+    """prepare → execute → fetch with bound parameters (capability
+    extension past the reference, whose on_prepare errors —
+    mysql_interactive_worker.rs:124-133; real connectors default to
+    prepared statements)."""
+    sid, ncols, nparams = client.prepare(
+        "SELECT number, number * ? AS m FROM numbers(5) WHERE number > ?"
+    )
+    assert nparams == 2 and ncols == 0  # result metadata deferred to execute
+    cols, rows = client.execute(sid, [3, 1])
+    assert [c[0] for c in cols] == ["number", "m"]
+    assert rows == [["2", "6"], ["3", "9"], ["4", "12"]]
+    # re-execute WITHOUT re-sending types (new_params_bound_flag = 0)
+    cols, rows = client.execute(sid, [10, 3], send_types=False)
+    assert rows == [["4", "40"]]
+
+
+def test_stmt_string_null_and_float_params(client):
+    sid, _, nparams = client.prepare("SELECT ? AS s, ? AS n, ? AS f")
+    assert nparams == 3
+    cols, rows = client.execute(sid, ["o'hara \\ x", None, 2.5])
+    assert rows == [["o'hara \\ x", None, "2.5"]]
+
+
+def test_stmt_placeholder_inside_string_is_not_a_param(client):
+    sid, _, nparams = client.prepare("SELECT '?' AS lit, ? AS p")
+    assert nparams == 1
+    _, rows = client.execute(sid, [7])
+    assert rows == [["?", "7"]]
+
+
+def test_stmt_close_then_execute_errors(client):
+    sid, _, _ = client.prepare("SELECT ? AS x")
+    client.close_stmt(sid)
+    with pytest.raises(RuntimeError, match="1243"):
+        client.execute(sid, [1])
