@@ -44,3 +44,36 @@ class ClusterRegistry:
         with self._lock:
             return sorted(self._nodes.values(), key=lambda n: n["sequence"])
 
+
+
+def scatter_bucket(col, num: int):
+    """The reference's distributed-scatter bucket rule as a Column:
+    `modulo(cast(expr AS UInt64), num)` (api/rpc/flight_scatter_hash.rs
+    :80-91 expr_action; plan_scheduler.rs:96 hangs this on the stage
+    boundary when a cluster has N nodes).
+
+    Spark has no unsigned 64-bit type, so the UInt64 reinterpretation
+    of a negative BIGINT (v + 2^64) is computed in DECIMAL(30,0) —
+    exact, no float rounding — before the modulo. The mapping claim
+    this backs (SCALE.md "Cluster surface"): the reference scatters
+    blocks to nodes by this bucket; Spark's exchange scatters rows to
+    reducers by hash(partition expr). Repartitioning on THIS bucket
+    value reproduces the reference's row->bucket co-location exactly
+    (rows sharing a bucket share a partition), while the bucket->
+    executor placement stays Spark's own — the part of the mapping
+    that is Spark's to decide, as nodes registered via
+    /v1/cluster/add never schedule Spark tasks.
+    """
+    from pyspark.sql import functions as F
+
+    dec = col.cast("decimal(30,0)")
+    # 2^64 exceeds a JVM long, so it travels as a string literal
+    two64 = F.lit(str(2**64)).cast("decimal(30,0)")
+    u64 = F.when(dec < 0, dec + two64).otherwise(dec)
+    return (u64 % F.lit(num).cast("decimal(30,0)")).cast("bigint")
+
+
+def scatter(df, num: int, col):
+    """Repartition by the reference's scatter bucket: the Spark-side
+    analog of FlightScatter::execute feeding N node streams."""
+    return df.repartition(num, scatter_bucket(col, num))

@@ -267,3 +267,38 @@ def test_decontaminate_bloom_prefilter_is_broadcast_semi(spark, sf_dir):
     df = REG["decontaminate_bloom"].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+
+
+def test_scatter_bucket_parity_with_reference_rule(spark):
+    """Distributed-scatter mapping (flight_scatter_hash.rs:80-91):
+    bucket = cast(expr AS UInt64) % N. The Spark analog must assign
+    every row — including NEGATIVE keys, where UInt64 reinterpretation
+    diverges from signed pmod for non-power-of-two N — to the same
+    bucket the reference's expr_action computes, and repartitioning on
+    that bucket must co-locate equal buckets in one partition."""
+    from pyspark.sql import functions as F
+
+    from fuse_query_spark.cluster import scatter, scatter_bucket
+
+    n = 3  # non-power-of-two: u64-reinterpret != pmod for negatives
+    vals = [0, 1, 2, 5, 2**62, -1, -2, -5, -(2**62)]
+    df = spark.createDataFrame([(v,) for v in vals], "k BIGINT")
+    got = {
+        r.k: r.b
+        for r in df.select("k", scatter_bucket(F.col("k"), n).alias("b")).collect()
+    }
+    want = {v: (v % 2**64) % n for v in vals}  # the reference rule in python
+    assert got == want
+    # sanity that the plain signed pmod would NOT have matched (the
+    # test would be vacuous otherwise)
+    assert any((v % n) != want[v] for v in vals if v < 0)
+    # co-location: after scatter(), rows of one bucket share a partition
+    parts = (
+        scatter(df, n, F.col("k"))
+        .select(scatter_bucket(F.col("k"), n).alias("b"), F.spark_partition_id().alias("p"))
+        .collect()
+    )
+    by_bucket = {}
+    for r in parts:
+        by_bucket.setdefault(r.b, set()).add(r.p)
+    assert all(len(ps) == 1 for ps in by_bucket.values()), by_bucket
