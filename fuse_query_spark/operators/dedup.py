@@ -387,3 +387,87 @@ def lsh_cross_candidate_pairs_md5(
         .select("id_new", "id_base")
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution over near-dup pairs: connected
+    components by iterative min-label propagation, the step that turns
+    pairwise LSH output into per-document cluster assignments (the
+    form a curation pipeline actually consumes: keep one canonical doc
+    per component). Returns (id_col, component) for every node that
+    appears in `pairs`, component = min node id in the component.
+
+    Scale shape: each round is two shuffle joins — neighbor-min
+    (edges x labels on the neighbor key) and POINTER JUMP
+    (label(label(x)), the labels table self-joined on the label key)
+    — plus one hash aggregate, all keys uniform doc-ids, nothing
+    driver-side except the per-round convergence count (a scalar).
+    The pointer jump halves every label-chain each round, so
+    convergence is O(log diameter) rounds even on adversarial path
+    graphs (the same doubling that makes large-star/small-star,
+    Kiveris et al. 2014, logarithmic); banded-LSH dup clusters are
+    star-like and finish in 2-3 rounds. `max_iter` bounds the loop;
+    hitting it raises rather than returning half-merged components.
+
+    The reference has no graph operator (SURVEY §2 — SELECT pipeline
+    only); capability extension for the training-data pipeline."""
+    e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    edges = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().persist()
+    # localCheckpoint, NOT persist: each round's plan references the
+    # previous labels FOUR times (direct, neighbor-min, both sides of
+    # the pointer jump), so without lineage truncation the logical
+    # plan grows 4^round and Catalyst ANALYSIS goes exponential —
+    # measured 1.8s -> 54s by round 4 on a 190-edge graph. Caching
+    # short-circuits execution but not plan analysis; checkpointing
+    # cuts the plan itself (the standard iterative-algorithm pattern,
+    # e.g. GraphFrames). Eager so the convergence count reuses it.
+    labels = (
+        edges.groupBy("x")
+        .agg(F.min("y").alias("_ny"))
+        .select("x", F.least(F.col("x"), F.col("_ny")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.select(F.col("x").alias("y"), "label"), "y")
+            .groupBy("x")
+            .agg(F.min("label").alias("_nl"))
+        )
+        jump = labels.join(
+            labels.select(F.col("x").alias("label"), F.col("label").alias("_jl")),
+            "label",
+            "left",
+        ).select("x", "_jl")
+        new = (
+            labels.join(nbr, "x", "left")
+            .join(jump, "x", "left")
+            .select(
+                "x",
+                F.least(
+                    "label",
+                    F.coalesce("_nl", F.col("label")),
+                    F.coalesce("_jl", F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "x")
+            .filter(F.col("label") < F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(F.col("x").alias(id_col), F.col("label").alias("component"))
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(raise max_iter; convergence is O(log diameter) via the pointer jump)"
+    )

@@ -349,3 +349,72 @@ def dedup_minhash_cross_corpus(spark, sf_dir):
     return verified.select(
         F.col("id_a").alias("id_new"), F.col("id_b").alias("id_base"), "jaccard"
     )
+
+
+def _cc_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
+    """Recursive-CTE connected components over the SAME md5-minhash
+    pair pipeline _md5_minhash_oracle checks: reach(a,b) = b reachable
+    from a, component = min reachable node (including self)."""
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(s || '|{i}')), 'min') AS mh{i}"
+        for i in range(k)
+    )
+    r = k // bands
+    band_cols = ", ".join(
+        "md5({}) AS b{}".format(" || '|' || ".join(f"mh{b * r + j}" for j in range(r)), b)
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    mh AS (SELECT doc_id, {mh_cols} FROM t),
+    bands AS (SELECT doc_id, {band_cols} FROM mh),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_match})),
+    p AS (SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN t ta ON ta.doc_id = c.id_a
+          JOIN t tb ON tb.doc_id = c.id_b
+          WHERE len(list_intersect(ta.sh, tb.sh))
+                  / greatest(len(list_distinct(list_concat(ta.sh, tb.sh))), 1) >= {threshold}),
+    edges AS (SELECT id_a AS x, id_b AS y FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+        SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+        UNION
+        SELECT r.a, e.y FROM reach r JOIN edges e ON e.x = r.b
+    )
+    SELECT a AS doc_id,
+           CAST(MIN(b) AS BIGINT) AS component,
+           (a = MIN(b)) AS is_canonical
+    FROM reach GROUP BY a
+    """
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=_cc_oracle(),
+    tags=("dedup", "minhash", "graph", "portable"),
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    """Near-dup CLUSTER resolution (r5): the md5-minhash pair pipeline
+    (identical to dedup_minhash_lsh_md5) fed into connected components
+    by min-label propagation — per-document cluster assignment plus
+    the canonical-keep flag, the form a curation pass consumes (keep
+    doc_id == component, drop the rest). Oracle recomputes the whole
+    thing in DuckDB: pairs via the md5 pipeline, components via a
+    recursive reachability CTE."""
+    from fuse_query_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify,
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_md5(d, k=8)
+    cands = lsh_candidate_pairs_md5(sigs, k=8, bands=4)
+    pairs = jaccard_verify(d, cands, threshold=0.2)
+    cc = connected_components(pairs)
+    return cc.withColumn("is_canonical", F.col("doc_id") == F.col("component"))

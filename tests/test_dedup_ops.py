@@ -1,0 +1,60 @@
+"""Connected-components duplicate clustering (operators/dedup.py:
+connected_components) — min-label propagation over near-dup pairs."""
+
+import pytest
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, edges):
+        from fuse_query_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+        return {
+            r.doc_id: r.component for r in connected_components(df).collect()
+        }
+
+    def test_chain_triangle_and_pair(self, spark):
+        # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+        got = self._cc(
+            spark,
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        )
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_matches_python_union_find(self, spark):
+        import random
+
+        rng = random.Random(7)
+        nodes = list(range(100))
+        edges = [(a, b) for a in nodes for b in rng.sample(nodes, 2) if a < b]
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {n for e in edges for n in e}
+        want = {}
+        for n in touched:
+            root = find(n)
+            want[n] = min(m for m in touched if find(m) == root)
+        got = self._cc(spark, edges)
+        assert got == want
+
+    def test_long_chain_converges(self, spark):
+        # a 40-node path: worst-case diameter for min-propagation
+        got = self._cc(spark, [(i, i + 1) for i in range(40)])
+        assert set(got.values()) == {0} and len(got) == 41
+
+    def test_max_iter_raises_not_truncates(self, spark):
+        from fuse_query_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a BIGINT, id_b BIGINT")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(df, max_iter=2)
