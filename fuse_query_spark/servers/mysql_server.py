@@ -15,12 +15,13 @@ Scope notes (documented, deliberate):
 - no TLS; prepared statements (COM_STMT_PREPARE/EXECUTE/CLOSE/RESET)
   are implemented with TEXTUAL execution (r5): params decode from the
   binary execute payload and substitute into the SQL text as
-  literals, results return as text resultsets. The reference's
-  on_prepare errors (mysql_interactive_worker.rs:124-133); this is a
-  capability extension because real connectors default to prepared
-  statements. Binary result rows are the one remaining narrowing —
-  strict clients that demand binary resultsets for COM_STMT_EXECUTE
-  won't parse the text rows;
+  literals. Execute responses use the BINARY resultset protocol
+  (0x00 row header, offset-2 NULL bitmap, natively-typed values with
+  accurate column types) — what strict connectors require — while
+  COM_QUERY keeps the reference writer's text resultsets and its
+  parity type map. The reference's on_prepare errors
+  (mysql_interactive_worker.rs:124-133); this is a capability
+  extension because real connectors default to prepared statements;
 - one thread per connection; each connection gets its own view of the
   shared Engine (the reference creates a session per connection).
 
@@ -89,6 +90,73 @@ _SPARK_TO_MYSQL = {
     "timestamp": MYSQL_TYPE_TIMESTAMP,
     "timestamp_ntz": MYSQL_TYPE_TIMESTAMP,
 }
+
+# Binary-protocol resultsets (COM_STMT_EXECUTE responses, r5). The
+# text map above keeps the reference writer's parity quirks (ALL ints
+# -> LONG); binary rows must encode exactly what the column def
+# declares, so prepared-statement results — already an extension past
+# the reference — declare ACCURATE types and encode natively:
+# fixed-width ints, FLOAT/DOUBLE, lenenc strings, packed DATE/DATETIME.
+MYSQL_TYPE_TINY = 0x01
+MYSQL_TYPE_LONGLONG = 0x08
+MYSQL_TYPE_DOUBLE = 0x05
+MYSQL_TYPE_DATE = 0x0A
+MYSQL_TYPE_DATETIME = 0x0C
+MYSQL_TYPE_NEWDECIMAL = 0xF6
+MYSQL_TYPE_VAR_STRING = 0xFD
+
+
+def _bin_date(v) -> bytes:
+    if isinstance(v, datetime):
+        v = v.date()
+    return bytes([4]) + struct.pack("<H", v.year) + bytes([v.month, v.day])
+
+
+def _bin_datetime(v) -> bytes:
+    if isinstance(v, date) and not isinstance(v, datetime):
+        v = datetime(v.year, v.month, v.day)
+    if v.microsecond:
+        return (
+            bytes([11])
+            + struct.pack("<H", v.year)
+            + bytes([v.month, v.day, v.hour, v.minute, v.second])
+            + struct.pack("<I", v.microsecond)
+        )
+    return (
+        bytes([7])
+        + struct.pack("<H", v.year)
+        + bytes([v.month, v.day, v.hour, v.minute, v.second])
+    )
+
+
+def _bin_str(v) -> bytes:
+    b = str(v).encode()
+    return _lenenc_int(len(b)) + b
+
+
+# Spark simpleString -> (binary column type, encoder)
+_SPARK_TO_MYSQL_BINARY = {
+    "tinyint": (MYSQL_TYPE_TINY, lambda v: struct.pack("<b", int(v))),
+    "smallint": (MYSQL_TYPE_SHORT, lambda v: struct.pack("<h", int(v))),
+    "int": (MYSQL_TYPE_LONG, lambda v: struct.pack("<i", int(v))),
+    "bigint": (MYSQL_TYPE_LONGLONG, lambda v: struct.pack("<q", int(v))),
+    "float": (MYSQL_TYPE_FLOAT, lambda v: struct.pack("<f", float(v))),
+    "double": (MYSQL_TYPE_DOUBLE, lambda v: struct.pack("<d", float(v))),
+    "boolean": (MYSQL_TYPE_TINY, lambda v: struct.pack("<b", 1 if v else 0)),
+    "date": (MYSQL_TYPE_DATE, _bin_date),
+    "timestamp": (MYSQL_TYPE_DATETIME, _bin_datetime),
+    "timestamp_ntz": (MYSQL_TYPE_DATETIME, _bin_datetime),
+    "string": (MYSQL_TYPE_VAR_STRING, _bin_str),
+}
+
+
+def _binary_type_of(dtype: str):
+    """(column type, encoder) for binary rows; decimals travel as
+    NEWDECIMAL strings (the protocol's own binary decimal form), any
+    other type stringifies as VAR_STRING."""
+    if dtype.startswith("decimal("):
+        return MYSQL_TYPE_NEWDECIMAL, _bin_str
+    return _SPARK_TO_MYSQL_BINARY.get(dtype, (MYSQL_TYPE_VAR_STRING, _bin_str))
 
 
 def _lenenc_int(n: int) -> bytes:
@@ -410,19 +478,19 @@ class _Conn:
             except (struct.error, IndexError):
                 self.send_err("Malformed COM_STMT_EXECUTE payload", errno=1210)
                 return
-        self._run_sql(_substitute_params(sql, values))
+        self._run_sql(_substitute_params(sql, values), binary=True)
 
-    def _run_sql(self, sql: str, init_db: bool = False) -> None:
+    def _run_sql(self, sql: str, init_db: bool = False, binary: bool = False) -> None:
         # mysql_interactive_worker.rs:92-101: per-statement duration
         start = time.monotonic()
         try:
-            self._run_sql_inner(sql, init_db)
+            self._run_sql_inner(sql, init_db, binary)
         finally:
             METRICS.observe(
                 METRIC_MYSQL_PROCESSOR_REQUEST_DURATION, time.monotonic() - start
             )
 
-    def _run_sql_inner(self, sql: str, init_db: bool = False) -> None:
+    def _run_sql_inner(self, sql: str, init_db: bool = False, binary: bool = False) -> None:
         try:
             # sql_collect, NOT sql + collect: the collect must run
             # inside the engine's statement scope so the query is
@@ -437,7 +505,10 @@ class _Conn:
             self.send_ok()
             return
         fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
-        self._write_resultset(fields, rows)
+        if binary:
+            self._write_binary_resultset(fields, rows)
+        else:
+            self._write_resultset(fields, rows)
 
     def _write_resultset(self, fields, rows) -> None:
         self.send_packet(_lenenc_int(len(fields)))
@@ -448,11 +519,36 @@ class _Conn:
             self.send_packet(b"".join(_text_value(v) for v in row))
         self.send_eof()
 
+    def _write_binary_resultset(self, fields, rows) -> None:
+        """Binary-protocol resultset (COM_STMT_EXECUTE response): 0x00
+        row header, NULL bitmap with 2-bit offset, values encoded per
+        the declared column type — what strict connectors require from
+        a prepared-statement execution."""
+        encs = [_binary_type_of(dtype) for _, dtype in fields]
+        self.send_packet(_lenenc_int(len(fields)))
+        for (name, dtype), (coltype, _) in zip(fields, encs):
+            self.send_packet(self._column_def(name, dtype, coltype))
+        self.send_eof()
+        n = len(fields)
+        for row in rows:
+            bitmap = bytearray((n + 2 + 7) // 8)
+            body = bytearray()
+            for i, v in enumerate(row):
+                if v is None:
+                    bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
+                else:
+                    body += encs[i][1](v)
+            self.send_packet(b"\x00" + bytes(bitmap) + bytes(body))
+        self.send_eof()
+
     @staticmethod
-    def _column_def(name: str, dtype: str) -> bytes:
+    def _column_def(name: str, dtype: str, coltype: int | None = None) -> bytes:
         """ColumnDefinition41 (catalog/schema/table blank, like the
-        reference's writer which sends table: "")."""
-        coltype = _SPARK_TO_MYSQL.get(dtype, MYSQL_TYPE_VARCHAR)
+        reference's writer which sends table: ""). `coltype` overrides
+        the reference-parity text map (binary resultsets declare
+        accurate types)."""
+        if coltype is None:
+            coltype = _SPARK_TO_MYSQL.get(dtype, MYSQL_TYPE_VARCHAR)
         nb = name.encode()
         return (
             _lenenc_str(b"def")

@@ -92,7 +92,7 @@ class MiniClient:
         self.send_packet(b"\x03" + sql.encode(), seq=0)
         return self._response()
 
-    def _response(self):
+    def _response(self, binary=False):
         first = self.read_packet()
         if first[0] == 0x00:
             return "OK"
@@ -119,6 +119,9 @@ class MiniClient:
             p = self.read_packet()
             if p[0] == 0xFE and len(p) < 9:
                 break
+            if binary:
+                rows.append(self._decode_binary_row(p, cols))
+                continue
             row, pos = [], 0
             for _ in range(ncols):
                 if p[pos] == 0xFB:
@@ -129,6 +132,31 @@ class MiniClient:
                     row.append(v.decode())
             rows.append(row)
         return cols, rows
+
+    def _decode_binary_row(self, p, cols):
+        assert p[0] == 0x00, "binary row header"
+        n = len(cols)
+        nb_len = (n + 2 + 7) // 8
+        bitmap, pos = p[1 : 1 + nb_len], 1 + nb_len
+        fixed = {0x01: "<b", 0x02: "<h", 0x03: "<i", 0x08: "<q", 0x04: "<f", 0x05: "<d"}
+        row = []
+        for i, (_, coltype) in enumerate(cols):
+            if bitmap[(i + 2) // 8] & (1 << ((i + 2) % 8)):
+                row.append(None)
+            elif coltype in fixed:
+                fmt = fixed[coltype]
+                row.append(struct.unpack_from(fmt, p, pos)[0])
+                pos += struct.calcsize(fmt)
+            elif coltype in (0x0A, 0x0C):  # DATE / DATETIME
+                ln = p[pos]
+                pos += 1
+                raw = p[pos : pos + ln]
+                pos += ln
+                row.append(raw)  # tests compare packed forms directly
+            else:  # lenenc string forms
+                v, pos = self._lenenc_str(p, pos)
+                row.append(v.decode())
+        return row
 
     def ping(self):
         self.send_packet(b"\x0e", seq=0)
@@ -182,7 +210,7 @@ class MiniClient:
                 if params[i] is not None:
                     payload += wire
         self.send_packet(b"\x17" + payload, seq=0)
-        return self._response()
+        return self._response(binary=True)
 
     def close_stmt(self, sid: int):
         self.send_packet(b"\x19" + struct.pack("<I", sid), seq=0)  # no response
@@ -293,24 +321,43 @@ def test_stmt_prepare_execute_roundtrip(client):
     assert nparams == 2 and ncols == 0  # result metadata deferred to execute
     cols, rows = client.execute(sid, [3, 1])
     assert [c[0] for c in cols] == ["number", "m"]
-    assert rows == [["2", "6"], ["3", "9"], ["4", "12"]]
+    # binary resultset (r5): accurate types — bigint -> LONGLONG(0x08)
+    assert [c[1] for c in cols] == [0x08, 0x08]
+    assert rows == [[2, 6], [3, 9], [4, 12]]
     # re-execute WITHOUT re-sending types (new_params_bound_flag = 0)
     cols, rows = client.execute(sid, [10, 3], send_types=False)
-    assert rows == [["4", "40"]]
+    assert rows == [[4, 40]]
 
 
 def test_stmt_string_null_and_float_params(client):
     sid, _, nparams = client.prepare("SELECT ? AS s, ? AS n, ? AS f")
     assert nparams == 3
     cols, rows = client.execute(sid, ["o'hara \\ x", None, 2.5])
+    # 2.5 substitutes as a decimal literal -> NEWDECIMAL, which the
+    # binary protocol itself transports as a string
+    assert cols[2][1] == 0xF6
     assert rows == [["o'hara \\ x", None, "2.5"]]
+
+
+def test_stmt_double_param_is_binary_double(client):
+    sid, _, _ = client.prepare("SELECT CAST(? AS DOUBLE) AS f")
+    cols, rows = client.execute(sid, [2.5])
+    assert cols[0][1] == 0x05  # MYSQL_TYPE_DOUBLE
+    assert rows == [[2.5]]
 
 
 def test_stmt_placeholder_inside_string_is_not_a_param(client):
     sid, _, nparams = client.prepare("SELECT '?' AS lit, ? AS p")
     assert nparams == 1
     _, rows = client.execute(sid, [7])
-    assert rows == [["?", "7"]]
+    assert rows == [["?", 7]]
+
+
+def test_stmt_binary_date_encoding(client):
+    sid, _, _ = client.prepare("SELECT DATE '1995-03-15' AS d")
+    cols, rows = client.execute(sid)
+    assert cols[0][1] == 0x0A  # MYSQL_TYPE_DATE in the column def
+    assert rows == [[struct.pack("<H", 1995) + bytes([3, 15])]]
 
 
 def test_stmt_close_then_execute_errors(client):
