@@ -205,3 +205,192 @@ def min_shingle_fingerprint(text: str | Column, n: int = 3) -> Column:
     Two documents sharing their minimal shingle collide — a cheap
     near-dup prefilter that is plain SQL on both engines."""
     return F.array_min(F.transform(shingles(text, n), F.md5))
+
+
+# --- PII redaction (r5) -------------------------------------------------
+# Rule order matters: earlier rules redact first (an email is redacted
+# before its digits could be re-matched). Patterns stick to the regex
+# subset with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): explicit classes, bounded repetition, ASCII \b.
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: str | Column, rules=PII_RULES) -> Column:
+    """PII scrubbing — the redaction stage every training-data pipeline
+    runs before anything else. A chain of regexp_replace Columns: pure
+    JVM codegen, scan-speed over 100 TB, no UDF, no shuffle. Rules are
+    the operator's parameters; production swaps in its own pattern set
+    (the shape — ordered regex chain — is what the operator provides)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in rules:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text: str | Column, rules=PII_RULES) -> list[Column]:
+    """Per-category PII match counts on the ORIGINAL text (audit
+    columns: what did redaction remove?). Counted before any rule
+    rewrites the string, so categories are independent of rule order."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}") for name, pat, _ in rules
+    ]
+
+
+# --- Corpus-statistical quality & keywords (r5) -------------------------
+
+
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id", ndigits: int = 4):
+    """CCNet-style perplexity-proxy quality score: mean negative
+    log-probability per token under the corpus's own unigram LM
+    (Wenzek et al. 2020 use a KenLM 5-gram; the unigram variant is the
+    engine-native analog — no model artifact, one extra aggregate).
+    Low avg_nll = head-like repetitive text, high = rare-token tail;
+    pipelines band on it to drop both extremes.
+
+    Scale shape: tokens are pre-aggregated to (doc, word, tf) BEFORE
+    the vocab join, so the join input is |distinct (doc,word)|, not
+    |tokens|; vocab counts are one map-side-combinable hash agg; the
+    grand total is a 1-row broadcast. The vocab join shuffles on the
+    word key (Zipf-skewed — AQE skew-join handles the head, or cap the
+    vocab to top-V with an OOV bucket at web scale, which also makes
+    the vocab side broadcastable). Everything else is per-doc hash
+    aggregation."""
+    tf = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("w").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    return (
+        tf.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(F.col("c") / F.col("t"))) / F.sum("tf"),
+                ndigits,
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def tfidf_topk(df, k: int = 3, text_col: str = "text", id_col: str = "doc_id", ndigits: int = 4):
+    """Top-k tf-idf keyword extraction per document (tf x ln(N/df),
+    the classic salience score) — corpus tagging / topic routing stage.
+    Ranking is on the ROUNDED score with the term string as the tie
+    break, so the result is deterministic and engine-portable (raw
+    doubles differ in final ulps between libm implementations).
+
+    Scale shape: (doc, word, tf) hash agg; document frequency is a
+    second hash agg over the first's output (distinct (doc,word) rows,
+    so COUNT(*) IS the df — no countDistinct); N is a 1-row broadcast;
+    the ranking window partitions by doc_id (high cardinality → small
+    per-partition sorts of ~|distinct words per doc|)."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), ndigits)
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", F.col("w").alias("term"), "score")
+    )
+
+
+# --- Chunking & chunk-level dedup (r5) ----------------------------------
+
+
+def chunk_windows(
+    df,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Overlapping token-window chunking — the RAG / context-window
+    prep stage: each document becomes ceil(n/stride) chunks of up to
+    `chunk_tokens` tokens starting every `stride` tokens (overlap =
+    chunk_tokens - stride). Pure Column + posexplode: tokenize once,
+    generate starts with sequence(), slice per start — linear work,
+    no shuffle, no UDF; chunk text never leaves the executor unless
+    selected.
+
+    Returns (id_col, chunk_id, start_token, n_chunk_tokens,
+    chunk_text)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    base = df.select(
+        id_col,
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "start_token"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start_token") + 1, chunk_tokens)
+    return base.select(
+        id_col,
+        "chunk_id",
+        "start_token",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def chunk_dup_fraction(
+    df,
+    chunk_tokens: int = 32,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Chunk-level (paragraph-analog) corpus dedup metric, the Dolma /
+    Lee et al. doc-scoring shape: split every document into fixed
+    token windows, hash each window, count corpus-wide occurrences of
+    each hash, then score each document by the fraction of its chunks
+    that also occur elsewhere (in ANY doc, or again in the same one).
+    Pipelines drop docs above a dup_chunk_frac threshold.
+
+    Scale shape: chunking is linear scan-side work; the corpus chunk
+    count is ONE map-side-combinable hash aggregate on the chunk md5
+    (uniform 128-bit key, skew-free); the re-join is chunk-hash ->
+    count (the count side is the aggregate's output, far smaller than
+    the chunk stream); final per-doc rollup is a hash agg on doc id.
+    Nothing is quadratic; no driver state.
+
+    Returns (id_col, n_chunks, n_dup_chunks, dup_chunk_frac)."""
+    chunks = chunk_windows(df, chunk_tokens, stride, text_col, id_col).select(
+        id_col, "chunk_id", F.md5(F.col("chunk_text")).alias("h")
+    )
+    counts = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        chunks.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+            (
+                F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("dup_chunk_frac"),
+        )
+    )

@@ -231,3 +231,191 @@ def text_repetition_metrics(spark, sf_dir):
     from fuse_query_spark.operators.text import repetition_metrics
 
     return repetition_metrics(table(spark, sf_dir, "documents"))
+
+
+# --- r5: PII redaction / unigram-LM quality / tf-idf keywords -----------
+
+# The corpus is letter-only word soup, so the PII query plants
+# deterministic synthetic PII derived from doc_id — BOTH engines build
+# the same augmented string, then count and redact it. Concatenation
+# is explicit (`||` / F.concat) so spacing is bit-identical.
+_PII_AUG = (
+    "text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 97 AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 078-05-1120' ELSE '' END"
+)
+
+
+def _pii_oracle() -> str:
+    from fuse_query_spark.operators.text import PII_RULES
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(full_text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    red = "full_text"
+    for _, pat, repl in PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG} AS full_text FROM documents)
+    SELECT doc_id, {counts},
+           md5({red}) AS redacted_md5,
+           length({red}) AS redacted_len
+    FROM aug
+    """
+
+
+@register(
+    "text_pii_redact",
+    oracle=_pii_oracle(),
+    tags=("text", "pii", "redaction", "pipeline"),
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing stage (r5): ordered regexp_replace chain
+    (email -> SSN -> phone -> IPv4) + per-category audit counts on the
+    original. Pure Column codegen at scan speed — the oracle checks
+    the md5 of the fully redacted string, so the replacement semantics
+    (global, ordered, boundary-anchored) match end-to-end."""
+    from fuse_query_spark.operators.text import pii_counts, redact_pii
+
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 97).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 078-05-1120")).otherwise(
+                F.lit("")
+            ),
+        ).alias("full_text"),
+    )
+    red = redact_pii("full_text")
+    return aug.select(
+        "doc_id",
+        *pii_counts("full_text"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).alias("redacted_len"),
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+    vocab AS (SELECT w, SUM(tf) AS c FROM tf GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM vocab)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           round(SUM(tf.tf * -ln(vocab.c / tot.t)) / SUM(tf.tf), 4) AS avg_nll
+    FROM tf JOIN vocab ON tf.w = vocab.w CROSS JOIN tot
+    GROUP BY tf.doc_id
+    """,
+    tags=("text", "quality", "language_model", "pipeline"),
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality scoring (r5): mean token NLL under the
+    corpus's own unigram LM (the engine-native analog of CCNet's KenLM
+    filter). Compared at 1e-4 granularity — the weighted double sum
+    differs in final ulps between engines. See
+    operators/text.py:unigram_logprob for the scale shape."""
+    from fuse_query_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+    dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w,
+               round(tf.tf * ln(nd.n_docs / dfq.df), 4) AS score
+        FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN nd
+    ),
+    ranked AS (
+        SELECT doc_id, w, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, w) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, score
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=("text", "tfidf", "keywords", "pipeline"),
+)
+def text_tfidf_keywords(spark, sf_dir):
+    """Top-3 tf-idf keywords per document (r5) — corpus tagging stage.
+    Deterministic: rank on the rounded score, term string breaks ties.
+    See operators/text.py:tfidf_topk for the scale shape."""
+    from fuse_query_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 48)) AS start
+          FROM t)
+    SELECT doc_id,
+           CAST(start // 48 AS INT) AS chunk_id,
+           CAST(start AS INT) AS start_token,
+           len(list_slice(toks, start + 1, start + 64)) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+    FROM s
+    """,
+    tags=("text", "chunking", "rag", "pipeline"),
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (r5): 64-token chunks every 48
+    tokens (16-token overlap) — the RAG / context-window prep stage.
+    Linear scan-side work, no shuffle. See
+    operators/text.py:chunk_windows."""
+    from fuse_query_spark.operators.text import chunk_windows
+
+    return chunk_windows(table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48)
+
+
+@register(
+    "dedup_chunk_fraction",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 32)) AS start
+          FROM t),
+    c AS (SELECT doc_id,
+                 md5(array_to_string(list_slice(toks, start + 1, start + 32), ' ')) AS h
+          FROM s),
+    cnt AS (SELECT h, COUNT(*) AS n_occ FROM c GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS dup_chunk_frac
+    FROM c JOIN cnt USING (h) GROUP BY doc_id
+    """,
+    tags=("dedup", "chunking", "paragraph", "pipeline"),
+)
+def dedup_chunk_fraction(spark, sf_dir):
+    """Chunk-level (paragraph-analog) dedup scoring (r5): fraction of a
+    document's 32-token windows that occur more than once corpus-wide
+    — the Dolma-style doc-level drop signal. One hash agg on the chunk
+    md5 + one doc rollup. See operators/text.py:chunk_dup_fraction."""
+    from fuse_query_spark.operators.text import chunk_dup_fraction
+
+    return chunk_dup_fraction(table(spark, sf_dir, "documents"), chunk_tokens=32, stride=32)

@@ -1,0 +1,138 @@
+"""Unit tests for the r5 text-pipeline operators: PII redaction,
+unigram-LM quality scoring, tf-idf keyword extraction (the oracle
+cross-checks live in the registry; these pin hand-computed values)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from fuse_query_spark.operators.text import (
+    pii_counts,
+    redact_pii,
+    tfidf_topk,
+    unigram_logprob,
+)
+
+
+def test_redact_pii_all_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail bob.smith+x@corp.io or 10.0.0.1, ssn 123-45-6789, "
+                "phone 555-867-5309 end",
+            )
+        ],
+        "doc_id LONG, text STRING",
+    )
+    row = df.select(
+        redact_pii("text").alias("red"), *pii_counts("text")
+    ).collect()[0]
+    assert row["red"] == (
+        "mail <EMAIL> or <IP>, ssn <SSN>, phone <PHONE> end"
+    )
+    assert (row["n_email"], row["n_ssn"], row["n_phone"], row["n_ipv4"]) == (
+        1,
+        1,
+        1,
+        1,
+    )
+
+
+def test_redact_pii_disjoint_and_clean(spark):
+    """SSN (3-2-4) and phone (3-3-4) patterns never cross-match; clean
+    text passes through untouched."""
+    df = spark.createDataFrame(
+        [(1, "ssn 078-05-1120 only"), (2, "just plain words here")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", redact_pii("text").alias("red"), *pii_counts("text")).collect()
+    }
+    assert rows[1]["red"] == "ssn <SSN> only"
+    assert rows[1]["n_phone"] == 0 and rows[1]["n_ssn"] == 1
+    assert rows[2]["red"] == "just plain words here"
+    assert all(rows[2][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ipv4"))
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Corpus 'a a b' / 'b c': counts a=2 b=2 c=1, total 5."""
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id LONG, text STRING"
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 2
+    assert rows[1]["avg_nll"] == round(math.log(5 / 2), 4)  # all tokens p=2/5
+    assert rows[2]["avg_nll"] == round(
+        (math.log(5 / 2) + math.log(5 / 1)) / 2, 4
+    )
+
+
+def test_tfidf_topk_hand_computed(spark):
+    """N=2; df: a=1 b=2 c=1 -> idf ln2 for a/c, 0 for b."""
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id LONG, text STRING"
+    )
+    out = [
+        (r["doc_id"], r["rank"], r["term"], r["score"])
+        for r in tfidf_topk(df, k=3).orderBy("doc_id", "rank").collect()
+    ]
+    ln2 = round(math.log(2), 4)
+    assert out == [
+        (1, 1, "a", round(2 * math.log(2), 4)),
+        (1, 2, "b", 0.0),
+        (2, 1, "c", ln2),
+        (2, 2, "b", 0.0),
+    ]
+
+
+def test_tfidf_tie_break_deterministic(spark):
+    """Equal scores rank by term string ascending."""
+    df = spark.createDataFrame(
+        [(1, "z y x"), (2, "q r s")], "doc_id LONG, text STRING"
+    )
+    rows = tfidf_topk(df, k=3).filter(F.col("doc_id") == 1).orderBy("rank").collect()
+    assert [r["term"] for r in rows] == ["x", "y", "z"]  # all scores equal
+
+
+def test_chunk_windows_hand_computed(spark):
+    from fuse_query_spark.operators.text import chunk_windows
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id LONG, text STRING")
+    rows = [
+        (r["chunk_id"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_windows(df, chunk_tokens=3, stride=2).orderBy("chunk_id").collect()
+    ]
+    assert rows == [(0, 0, 3, "a b c"), (1, 2, 3, "c d e"), (2, 4, 1, "e")]
+
+
+def test_chunk_dup_fraction_identical_docs(spark):
+    """Two identical docs: every chunk occurs twice -> frac 1.0; a
+    unique doc scores 0.0."""
+    from fuse_query_spark.operators.text import chunk_dup_fraction
+
+    df = spark.createDataFrame(
+        [(1, "w x y z"), (2, "w x y z"), (3, "p q r s")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r for r in chunk_dup_fraction(df, chunk_tokens=2, stride=2).collect()
+    }
+    assert rows[1]["dup_chunk_frac"] == 1.0 and rows[1]["n_chunks"] == 2
+    assert rows[2]["dup_chunk_frac"] == 1.0
+    assert rows[3]["dup_chunk_frac"] == 0.0 and rows[3]["n_dup_chunks"] == 0
+
+
+def test_chunk_dup_fraction_partial_overlap(spark):
+    """Docs sharing one 2-token chunk out of two -> frac 0.5 each."""
+    from fuse_query_spark.operators.text import chunk_dup_fraction
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b e f")], "doc_id LONG, text STRING"
+    )
+    rows = {
+        r["doc_id"]: r for r in chunk_dup_fraction(df, chunk_tokens=2, stride=2).collect()
+    }
+    assert rows[1]["dup_chunk_frac"] == 0.5
+    assert rows[2]["dup_chunk_frac"] == 0.5
