@@ -90,93 +90,90 @@ DRIVER_HIDDEN = {
     "similarity_knn_ivf",  # xxhash64 twin of similarity_knn_ivf_md5
 }
 
+# r5 rotation (judge ask #6): 26 never-driver-checked queries enter
+# the 50-slot prefix — the whole remaining oracle-backed backlog except
+# numbers_sum_triple_1b/numbers_groupby3_1b (their DuckDB oracles scan
+# 1B generator rows; bench + closed-form locals cover them). Displaced
+# (ALL multi-round driver-green, all still locally oracle-checked via
+# tools/check_oracle.py past slot 50): agg_uniq, q09, sort_topk,
+# having_filter, expr_projection, q05, q02, q10, join_semi_exists,
+# q20, q11, setop_union_keys, text_quality_score, sample_split_documents,
+# decontaminate_ngram, pack_token_bins, dialect_scalar_surface,
+# pivot_events, interval_arithmetic, grouping_sets, limit_offset,
+# scd2_customer_tiers, csv_engine_scan, json_engine_scan,
+# similarity_pairs_label_blocked, dedup_embedding_cosine,
+# text_lang_id (slot to the new dedup_cluster_canonical). Singleton
+# families (pivot/grouping/scd2/csv/json/sort/having/interval) rotate
+# out entirely — the coverage test asserts every family is in-prefix
+# OR driver-green in a past CORRECTNESS artifact; r4-first-checked
+# rows keep their slots for a second driver round.
+# r5-late swap: the three new text-pipeline ops (text_pii_redact,
+# text_unigram_logprob, text_tfidf_keywords) take the slots of
+# filter_predicates, dialect_numbers_groupby, dedup_exact_docs (all
+# multi-round driver-green, all still locally oracle-checked).
 DRIVER_PRIORITY = [
     # flagship + core operators (SURVEY §2.2/2.4/2.6)
     "q01_pricing_summary",
     "agg_global_stats",
-    "agg_uniq",
-    # r4-late rotation (on top of the mid-round one): five more
-    # never-checked flagships in — recursive_month_spine,
-    # dedup_duplicated_spans, dedup_minhash_cross_corpus,
-    # multimodal_ppm_decode, events_cohort_retention; out (all
-    # multi-round green, still locally checked): text_bpe_token_count,
-    # dedup_near_prefix_groups, similarity_knn_lsh,
-    # sample_quota_per_source, dialect_combinators.
-    # r4-mid rotation: nine never-driver-checked queries take slots
-    # from multi-round-green occupants (each displaced query stays
-    # locally oracle-checked past slot 50; every family keeps >=1
-    # slot). Out -> in: agg_argminmax -> q09, q12 -> q02, join_asof ->
-    # q11, scalar_subquery -> q20, dialect_limit_by -> q16,
-    # text_fingerprint -> text_repetition_metrics, dedup_ngram_jaccard
-    # -> decontaminate_bloom, window_running_total ->
-    # window_first_last_nth, similarity_bucket_histogram ->
-    # events_funnel_attribution.
-    "q09_product_type_profit",
-    "sort_topk",
+    "agg_percentiles",
     "limit_by",
-    "filter_predicates",
-    "having_filter",
-    # numbers source + substring surface (§2.1-1, §2.8-4)
+    # expression surfaces (§2.8) — never driver-checked before r5
+    "expr_string_surface",
+    "expr_datetime_surface",
+    "expr_array_surface",
+    "expr_null_semantics",
+    # numbers source + matched-scale mirrors (§2.1-1; closed-form oracles)
     "numbers_substring_topk",
-    # r3 rotated dedup_exact_retention/dialect_numbers_groupby in (both
-    # now driver-green). r4 restores expr_projection and limit_offset:
-    # the r3 swap put similarity_knn_ivf_lloyd and agg_approx (both
-    # oracle=None) in the prefix, wasting 2 of 50 slots on rows that can
-    # never hash-match (judge r3 wrong #3); approx/ANN error-bound
-    # validation lives in pytest instead.
-    "pipeline_curation_end_to_end",  # capstone (r4-final; dedup_exact_retention out, green r3, locally checked)
-    "expr_projection",
-    "dialect_numbers_groupby",
-    # TPC-H shapes — r4 rotation: q04 (green r3) and
-    # join_revenue_by_nation (green r1-r3) yield their slots to the
-    # new never-driver-checked Q5/Q10; both stay locally
-    # oracle-checked past slot 50
-    "q05_local_supplier_volume",
-    "q02_min_cost_supplier",
+    "numbers_throughput_10b",
+    "numbers_topk_sort_10b",
+    # engines (§2.1)
+    "remote_engine_scan",  # r5: the fusestore-analog path end-to-end
+    "pipeline_curation_end_to_end",  # capstone
+    # TPC-H — the eight shapes never driver-checked before r5
+    "q19_discounted_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q16_parts_supplier_relationship",  # r4-first, second round
     # joins & subqueries (§2.3)
-    "q10_returned_items",
-    "join_semi_exists",
-    "q20_potential_part_promotion",
-    "q11_important_stock",
-    # windows / set ops / grouping / events
-    "window_first_last_nth",
-    "setop_union_keys",
-    "events_sessionize",  # r1's one red row — must re-verify green
-    # text analysis (driver-unverified in r1)
-    "text_quality_score",
-    "text_lang_id",
-    "recursive_month_spine",
+    "correlated_scalar_subquery",
+    "correlated_exists",
+    # windows / set ops / events
+    "window_distribution",
+    "window_first_last_nth",  # r4-first, second round
+    "setop_except_intersect_all",
+    "events_sessionize",  # r1's one red row — re-verify green every round
+    "events_value_histogram",
+    "events_cohort_retention",  # r4-first, second round
+    "events_funnel_attribution",  # r4-first, second round
+    # text analysis
     "text_repetition_metrics",
-    # dedup family (driver-unverified in r1)
-    "dedup_exact_docs",
+    "text_pii_redact",  # r5: PII scrub stage
+    "text_unigram_logprob",  # r5: CCNet-style unigram-LM quality
+    "text_tfidf_keywords",  # r5: tf-idf keyword extraction
+    "recursive_month_spine",
+    # dedup family
     "dedup_duplicated_spans",
     "decontaminate_bloom",
     "dedup_minhash_lsh_md5",
     "dedup_simhash_md5",
-    # sampling / pipeline ops (driver-unverified in r1)
-    "sample_split_documents",
-    "decontaminate_ngram",
-    "pack_token_bins",
-    "multimodal_ppm_decode",
-    # similarity family (driver-unverified in r1)
-    "similarity_topk_bruteforce",
-    "similarity_pairs_label_blocked",
-    "dedup_embedding_cosine",
     "dedup_minhash_cross_corpus",
+    "dedup_cluster_canonical",  # r5: CC clustering over LSH pairs
+    # sampling / pipeline ops — never driver-checked before r5
+    "sample_temperature_mix",
+    "sample_stratified_rates",
+    "pack_sequences",
+    # multimodal
+    "multimodal_ppm_decode",  # r4-first, second round
+    "multimodal_blob_meta",
+    # similarity family
+    "similarity_topk_bruteforce",
     "similarity_knn_ivf_md5",
-    "events_funnel_attribution",
-    # dialect surface (driver-unverified in r1)
-    "events_cohort_retention",
-    "q16_parts_supplier_relationship",
-    "dialect_scalar_surface",
-    # misc operators (driver-unverified in r1)
-    "pivot_events",
-    "interval_arithmetic",
-    "grouping_sets",
-    "limit_offset",
-    "scd2_customer_tiers",
-    "csv_engine_scan",
-    "json_engine_scan",
+    "embedding_quantize_int8",
 ]
 
 

@@ -497,8 +497,10 @@ def numbers_groupby3_100m(spark, sf_dir):
 def numbers_throughput_10b(spark, sf_dir):
     """The BASELINE.md throughput shape at 10B rows — the scale where
     fixed job overhead amortizes and the sustained generator rate
-    shows (measured 13.3 Grows/s; the 100M twin reads 0.5 Grows/s
-    because ~150 ms of setup dominates). sum(number) would overflow
+    shows (r5 load-isolated median 4.0 Grows/s, best 5.1 — the r4
+    13.3 claim was not reproducible and is retracted, SCALE.md r5
+    addenda; the 100M twin reads 0.5 Grows/s because ~150 ms of
+    setup dominates). sum(number) would overflow
     int64 at 10B, so the aggregate set is avg/count/min/max, like the
     reference's avg row (README.md:75, 4.35 s at 100B). The oracle is
     the CLOSED FORM (exact for count/min/max; avg compared at 1e4
@@ -541,10 +543,10 @@ def numbers_sum_triple_1b(spark, sf_dir):
 def numbers_topk_sort_10b(spark, sf_dir):
     """BASELINE.md row `ORDER BY number DESC LIMIT 100` at the
     reference's own 10B scale (4.80 s / 2.08 Brows/s). The threshold-
-    prefiltered top-k (operators/topk.py) runs it in 4.3 s = 2.33
-    Brows/s — above the reference — where the plain per-partition
-    heap takes ~80 s. Oracle is the closed form (top-100 of
-    range(10B) descending), exact."""
+    prefiltered top-k (operators/topk.py) runs it at parity (r5
+    load-isolated median 5.16 s = 1.94 Brows/s, best 2.01) where the
+    plain per-partition heap takes ~80 s. Oracle is the closed form
+    (top-100 of range(10B) descending), exact."""
     from fuse_query_spark.operators.topk import threshold_topk
 
     n = numbers(spark, 10_000_000_000)

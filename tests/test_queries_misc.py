@@ -50,9 +50,16 @@ def test_asof_join_semantics(spark):
 
 def test_driver_priority_covers_every_component():
     """The driver's correctness gate samples the first 50 entries of
-    queries(); the pinned prefix must cover every operator component
-    and contain only oracle-backed entries (agg_approx excepted —
-    engine-specific sketch, rows-only by design)."""
+    queries(); the pinned prefix must contain only oracle-backed
+    entries, and every operator family must be either IN the current
+    prefix or already driver-green in a recorded past round — the r5
+    rotation deliberately moves multi-round-green singleton families
+    (pivot/grouping/scd2/csv/json/...) out of the prefix to spend the
+    50 slots on never-driver-checked queries."""
+    import glob
+    import json
+    import os
+
     from fuse_query_spark.queries import (
         DRIVER_HIDDEN,
         DRIVER_PRIORITY,
@@ -67,7 +74,15 @@ def test_driver_priority_covers_every_component():
     for name in DRIVER_PRIORITY:
         assert name in reg, name
 
-    # every component family lands at least one slot in the prefix
+    past_green = set()
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                past_green.add(name)
+    covered = set(DRIVER_PRIORITY) | past_green
+
+    # every component family: in the prefix now, or driver-green before
     prefixes = (
         "q0", "q1", "agg_", "sort_", "limit_", "filter_", "having_",
         "expr_", "numbers_", "join_", "window_", "setop_", "events_",
@@ -76,7 +91,7 @@ def test_driver_priority_covers_every_component():
         "scd2_", "csv_", "json_",
     )
     for p in prefixes:
-        assert any(n.startswith(p) for n in DRIVER_PRIORITY), f"no {p}* in prefix"
+        assert any(n.startswith(p) for n in covered), f"no {p}* in prefix or past-green"
 
     # rows-only entries (oracle=None) can never hash-match — they must
     # not consume any of the 50 driver-checked slots (judge r3 wrong #3)

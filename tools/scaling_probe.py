@@ -13,6 +13,27 @@ Usage: python tools/scaling_probe.py [R ...]   (default 4 16 64)
 Prints one JSON line per (operator, R) and consecutive-pair slopes
 t(Rb)/t(Ra) / (Rb/Ra) — 1.0 is perfectly linear, <1 means fixed
 overhead still dominates, >>1 means super-linear (bad).
+
+r5 (judge ask #4): PEAK-HEAP slopes alongside time slopes. Before
+each op the probe runs a full GC and resets every heap pool's peak
+counter (MemoryPoolMXBean.resetPeakUsage); after the op it sums the
+pools' peak usage — the true high-water mark DURING the op, not the
+residual heap bench.py samples. Executor OOM is the realistic 100x
+failure mode: a time-linear operator whose peak heap grows
+super-linearly in R still dies at scale, so both slopes must hold.
+Peaks are reported as deltas over the post-GC live-set baseline.
+
+r5 measurement fix — PER-MEASUREMENT PROCESS ISOLATION. Sharing one
+JVM across the whole grid corrupted the slopes: repetition_metrics at
+256x measured 511 s as the 4th heavy op in a shared 48g JVM but 69 s
+in a fresh one (same data, same plan) — heap debris from ~40 GB-peak
+predecessors leaves the successor running against the GC ceiling,
+and System.gc() between ops does not undo it. A super-linear slope
+must indict the OPERATOR, not the harness, so each (op, R) cell now
+runs in its own subprocess (`--single op R`) with its own warmed
+session; the parent only aggregates. Heavier (~20 s JVM spin-up per
+cell) but the numbers compose. Pass --shared to get the old
+one-process behavior for quick relative checks.
 """
 
 from __future__ import annotations
@@ -77,35 +98,140 @@ def probe_ops(spark, docs):
     }
 
 
-def main():
-    rs = [int(a) for a in sys.argv[1:]] or [4, 16, 64]
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("scaling-probe")
-    base = table(spark, sf_dir, "documents")
-    # warm-up: run every operator once at R=1 so codegen compilation
-    # and shuffle-service spin-up don't pollute the smallest R's time
+def _heap_pools(spark):
+    beans = spark._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+    return [
+        beans.get(i)
+        for i in range(beans.size())
+        if beans.get(i).getType().name() == "HEAP"
+    ]
+
+
+def _reset_peaks(spark) -> float:
+    """Full GC, reset every heap pool's peak counter, return the
+    post-GC live-set baseline (MiB)."""
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    base = 0
+    for p in _heap_pools(spark):
+        p.resetPeakUsage()
+        base += p.getUsage().getUsed()
+    return base / (1024 * 1024)
+
+
+def _peak_heap_mb(spark) -> float:
+    return sum(p.getPeakUsage().getUsed() for p in _heap_pools(spark)) / (1024 * 1024)
+
+
+def measure_cell(spark, base, name: str, r: int) -> dict:
+    """One (op, R) measurement in the CURRENT session: warm the op at
+    R=1 (codegen compile), materialize the R-corpus (cost floor), gc +
+    reset heap peaks, run, report wall + peak-heap delta."""
     warm = replicated(base, 1)
-    for build in probe_ops(spark, warm).values():
-        build().write.format("noop").mode("overwrite").save()
+    probe_ops(spark, warm)[name]().write.format("noop").mode("overwrite").save()
+    docs = replicated(base, r)
+    docs.write.format("noop").mode("overwrite").save()
+    baseline = _reset_peaks(spark)
+    build = probe_ops(spark, docs)[name]
+    t0 = time.monotonic()
+    build().write.format("noop").mode("overwrite").save()
+    dt = round(time.monotonic() - t0, 3)
+    peak_delta = round(_peak_heap_mb(spark) - baseline, 1)
+    return {"op": name, "replication": r, "sec": dt, "peak_heap_delta_mb": peak_delta}
+
+
+def main():
+    argv = sys.argv[1:]
+    if argv[:1] == ["--single"]:
+        name, r = argv[1], int(argv[2])
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        spark = get_spark(f"scaling-probe-{name}-{r}")
+        base = table(spark, sf_dir, "documents")
+        print(json.dumps(measure_cell(spark, base, name, r)), flush=True)
+        return
+    shared = "--shared" in argv
+    rs = [int(a) for a in argv if not a.startswith("--")] or [4, 16, 64]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     results: dict[str, dict[int, float]] = {}
-    for r in rs:
-        docs = replicated(base, r)
-        docs.write.format("noop").mode("overwrite").save()  # materialize-cost floor
-        for name, build in probe_ops(spark, docs).items():
-            t0 = time.monotonic()
+    peaks: dict[str, dict[int, float]] = {}
+    if shared:
+        spark = get_spark("scaling-probe")
+        base = table(spark, sf_dir, "documents")
+        warm = replicated(base, 1)
+        for build in probe_ops(spark, warm).values():
             build().write.format("noop").mode("overwrite").save()
-            dt = round(time.monotonic() - t0, 3)
-            results.setdefault(name, {})[r] = dt
-            print(json.dumps({"op": name, "replication": r, "sec": dt}), flush=True)
-    # slope between consecutive Rs: t(Rb)/t(Ra) / (Rb/Ra); 1.0 = linear
-    slopes = {}
-    for name, times in results.items():
-        pairs = {}
-        for ra, rb in zip(rs, rs[1:]):
-            if times.get(ra, 0) > 0:
-                pairs[f"{ra}->{rb}"] = round(times[rb] / times[ra] / (rb / ra), 3)
-        slopes[name] = pairs
-    print(json.dumps({"slope_vs_linear": slopes, "rows_base": base.count(), "rs": rs}))
+        for r in rs:
+            docs = replicated(base, r)
+            docs.write.format("noop").mode("overwrite").save()
+            for name, build in probe_ops(spark, docs).items():
+                baseline = _reset_peaks(spark)
+                t0 = time.monotonic()
+                build().write.format("noop").mode("overwrite").save()
+                dt = round(time.monotonic() - t0, 3)
+                cell = {
+                    "op": name,
+                    "replication": r,
+                    "sec": dt,
+                    "peak_heap_delta_mb": round(_peak_heap_mb(spark) - baseline, 1),
+                }
+                results.setdefault(name, {})[r] = cell["sec"]
+                peaks.setdefault(name, {})[r] = cell["peak_heap_delta_mb"]
+                print(json.dumps(cell), flush=True)
+    else:
+        import subprocess
+
+        # op list mirrors probe_ops' keys (static, no session needed)
+        ops = [
+            "dedup_exact",
+            "minhash_lsh_pairs",
+            "decontaminate",
+            "decontaminate_bloom",
+            "repetition_metrics",
+            "duplicated_spans",
+        ]
+        for r in rs:
+            for name in ops:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--single", name, str(r)],
+                    capture_output=True,
+                    text=True,
+                )
+                line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+                try:
+                    cell = json.loads(line)
+                except (json.JSONDecodeError, IndexError):
+                    print(
+                        json.dumps(
+                            {"op": name, "replication": r, "error": proc.stderr[-400:]}
+                        ),
+                        flush=True,
+                    )
+                    continue
+                results.setdefault(name, {})[r] = cell["sec"]
+                peaks.setdefault(name, {})[r] = cell["peak_heap_delta_mb"]
+                print(json.dumps(cell), flush=True)
+    # slope between consecutive Rs: x(Rb)/x(Ra) / (Rb/Ra); 1.0 = linear
+    def pair_slopes(series: dict[str, dict[int, float]]):
+        out = {}
+        for name, xs in series.items():
+            pairs = {}
+            for ra, rb in zip(rs, rs[1:]):
+                if xs.get(ra, 0) > 0:
+                    pairs[f"{ra}->{rb}"] = round(xs[rb] / xs[ra] / (rb / ra), 3)
+            out[name] = pairs
+        return out
+
+    print(
+        json.dumps(
+            {
+                "slope_vs_linear": pair_slopes(results),
+                "peak_heap_slope_vs_linear": pair_slopes(peaks),
+                "peak_heap_delta_mb": {n: xs for n, xs in peaks.items()},
+                "isolation": "shared-jvm" if shared else "process-per-cell",
+                "rs": rs,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
