@@ -171,3 +171,50 @@ def test_stream_to_partitioned_parquet_exactly_once(spark, sf_dir, events_dir, t
     assert pruned.count() == table(spark, sf_dir, "events").filter(
         F.col("event_type") == "click"
     ).count()
+
+
+@pytest.fixture(scope="module")
+def documents_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("documents_stream"))
+    shutil.rmtree(out, ignore_errors=True)
+    table(spark, sf_dir, "documents").repartition(3).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_streaming_curation_matches_batch(spark, sf_dir, documents_dir):
+    """The stateless curation pass (redact + quality + tokens +
+    fingerprint) produces identical rows in streaming and batch — the
+    same Column expressions run in both modes."""
+    from fuse_query_spark.streaming.documents import (
+        curate_documents,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(spark, documents_dir)
+    assert stream.isStreaming
+    run_to_memory_sink(curate_documents(stream), "curated_docs", output_mode="append")
+    got = spark.table("curated_docs")
+    batch = curate_documents(spark.read.parquet(documents_dir))
+    s_rows = {tuple(r) for r in got.collect()}
+    b_rows = {tuple(r) for r in batch.collect()}
+    assert s_rows == b_rows and len(s_rows) == batch.count()
+
+
+def test_streaming_curation_quality_filter(spark, documents_dir):
+    """min_quality drops rows in-flight; surviving stream rows equal
+    the batch filter's."""
+    from fuse_query_spark.streaming.documents import (
+        curate_documents,
+        read_documents_stream,
+    )
+
+    full = curate_documents(spark.read.parquet(documents_dir))
+    cutoff = full.approxQuantile("quality", [0.5], 0.0)[0]  # exact median
+    stream = read_documents_stream(spark, documents_dir)
+    run_to_memory_sink(
+        curate_documents(stream, min_quality=cutoff), "curated_docs_q", output_mode="append"
+    )
+    got = spark.table("curated_docs_q")
+    batch = curate_documents(spark.read.parquet(documents_dir), min_quality=cutoff)
+    assert got.count() == batch.count()
+    assert 0 < got.count() < full.count()

@@ -80,11 +80,12 @@ def probe_ops(spark, docs):
         duplicated_spans,
         minhash_dedup_pairs,
     )
+    from fuse_query_spark.operators.dedup import connected_components
     from fuse_query_spark.operators.sampling import (
         contaminated_ids,
         contaminated_ids_bloom,
     )
-    from fuse_query_spark.operators.text import repetition_metrics
+    from fuse_query_spark.operators.text import chunk_dup_fraction, repetition_metrics
 
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
@@ -95,6 +96,11 @@ def probe_ops(spark, docs):
         "decontaminate_bloom": lambda: contaminated_ids_bloom(corpus, ev, n=4, adaptive=True),
         "repetition_metrics": lambda: repetition_metrics(docs),
         "duplicated_spans": lambda: duplicated_spans(docs, k=3),
+        # r5 additions: the new shuffle-bearing pipeline ops
+        "chunk_dup_fraction": lambda: chunk_dup_fraction(docs, 32, 32),
+        "cluster_canonical": lambda: connected_components(
+            minhash_dedup_pairs(docs, k=16, bands=4, threshold=0.2)
+        ),
     }
 
 
@@ -150,6 +156,12 @@ def main():
         print(json.dumps(measure_cell(spark, base, name, r)), flush=True)
         return
     shared = "--shared" in argv
+    only: list[str] | None = None
+    for i, a in enumerate(argv):
+        if a == "--ops":
+            only = argv[i + 1].split(",")
+            argv = argv[:i] + argv[i + 2 :]
+            break
     rs = [int(a) for a in argv if not a.startswith("--")] or [4, 16, 64]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     results: dict[str, dict[int, float]] = {}
@@ -188,7 +200,11 @@ def main():
             "decontaminate_bloom",
             "repetition_metrics",
             "duplicated_spans",
+            "chunk_dup_fraction",
+            "cluster_canonical",
         ]
+        if only:
+            ops = [o for o in ops if o in only]
         for r in rs:
             for name in ops:
                 proc = subprocess.run(
