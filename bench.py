@@ -87,6 +87,12 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_topk_bruteforce",
     "similarity_pairs_label_blocked",
+    # r5 pipeline additions
+    "text_pii_redact",
+    "text_unigram_logprob",
+    "text_tfidf_keywords",
+    "dedup_chunk_fraction",
+    "dedup_cluster_canonical",
 ]
 
 

@@ -305,3 +305,41 @@ def embedding_quantize_int8(spark, sf_dir):
     from fuse_query_spark.operators.similarity import quantize_int8
 
     return quantize_int8(table(spark, sf_dir, "embeddings"))
+
+
+def _random_projection_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
+    """DuckDB mirror of random_projection: same Rademacher sign
+    literals, same left-associated sum order, same exact 0.25 scale —
+    bit-exact, no rounding needed."""
+    from fuse_query_spark.operators.similarity import _rademacher_signs
+
+    signs = _rademacher_signs(in_dim, out_dim)
+    scale = 1.0 / (out_dim**0.5)
+    cols = []
+    # explicit parens preserve left association: ((a+b)+c)...
+    for j in range(out_dim):
+        expr = "CAST(embedding[1] AS DOUBLE)" if signs[0][j] > 0 else "(-CAST(embedding[1] AS DOUBLE))"
+        for i in range(1, in_dim):
+            t = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            expr = f"({expr} {'+' if signs[i][j] > 0 else '-'} {t})"
+        cols.append(f"{expr} * {scale!r} AS proj{j}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_random_projection_oracle(),
+    tags=("similarity", "embedding", "projection", "pipeline"),
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sign random projection 64 -> 16 (r5) —
+    the ANN/cluster pre-step that cuts vector work 4x while bounding
+    pairwise-distance distortion by ~1/sqrt(16). Deterministic
+    Rademacher signs folded into both engines; fixed left-associated
+    sums and the exact power-of-two scale make the oracle hash
+    BIT-exact. See operators/similarity.py:random_projection."""
+    from fuse_query_spark.operators.similarity import random_projection
+
+    return random_projection(
+        table(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16
+    )

@@ -160,3 +160,52 @@ def test_ivf_index_persist_and_search(spark, sf_dir, tmp_path):
     probed = ivf_index_search(spark, idx, q, k=5, n_probe=4)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan, plan[:1500]
+
+
+class TestRandomProjection:
+    def test_jl_distance_preservation(self, spark, sf_dir):
+        """Pairwise distances in 16-dim projected space approximate the
+        64-dim originals within the JL distortion bound (~1/sqrt(16),
+        checked loosely at 3x sigma over a sample)."""
+        import math
+
+        from fuse_query_spark.operators.similarity import random_projection
+        from fuse_query_spark.sources.tables import table
+
+        emb = table(spark, sf_dir, "embeddings").limit(40)
+        rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+        proj = {
+            r["vec_id"]: [r[f"proj{j}"] for j in range(16)]
+            for r in random_projection(emb, in_dim=64, out_dim=16).collect()
+        }
+        ids = sorted(rows)[:20]
+        ratios = []
+        for a in ids:
+            for b in ids:
+                if a >= b:
+                    continue
+                d0 = math.dist(rows[a], rows[b])
+                d1 = math.dist(proj[a], proj[b])
+                if d0 > 1e-9:
+                    ratios.append(d1 / d0)
+        mean = sum(ratios) / len(ratios)
+        assert 0.8 < mean < 1.2  # unbiased in expectation
+        assert all(0.25 < r < 2.5 for r in ratios)  # no catastrophic collapse
+
+    def test_projection_deterministic(self, spark, sf_dir):
+        from fuse_query_spark.operators.similarity import random_projection
+        from fuse_query_spark.sources.tables import table
+
+        emb = table(spark, sf_dir, "embeddings").limit(5)
+        a = random_projection(emb, 64, 16).orderBy("vec_id").collect()
+        b = random_projection(emb, 64, 16).orderBy("vec_id").collect()
+        assert a == b
+
+    def test_sign_matrix_balanced(self):
+        """md5-parity signs are ~balanced (no constant row/col)."""
+        from fuse_query_spark.operators.similarity import _rademacher_signs
+
+        s = _rademacher_signs(64, 16)
+        total = sum(sum(r) for r in s)
+        assert abs(total) < 64 * 16 * 0.2
+        assert all(abs(sum(r)) < 16 for r in s)  # no all-same row
