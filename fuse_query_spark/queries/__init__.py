@@ -111,19 +111,22 @@ DRIVER_HIDDEN = {
 # text_unigram_logprob, text_tfidf_keywords) take the slots of
 # filter_predicates, dialect_numbers_groupby, dedup_exact_docs (all
 # multi-round driver-green, all still locally oracle-checked).
+# r5-late swap 2: text_chunk_windows, dedup_chunk_fraction,
+# embedding_random_projection in for numbers_substring_topk, limit_by,
+# similarity_topk_bruteforce (multi-round green; numbers_/limit_/
+# similarity_ families keep coverage via the 10B mirrors, past-green
+# rows, and similarity_knn_ivf_md5).
 DRIVER_PRIORITY = [
     # flagship + core operators (SURVEY §2.2/2.4/2.6)
     "q01_pricing_summary",
     "agg_global_stats",
     "agg_percentiles",
-    "limit_by",
     # expression surfaces (§2.8) — never driver-checked before r5
     "expr_string_surface",
     "expr_datetime_surface",
     "expr_array_surface",
     "expr_null_semantics",
     # numbers source + matched-scale mirrors (§2.1-1; closed-form oracles)
-    "numbers_substring_topk",
     "numbers_throughput_10b",
     "numbers_topk_sort_10b",
     # engines (§2.1)
@@ -155,6 +158,7 @@ DRIVER_PRIORITY = [
     "text_pii_redact",  # r5: PII scrub stage
     "text_unigram_logprob",  # r5: CCNet-style unigram-LM quality
     "text_tfidf_keywords",  # r5: tf-idf keyword extraction
+    "text_chunk_windows",  # r5: RAG chunking
     "recursive_month_spine",
     # dedup family
     "dedup_duplicated_spans",
@@ -163,6 +167,7 @@ DRIVER_PRIORITY = [
     "dedup_simhash_md5",
     "dedup_minhash_cross_corpus",
     "dedup_cluster_canonical",  # r5: CC clustering over LSH pairs
+    "dedup_chunk_fraction",  # r5: paragraph-analog chunk dedup
     # sampling / pipeline ops — never driver-checked before r5
     "sample_temperature_mix",
     "sample_stratified_rates",
@@ -171,9 +176,9 @@ DRIVER_PRIORITY = [
     "multimodal_ppm_decode",  # r4-first, second round
     "multimodal_blob_meta",
     # similarity family
-    "similarity_topk_bruteforce",
     "similarity_knn_ivf_md5",
     "embedding_quantize_int8",
+    "embedding_random_projection",  # r5: JL sign projection
 ]
 
 
