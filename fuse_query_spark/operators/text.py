@@ -394,3 +394,48 @@ def chunk_dup_fraction(
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+def winnow_fingerprints(
+    df,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every k-gram, slide a w-window over the hash sequence, keep
+    each window's minimum — the selected set is a position-robust
+    fingerprint with guaranteed density ~2/(w+1) that two documents
+    sharing any run of w+k-1 tokens MUST overlap on (the winnowing
+    guarantee, unlike a global-min fingerprint which can miss local
+    matches). md5 hex strings compare lexicographically the same in
+    any engine.
+
+    Scale shape: pure scan-side Column work (tokens -> grams -> hash
+    -> window minima), O(n*w) per doc, no shuffle, no UDF. The gram
+    hash array is materialized in a sub-select so the window lambda
+    reads a column attribute, not a re-evaluated expression (see
+    shingles_from_tokens for why that matters).
+
+    Returns (id_col, n_grams, n_fingerprints, fp_density, fp_digest):
+    the digest is md5 over the sorted fingerprint set — join on it for
+    exact fingerprint-set dedup, or explode the set for partial-match
+    search."""
+    hashed = df.select(
+        id_col,
+        F.transform(ngrams_from_tokens(tokens(text_col), k), F.md5).alias("_h"),
+    )
+    h = F.col("_h")
+    n_win = F.greatest(F.size(h) - w, F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_win), lambda p: F.array_min(F.slice(h, p + 1, w))
+    )
+    fps = F.array_sort(F.array_distinct(F.filter(mins, lambda x: x.isNotNull())))
+    return hashed.select(
+        id_col,
+        F.size(h).alias("n_grams"),
+        F.size(fps).alias("n_fingerprints"),
+        (F.size(fps) / F.greatest(F.size(h), F.lit(1))).alias("fp_density"),
+        F.md5(F.array_join(fps, "")).alias("fp_digest"),
+    )

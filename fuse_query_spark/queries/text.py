@@ -419,3 +419,36 @@ def dedup_chunk_fraction(spark, sf_dir):
     from fuse_query_spark.operators.text import chunk_dup_fraction
 
     return chunk_dup_fraction(table(spark, sf_dir, "documents"), chunk_tokens=32, stride=32)
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS h
+          FROM t),
+    f AS (SELECT doc_id, h,
+                 list_sort(list_distinct(list_filter(
+                     list_transform(range(0, greatest(len(h) - 4, 0) + 1),
+                         p -> list_min(h[p+1 : p+4])),
+                     x -> x IS NOT NULL))) AS fps
+          FROM g)
+    SELECT doc_id,
+           len(h) AS n_grams,
+           len(fps) AS n_fingerprints,
+           len(fps) / greatest(len(h), 1) AS fp_density,
+           md5(array_to_string(fps, '')) AS fp_digest
+    FROM f
+    """,
+    tags=("text", "fingerprint", "winnowing", "pipeline"),
+)
+def text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (r5): k=3 grams, w=4 windows — the
+    position-robust rolling-hash fingerprint with the ~2/(w+1) density
+    guarantee. fp_digest (md5 of the sorted set) is the exact-set
+    dedup key. See operators/text.py:winnow_fingerprints."""
+    from fuse_query_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(table(spark, sf_dir, "documents"), k=3, w=4)

@@ -136,3 +136,60 @@ def test_chunk_dup_fraction_partial_overlap(spark):
     }
     assert rows[1]["dup_chunk_frac"] == 0.5
     assert rows[2]["dup_chunk_frac"] == 0.5
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Winnowing guarantee: docs sharing a run of >= w+k-1 tokens
+    (here 4+3-1=6) share at least one selected fingerprint VALUE.
+    Verified on the raw sets (re-derived), not just the digest."""
+    from fuse_query_spark.operators.text import ngrams_from_tokens, tokens
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, f"one two {shared} three four"), (2, f"{shared} five six seven")],
+        "doc_id LONG, text STRING",
+    )
+    hashed = df.select(
+        "doc_id", F.transform(ngrams_from_tokens(tokens("text"), 3), F.md5).alias("h")
+    )
+    h = F.col("h")
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(h) - 4, F.lit(0))),
+        lambda p: F.array_min(F.slice(h, p + 1, 4)),
+    )
+    sets = {
+        r["doc_id"]: set(r["fps"])
+        for r in hashed.select("doc_id", F.array_distinct(mins).alias("fps")).collect()
+    }
+    assert sets[1] & sets[2], "shared 6-token run must produce a common fingerprint"
+
+
+def test_winnow_density_and_digest(spark):
+    """Fingerprint density lands near the 2/(w+1) winnowing bound on
+    random-ish text, and identical docs get identical digests."""
+    from fuse_query_spark.operators.text import winnow_fingerprints
+
+    words = [f"w{i * 7919 % 1000}" for i in range(200)]
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, " ".join(reversed(words)))],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in winnow_fingerprints(df, k=3, w=4).collect()}
+    assert rows[1]["fp_digest"] == rows[2]["fp_digest"]
+    assert rows[1]["fp_digest"] != rows[3]["fp_digest"]
+    assert 0.2 < rows[1]["fp_density"] < 0.6  # ~2/(w+1) = 0.4
+    assert rows[1]["n_grams"] == 198
+
+
+def test_winnow_short_doc(spark):
+    """Docs shorter than k tokens have no grams -> empty fingerprint
+    set; docs shorter than w grams fall back to one global-min window."""
+    from fuse_query_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d")], "doc_id LONG, text STRING"
+    )
+    rows = {r["doc_id"]: r for r in winnow_fingerprints(df, k=3, w=4).collect()}
+    assert rows[1]["n_grams"] == 0 and rows[1]["n_fingerprints"] == 0
+    assert rows[2]["n_grams"] == 2 and rows[2]["n_fingerprints"] == 1
