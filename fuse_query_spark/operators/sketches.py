@@ -1,0 +1,68 @@
+"""Mergeable-sketch rollup operators (HLL) — the 100 TB pattern for
+distinct counting: pre-aggregate each partition/day into a fixed-size
+sketch ONCE, then answer any coarser-grained distinct query by merging
+sketches instead of rescanning raw data. Spark 4 ships Apache
+DataSketches HLL natively (hll_sketch_agg / hll_union_agg /
+hll_sketch_estimate), so the whole pattern is JVM-side codegen'd
+aggregation — no UDFs, no driver state, sketches are just binary
+columns in a rollup table.
+
+The reference's `uniq` is EXACT (SURVEY §2.4 hard-part 2 —
+aggregator_common.rs HashSet) and is mapped to countDistinct in
+queries/core.py; this module is the capability extension for the
+scale where exact distinct stops being answerable per-query.
+
+Accuracy: lgConfigK=12 (default) gives ~1.6% relative standard error;
+tests assert <5% against exact counts and merge-consistency (merging
+daily sketches equals sketching the whole range directly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_uniq_sketches(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lgk: int = 12,
+) -> DataFrame:
+    """The rollup-table build: one HLL sketch of `key_col` per day.
+    ONE map-side-combinable hash aggregate over the raw events; output
+    is ~2^lgk bytes per day regardless of input size — this is the
+    table you persist and incrementally append to."""
+    return (
+        events.groupBy(F.to_date(ts_col).alias("day"))
+        .agg(
+            F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sketch"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def rollup_uniq_estimate(
+    sketches: DataFrame,
+    grain: str = "week",
+) -> DataFrame:
+    """Answer a coarser-grained distinct-count query from the rollup
+    table alone: merge the per-day sketches with hll_union_agg, then
+    estimate. Input is |days| rows — the raw 100 TB is never touched."""
+    bucket = F.date_trunc(grain, F.col("day")).cast("date").alias("bucket")
+    return (
+        sketches.groupBy(bucket)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("uniq_estimate"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def global_uniq_estimate(sketches: DataFrame) -> DataFrame:
+    """All-time distinct estimate from the rollup table (1 output row)."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("uniq_estimate"),
+        F.sum("n_events").alias("n_events"),
+    )

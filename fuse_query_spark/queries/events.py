@@ -306,3 +306,25 @@ def events_value_histogram(spark, sf_dir):
             F.sum(dec("value")).cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "events_uniq_sketch_rollup",
+    oracle=None,  # HLL estimates are sketch-implementation-specific;
+    # DuckDB's approx_count_distinct uses a different sketch, so there
+    # is no cross-engine hash to match. Accuracy (<5% vs exact) and
+    # merge-consistency are pinned in tests/test_sketches.py.
+    tags=("events", "sketch", "hll", "approximate", "rollup"),
+)
+def events_uniq_sketch_rollup(spark, sf_dir):
+    """Mergeable HLL rollup (r5): per-day user sketches merged to
+    weekly distinct estimates — the 100 TB pattern where the rollup
+    table (one ~4 KB sketch per day) answers any range-distinct query
+    without rescanning raw events. See operators/sketches.py."""
+    from fuse_query_spark.operators.sketches import (
+        daily_uniq_sketches,
+        rollup_uniq_estimate,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return rollup_uniq_estimate(daily_uniq_sketches(ev), "week")

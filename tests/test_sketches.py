@@ -1,0 +1,91 @@
+"""HLL sketch rollup: accuracy vs exact, merge-consistency, and the
+fixed-size-rollup property that makes the pattern work at 100 TB."""
+
+from pyspark.sql import functions as F
+
+from fuse_query_spark.operators.sketches import (
+    daily_uniq_sketches,
+    global_uniq_estimate,
+    rollup_uniq_estimate,
+)
+from fuse_query_spark.sources.tables import table
+
+
+def test_rollup_estimate_within_5pct_of_exact(spark, sf_dir):
+    """High-cardinality key (event_id): merged-rollup estimate lands
+    within the HLL error envelope of the exact distinct count."""
+    ev = table(spark, sf_dir, "events")
+    sk = daily_uniq_sketches(ev, key_col="event_id")
+    est = global_uniq_estimate(sk).collect()[0]["uniq_estimate"]
+    exact = ev.agg(F.countDistinct("event_id")).collect()[0][0]
+    assert exact > 100  # the test is vacuous on a low-cardinality key
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_merge_consistency_daily_vs_direct(spark, sf_dir):
+    """Merging per-day sketches estimates the same range as one sketch
+    built directly over it, within sketch resolution (DataSketches'
+    union gadget re-targets the register type, so estimates are
+    merge-consistent, not bit-identical — both sit inside the same
+    ~1.6% RSE envelope)."""
+    ev = table(spark, sf_dir, "events")
+    merged = global_uniq_estimate(daily_uniq_sketches(ev, key_col="event_id"))
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("event_id", F.lit(12))).alias(
+            "uniq_estimate"
+        )
+    )
+    m = merged.collect()[0]["uniq_estimate"]
+    d = direct.collect()[0]["uniq_estimate"]
+    assert abs(m - d) / d < 0.02
+    exact = ev.agg(F.countDistinct("event_id")).collect()[0][0]
+    assert abs(m - exact) / exact < 0.05 and abs(d - exact) / exact < 0.05
+
+
+def test_rollup_conserves_events_and_is_fixed_size(spark, sf_dir):
+    """n_events is conserved through the rollup, the weekly grain
+    partitions the days, and sketch payloads stay bounded (~2^lgk
+    bytes) regardless of the day's row count — the property that makes
+    the rollup table O(days), not O(events)."""
+    ev = table(spark, sf_dir, "events")
+    sk = daily_uniq_sketches(ev).cache()
+    wk = rollup_uniq_estimate(sk, "week")
+    assert (
+        wk.agg(F.sum("n_events")).collect()[0][0]
+        == ev.count()
+        == sk.agg(F.sum("n_events")).collect()[0][0]
+    )
+    sizes = [r[0] for r in sk.select(F.length("sketch")).collect()]
+    assert max(sizes) < 64 * 1024
+    per_day = {r["day"] for r in sk.select("day").collect()}
+    assert len(per_day) == sk.count()  # one sketch row per day
+    sk.unpersist()
+
+
+def test_weekly_estimates_bounded_by_daily_sum(spark, sf_dir):
+    """Each week's distinct estimate is <= the sum of its days'
+    estimates (union bound) and >= the max single day (containment),
+    within HLL error (3% slack)."""
+    ev = table(spark, sf_dir, "events")
+    sk = daily_uniq_sketches(ev, key_col="event_id").cache()
+    daily = [
+        (r["day"], r["est"])
+        for r in sk.select(
+            "day", F.hll_sketch_estimate("sketch").alias("est")
+        ).collect()
+    ]
+    weekly = {
+        r["bucket"]: r["uniq_estimate"]
+        for r in rollup_uniq_estimate(sk, "week").collect()
+    }
+    import collections
+    import datetime
+
+    by_week = collections.defaultdict(list)
+    for day, est in daily:
+        wk = day - datetime.timedelta(days=day.weekday())
+        by_week[wk].append(est)
+    for wk, ests in by_week.items():
+        assert weekly[wk] <= sum(ests) * 1.03
+        assert weekly[wk] >= max(ests) * 0.97
+    sk.unpersist()
