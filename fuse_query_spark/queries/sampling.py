@@ -466,3 +466,90 @@ def pipeline_curation_end_to_end(spark, sf_dir):
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+def _funnel_oracle() -> str:
+    from fuse_query_spark.operators.text import PII_RULES, STOPWORDS
+
+    sw = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = "string_split_regex(trim(text), '\\s+')"
+    pii_total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_RULES
+    )
+    return f"""
+    WITH t AS (
+        SELECT source, lang, text, {toks} AS toks,
+               len(list_filter({toks}, x -> list_contains([{sw}], lower(x)))) AS sw
+        FROM documents
+    ), q AS (
+        SELECT source, lang, toks,
+               (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+                + sw / greatest(len(toks), 1)
+                + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1)) / 3.0 AS quality,
+               CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1) AS dup_frac,
+               {pii_total} AS pii_hits
+        FROM t
+    ), s AS (
+        SELECT source,
+               (lang = 'en') AS s1,
+               (lang = 'en') AND len(toks) BETWEEN 10 AND 1000
+                   AND quality >= 0.5 AS s2,
+               (lang = 'en') AND len(toks) BETWEEN 10 AND 1000
+                   AND quality >= 0.5 AND dup_frac <= 0.8 AS s3,
+               (lang = 'en') AND len(toks) BETWEEN 10 AND 1000
+                   AND quality >= 0.5 AND dup_frac <= 0.8
+                   AND pii_hits = 0 AS s4
+        FROM q
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_ok,
+           CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+    FROM s GROUP BY source
+    """
+
+
+@register(
+    "pipeline_filter_funnel",
+    oracle=_funnel_oracle(),
+    tags=("pipeline", "curation", "funnel", "observability"),
+)
+def pipeline_filter_funnel(spark, sf_dir):
+    """Curation-funnel observability (r5): per-source survivor counts
+    through CUMULATIVE filter stages (lang -> length+quality ->
+    repetition -> PII-clean) in ONE scan — the report every pipeline
+    run emits so a mis-tuned filter that nukes a source is visible
+    immediately. Pure Column conditional aggregation; no UDF, one
+    shuffle on the (tiny) source key."""
+    from fuse_query_spark.operators.text import PII_RULES, quality_score, tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", "lang", "text", tokens("text").alias("_toks")
+    )
+    tok = tok.repartition(tok.sparkSession.sparkContext.defaultParallelism, "source")
+    n = F.size(F.col("_toks"))
+    quality = quality_score("text", toks=F.col("_toks"))
+    dup_frac = (n - F.size(F.array_distinct(F.col("_toks")))).cast("double") / F.greatest(
+        n, F.lit(1)
+    )
+    pii_hits = None
+    for _, pat, _ in PII_RULES:
+        c = F.regexp_count(F.col("text"), F.lit(pat))
+        pii_hits = c if pii_hits is None else pii_hits + c
+    s1 = F.col("lang") == "en"
+    s2 = s1 & n.between(10, 1000) & (quality >= 0.5)
+    s3 = s2 & (dup_frac <= 0.8)
+    s4 = s3 & (pii_hits == 0)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        cnt(s1).alias("n_lang"),
+        cnt(s2).alias("n_quality"),
+        cnt(s3).alias("n_repetition_ok"),
+        cnt(s4).alias("n_final"),
+    )

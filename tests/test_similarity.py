@@ -209,3 +209,38 @@ class TestRandomProjection:
         total = sum(sum(r) for r in s)
         assert abs(total) < 64 * 16 * 0.2
         assert all(abs(sum(r)) < 16 for r in s)  # no all-same row
+
+    def test_projection_preserves_strong_pairs(self, spark, sf_dir):
+        """The production property: every STRONG near-dup pair (64-dim
+        cosine >= 0.35 — the dedup threshold) keeps a clearly-elevated
+        cosine in 16-dim projected space, so projection-side pruning
+        never drops true duplicates. (Top-10 rank recall is NOT tested:
+        on this isotropic corpus the non-dup 'neighbours' are noise
+        ties with gaps below the JL distortion, so rank overlap there
+        is meaningless by construction.)"""
+        import math
+
+        from fuse_query_spark.operators.similarity import (
+            pairs_above_threshold_blas,
+            random_projection,
+        )
+        from fuse_query_spark.sources.tables import table
+
+        e = table(spark, sf_dir, "embeddings")
+        strong = pairs_above_threshold_blas(e, 0.35, block_col="label").collect()
+        assert strong, "corpus must contain planted near-dup pairs"
+        proj = {
+            r["vec_id"]: [r[f"proj{j}"] for j in range(16)]
+            for r in random_projection(e, 64, 16).collect()
+        }
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            return num / (math.hypot(*a) * math.hypot(*b))
+
+        pair_cos = [cos(proj[r["id_a"]], proj[r["id_b"]]) for r in strong]
+        assert min(pair_cos) > 0.1  # strong pairs survive projection
+        # while typical unrelated pairs sit near zero
+        ids = sorted(proj)[:30]
+        bg = [cos(proj[a], proj[b]) for a in ids for b in ids if a < b]
+        assert abs(sum(bg) / len(bg)) < 0.15
