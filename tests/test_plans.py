@@ -302,3 +302,43 @@ def test_scatter_bucket_parity_with_reference_rule(spark):
     for r in parts:
         by_bucket.setdefault(r.b, set()).add(r.p)
     assert all(len(ps) == 1 for ps in by_bucket.values()), by_bucket
+
+
+def test_r5_scan_side_ops_are_shuffle_free(spark, sf_dir):
+    """PII redaction, chunking, winnowing, and the JL projection are
+    pure scan-side Column work — zero exchanges in the plan."""
+    for name in (
+        "text_pii_redact",
+        "text_chunk_windows",
+        "text_winnow_fingerprint",
+        "embedding_random_projection",
+    ):
+        assert shuffle_count(REG[name].fn(spark, sf_dir)) == 0, name
+
+
+def test_funnel_single_aggregation_pass(spark, sf_dir):
+    """The curation funnel is one scan + conditional aggregation: at
+    most the explicit source repartition plus the agg exchange (+AQE
+    final) — never one pass per stage."""
+    df = REG["pipeline_filter_funnel"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 3
+    scans = scan_columns(df)
+    assert scans and all(len(cols) <= 3 for cols in scans), scans
+
+
+def test_chunk_dedup_two_hash_aggregates(spark, sf_dir):
+    """Chunk-level dedup: chunk-hash count agg + doc rollup + the
+    hash join back — bounded exchanges, no window, no sort."""
+    df = REG["dedup_chunk_fraction"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "TakeOrdered" not in plan
+    assert shuffle_count(df) <= 4
+
+
+def test_tfidf_window_partitions_by_doc(spark, sf_dir):
+    """tf-idf ranking windows on doc_id (high cardinality — small
+    per-partition sorts), never a global sort."""
+    df = REG["text_tfidf_keywords"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
