@@ -77,6 +77,10 @@ _TYPE_NAMES = {
     "float32": "FLOAT",
     "float64": "DOUBLE",
     "utf8": "STRING",
+    # sql_common.rs:27-28: SQLDataType::Varchar/Text both map to Utf8
+    # (the reference's own perf suite uses `cast(number as text)`)
+    "text": "STRING",
+    "varchar": "STRING",
     "datetime": "TIMESTAMP",
 }
 

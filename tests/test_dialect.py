@@ -235,3 +235,10 @@ def test_typer_number_gated_on_numbers_source():
     assert "fq_typename" in out and "'UInt64'" not in out
     out2 = rw("SELECT toTypeName(number) FROM numbers_mt(5)")
     assert "'UInt64'" in out2
+
+
+def test_cast_as_text_and_varchar_rewrite():
+    """sql_common.rs:27-28: Varchar/Text map to Utf8 — the reference's
+    own perf suite uses `cast(number as text)`."""
+    assert "STRING" in rw("SELECT cast(42 as text)")
+    assert "STRING" in rw("SELECT cast(42 AS VARCHAR)")

@@ -644,3 +644,9 @@ class TestSqlCollect:
         t.join(timeout=180)  # loaded-host task teardown can be slow
         assert not t.is_alive()
         assert outcome and outcome[0] != "completed"
+
+
+def test_cast_text_varchar_execute(engine):
+    """sql_common.rs:27-28 type aliases end-to-end."""
+    _, rows = engine.sql_collect("SELECT cast(42 as text), cast(7 as varchar)")
+    assert rows[0][0] == "42" and rows[0][1] == "7"

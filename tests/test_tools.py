@@ -38,3 +38,25 @@ def test_replicated_copies_are_disjoint_and_salted(spark, sf_dir):
         .count()
     )
     assert cross == 0
+
+
+def test_reference_perf_suite_runs_verbatim():
+    """The reference's own perfs.yaml runs unmodified through
+    Engine.sql (scaled 10000x down for CI speed) with every closed-form
+    verification green — the perf-side analog of the stateless golden
+    suite."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/ref_perfs.py", "--scale", "10000"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stdout[-800:] + proc.stderr[-800:]
+    lines = [json.loads(x) for x in proc.stdout.strip().splitlines()]
+    assert lines[-1]["failed_verification"] == 0
+    assert lines[-1]["queries"] == 7
+    assert all(row.get("verified", True) for row in lines[:-1])
