@@ -230,3 +230,36 @@ def temperature_quotas(
             F.min(id_col).alias("first_doc"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train: int = 90,
+    val: int = 5,
+) -> DataFrame:
+    """Train/val/test split with GROUP integrity: documents connected
+    by near-dup pairs (any pair source — MinHash/LSH, SimHash,
+    embedding-cosine) are resolved to components and the split bucket
+    is keyed on the COMPONENT id, so a near-duplicate can never
+    straddle train and test — the standard guard against eval
+    contamination by near-dups (a doc-keyed split leaks ~pair_rate of
+    eval into training). Singleton docs key on their own id, which
+    equals the component id they'd get as 1-node components.
+
+    Scale shape: connected_components' O(log diameter) rounds over the
+    pair set (tiny vs the corpus), one LEFT join of docs to component
+    labels (broadcastable — labels cover only paired docs), then the
+    same narrow md5-bucket projection as deterministic_split."""
+    from fuse_query_spark.operators.dedup import connected_components
+
+    cc = connected_components(pairs, id_col=id_col)
+    d = docs.join(cc.select(id_col, "component"), id_col, "left").withColumn(
+        "group_key", F.coalesce("component", F.col(id_col))
+    )
+    b = hash_bucket("group_key")
+    return d.withColumn(
+        "split",
+        F.when(b < train, "train").when(b < train + val, "val").otherwise("test"),
+    )

@@ -163,12 +163,15 @@ DRIVER_PRIORITY = [
     # dedup family
     "dedup_duplicated_spans",
     "decontaminate_bloom",
-    "dedup_minhash_lsh_md5",
     "dedup_simhash_md5",
     "dedup_minhash_cross_corpus",
     "dedup_cluster_canonical",  # r5: CC clustering over LSH pairs
     "dedup_chunk_fraction",  # r5: paragraph-analog chunk dedup
     # sampling / pipeline ops — never driver-checked before r5
+    # (dedup_minhash_lsh_md5 rotated out r5-late for the leakage-safe
+    # split: 2-round green, and its shingle->band->verify pipeline
+    # stays prefix-covered via dedup_cluster_canonical + cross_corpus)
+    "sample_split_leakage_safe",  # r5: group-integrity split over CC
     "sample_temperature_mix",
     "sample_stratified_rates",
     "pack_sequences",

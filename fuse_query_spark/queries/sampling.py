@@ -553,3 +553,57 @@ def pipeline_filter_funnel(spark, sf_dir):
         cnt(s3).alias("n_repetition_ok"),
         cnt(s4).alias("n_final"),
     )
+
+
+def _bucket_of(expr: str) -> str:
+    """hash_bucket() mirror over an arbitrary SQL expression."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(CAST({expr} AS VARCHAR)), {j + 1}, 1)) - 1)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+        + ") % 100"
+    )
+
+
+def _leakage_safe_oracle() -> str:
+    from fuse_query_spark.queries.dedup import _cc_oracle
+
+    gk = "COALESCE(c.component, d.doc_id)"
+    b = _bucket_of(gk)
+    return f"""
+    SELECT d.doc_id,
+           {gk} AS group_key,
+           CASE WHEN {b} < 90 THEN 'train'
+                WHEN {b} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN ({_cc_oracle()}) c ON d.doc_id = c.doc_id
+    """
+
+
+@register(
+    "sample_split_leakage_safe",
+    oracle=_leakage_safe_oracle(),
+    tags=("pipeline", "sampling", "split", "dedup", "graph"),
+)
+def sample_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split (r5): near-dup components
+    (the md5-minhash pair pipeline -> connected components) share one
+    split bucket, so no near-duplicate pair ever straddles train and
+    eval — the contamination guard a doc-keyed split lacks. Oracle
+    recomputes pairs + components (recursive CTE) + the md5 bucket.
+    See operators/sampling.py:leakage_safe_split."""
+    from fuse_query_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+    from fuse_query_spark.operators.sampling import leakage_safe_split
+
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_md5(d, k=8)
+    cands = lsh_candidate_pairs_md5(sigs, k=8, bands=4)
+    pairs = jaccard_verify(d, cands, threshold=0.2)
+    return leakage_safe_split(d, pairs).select("doc_id", "group_key", "split")

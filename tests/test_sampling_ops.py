@@ -93,3 +93,46 @@ class TestBloomPrefilterEquality:
                 for r in contaminated_ids_bloom(corpus, ev, n=4, prefix_bits=bits).collect()
             }
             assert got == exact, f"prefix_bits={bits}"
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    """The whole point: every near-dup pair lands in ONE split; the
+    doc-keyed split on the same corpus DOES straddle (proving the test
+    has teeth); split fractions stay near 90/5/5."""
+    from fuse_query_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+    from fuse_query_spark.operators.sampling import (
+        deterministic_split,
+        leakage_safe_split,
+    )
+    from fuse_query_spark.sources.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_md5(d, k=8)
+    pairs = jaccard_verify(d, lsh_candidate_pairs_md5(sigs, k=8, bands=4), threshold=0.2)
+    pair_rows = pairs.select("id_a", "id_b").collect()
+    assert pair_rows, "corpus must contain near-dup pairs"
+
+    safe = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(d, pairs).select("doc_id", "split").collect()
+    }
+    assert all(safe[r["id_a"]] == safe[r["id_b"]] for r in pair_rows)
+
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(d).select("doc_id", "split").collect()
+    }
+    assert any(naive[r["id_a"]] != naive[r["id_b"]] for r in pair_rows), (
+        "doc-keyed split should straddle at least one pair on this corpus"
+    )
+
+    from collections import Counter
+
+    frac = Counter(safe.values())
+    n = len(safe)
+    assert 0.8 < frac["train"] / n < 0.97
+    assert frac["val"] > 0 and frac["test"] > 0
