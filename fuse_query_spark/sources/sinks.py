@@ -57,3 +57,58 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     real columns and predicates on them prune directories at planning
     time (gated in tests/test_sources.py)."""
     return spark.read.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 512,
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Small-files compaction — the maintenance pass every long-lived
+    100 TB dataset needs: streaming/incremental writers leave thousands
+    of KB-scale files per partition, and scan planning degrades with
+    file COUNT (listing, footer reads, task scheduling) long before it
+    degrades with bytes.
+
+    Sizes the output from the INPUT's real bytes: file count =
+    ceil(input_bytes / target_file_mb), one repartition (round-robin —
+    no key skew by construction), optional re-partitioning into a hive
+    layout. Returns {files_before, files_after, bytes, rows} so a
+    scheduler can log/assert the effect.
+
+    Posture notes: compaction is a full rewrite of `src` — run it per
+    partition (src = '.../day=X') in production so the unit of rewrite
+    is bounded; round-robin repartition deliberately destroys any
+    incidental ordering (compaction is for file geometry; use
+    write-time sortWithinPartitions/bucketing — sources/bucketed.py —
+    when layout must carry clustering)."""
+    import math
+    import os
+
+    def _stats(path: str) -> tuple[int, int]:
+        files = bytes_ = 0
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files += 1
+                    bytes_ += os.path.getsize(os.path.join(root, n))
+        return files, bytes_
+
+    files_before, input_bytes = _stats(src)
+    n_files = max(1, math.ceil(input_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    rows = df.count()
+    out = df.repartition(n_files)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dst)
+    files_after, _ = _stats(dst)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "input_bytes": input_bytes,
+        "rows": rows,
+    }

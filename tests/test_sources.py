@@ -140,3 +140,41 @@ class TestPartitionedSink:
         n_rest = back.filter(F.col("source") != "src1").count()
         assert n_src1 == 1  # replaced
         assert n_rest == total - docs.filter(F.col("source") == "src1").count()  # untouched
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    """50 tiny files compact to the computed target count with no row
+    loss and identical content."""
+    from fuse_query_spark.sources.sinks import compact_parquet
+    from fuse_query_spark.sources.tables import table
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    docs = table(spark, sf_dir, "documents")
+    docs.repartition(50).write.mode("overwrite").parquet(src)
+    stats = compact_parquet(spark, src, dst, target_file_mb=512)
+    assert stats["files_before"] == 50
+    assert stats["files_after"] == 1  # tiny input -> single target file
+    assert stats["rows"] == docs.count()
+    a = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    b = {tuple(r) for r in docs.collect()}
+    assert a == b
+
+
+def test_compact_parquet_respects_target_size(spark, sf_dir, tmp_path):
+    """A small target_file_mb yields multiple output files sized from
+    the input's real bytes."""
+    from fuse_query_spark.sources.sinks import compact_parquet
+    from fuse_query_spark.sources.tables import table
+
+    import math
+
+    src, dst = str(tmp_path / "frag2"), str(tmp_path / "compact2")
+    li = table(spark, sf_dir, "lineitem")
+    big = li
+    for _ in range(4):
+        big = big.unionAll(big)  # 16x rows so input clears 1 MB
+    big.repartition(20).write.mode("overwrite").parquet(src)
+    stats = compact_parquet(spark, src, dst, target_file_mb=1)
+    expected = max(1, math.ceil(stats["input_bytes"] / (1024 * 1024)))
+    assert stats["input_bytes"] > 1024 * 1024  # test has teeth
+    assert stats["files_after"] == expected > 1
