@@ -24,32 +24,48 @@ AGGS = [
     "CAST(MIN({c}) AS BIGINT)",
     "CAST(MAX({c}) AS BIGINT)",
     "CAST(SUM({c} % 97) AS BIGINT)",
+    # r5 grammar widening — still in the exact-integer shared subset:
+    "CAST(SUM(CASE WHEN {c} % {m2} = 0 THEN 1 ELSE 0 END) AS BIGINT)",
+    "CAST(SUM(LENGTH(l_returnflag || l_linestatus)) AS BIGINT)",
+    "CAST(MAX(LENGTH(CAST({c} AS STRING))) AS BIGINT)",
 ]
 
 
 def gen_query(seed: int) -> str:
     """One deterministic random aggregate query (valid in both Spark
-    SQL and DuckDB)."""
+    SQL and DuckDB). Seeds cycle through plain aggregates, HAVING,
+    ORDER BY + LIMIT (deterministic: group keys are unique), and a
+    fact-dim join to orders."""
     rng = random.Random(seed)
     keys = rng.sample(KEY_COLS, rng.randint(0, 2))
+    join = rng.random() < 0.3
     aggs = []
     for i in range(rng.randint(1, 3)):
         tmpl = rng.choice(AGGS)
         col = rng.choice(AGG_COLS)
-        aggs.append(tmpl.format(c=col) + f" AS a{i}")
+        aggs.append(tmpl.format(c=col, m2=rng.randint(2, 7)) + f" AS a{i}")
     filters = [
         rng.choice(FILTERS).format(
             q=rng.randint(5, 45), m=rng.randint(2, 9), ln=rng.randint(1, 6), mo=rng.randint(1, 9)
         )
         for _ in range(rng.randint(0, 2))
     ]
+    if join:
+        filters.append("o_orderpriority IN ('1-URGENT', '2-HIGH')")
     sql = "SELECT "
     sql += ", ".join(keys + aggs)
     sql += " FROM lineitem"
+    if join:
+        sql += " JOIN orders ON o_orderkey = l_orderkey"
     if filters:
         sql += " WHERE " + " AND ".join(filters)
     if keys:
         sql += " GROUP BY " + ", ".join(keys)
+        if rng.random() < 0.4:
+            sql += " HAVING COUNT(*) > " + str(rng.randint(1, 5))
+        if rng.random() < 0.4:
+            # group keys are unique per row -> deterministic order/limit
+            sql += " ORDER BY " + ", ".join(keys) + f" LIMIT {rng.randint(1, 50)}"
     return sql
 
 

@@ -1,18 +1,20 @@
-"""Differential fuzzing vs DuckDB: 40 seeded random aggregate queries
-over lineitem must hash-match exactly (SQL subset valid on both
-engines, integer-only aggregates)."""
+"""Differential fuzzing vs DuckDB: 60 seeded random queries over
+lineitem (+ a fact-dim join to orders, HAVING, ORDER BY + LIMIT, CASE
+and string-length aggregates) must hash-match exactly (SQL subset
+valid on both engines, integer-only aggregates)."""
 
 import pytest
 
 from fuse_query_spark.sources.tables import table
 from fuse_query_spark.testing_fuzz import gen_query, run_case
 
-SEEDS = list(range(40))
+SEEDS = list(range(60))
 
 
 @pytest.fixture(scope="module", autouse=True)
 def lineitem_view(spark, sf_dir):
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
 
 
 def test_generator_is_deterministic():
