@@ -204,6 +204,10 @@ def _rewrite_call(name: str, args: list[str], ctx: DialectContext) -> str | None
         # with the reference (SURVEY §7 risk 5). Byte parity for columns
         # is available explicitly via siphash_exact / siphash_exact_str.
         return f"xxhash64({arg_sql})"
+    if low == "count" and not args:
+        # zero-arg count() is valid in the reference (aggregate_count.rs
+        # assert_variadic_arguments (0, 1)); Spark requires an argument
+        return "count(*)"
     if low == "database" and not args:
         return f"'{ctx.current_db}'"
     if low == "version" and not args:

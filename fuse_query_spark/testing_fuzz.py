@@ -88,3 +88,99 @@ def run_case(spark, con, seed: int, views_registered: bool = True) -> list[str]:
         if sh != oh:
             problems.append(f"seed {seed}: hash mismatch :: {sql}")
     return problems
+
+
+# --- r5: dialect-layer differential fuzzing -----------------------------
+# Generates PAIRS (fuse-dialect SQL, independently constructed DuckDB
+# SQL) from one template draw — the DuckDB side is built from the
+# template semantics, NOT by running our rewriter, so a rewriter bug
+# cannot cancel out of both sides.
+
+_DIALECT_TEMPLATES = [
+    # (fuse dialect form, duckdb form)
+    (
+        "SELECT sumIf(number % {k}, number % {m} = 0) AS a FROM numbers_mt({n})",
+        "SELECT CAST(SUM(CASE WHEN number % {m} = 0 THEN number % {k} END) AS BIGINT)"
+        " AS a FROM (SELECT unnest(range({n})) AS number)",
+    ),
+    (
+        "SELECT countIf(number > {k}) AS a FROM numbers({n})",
+        "SELECT CAST(COUNT(CASE WHEN number > {k} THEN 1 END) AS BIGINT) AS a"
+        " FROM (SELECT unnest(range({n})) AS number)",
+    ),
+    (
+        "SELECT uniq(number % {m}) AS a FROM numbers_mt({n})",
+        "SELECT CAST(COUNT(DISTINCT number % {m}) AS BIGINT) AS a"
+        " FROM (SELECT unnest(range({n})) AS number)",
+    ),
+    (
+        "SELECT number % {g} AS g, minDistinct(number % {m}) AS a"
+        " FROM numbers_mt({n}) GROUP BY g ORDER BY g",
+        "SELECT number % {g} AS g, CAST(MIN(DISTINCT number % {m}) AS BIGINT) AS a"
+        " FROM (SELECT unnest(range({n})) AS number) GROUP BY g ORDER BY g",
+    ),
+    (
+        "SELECT argMax(number % {m}, number) AS a FROM numbers_mt({n})",
+        "SELECT CAST(arg_max(number % {m}, number) AS BIGINT) AS a"
+        " FROM (SELECT unnest(range({n})) AS number)",
+    ),
+    (
+        "SELECT toInt32(number % {m}) AS a FROM numbers({n})"
+        " ORDER BY number DESC LIMIT {lim}",
+        "SELECT CAST(number % {m} AS INT) AS a"
+        " FROM (SELECT unnest(range({n})) AS number)"
+        " ORDER BY number DESC LIMIT {lim}",
+    ),
+    (
+        "SELECT substring(toString(number), {p}, {ln}) AS a, count() AS c"
+        " FROM numbers_mt({n}) GROUP BY a ORDER BY a LIMIT {lim}",
+        "SELECT substr(CAST(number AS VARCHAR), {p}, {ln}) AS a,"
+        " CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM (SELECT unnest(range({n})) AS number) GROUP BY a ORDER BY a LIMIT {lim}",
+    ),
+    (
+        "SELECT number % {g} AS g, avgIf(number, number % {m} = 1) AS a"
+        " FROM numbers_mt({n}) GROUP BY g ORDER BY g",
+        "SELECT number % {g} AS g, AVG(CASE WHEN number % {m} = 1 THEN number END) AS a"
+        " FROM (SELECT unnest(range({n})) AS number) GROUP BY g ORDER BY g",
+    ),
+]
+
+
+def gen_dialect_case(seed: int) -> tuple[str, str]:
+    """One deterministic (fuse_sql, duck_sql) pair."""
+    rng = random.Random(10_000 + seed)
+    fuse_t, duck_t = _DIALECT_TEMPLATES[seed % len(_DIALECT_TEMPLATES)]
+    args = {
+        "n": rng.choice([1000, 4096, 10_000]),
+        "k": rng.randint(2, 50),
+        "m": rng.randint(2, 9),
+        "g": rng.randint(2, 7),
+        "p": rng.randint(1, 3),
+        "ln": rng.randint(1, 3),
+        "lim": rng.randint(3, 20),
+    }
+    return fuse_t.format(**args), duck_t.format(**args)
+
+
+def run_dialect_case(engine, con, seed: int) -> list[str]:
+    """Engine.sql (dialect path) vs DuckDB; returns problems."""
+    from fuse_query_spark.testing import table_hash
+
+    fuse_sql, duck_sql = gen_dialect_case(seed)
+    df, srows = engine.sql_collect(fuse_sql)
+    srows = [tuple(r) for r in srows]
+    ores = con.execute(duck_sql)
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(
+            f"seed {seed}: rowcount {len(srows)} vs {len(orows)} :: {fuse_sql}"
+        )
+    else:
+        sh, _ = table_hash(srows, df.columns)
+        oh, _ = table_hash(orows, ocols)
+        if sh != oh:
+            problems.append(f"seed {seed}: hash mismatch :: {fuse_sql} :: {duck_sql}")
+    return problems

@@ -242,3 +242,10 @@ def test_cast_as_text_and_varchar_rewrite():
     own perf suite uses `cast(number as text)`."""
     assert "STRING" in rw("SELECT cast(42 as text)")
     assert "STRING" in rw("SELECT cast(42 AS VARCHAR)")
+
+
+def test_zero_arg_count_rewrite():
+    """aggregate_count.rs accepts 0 or 1 args; count() -> count(*)."""
+    out = rw("SELECT count() FROM numbers(10)")
+    assert "count(*)" in out
+    assert "count(DISTINCT x)" in rw("SELECT countDistinct(x) FROM t")  # unaffected

@@ -26,3 +26,22 @@ def test_generator_is_deterministic():
 def test_fuzz_case_matches_duckdb(spark, oracle, seed):
     problems = run_case(spark, oracle, seed)
     assert not problems, problems
+
+
+@pytest.fixture(scope="module")
+def dialect_engine(spark):
+    from fuse_query_spark.engine import Engine
+
+    return Engine(spark=spark)
+
+
+@pytest.mark.parametrize("seed", list(range(24)))
+def test_dialect_fuzz_matches_duckdb(dialect_engine, oracle, seed):
+    """Dialect-layer differential fuzzing: ClickHouse-dialect SQL
+    through Engine.sql vs an INDEPENDENTLY constructed DuckDB
+    equivalent (built from the template, not our rewriter — a rewriter
+    bug cannot cancel out of both sides)."""
+    from fuse_query_spark.testing_fuzz import run_dialect_case
+
+    problems = run_dialect_case(dialect_engine, oracle, seed)
+    assert not problems, problems
