@@ -326,7 +326,9 @@ def _rewrite_calls(sql: str, ctx: DialectContext) -> str:
 
 _NUMBERS = re.compile(r"\b(?:system\.)?(numbers|numbers_mt|numbers_local)\s*\(\s*(\d+)\s*\)", re.I)
 _CAST_TYPE = re.compile(
-    r"(\bAS\s+)(" + "|".join(_TYPE_NAMES) + r")\b", re.I
+    # (?!\s*\() — parameterized forms (varchar(255)) are valid Spark
+    # types already and must pass through untouched
+    r"(\bAS\s+)(" + "|".join(_TYPE_NAMES) + r")\b(?!\s*\()", re.I
 )
 _LIMIT_BY = re.compile(r"\sLIMIT\s+(\d+)\s+BY\s+(.+?)(\s+LIMIT\s+\d+\s*)?$", re.I | re.S)
 

@@ -249,3 +249,11 @@ def test_zero_arg_count_rewrite():
     out = rw("SELECT count() FROM numbers(10)")
     assert "count(*)" in out
     assert "count(DISTINCT x)" in rw("SELECT countDistinct(x) FROM t")  # unaffected
+
+
+def test_parameterized_varchar_passes_through():
+    """cast(x as varchar(255)) is already valid Spark — the bare-name
+    type map must not mangle it (golden 01_0000 regression)."""
+    out = rw("SELECT cast(number as varchar(255)) FROM numbers(10)")
+    assert "varchar(255)" in out.lower()
+    assert "STRING(255)" not in out
