@@ -77,10 +77,16 @@ _TYPE_NAMES = {
     "float32": "FLOAT",
     "float64": "DOUBLE",
     "utf8": "STRING",
-    # sql_common.rs:27-28: SQLDataType::Varchar/Text both map to Utf8
-    # (the reference's own perf suite uses `cast(number as text)`)
+    # sql_common.rs:25-33: Char/Varchar/Text -> Utf8 (the reference's
+    # own perf suite uses `cast(number as text)`); Real -> Float64;
+    # Time -> Timestamp(ms). Parameterized forms (varchar(255),
+    # char(8)) are valid Spark types and pass through untouched
+    # (negative lookahead in _CAST_TYPE).
     "text": "STRING",
     "varchar": "STRING",
+    "char": "STRING",
+    "real": "DOUBLE",
+    "time": "TIMESTAMP",
     "datetime": "TIMESTAMP",
 }
 

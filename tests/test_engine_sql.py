@@ -650,3 +650,14 @@ def test_cast_text_varchar_execute(engine):
     """sql_common.rs:27-28 type aliases end-to-end."""
     _, rows = engine.sql_collect("SELECT cast(42 as text), cast(7 as varchar)")
     assert rows[0][0] == "42" and rows[0][1] == "7"
+
+
+def test_reference_type_aliases_execute(engine):
+    """sql_common.rs:25-33 full alias surface: char/real/time plus the
+    parameterized char(n) passthrough."""
+    _, rows = engine.sql_collect(
+        "SELECT cast(65 as char), cast(1 as real), cast('x' as char(4))"
+    )
+    assert rows[0][0] == "65"
+    assert isinstance(rows[0][1], float) and rows[0][1] == 1.0
+    assert rows[0][2].rstrip() == "x"  # CHAR(4) pads per SQL standard
