@@ -255,6 +255,17 @@ def _rewrite_call(name: str, args: list[str], ctx: DialectContext) -> str | None
         from fuse_query_spark.errors import FuseQueryError
 
         raise FuseQueryError("crash me function")
+    # argMin/argMax combinators (aggregate_function_factory.rs:55-90
+    # resolves <agg><combinator> for EVERY registered aggregate):
+    # If filters rows; Distinct is a semantic no-op for arg-extrema
+    # (duplicate (value, key) tuples cannot change the winner).
+    if low in ("argminif", "argmaxif") and len(args) >= 3:
+        fn = "min_by" if low.startswith("argmin") else "max_by"
+        *rest, cond = args
+        return f"{fn}({', '.join(rest)}) FILTER (WHERE {cond})"
+    if low in ("argmindistinct", "argmaxdistinct"):
+        fn = "min_by" if low.startswith("argmin") else "max_by"
+        return f"{fn}({arg_sql})"
     for base in _COMBINATOR_BASES:
         if low == base + "if":
             *rest, cond = args if len(args) > 1 else (["1"] + args)

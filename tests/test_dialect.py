@@ -257,3 +257,11 @@ def test_parameterized_varchar_passes_through():
     out = rw("SELECT cast(number as varchar(255)) FROM numbers(10)")
     assert "varchar(255)" in out.lower()
     assert "STRING(255)" not in out
+
+
+def test_argminmax_combinators():
+    """aggregate_function_factory.rs:55-90 resolves combinator suffixes
+    for every aggregate — argMinIf/argMaxIf/argMinDistinct included."""
+    assert "min_by(a, b) FILTER (WHERE c > 1)" in rw("SELECT argMinIf(a, b, c > 1) FROM t")
+    assert "max_by(a, b) FILTER (WHERE c)" in rw("SELECT argMaxIf(a, b, c) FROM t")
+    assert "min_by(a, b)" in rw("SELECT argMinDistinct(a, b) FROM t")
