@@ -144,6 +144,19 @@ _DIALECT_TEMPLATES = [
         "SELECT number % {g} AS g, AVG(CASE WHEN number % {m} = 1 THEN number END) AS a"
         " FROM (SELECT unnest(range({n})) AS number) GROUP BY g ORDER BY g",
     ),
+    (
+        "SELECT argMinIf(number % {k}, number, number > {m}) AS a,"
+        " argMax(number % {k}, number) AS b FROM numbers_mt({n})",
+        "SELECT CAST(arg_min(number % {k}, number) FILTER (WHERE number > {m}) AS BIGINT) AS a,"
+        " CAST(arg_max(number % {k}, number) AS BIGINT) AS b"
+        " FROM (SELECT unnest(range({n})) AS number)",
+    ),
+    (
+        "SELECT count() AS a, sumDistinct(number % {m}) AS b FROM numbers({n})",
+        "SELECT CAST(COUNT(*) AS BIGINT) AS a,"
+        " CAST(SUM(DISTINCT number % {m}) AS BIGINT) AS b"
+        " FROM (SELECT unnest(range({n})) AS number)",
+    ),
 ]
 
 

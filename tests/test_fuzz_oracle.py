@@ -35,7 +35,7 @@ def dialect_engine(spark):
     return Engine(spark=spark)
 
 
-@pytest.mark.parametrize("seed", list(range(24)))
+@pytest.mark.parametrize("seed", list(range(30)))
 def test_dialect_fuzz_matches_duckdb(dialect_engine, oracle, seed):
     """Dialect-layer differential fuzzing: ClickHouse-dialect SQL
     through Engine.sql vs an INDEPENDENTLY constructed DuckDB
