@@ -55,6 +55,15 @@ def main():
     cols, mrows = mcli.query(sql)
     t_my = time.monotonic() - t0
     assert len(mrows) == n
+    # binary resultset path (COM_STMT_EXECUTE, r5): fixed-width values
+    # instead of decimal strings — measures the prepared-statement
+    # encoding the strict connectors use
+    sid, _, _ = mcli.prepare(sql)
+    t0 = time.monotonic()
+    _, brows = mcli.execute(sid)
+    t_bin = time.monotonic() - t0
+    assert len(brows) == n
+    mcli.close_stmt(sid)
     mcli.sock.close()
     my.stop()
 
@@ -64,9 +73,12 @@ def main():
                 "rows": n,
                 "clickhouse_native_sec": round(t_ch, 3),
                 "mysql_text_sec": round(t_my, 3),
+                "mysql_binary_sec": round(t_bin, 3),
                 "clickhouse_mrows_s": round(n / t_ch / 1e6, 2),
                 "mysql_mrows_s": round(n / t_my / 1e6, 2),
+                "mysql_binary_mrows_s": round(n / t_bin / 1e6, 2),
                 "native_vs_text": round(t_my / t_ch, 2),
+                "binary_vs_text": round(t_my / t_bin, 2),
             }
         )
     )
