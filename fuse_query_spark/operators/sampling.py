@@ -255,9 +255,12 @@ def leakage_safe_split(
     from fuse_query_spark.operators.dedup import connected_components
 
     cc = connected_components(pairs, id_col=id_col)
-    d = docs.join(cc.select(id_col, "component"), id_col, "left").withColumn(
-        "group_key", F.coalesce("component", F.col(id_col))
-    )
+    # labels cover only PAIRED docs — a small fraction of the corpus by
+    # construction (it's the near-dup pair set) — so broadcast them
+    # rather than shuffling the whole corpus into a sort-merge join
+    d = docs.join(
+        F.broadcast(cc.select(id_col, "component")), id_col, "left"
+    ).withColumn("group_key", F.coalesce("component", F.col(id_col)))
     b = hash_bucket("group_key")
     return d.withColumn(
         "split",

@@ -342,3 +342,10 @@ def test_tfidf_window_partitions_by_doc(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_leakage_split_broadcasts_labels(spark, sf_dir):
+    """The corpus never shuffles for the component-label join — labels
+    (paired docs only) broadcast."""
+    df = REG["sample_split_leakage_safe"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
