@@ -529,9 +529,15 @@ def pipeline_filter_funnel(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     tok = d.select(
-        "source", "lang", "text", tokens("text").alias("_toks")
+        "doc_id", "source", "lang", "text", tokens("text").alias("_toks")
     )
-    tok = tok.repartition(tok.sparkSession.sparkContext.defaultParallelism, "source")
+    # materialization exchange keyed on the HIGH-cardinality doc_id —
+    # keying on `source` (tens of values) would collapse parallelism
+    # at scale; the per-source final shuffle stays tiny either way
+    # because the conditional counts partial-aggregate map-side
+    tok = tok.repartition(
+        tok.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).drop("doc_id")
     n = F.size(F.col("_toks"))
     quality = quality_score("text", toks=F.col("_toks"))
     dup_frac = (n - F.size(F.array_distinct(F.col("_toks")))).cast("double") / F.greatest(
