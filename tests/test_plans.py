@@ -317,13 +317,17 @@ def test_r5_scan_side_ops_are_shuffle_free(spark, sf_dir):
 
 
 def test_funnel_single_aggregation_pass(spark, sf_dir):
-    """The curation funnel is one scan + conditional aggregation: at
-    most the explicit source repartition plus the agg exchange (+AQE
-    final) — never one pass per stage."""
+    """The curation funnel is one scan + conditional aggregation: the
+    doc_id materialization exchange, the partial->final agg exchange
+    (+AQE) — never one pass per filter stage. (Keying the
+    materialization on `source` would save one exchange by satisfying
+    the agg's distribution, but collapses parallelism to |sources|
+    partitions at scale — the deliberate trade-off: the extra shuffle
+    moves only the map-side-combined per-source partials.)"""
     df = REG["pipeline_filter_funnel"].fn(spark, sf_dir)
-    assert shuffle_count(df) <= 3
+    assert shuffle_count(df) <= 4
     scans = scan_columns(df)
-    assert scans and all(len(cols) <= 3 for cols in scans), scans
+    assert scans and all(len(cols) <= 4 for cols in scans), scans
 
 
 def test_chunk_dedup_two_hash_aggregates(spark, sf_dir):
