@@ -154,10 +154,10 @@ def decode_image_meta(blobs: DataFrame, id_col: str = "doc_id", sniff: bool = Tr
 
 
 def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL pixel decode for PPM (raw RGB — a header parse and a
-    slice, no codec): (doc_id, width, height, pixels) with
-    len(pixels) == 3*w*h*bytes_per_sample (1 byte for maxval<256,
-    2 for 16-bit P6); truncated bodies raise instead of returning a
+    """REAL pixel decode for the two codec-free formats — PPM (raw
+    RGB: header parse + slice) and uncompressed 24-bit BMP (r5:
+    stride/bottom-up/BGR normalization to RGB) — as (doc_id, width,
+    height, pixels); truncated bodies raise instead of returning a
     short buffer. Compressed formats raise — PNG/JPEG need zlib/DCT
     codecs from an image library absent here; wire PIL into this
     same mapInPandas batch contract to add them."""
@@ -168,10 +168,21 @@ def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for doc_id, b in zip(pdf[id_col], pdf["content"]):
                 data = bytes(b)  # bind once: Arrow may hand back bytearray
                 parsed = parse_image_header(data)
-                if parsed is None or parsed[2] != "image/ppm":
+                fmt = parsed[2] if parsed else None
+                if fmt == "image/bmp":
+                    try:
+                        w, h, rgb = _bmp_pixels(data)
+                    except ValueError as e:
+                        raise ValueError(f"doc {doc_id}: {e}") from None
+                    ids.append(doc_id)
+                    ws.append(w)
+                    hs.append(h)
+                    px.append(rgb)
+                    continue
+                if fmt != "image/ppm":
                     raise NotImplementedError(
-                        "pixel decode implemented for raw PPM only; "
-                        f"got {parsed[2] if parsed else 'unknown bytes'} — "
+                        "pixel decode implemented for raw PPM and uncompressed "
+                        f"24-bit BMP; got {fmt or 'unknown bytes'} — "
                         "compressed codecs need an image library (PIL/libvips)"
                     )
                 # _ppm_frame re-derives dims + bytes-per-sample and
@@ -246,3 +257,39 @@ def frame_sample(blobs: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> 
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "content": frames})
 
     return blobs.mapInPandas(_frames, "doc_id LONG, frame_idx INT, content BINARY")
+
+
+def _bmp_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, RGB bytes, top-down row order) for an
+    UNCOMPRESSED 24-bit BMP (BI_RGB) — pure byte slicing, no codec:
+    rows are 4-byte aligned, stored bottom-up (negative height =
+    top-down), samples are BGR. Anything compressed or non-24-bit
+    raises (that's the documented library boundary)."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP or truncated header")
+    pixel_off = struct.unpack("<I", data[10:14])[0]
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP pixel decode implemented for uncompressed 24-bit only "
+            f"(got {bpp}bpp, compression={compression})"
+        )
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    need = pixel_off + stride * h
+    if need > len(data):
+        raise ValueError(f"truncated BMP body: need {need} bytes, have {len(data)}")
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    out = bytearray(3 * w * h)
+    i = 0
+    for r in rows:
+        row = data[pixel_off + r * stride : pixel_off + r * stride + w * 3]
+        # BGR -> RGB per pixel
+        out[i : i + 3 * w : 3] = row[2::3]
+        out[i + 1 : i + 3 * w : 3] = row[1::3]
+        out[i + 2 : i + 3 * w : 3] = row[0::3]
+        i += 3 * w
+    return w, h, bytes(out)

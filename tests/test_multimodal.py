@@ -133,3 +133,55 @@ def test_sniffing_classifies_magic_prefixed_text(spark):
     assert (r["width"], r["height"], r["format"]) == (320, 200, "image/gif")
     r = decode_image_meta(df, sniff=False).collect()[0]
     assert r["format"] == "fake/binary"
+
+
+def _make_bmp(w, h, rgb_rows, top_down=False):
+    """Hand-build an uncompressed 24-bit BMP from RGB row tuples."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    rows = rgb_rows if top_down else list(reversed(rgb_rows))
+    body = b"".join(
+        bytes(v for px in row for v in (px[2], px[1], px[0]))  # RGB->BGR
+        + b"\x00" * (stride - 3 * w)
+        for row in rows
+    )
+    h_field = -h if top_down else h
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h_field, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+
+
+def test_bmp_pixel_decode_both_orientations(spark):
+    """Bottom-up and top-down BMPs of the same image decode to the
+    same RGB buffer through the mapInPandas path."""
+    from fuse_query_spark.operators.multimodal import decode_image_pixels
+
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    df = spark.createDataFrame(
+        [(1, _make_bmp(2, 2, rows)), (2, _make_bmp(2, 2, rows, top_down=True))],
+        "doc_id LONG, content BINARY",
+    )
+    got = {r["doc_id"]: r for r in decode_image_pixels(df).collect()}
+    expect = bytes(v for row in rows for px in row for v in px)
+    assert bytes(got[1]["pixels"]) == expect == bytes(got[2]["pixels"])
+    assert got[1]["width"] == 2 and got[1]["height"] == 2
+
+
+def test_bmp_truncated_and_unsupported_raise(spark):
+    from fuse_query_spark.operators.multimodal import decode_image_pixels
+
+    rows = [[(1, 2, 3)]]
+    good = _make_bmp(1, 1, rows)
+    df_trunc = spark.createDataFrame(
+        [(1, good[:-2])], "doc_id LONG, content BINARY"
+    )
+    with pytest.raises(Exception, match="truncated"):
+        decode_image_pixels(df_trunc).collect()
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"\x00\x00\x00\x10\x00\x00\x00\x10"
+    df_png = spark.createDataFrame([(2, png)], "doc_id LONG, content BINARY")
+    with pytest.raises(Exception, match="image library"):
+        decode_image_pixels(df_png).collect()
