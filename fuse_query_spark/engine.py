@@ -543,7 +543,20 @@ class Engine:
                 return self.spark.read.schema(tdef.schema).csv(tdef.location, header=False)
             if tdef.engine == "JSONEachRow":
                 return self.spark.read.schema(tdef.schema).json(tdef.location)
-            return self._read_parquet(tdef.location, table_name=tdef.name)
+            df = self._read_parquet(tdef.location, table_name=tdef.name)
+            # reader-schema coercion: the CREATE TABLE's declared types
+            # win over the file's physical types (e.g. alltypes_plain's
+            # un-annotated BYTE_ARRAY reads as BINARY but is declared
+            # varchar) — mirrors the reference's make_data_type coercion
+            # (sql_common.rs). Only when every declared column exists;
+            # otherwise fall back to the raw file schema.
+            if tdef.schema is not None and all(
+                f.name in df.columns for f in tdef.schema
+            ):
+                df = df.select(
+                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tdef.schema]
+                )
+            return df
         raise UnsupportedStatement(f"Unknown engine {tdef.engine}")
 
     def _read_parquet(self, path: str, table_name: str | None = None) -> DataFrame:
