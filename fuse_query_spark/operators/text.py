@@ -439,3 +439,49 @@ def winnow_fingerprints(
         (F.size(fps) / F.greatest(F.size(h), F.lit(1))).alias("fp_density"),
         F.md5(F.array_join(fps, "")).alias("fp_digest"),
     )
+
+
+def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id", lam: float = 0.7, ndigits: int = 4):
+    """Word-order-aware quality score: mean NLL of each token under an
+    interpolated bigram LM built from the corpus itself —
+    p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1}) + (1-lam) *
+    c(w_i)/N. Catches shuffled/garbled text that a unigram model
+    scores as fluent (same tokens, broken transitions); pipelines band
+    on the bigram/unigram NLL GAP as the incoherence signal.
+
+    Scale shape: bigram counts are one map-side-combinable hash agg on
+    the (w1,w2) pair (pre-aggregated per doc first, same trick as
+    unigram_logprob); the transition join shuffles on the pair key —
+    higher cardinality than the vocab join so LESS skewed; unigram
+    factors ride the same joins; grand total is a 1-row broadcast.
+
+    Returns (id_col, n_transitions, avg_bigram_nll)."""
+    t = tokens(text_col)
+    bg = df.select(
+        id_col, F.explode(ngrams_from_tokens(t, 2)).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0]).withColumn(
+        "w2", F.split(F.col("bg"), " ")[1]
+    )
+    dtf = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    bigrams = dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    tok = df.select(id_col, F.explode(t).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.sum("c1").alias("n"))
+    p = (
+        dtf.join(bigrams, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    prob = F.lit(lam) * (F.col("c12") / F.col("c_w1")) + F.lit(1.0 - lam) * (
+        F.col("c_w2") / F.col("n")
+    )
+    return (
+        p.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_transitions"),
+            F.round(F.sum(F.col("tf") * -F.log(prob)) / F.sum("tf"), ndigits).alias(
+                "avg_bigram_nll"
+            ),
+        )
+    )

@@ -452,3 +452,111 @@ def text_winnow_fingerprint(spark, sf_dir):
     from fuse_query_spark.operators.text import winnow_fingerprints
 
     return winnow_fingerprints(table(spark, sf_dir, "documents"), k=3, w=4)
+
+
+def _bigram_logprob_oracle(lam: float = 0.7) -> str:
+    # repr() the interpolation constants: the Spark side computes
+    # 1-lam in PYTHON (0.7 -> 0.30000000000000004) and a literal 0.3
+    # in SQL would differ in the last ulp
+    l1, l2 = repr(lam), repr(1.0 - lam)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM t),
+    bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+           FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+    dtf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+    bigrams AS (SELECT w1, w2, SUM(tf) AS c12 FROM dtf GROUP BY w1, w2),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM pos GROUP BY w),
+    tot AS (SELECT SUM(c1) AS n FROM uni)
+    SELECT dtf.doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_transitions,
+           round(SUM(tf * -ln({l1} * (c12 / c_w1) + {l2} * (c_w2 / n))) / SUM(tf), 4)
+               AS avg_bigram_nll
+    FROM dtf
+    JOIN bigrams USING (w1, w2)
+    JOIN (SELECT w AS w1, c1 AS c_w1 FROM uni) u1 USING (w1)
+    JOIN (SELECT w AS w2, c1 AS c_w2 FROM uni) u2 USING (w2)
+    CROSS JOIN tot
+    GROUP BY dtf.doc_id
+    """
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=_bigram_logprob_oracle(),
+    tags=("text", "quality", "language_model", "pipeline"),
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Word-order-aware LM quality score (r5): mean token NLL under an
+    interpolated corpus bigram model — catches garbled transitions a
+    unigram model scores as fluent. Compared at 1e-4 granularity. See
+    operators/text.py:bigram_logprob."""
+    from fuse_query_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_vocab_stats",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(MAX(c) AS BIGINT) AS top_freq
+        FROM uni
+    ),
+    top AS (
+        SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn FROM uni
+    ),
+    topmass AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS top100_mass FROM top WHERE rn <= 100
+    )
+    SELECT vocab_size, n_tokens, n_hapax,
+           CAST(n_hapax AS DOUBLE) / vocab_size AS hapax_frac,
+           top_freq,
+           CAST(top100_mass AS DOUBLE) / n_tokens AS top100_mass_frac
+    FROM agg CROSS JOIN topmass
+    """,
+    tags=("text", "corpus", "vocabulary", "pipeline"),
+)
+def corpus_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary health report (r5): vocab size, token count,
+    hapax-legomena fraction (high = OCR noise / boilerplate IDs),
+    head-mass concentration (top-100 tokens' share — high = template
+    spam). One explode + one vocab hash agg + a bounded top-100 pass;
+    the per-run report a curation pipeline logs next to the funnel."""
+    d = table(spark, sf_dir, "documents")
+    from fuse_query_spark.operators.text import tokens
+
+    uni = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = uni.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.max("c").alias("top_freq"),
+    )
+    top100 = (
+        uni.orderBy(F.desc("c"), F.asc("w"))
+        .limit(100)
+        .agg(F.sum("c").alias("top100_mass"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(top100))
+        .select(
+            "vocab_size",
+            "n_tokens",
+            "n_hapax",
+            (F.col("n_hapax").cast("double") / F.col("vocab_size")).alias("hapax_frac"),
+            "top_freq",
+            (F.col("top100_mass").cast("double") / F.col("n_tokens")).alias(
+                "top100_mass_frac"
+            ),
+        )
+    )

@@ -193,3 +193,22 @@ def test_winnow_short_doc(spark):
     rows = {r["doc_id"]: r for r in winnow_fingerprints(df, k=3, w=4).collect()}
     assert rows[1]["n_grams"] == 0 and rows[1]["n_fingerprints"] == 0
     assert rows[2]["n_grams"] == 2 and rows[2]["n_fingerprints"] == 1
+
+
+def test_bigram_nll_detects_shuffled_text(spark):
+    """The reason to go past unigram: a token-shuffled doc keeps its
+    unigram NLL (same bag of words) but its bigram NLL rises (broken
+    transitions). Corpus: many fluent docs + one shuffled copy."""
+    from fuse_query_spark.operators.text import bigram_logprob, unigram_logprob
+
+    fluent = "the quick brown fox jumps over the lazy dog again and again"
+    words = fluent.split()
+    shuffled = " ".join(words[::2] + words[1::2])  # derangement-ish, same bag
+    rows = [(i, fluent) for i in range(20)] + [(99, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    uni = {r["doc_id"]: r["avg_nll"] for r in unigram_logprob(df).collect()}
+    assert uni[99] == uni[0]  # unigram is blind to order
+
+    bi = {r["doc_id"]: r["avg_bigram_nll"] for r in bigram_logprob(df).collect()}
+    assert bi[99] > bi[0] + 0.5  # bigram flags the broken transitions
