@@ -118,8 +118,9 @@ DRIVER_HIDDEN = {
 # rows, and similarity_knn_ivf_md5).
 DRIVER_PRIORITY = [
     # flagship + core operators (SURVEY §2.2/2.4/2.6)
+    # (agg_global_stats rotated out r5-late for text_bigram_logprob:
+    # 4-round green, agg_ family keeps agg_percentiles)
     "q01_pricing_summary",
-    "agg_global_stats",
     "agg_percentiles",
     # expression surfaces (§2.8) — never driver-checked before r5
     "expr_string_surface",
@@ -159,6 +160,7 @@ DRIVER_PRIORITY = [
     "text_unigram_logprob",  # r5: CCNet-style unigram-LM quality
     "text_tfidf_keywords",  # r5: tf-idf keyword extraction
     "text_chunk_windows",  # r5: RAG chunking
+    "text_bigram_logprob",  # r5: word-order-aware LM quality
     "recursive_month_spine",
     # dedup family
     "dedup_duplicated_spans",
