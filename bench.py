@@ -90,9 +90,16 @@ BENCH_QUERIES = [
     # r5 pipeline additions
     "text_pii_redact",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "text_tfidf_keywords",
+    "text_winnow_fingerprint",
+    "text_chunk_windows",
     "dedup_chunk_fraction",
     "dedup_cluster_canonical",
+    "embedding_random_projection",
+    "pipeline_filter_funnel",
+    "sample_split_leakage_safe",
+    "corpus_vocab_stats",
 ]
 
 
