@@ -152,6 +152,15 @@ _DIALECT_TEMPLATES = [
         " FROM (SELECT unnest(range({n})) AS number)",
     ),
     (
+        "SELECT number % {g} AS g, number AS v FROM numbers_mt({n})"
+        " ORDER BY g, v LIMIT {lim} BY g",
+        "SELECT g, v FROM ("
+        "  SELECT number % {g} AS g, number AS v,"
+        "  ROW_NUMBER() OVER (PARTITION BY number % {g} ORDER BY number % {g}, number) AS rn"
+        "  FROM (SELECT unnest(range({n})) AS number)"
+        ") WHERE rn <= {lim}",
+    ),
+    (
         "SELECT count() AS a, sumDistinct(number % {m}) AS b FROM numbers({n})",
         "SELECT CAST(COUNT(*) AS BIGINT) AS a,"
         " CAST(SUM(DISTINCT number % {m}) AS BIGINT) AS b"
