@@ -85,7 +85,11 @@ def probe_ops(spark, docs):
         contaminated_ids,
         contaminated_ids_bloom,
     )
-    from fuse_query_spark.operators.text import chunk_dup_fraction, repetition_metrics
+    from fuse_query_spark.operators.text import (
+        bigram_logprob,
+        chunk_dup_fraction,
+        repetition_metrics,
+    )
 
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
@@ -101,6 +105,7 @@ def probe_ops(spark, docs):
         "cluster_canonical": lambda: connected_components(
             minhash_dedup_pairs(docs, k=16, bands=4, threshold=0.2)
         ),
+        "bigram_logprob": lambda: bigram_logprob(docs),
     }
 
 
@@ -202,6 +207,7 @@ def main():
             "duplicated_spans",
             "chunk_dup_fraction",
             "cluster_canonical",
+            "bigram_logprob",
         ]
         if only:
             ops = [o for o in ops if o in only]
