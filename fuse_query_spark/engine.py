@@ -533,7 +533,7 @@ class Engine:
             if not plan["parts"]:
                 return self.spark.createDataFrame([], tdef.schema)
             return self.spark.read.schema(tdef.schema).parquet(*plan["parts"])
-        if tdef.engine in ("CSV", "Parquet", "JSONEachRow"):
+        if tdef.engine in ("CSV", "Parquet", "JSONEachRow", "ORC"):
             import os
 
             if tdef.location is None or not os.path.exists(tdef.location):
@@ -543,6 +543,20 @@ class Engine:
                 return self.spark.read.schema(tdef.schema).csv(tdef.location, header=False)
             if tdef.engine == "JSONEachRow":
                 return self.spark.read.schema(tdef.schema).json(tdef.location)
+            if tdef.engine == "ORC":
+                # capability extension past the reference's format set
+                # (CSV/Parquet/JSON/Null/Memory) — ORC is Spark-native
+                df = self.spark.read.orc(tdef.location)
+                if tdef.schema is not None and all(
+                    f.name in df.columns for f in tdef.schema
+                ):
+                    df = df.select(
+                        *[
+                            F.col(f.name).cast(f.dataType).alias(f.name)
+                            for f in tdef.schema
+                        ]
+                    )
+                return df
             df = self._read_parquet(tdef.location, table_name=tdef.name)
             # reader-schema coercion: the CREATE TABLE's declared types
             # win over the file's physical types (e.g. alltypes_plain's
@@ -823,7 +837,7 @@ class Engine:
         the location directory (distributed write — rows never hit the
         driver). Column order is normalized to the declared schema so
         positional formats (CSV) stay readable."""
-        writers = {"Parquet": "parquet", "CSV": "csv", "JSONEachRow": "json"}
+        writers = {"Parquet": "parquet", "CSV": "csv", "JSONEachRow": "json", "ORC": "orc"}
         if tdef.engine == "Memory":
             tdef.data = self._table_df(tdef).unionByName(df, allowMissingColumns=True)
         elif tdef.engine in writers:

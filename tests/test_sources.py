@@ -178,3 +178,30 @@ def test_compact_parquet_respects_target_size(spark, sf_dir, tmp_path):
     expected = max(1, math.ceil(stats["input_bytes"] / (1024 * 1024)))
     assert stats["input_bytes"] > 1024 * 1024  # test has teeth
     assert stats["files_after"] == expected > 1
+
+
+def test_orc_engine_roundtrip(spark, sf_dir, tmp_path):
+    """ORC as a table engine (capability extension past the reference's
+    CSV/Parquet/JSON/Null/Memory): create, INSERT ... SELECT from a
+    Parquet-engine table, read back, engine listed in system.tables."""
+    from fuse_query_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    eng.attach_parquet_dir(sf_dir)
+    loc = str(tmp_path / "docs_orc")
+    eng.sql(
+        "CREATE TABLE docs_orc (doc_id bigint, source varchar(64), n_chars bigint)"
+        f" Engine = ORC location = '{loc}'"
+    )
+    eng.sql("INSERT INTO docs_orc SELECT doc_id, source, n_chars FROM documents")
+    _, rows = eng.sql_collect(
+        "SELECT count(*), min(doc_id), sum(n_chars) FROM docs_orc"
+    )
+    _, want = eng.sql_collect(
+        "SELECT count(*), min(doc_id), sum(n_chars) FROM documents"
+    )
+    assert tuple(rows[0]) == tuple(want[0])
+    _, t = eng.sql_collect(
+        "SELECT engine FROM system.tables WHERE name = 'docs_orc'"
+    )
+    assert t[0][0] == "ORC"
