@@ -592,7 +592,47 @@ class Engine:
         r"(?:ENGINE\s*=\s*(\w+))?\s*(?:location\s*=\s*'([^']*)')?\s*$"
     )
 
+    _CREATE_TABLE_AS = re.compile(
+        r"(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+        r"(?:ENGINE\s*=\s*(\w+))?\s*(?:location\s*=\s*'([^']*)')?\s*"
+        r"AS\s+(SELECT\b.*)$"
+    )
+
+    def _create_table_as(self, m) -> None:
+        """CTAS — capability extension: the reference's table_create
+        interpreter has no query form (interpreter_table_create.rs).
+        Schema is inferred from the SELECT; Memory holds the (lazy)
+        DataFrame, file engines write it to the location."""
+        if_not_exists, name, engine, location, select = m.groups()
+        engine = (engine or "Memory").strip()
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table in tables:
+            if if_not_exists:
+                return None
+            raise TableAlreadyExists(f"Table '{db}.{table}' already exists")
+        df = self._select(select)
+        tdef = TableDef(
+            name=table, database=db, engine=engine, schema=df.schema, location=location
+        )
+        if engine == "Memory":
+            tdef.data = df
+        elif engine == "Null":
+            pass  # discard, reference Null semantics
+        else:
+            if location is None:
+                raise UnsupportedStatement(
+                    f"CREATE TABLE AS with engine {engine} needs a location"
+                )
+            tables[table] = tdef  # register first so _append sees it
+            self._append(tdef, df)
+        tables[table] = tdef
+        return None
+
     def _create_table(self, s: str):
+        mas = self._CREATE_TABLE_AS.match(s)
+        if mas:
+            return self._create_table_as(mas)
         m = self._CREATE_TABLE.match(s)
         if not m:
             raise UnsupportedStatement(f"Cannot parse CREATE TABLE: {s[:80]}")

@@ -661,3 +661,34 @@ def test_reference_type_aliases_execute(engine):
     assert rows[0][0] == "65"
     assert isinstance(rows[0][1], float) and rows[0][1] == 1.0
     assert rows[0][2].rstrip() == "x"  # CHAR(4) pads per SQL standard
+
+
+def test_ctas_memory(engine):
+    """CREATE TABLE AS SELECT — extension (the reference's
+    interpreter_table_create.rs has no query form)."""
+    engine.sql("DROP TABLE IF EXISTS ctas_m")
+    engine.sql(
+        "CREATE TABLE ctas_m ENGINE = Memory AS"
+        " SELECT number, number * 2 AS d FROM numbers(10)"
+    )
+    _, rows = engine.sql_collect("SELECT count(*), sum(d) FROM ctas_m")
+    assert tuple(rows[0]) == (10, 90)
+    # IF NOT EXISTS is a no-op on the existing table
+    engine.sql(
+        "CREATE TABLE IF NOT EXISTS ctas_m ENGINE = Memory AS SELECT 1 AS x"
+    )
+    _, rows = engine.sql_collect("SELECT count(*) FROM ctas_m")
+    assert rows[0][0] == 10
+    engine.sql("DROP TABLE ctas_m")
+
+
+def test_ctas_parquet_location(engine, tmp_path):
+    loc = str(tmp_path / "ctas_pq")
+    engine.sql("DROP TABLE IF EXISTS ctas_p")
+    engine.sql(
+        f"CREATE TABLE ctas_p ENGINE = Parquet location = '{loc}' AS"
+        " SELECT number % 5 AS k, number AS v FROM numbers(100)"
+    )
+    _, rows = engine.sql_collect("SELECT count(*), count(DISTINCT k) FROM ctas_p")
+    assert tuple(rows[0]) == (100, 5)
+    engine.sql("DROP TABLE ctas_p")
