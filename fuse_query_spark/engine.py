@@ -82,6 +82,7 @@ class TableDef:
     schema: StructType
     location: str | None = None
     data: DataFrame | None = None  # Memory engine
+    view_sql: str | None = None  # View engine: the stored SELECT
 
 
 @dataclass
@@ -131,6 +132,7 @@ class Engine:
         import threading
 
         self._ordinal_lock = threading.Lock()
+        self._view_local = threading.local()  # per-thread view-expansion stack
         self.settings: dict[str, Setting] = {
             # reference defaults: sessions/settings.rs:20-34
             "max_threads": Setting(
@@ -367,6 +369,10 @@ class Engine:
             return self._create_table(s)
         if up.startswith("DROP TABLE"):
             return self._drop_table(s)
+        if up.startswith("CREATE VIEW") or up.startswith("CREATE OR REPLACE VIEW"):
+            return self._create_view(s)
+        if up.startswith("DROP VIEW"):
+            return self._drop_table(s.replace("VIEW", "TABLE", 1).replace("view", "TABLE", 1))
         if up.startswith("CREATE DATABASE"):
             return self._create_database(s)
         if up.startswith("DROP DATABASE"):
@@ -514,6 +520,22 @@ class Engine:
         return factories[name]()
 
     def _table_df(self, tdef: TableDef) -> DataFrame:
+        if tdef.engine == "View":
+            # re-expand per query so the view tracks its base tables;
+            # thread-local stack breaks self/cyclic references
+            stack = getattr(self._view_local, "stack", None)
+            if stack is None:
+                stack = self._view_local.stack = set()
+            key = (tdef.database, tdef.name)
+            if key in stack:
+                raise UnsupportedStatement(
+                    f"Recursive view reference: {tdef.database}.{tdef.name}"
+                )
+            stack.add(key)
+            try:
+                return self._select(tdef.view_sql)
+            finally:
+                stack.discard(key)
         if tdef.engine == "Memory":
             if tdef.data is None:
                 tdef.data = self.spark.createDataFrame([], tdef.schema)
@@ -627,6 +649,31 @@ class Engine:
             tables[table] = tdef  # register first so _append sees it
             self._append(tdef, df)
         tables[table] = tdef
+        return None
+
+    _CREATE_VIEW = re.compile(
+        r"(?is)^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(SELECT\b.*)$"
+    )
+
+    def _create_view(self, s: str) -> None:
+        """CREATE [OR REPLACE] VIEW — capability extension (no view
+        interpreter exists in the reference). The SELECT text is stored
+        and re-expanded per query, so views track their base tables;
+        creation validates it once through the dialect path."""
+        m = self._CREATE_VIEW.match(s)
+        if not m:
+            raise UnsupportedStatement(f"Cannot parse CREATE VIEW: {s[:80]}")
+        or_replace, if_not_exists, name, select = m.groups()
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table in tables and not or_replace:
+            if if_not_exists:
+                return None
+            raise TableAlreadyExists(f"Table '{db}.{table}' already exists")
+        df = self._select(select)  # validate + capture schema NOW
+        tables[table] = TableDef(
+            name=table, database=db, engine="View", schema=df.schema, view_sql=select
+        )
         return None
 
     def _create_table(self, s: str):

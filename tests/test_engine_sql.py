@@ -692,3 +692,44 @@ def test_ctas_parquet_location(engine, tmp_path):
     _, rows = engine.sql_collect("SELECT count(*), count(DISTINCT k) FROM ctas_p")
     assert tuple(rows[0]) == (100, 5)
     engine.sql("DROP TABLE ctas_p")
+
+
+def test_create_view_tracks_base_table(engine):
+    """Views re-expand per query: an INSERT into the base Memory table
+    is visible through the view; engine listed as View; DROP VIEW and
+    recursion guard work."""
+    engine.sql("DROP TABLE IF EXISTS v_base")
+    engine.sql("CREATE TABLE v_base (k int, v int) Engine = Memory")
+    engine.sql("INSERT INTO v_base VALUES (1, 10), (2, 20)")
+    engine.sql(
+        "CREATE VIEW v_sums AS SELECT k, sum(v) AS s FROM v_base GROUP BY k"
+    )
+    _, rows = engine.sql_collect("SELECT count(*), sum(s) FROM v_sums")
+    assert tuple(rows[0]) == (2, 30)
+    engine.sql("INSERT INTO v_base VALUES (3, 5)")
+    _, rows = engine.sql_collect("SELECT count(*), sum(s) FROM v_sums")
+    assert tuple(rows[0]) == (3, 35)  # the view saw the new row
+    _, t = engine.sql_collect("SELECT engine FROM system.tables WHERE name = 'v_sums'")
+    assert t[0][0] == "View"
+    # OR REPLACE swaps the definition
+    engine.sql("CREATE OR REPLACE VIEW v_sums AS SELECT 42 AS only")
+    _, rows = engine.sql_collect("SELECT only FROM v_sums")
+    assert rows[0][0] == 42
+    engine.sql("DROP VIEW v_sums")
+    engine.sql("DROP TABLE v_base")
+
+
+def test_view_recursion_guarded(engine):
+    import pytest as _pytest
+
+    from fuse_query_spark.errors import FuseQueryError
+
+    engine.sql("DROP TABLE IF EXISTS v_a")
+    engine.sql("CREATE TABLE v_a (x int) Engine = Memory")
+    engine.sql("CREATE VIEW v_self AS SELECT x FROM v_a")
+    # redefine the base so the view now references itself via OR REPLACE
+    engine.sql("CREATE OR REPLACE VIEW v_self AS SELECT x + 1 AS x FROM v_self")
+    with _pytest.raises(FuseQueryError, match="Recursive view"):
+        engine.sql_collect("SELECT * FROM v_self")
+    engine.sql("DROP VIEW v_self")
+    engine.sql("DROP TABLE v_a")
