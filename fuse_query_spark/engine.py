@@ -387,6 +387,8 @@ class Engine:
             return self._set(s)
         if up.startswith("INSERT "):
             return self._insert(s)
+        if up.startswith("TRUNCATE "):
+            return self._truncate(s)
         if up.startswith("EXPLAIN"):
             return self._explain(s)
         if up.startswith("KILL "):
@@ -394,6 +396,32 @@ class Engine:
         if up.startswith(("SELECT", "WITH", "(")):
             return self._select(s)
         raise UnsupportedStatement(f"Unsupported statement: {s[:60]}")
+
+    def _truncate(self, s: str) -> None:
+        """TRUNCATE TABLE — extension: Memory drops its rows, file
+        engines clear the location directory's data files, Null is a
+        no-op; views refuse."""
+        m = re.match(r"(?is)^TRUNCATE\s+TABLE\s+([\w.]+)\s*$", s)
+        if not m:
+            raise UnsupportedStatement(f"Cannot parse TRUNCATE: {s[:60]}")
+        db, table = self._qualify(m.group(1))
+        tables = self.catalog.db(db)
+        if table not in tables:
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        tdef = tables[table]
+        if tdef.engine == "Memory":
+            tdef.data = None
+        elif tdef.engine in ("Parquet", "CSV", "JSONEachRow", "ORC"):
+            import os
+            import shutil
+
+            if tdef.location and os.path.isdir(tdef.location):
+                shutil.rmtree(tdef.location)
+        elif tdef.engine == "Null":
+            pass
+        else:
+            raise UnsupportedStatement(f"Cannot TRUNCATE engine {tdef.engine}")
+        return None
 
     def _kill(self, s: str) -> DataFrame:
         """KILL QUERY <id> — cancels the statement with that

@@ -733,3 +733,23 @@ def test_view_recursion_guarded(engine):
         engine.sql_collect("SELECT * FROM v_self")
     engine.sql("DROP VIEW v_self")
     engine.sql("DROP TABLE v_a")
+
+
+def test_truncate_table(engine, tmp_path):
+    engine.sql("DROP TABLE IF EXISTS tr_m")
+    engine.sql("CREATE TABLE tr_m (x int) Engine = Memory")
+    engine.sql("INSERT INTO tr_m VALUES (1), (2)")
+    engine.sql("TRUNCATE TABLE tr_m")
+    _, rows = engine.sql_collect("SELECT count(*) FROM tr_m")
+    assert rows[0][0] == 0
+    engine.sql("INSERT INTO tr_m VALUES (9)")  # still writable
+    _, rows = engine.sql_collect("SELECT count(*) FROM tr_m")
+    assert rows[0][0] == 1
+    engine.sql("DROP TABLE tr_m")
+    loc = str(tmp_path / "tr_pq")
+    engine.sql(f"CREATE TABLE tr_p (x int) Engine = Parquet location = '{loc}'")
+    engine.sql("INSERT INTO tr_p VALUES (1), (2), (3)")
+    engine.sql("TRUNCATE TABLE tr_p")
+    _, rows = engine.sql_collect("SELECT count(*) FROM tr_p")
+    assert rows[0][0] == 0
+    engine.sql("DROP TABLE tr_p")
