@@ -864,8 +864,13 @@ class Engine:
             tdef = self.catalog.db(db).get(table)
             if tdef is None:
                 raise UnknownTable(f"Unknown table: '{db}.{table}'")
-            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in tdef.schema)
-            ddl = f"CREATE TABLE {tdef.database}.{tdef.name} ({cols}) ENGINE = {tdef.engine}"
+            if tdef.engine == "View":
+                ddl = f"CREATE VIEW {tdef.database}.{tdef.name} AS {tdef.view_sql}"
+            else:
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in tdef.schema
+                )
+                ddl = f"CREATE TABLE {tdef.database}.{tdef.name} ({cols}) ENGINE = {tdef.engine}"
             return self.spark.createDataFrame([(tdef.name, ddl)], "Table STRING, CreateTable STRING")
         raise UnsupportedStatement(f"Unsupported SHOW: {s}")
 

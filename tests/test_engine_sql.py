@@ -753,3 +753,10 @@ def test_truncate_table(engine, tmp_path):
     _, rows = engine.sql_collect("SELECT count(*) FROM tr_p")
     assert rows[0][0] == 0
     engine.sql("DROP TABLE tr_p")
+
+
+def test_show_create_view(engine):
+    engine.sql("CREATE OR REPLACE VIEW scv AS SELECT 1 AS one")
+    _, rows = engine.sql_collect("SHOW CREATE TABLE scv")
+    assert rows[0][1] == "CREATE VIEW default.scv AS SELECT 1 AS one"
+    engine.sql("DROP VIEW scv")
