@@ -631,7 +631,7 @@ class TestSqlCollect:
         # wall-clock deadline, not iteration count: under heavy host
         # load each SHOW PROCESSLIST round-trip can take seconds, and
         # the runner's own statement takes longer to register
-        deadline = time.monotonic() + 60
+        deadline = time.monotonic() + 120
         while time.monotonic() < deadline:
             rows = engine.sql("SHOW PROCESSLIST").collect()
             live = [r for r in rows if "numbers_mt(8000000000)" in r.extra_info]
@@ -641,7 +641,9 @@ class TestSqlCollect:
             time.sleep(0.05)
         assert pid is not None, "collecting SELECT never appeared in processlist"
         assert engine.sql(f"KILL QUERY {pid}").collect()[0].result == "killed"
-        t.join(timeout=180)  # loaded-host task teardown can be slow
+        t.join(timeout=300)  # loaded-host task teardown can be slow
+        # (observed: an external load spike stretched the full-suite
+        # run 3x and tripped the old 180s bound once in r5)
         assert not t.is_alive()
         assert outcome and outcome[0] != "completed"
 
