@@ -619,7 +619,7 @@ class TestSqlCollect:
                 # session — a plain count over numbers() can
                 engine.sql_collect(
                     "SELECT count(DISTINCT md5(CAST(number AS STRING))) "
-                    "FROM numbers_mt(8000000000)"
+                    "FROM numbers_mt(3000000000)"
                 )
                 outcome.append("completed")
             except Exception as e:  # noqa: BLE001
@@ -634,7 +634,7 @@ class TestSqlCollect:
         deadline = time.monotonic() + 120
         while time.monotonic() < deadline:
             rows = engine.sql("SHOW PROCESSLIST").collect()
-            live = [r for r in rows if "numbers_mt(8000000000)" in r.extra_info]
+            live = [r for r in rows if "numbers_mt(3000000000)" in r.extra_info]
             if live:
                 pid = live[0].id
                 break
