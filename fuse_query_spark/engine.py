@@ -433,8 +433,13 @@ class Engine:
             raise UnsupportedStatement(f"Unsupported KILL: {s[:60]}")
         qid = m.group(1)
         killed = self.cancel(qid)
-        return self.spark.createDataFrame(
-            [(qid, "killed" if killed else "not_found")], "query_id STRING, result STRING"
+        # LOCAL relation (no Spark job): KILL must work when the pool
+        # is saturated by the very query being killed (see
+        # system_tables.local_values_df)
+        return systbl.local_values_df(
+            self.spark,
+            [(qid, "killed" if killed else "not_found")],
+            ["query_id", "result"],
         )
 
     # ---------- SELECT ----------

@@ -9,6 +9,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def local_values_df(spark: SparkSession, rows, cols) -> DataFrame:
+    """All-STRING table as a VALUES literal — plans as LocalTableScan,
+    so .collect() executes ON THE DRIVER with no Spark job and no task
+    slot. This is an availability property, not an optimization:
+    createDataFrame(python_list) yields an ExistingRDD scan whose
+    collect needs a free task slot, so SHOW PROCESSLIST and KILL QUERY
+    built that way BLOCK exactly when the pool is saturated by the
+    query you are trying to inspect or kill (r5 finding — the
+    serving-path deadlock a busy cluster cannot afford)."""
+
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS STRING)"
+        txt = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return "'" + txt + "'"
+
+    names = ", ".join(cols)
+    if not rows:
+        nulls = "(" + ", ".join("CAST(NULL AS STRING)" for _ in cols) + ")"
+        return spark.sql(f"SELECT * FROM (VALUES {nulls}) AS t({names}) WHERE 1=0")
+    vals = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return spark.sql(f"SELECT * FROM (VALUES {vals}) AS t({names})")
+
+
 def tables_table(spark: SparkSession, catalog) -> DataFrame:
     """system.tables: (database, name, engine) — tables_table.rs:21."""
     rows = [
@@ -101,7 +125,9 @@ def processes_table(
                 f"stages={len(jinfo.stageIds)} tasks={done}/{total} active={active}",
             )
         )
-    return spark.createDataFrame(rows, _PROCESSES_SCHEMA)
+    return local_values_df(
+        spark, rows, ["id", "host", "state", "database", "extra_info"]
+    )
 
 
 def contributors_table(spark: SparkSession) -> DataFrame:

@@ -614,12 +614,15 @@ class TestSqlCollect:
 
         def runner():
             try:
-                # CPU-heavy by construction (billions of md5s): cannot
-                # finish before the KILL below lands, even on a warm
-                # session — a plain count over numbers() can
+                # CPU-heavy by construction (3 chained md5s per row over
+                # 20B rows: minutes of work, cannot finish before the
+                # KILL lands) and — critically — SHUFFLE-FREE: a
+                # count(DISTINCT ...) variant spilled its distinct state
+                # to disk while the kill was in flight and filled the
+                # device under host load (r5 flake, ENOSPC)
                 engine.sql_collect(
-                    "SELECT count(DISTINCT md5(CAST(number AS STRING))) "
-                    "FROM numbers_mt(3000000000)"
+                    "SELECT sum(length(md5(md5(md5(CAST(number AS STRING)))))) "
+                    "FROM numbers_mt(20000000000)"
                 )
                 outcome.append("completed")
             except Exception as e:  # noqa: BLE001
@@ -634,7 +637,7 @@ class TestSqlCollect:
         deadline = time.monotonic() + 120
         while time.monotonic() < deadline:
             rows = engine.sql("SHOW PROCESSLIST").collect()
-            live = [r for r in rows if "numbers_mt(3000000000)" in r.extra_info]
+            live = [r for r in rows if "numbers_mt(20000000000)" in r.extra_info]
             if live:
                 pid = live[0].id
                 break
