@@ -83,6 +83,7 @@ class TableDef:
     location: str | None = None
     data: DataFrame | None = None  # Memory engine
     view_sql: str | None = None  # View engine: the stored SELECT
+    partition_by: tuple[str, ...] = ()  # file engines: hive-style layout
 
 
 @dataclass
@@ -597,6 +598,17 @@ class Engine:
             if tdef.engine == "CSV":
                 return self.spark.read.schema(tdef.schema).csv(tdef.location, header=False)
             if tdef.engine == "JSONEachRow":
+                if tdef.partition_by:
+                    # partition columns live in directory names, not in
+                    # the JSON documents: let discovery surface them,
+                    # then coerce everything to the declared schema
+                    df = self.spark.read.json(tdef.location)
+                    return df.select(
+                        *[
+                            F.col(f.name).cast(f.dataType).alias(f.name)
+                            for f in tdef.schema
+                        ]
+                    )
                 return self.spark.read.schema(tdef.schema).json(tdef.location)
             if tdef.engine == "ORC":
                 # capability extension past the reference's format set
@@ -642,23 +654,70 @@ class Engine:
 
     # ---------- DDL ----------
 
-    _CREATE_TABLE = re.compile(
-        r"(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*"
-        r"(?:ENGINE\s*=\s*(\w+))?\s*(?:location\s*=\s*'([^']*)')?\s*$"
+    # head only — the column list needs balanced-paren scanning (types
+    # like decimal(10,2) nest parens; a greedy regex would swallow the
+    # PARTITION BY clause's parens instead)
+    _CREATE_TABLE_HEAD = re.compile(
+        r"(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\("
+    )
+    _CREATE_TABLE_TAIL = re.compile(
+        r"(?is)^\s*(?:ENGINE\s*=\s*(\w+))?\s*"
+        r"(?:PARTITION\s+BY\s*\(([^)]*)\))?\s*"
+        r"(?:location\s*=\s*'([^']*)')?\s*$"
     )
 
     _CREATE_TABLE_AS = re.compile(
         r"(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
-        r"(?:ENGINE\s*=\s*(\w+))?\s*(?:location\s*=\s*'([^']*)')?\s*"
+        r"(?:ENGINE\s*=\s*(\w+))?\s*"
+        r"(?:PARTITION\s+BY\s*\(([^)]*)\))?\s*"
+        r"(?:location\s*=\s*'([^']*)')?\s*"
         r"AS\s+(SELECT\b.*)$"
     )
+
+    # hive-style partitioned layout: self-describing / name-based file
+    # formats only — positional CSV can't round-trip columns that live
+    # in directory names, not in the files
+    _PARTITIONABLE_ENGINES = ("Parquet", "ORC", "JSONEachRow")
+
+    @classmethod
+    def _parse_partition_by(
+        cls, engine: str, partition_by: str | None, schema: StructType | None
+    ) -> tuple[str, ...]:
+        """Validate a PARTITION BY clause against engine + schema.
+
+        Capability extension past the reference's DDL (sql_parser.rs
+        has no PARTITION BY) motivated by the 100 TB posture: hive-
+        partitioned parquet is how Spark prunes whole directory trees
+        at planning time instead of scanning them (see the
+        PartitionFilters plan gate in test_engine_sql.py).
+        """
+        if not partition_by:
+            return ()
+        cols = tuple(c.strip() for c in partition_by.split(",") if c.strip())
+        if engine not in cls._PARTITIONABLE_ENGINES:
+            raise UnsupportedStatement(
+                f"PARTITION BY requires a partitionable file engine "
+                f"{cls._PARTITIONABLE_ENGINES}, got {engine}"
+            )
+        if schema is not None:
+            known = {f.name for f in schema.fields}
+            missing = [c for c in cols if c not in known]
+            if missing:
+                raise UnsupportedStatement(
+                    f"PARTITION BY column(s) {missing} not in table schema"
+                )
+            if len(cols) == len(schema.fields):
+                raise UnsupportedStatement(
+                    "PARTITION BY cannot cover every column (no data columns left)"
+                )
+        return cols
 
     def _create_table_as(self, m) -> None:
         """CTAS — capability extension: the reference's table_create
         interpreter has no query form (interpreter_table_create.rs).
         Schema is inferred from the SELECT; Memory holds the (lazy)
         DataFrame, file engines write it to the location."""
-        if_not_exists, name, engine, location, select = m.groups()
+        if_not_exists, name, engine, partition_by, location, select = m.groups()
         engine = (engine or "Memory").strip()
         db, table = self._qualify(name)
         tables = self.catalog.db(db)
@@ -668,7 +727,12 @@ class Engine:
             raise TableAlreadyExists(f"Table '{db}.{table}' already exists")
         df = self._select(select)
         tdef = TableDef(
-            name=table, database=db, engine=engine, schema=df.schema, location=location
+            name=table,
+            database=db,
+            engine=engine,
+            schema=df.schema,
+            location=location,
+            partition_by=self._parse_partition_by(engine, partition_by, df.schema),
         )
         if engine == "Memory":
             tdef.data = df
@@ -713,10 +777,28 @@ class Engine:
         mas = self._CREATE_TABLE_AS.match(s)
         if mas:
             return self._create_table_as(mas)
-        m = self._CREATE_TABLE.match(s)
+        m = self._CREATE_TABLE_HEAD.match(s)
         if not m:
             raise UnsupportedStatement(f"Cannot parse CREATE TABLE: {s[:80]}")
-        if_not_exists, name, cols, engine, location = m.groups()
+        if_not_exists, name = m.groups()
+        open_at = m.end() - 1
+        depth = 0
+        close_at = -1
+        for i in range(open_at, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_at = i
+                    break
+        if close_at < 0:
+            raise UnsupportedStatement(f"Unbalanced parens in CREATE TABLE: {s[:80]}")
+        cols = s[open_at + 1 : close_at]
+        mt = self._CREATE_TABLE_TAIL.match(s[close_at + 1 :])
+        if not mt:
+            raise UnsupportedStatement(f"Cannot parse CREATE TABLE: {s[:80]}")
+        engine, partition_by, location = mt.groups()
         # reference: missing ENGINE defaults to Null (sql_parser.rs:441-443)
         engine = (engine or "Null").strip()
         db, table = self._qualify(name)
@@ -734,7 +816,12 @@ class Engine:
             self.store.create_table(db, table, json.dumps(schema.jsonValue()))
             engine = "remote"
         tables[table] = TableDef(
-            name=table, database=db, engine=engine, schema=schema, location=location
+            name=table,
+            database=db,
+            engine=engine,
+            schema=schema,
+            location=location,
+            partition_by=self._parse_partition_by(engine, partition_by, schema),
         )
         return None
 
@@ -876,6 +963,8 @@ class Engine:
                     f"{f.name} {f.dataType.simpleString()}" for f in tdef.schema
                 )
                 ddl = f"CREATE TABLE {tdef.database}.{tdef.name} ({cols}) ENGINE = {tdef.engine}"
+                if tdef.partition_by:
+                    ddl += f" PARTITION BY ({', '.join(tdef.partition_by)})"
             return self.spark.createDataFrame([(tdef.name, ddl)], "Table STRING, CreateTable STRING")
         raise UnsupportedStatement(f"Unsupported SHOW: {s}")
 
@@ -971,7 +1060,13 @@ class Engine:
                     f"INSERT into a single-file {tdef.engine} table; use a directory location"
                 )
             ordered = self._align_to_schema(df, tdef.schema)
-            getattr(ordered.write.mode("append"), writers[tdef.engine])(tdef.location)
+            writer = ordered.write.mode("append")
+            if tdef.partition_by:
+                # hive-style layout: executors write straight into the
+                # partition directory tree; no extra shuffle is forced
+                # here (callers own clustering — see SCALE.md "Scans")
+                writer = writer.partitionBy(*tdef.partition_by)
+            getattr(writer, writers[tdef.engine])(tdef.location)
         elif tdef.engine == "remote":
             # remote_table.rs append_data streams the insert's blocks
             # to the store. Spark-side: write the blocks as parquet

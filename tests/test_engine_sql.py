@@ -765,3 +765,130 @@ def test_show_create_view(engine):
     _, rows = engine.sql_collect("SHOW CREATE TABLE scv")
     assert rows[0][1] == "CREATE VIEW default.scv AS SELECT 1 AS one"
     engine.sql("DROP VIEW scv")
+
+
+class TestPartitionedTables:
+    """CREATE TABLE … PARTITION BY (…) — capability extension (the
+    reference's sql_parser.rs has no PARTITION BY). Hive-style layout
+    is the 100 TB storage posture: filters on partition columns prune
+    whole directory trees at planning time (PartitionFilters below),
+    so a day-scoped query over a year of data reads 1/365th of it.
+    """
+
+    def test_parquet_roundtrip_and_layout(self, engine, tmp_path):
+        loc = str(tmp_path / "part_pq")
+        engine.sql("DROP TABLE IF EXISTS ppq")
+        engine.sql(
+            f"CREATE TABLE ppq(a bigint, src string) ENGINE = Parquet "
+            f"PARTITION BY (src) location = '{loc}'"
+        )
+        engine.sql(
+            "INSERT INTO ppq SELECT number, "
+            "if(number % 2 = 0, 'even', 'odd') FROM numbers(10)"
+        )
+        import os
+
+        assert sorted(d for d in os.listdir(loc) if d.startswith("src=")) == [
+            "src=even",
+            "src=odd",
+        ]
+        # read-back: partition column comes from directory names, is
+        # coerced to the declared type, and column order is declared order
+        df = engine.sql("SELECT a, src FROM ppq ORDER BY a")
+        assert [f.name for f in engine.sql("SELECT * FROM ppq").schema.fields] == [
+            "a",
+            "src",
+        ]
+        rows = df.collect()
+        assert len(rows) == 10
+        assert rows[0][1] == "even" and rows[1][1] == "odd"
+        assert one(engine.sql("SELECT count(1) FROM ppq WHERE src = 'even'")) == 5
+        engine.sql("DROP TABLE ppq")
+
+    def test_partition_pruning_plan_gate(self, engine, tmp_path):
+        loc = str(tmp_path / "prune_pq")
+        engine.sql("DROP TABLE IF EXISTS prq")
+        engine.sql(
+            f"CREATE TABLE prq(v bigint, d string) ENGINE = Parquet "
+            f"PARTITION BY (d) location = '{loc}'"
+        )
+        engine.sql(
+            "INSERT INTO prq SELECT number, toString(number % 4) FROM numbers(100)"
+        )
+        df = engine.sql("SELECT sum(v) AS s FROM prq WHERE d = '1'")
+        plan = df._jdf.queryExecution().executedPlan().treeString()
+        # the d='1' predicate must land in PartitionFilters (directory
+        # pruning), NOT PushedFilters (row-group skipping within files)
+        assert "PartitionFilters" in plan
+        head = plan[plan.index("PartitionFilters") :][:200]
+        assert "d" in head.split("PushedFilters")[0]
+        assert one(df) == sum(n for n in range(100) if n % 4 == 1)
+        engine.sql("DROP TABLE prq")
+
+    def test_ctas_partitioned(self, engine, tmp_path):
+        loc = str(tmp_path / "ctas_part")
+        engine.sql("DROP TABLE IF EXISTS cpart")
+        engine.sql(
+            f"CREATE TABLE cpart ENGINE = Parquet PARTITION BY (bucket) "
+            f"location = '{loc}' AS SELECT number AS n, "
+            f"toString(number % 3) AS bucket FROM numbers(30)"
+        )
+        assert one(engine.sql("SELECT count(1) FROM cpart WHERE bucket = '2'")) == 10
+        engine.sql("DROP TABLE cpart")
+
+    def test_json_each_row_partitioned(self, engine, tmp_path):
+        loc = str(tmp_path / "part_json")
+        engine.sql("DROP TABLE IF EXISTS pj")
+        engine.sql(
+            f"CREATE TABLE pj(a bigint, grp string) ENGINE = JSONEachRow "
+            f"PARTITION BY (grp) location = '{loc}'"
+        )
+        engine.sql(
+            "INSERT INTO pj SELECT number, toString(number % 2) FROM numbers(6)"
+        )
+        rows = engine.sql("SELECT a, grp FROM pj ORDER BY a").collect()
+        assert [list(r) for r in rows[:3]] == [[0, "0"], [1, "1"], [2, "0"]]
+        engine.sql("DROP TABLE pj")
+
+    def test_show_create_renders_partition_by(self, engine, tmp_path):
+        loc = str(tmp_path / "sc_part")
+        engine.sql("DROP TABLE IF EXISTS scp")
+        engine.sql(
+            f"CREATE TABLE scp(x bigint, p string) ENGINE = Parquet "
+            f"PARTITION BY (p) location = '{loc}'"
+        )
+        ddl = engine.sql("SHOW CREATE TABLE scp").collect()[0][1]
+        assert "PARTITION BY (p)" in ddl
+        engine.sql("DROP TABLE scp")
+
+    def test_partition_by_validation(self, engine, tmp_path):
+        from fuse_query_spark.errors import UnsupportedStatement
+
+        with pytest.raises(UnsupportedStatement, match="partitionable"):
+            engine.sql(
+                "CREATE TABLE badp(a bigint, b string) ENGINE = Memory "
+                "PARTITION BY (b)"
+            )
+        with pytest.raises(UnsupportedStatement, match="not in table schema"):
+            engine.sql(
+                f"CREATE TABLE badp(a bigint, b string) ENGINE = Parquet "
+                f"PARTITION BY (nope) location = '{tmp_path / 'x'}'"
+            )
+        with pytest.raises(UnsupportedStatement, match="every column"):
+            engine.sql(
+                f"CREATE TABLE badp(a bigint) ENGINE = Parquet "
+                f"PARTITION BY (a) location = '{tmp_path / 'y'}'"
+            )
+
+    def test_truncate_partitioned(self, engine, tmp_path):
+        loc = str(tmp_path / "tr_part")
+        engine.sql("DROP TABLE IF EXISTS trp")
+        engine.sql(
+            f"CREATE TABLE trp(a bigint, p string) ENGINE = Parquet "
+            f"PARTITION BY (p) location = '{loc}'"
+        )
+        engine.sql("INSERT INTO trp SELECT number, toString(number % 2) FROM numbers(4)")
+        assert one(engine.sql("SELECT count(1) FROM trp")) == 4
+        engine.sql("TRUNCATE TABLE trp")
+        assert one(engine.sql("SELECT count(1) FROM trp")) == 0
+        engine.sql("DROP TABLE trp")
