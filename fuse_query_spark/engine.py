@@ -1060,11 +1060,18 @@ class Engine:
                     f"INSERT into a single-file {tdef.engine} table; use a directory location"
                 )
             ordered = self._align_to_schema(df, tdef.schema)
+            if tdef.partition_by:
+                # cluster rows by partition value before the write:
+                # otherwise every task emits a file per partition value
+                # it happens to hold (tasks × |partitions| small files —
+                # the classic partitioned-write trap at fleet scale).
+                # One shuffle buys one file per partition per insert;
+                # if a single partition's data outgrows one task, the
+                # lever is compact_parquet / a salt column, documented
+                # in SCALE.md "Partitioned tables".
+                ordered = ordered.repartition(*[F.col(c) for c in tdef.partition_by])
             writer = ordered.write.mode("append")
             if tdef.partition_by:
-                # hive-style layout: executors write straight into the
-                # partition directory tree; no extra shuffle is forced
-                # here (callers own clustering — see SCALE.md "Scans")
                 writer = writer.partitionBy(*tdef.partition_by)
             getattr(writer, writers[tdef.engine])(tdef.location)
         elif tdef.engine == "remote":

@@ -892,3 +892,28 @@ class TestPartitionedTables:
         engine.sql("TRUNCATE TABLE trp")
         assert one(engine.sql("SELECT count(1) FROM trp")) == 0
         engine.sql("DROP TABLE trp")
+
+    def test_partitioned_write_is_clustered(self, engine, tmp_path):
+        """One insert → one file per partition value, not tasks×values.
+
+        Without the pre-write repartition every task holding rows of a
+        partition value emits its own file; at 32 local threads a
+        10-row insert would scatter up to 32×|values| files. The
+        clustered write is the difference between 365 and 365,000
+        files per day-partitioned insert on a real fleet.
+        """
+        import glob
+
+        loc = str(tmp_path / "clustered_pq")
+        engine.sql("DROP TABLE IF EXISTS clw")
+        engine.sql(
+            f"CREATE TABLE clw(a bigint, p string) ENGINE = Parquet "
+            f"PARTITION BY (p) location = '{loc}'"
+        )
+        engine.sql(
+            "INSERT INTO clw SELECT number, toString(number % 3) FROM numbers(3000)"
+        )
+        for v in ("0", "1", "2"):
+            files = glob.glob(f"{loc}/p={v}/*.parquet")
+            assert len(files) == 1, f"partition p={v} has {len(files)} files"
+        engine.sql("DROP TABLE clw")
