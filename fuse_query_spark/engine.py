@@ -388,8 +388,12 @@ class Engine:
             return self._set(s)
         if up.startswith("INSERT "):
             return self._insert(s)
+        if up.startswith("ALTER TABLE"):
+            return self._alter_table(s)
         if up.startswith("TRUNCATE "):
             return self._truncate(s)
+        if up.startswith("OPTIMIZE "):
+            return self._optimize(s)
         if up.startswith("EXPLAIN"):
             return self._explain(s)
         if up.startswith("KILL "):
@@ -423,6 +427,177 @@ class Engine:
         else:
             raise UnsupportedStatement(f"Cannot TRUNCATE engine {tdef.engine}")
         return None
+
+    def _show_partitions(self, name: str) -> DataFrame:
+        """SHOW PARTITIONS [FROM] t — Spark's `p=v/q=w` line format.
+
+        Single-process stand-in enumerates the hive directory tree; on
+        a real deployment this is a metastore listing (partition values
+        are metadata, never a data scan — same contract either way).
+        """
+        import os
+
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table not in tables:
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        tdef = tables[table]
+        if not tdef.partition_by:
+            raise UnsupportedStatement(f"Table '{db}.{table}' is not partitioned")
+        parts: list[tuple[str]] = []
+
+        def descend(path: str, depth: int, prefix: str):
+            if depth == len(tdef.partition_by):
+                parts.append((prefix,))
+                return
+            col = tdef.partition_by[depth]
+            if not os.path.isdir(path):
+                return
+            for d in sorted(os.listdir(path)):
+                if d.startswith(f"{col}="):
+                    descend(
+                        os.path.join(path, d),
+                        depth + 1,
+                        f"{prefix}/{d}" if prefix else d,
+                    )
+
+        if tdef.location:
+            descend(tdef.location, 0, "")
+        return systbl.local_values_df(self.spark, parts, ["partition"])
+
+    def _partition_prefix(
+        self, db: str, table: str, tdef, spec: str
+    ) -> list[tuple[str, str]]:
+        """Parse `col='v'[, col2='w']` and validate it names a PREFIX of
+        the table's partition columns in declaration order — the shared
+        contract for DROP PARTITION and OPTIMIZE … PARTITION: a prefix
+        selects exactly one subtree of the hive layout."""
+        if not tdef.partition_by:
+            raise UnsupportedStatement(f"Table '{db}.{table}' is not partitioned")
+        pairs = []
+        for part in self._split_cols(spec):
+            mm = re.match(r"(?s)^\s*(\w+)\s*=\s*'?([^']*?)'?\s*$", part)
+            if not mm:
+                raise UnsupportedStatement(f"Cannot parse partition spec: {part}")
+            pairs.append((mm.group(1), mm.group(2)))
+        expect = tdef.partition_by[: len(pairs)]
+        got = tuple(c for c, _ in pairs)
+        if got != expect:
+            raise UnsupportedStatement(
+                f"Partition spec {got} must be a prefix of the partition "
+                f"columns {tdef.partition_by}"
+            )
+        return pairs
+
+    _ALTER_DROP_PARTITION = re.compile(
+        r"(?is)^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+PARTITION\s*\(([^)]*)\)\s*$"
+    )
+
+    def _alter_table(self, s: str):
+        """ALTER TABLE t DROP PARTITION (col='v'[, col2='w']) —
+        partition retention, the operational companion to PARTITION BY
+        (dropping an expired day = removing one directory, no rewrite
+        of live data). The spec must name a PREFIX of the partition
+        columns in order: dropping `(day='d')` on a (day, source)
+        layout removes the whole day subtree.
+        """
+        import os
+        import shutil
+
+        m = self._ALTER_DROP_PARTITION.match(s)
+        if not m:
+            raise UnsupportedStatement(f"Unsupported ALTER TABLE: {s[:80]}")
+        name, spec = m.groups()
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table not in tables:
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        tdef = tables[table]
+        pairs = self._partition_prefix(db, table, tdef, spec)
+        if tdef.location:
+            target = os.path.join(
+                tdef.location, *[f"{c}={v}" for c, v in pairs]
+            )
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+        return None
+
+    _OPTIMIZE = re.compile(
+        r"(?is)^OPTIMIZE\s+TABLE\s+([\w.]+)"
+        r"(?:\s+PARTITION\s*\(([^)]*)\))?(\s+FINAL)?\s*$"
+    )
+
+    def _optimize(self, s: str) -> DataFrame:
+        """OPTIMIZE TABLE t [PARTITION (col='v', …)] [FINAL] —
+        small-files compaction for Parquet-engine tables (ClickHouse's
+        part-merge surface mapped onto parquet file geometry; extension
+        — the reference has no OPTIMIZE). Rewrites the selected subtree
+        via sources.sinks.compact_parquet (output file count sized from
+        the input's REAL bytes at 512 MB/file) into a sibling temp dir,
+        then swaps it in, so readers of the old files are never racing
+        a half-written directory. Returns one summary row
+        (partition, files_before, files_after, rows).
+
+        Production posture: every INSERT INTO appends at least one file
+        per partition touched, so long-lived partitioned tables need
+        this pass; always give PARTITION so the unit of rewrite is one
+        subtree (one day), not the whole table.
+        """
+        import os
+        import shutil
+
+        from fuse_query_spark.sources.sinks import compact_parquet
+
+        m = self._OPTIMIZE.match(s)
+        if not m:
+            raise UnsupportedStatement(f"Cannot parse OPTIMIZE: {s[:80]}")
+        name, spec, _final = m.groups()
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table not in tables:
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        tdef = tables[table]
+        if tdef.engine != "Parquet" or tdef.location is None:
+            raise UnsupportedStatement(
+                f"OPTIMIZE TABLE supports Parquet-engine tables with a "
+                f"location; '{db}.{table}' is ENGINE={tdef.engine}"
+            )
+        pairs = self._partition_prefix(db, table, tdef, spec) if spec else []
+        label = "/".join(f"{c}={v}" for c, v in pairs) or "<table>"
+        target = os.path.join(tdef.location, *[f"{c}={v}" for c, v in pairs])
+        summary_cols = ["partition", "files_before", "files_after", "rows"]
+
+        def summary(*vals) -> DataFrame:
+            return systbl.local_values_df(
+                self.spark, [tuple(vals)], summary_cols
+            ).selectExpr(
+                "partition",
+                *[f"CAST({c} AS BIGINT) AS {c}" for c in summary_cols[1:]],
+            )
+
+        if not os.path.isdir(target):
+            if pairs:
+                raise UnsupportedStatement(
+                    f"No such partition {label} in '{db}.{table}'"
+                )
+            # empty, never-written table: nothing to compact
+            return summary(label, 0, 0, 0)
+        remaining = tuple((tdef.partition_by or ())[len(pairs):])
+        tmp = target.rstrip("/") + ".__optimize_tmp__"
+        try:
+            stats = compact_parquet(
+                self.spark, target, tmp, partition_by=remaining
+            )
+            shutil.rmtree(target)
+            os.rename(tmp, target)
+        finally:
+            if os.path.isdir(tmp) and not os.path.isdir(target):
+                os.rename(tmp, target)  # swap interrupted: restore
+            elif os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+        return summary(
+            label, stats["files_before"], stats["files_after"], stats["rows"]
+        )
 
     def _kill(self, s: str) -> DataFrame:
         """KILL QUERY <id> — cancels the statement with that
@@ -950,6 +1125,9 @@ class Engine:
             return self._select("SELECT name, value FROM system.settings ORDER BY name")
         if up.startswith("SHOW PROCESSLIST"):
             return self._select("SELECT * FROM system.processes")
+        m = re.match(r"(?is)^SHOW\s+PARTITIONS\s+(?:FROM\s+)?([\w.]+)\s*$", s)
+        if m:
+            return self._show_partitions(m.group(1))
         m = re.match(r"(?is)^SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", s)
         if m:
             db, table = self._qualify(m.group(1))
@@ -986,8 +1164,14 @@ class Engine:
         r"(?is)^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+)$"
     )
     _INSERT_SELECT = re.compile(r"(?is)^INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*(SELECT\s.+)$")
+    _INSERT_OVERWRITE = re.compile(
+        r"(?is)^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(([^)]*)\))?\s*(SELECT\s.+)$"
+    )
 
     def _insert(self, s: str):
+        mo = self._INSERT_OVERWRITE.match(s)
+        if mo:
+            return self._insert_select(*mo.groups(), overwrite=True)
         m = self._INSERT.match(s)
         if not m:
             ms = self._INSERT_SELECT.match(s)
@@ -1117,11 +1301,23 @@ class Engine:
             ]
         )
 
-    def _insert_select(self, name: str, cols: str | None, select_sql: str):
+    def _insert_select(
+        self, name: str, cols: str | None, select_sql: str, overwrite: bool = False
+    ):
         """INSERT INTO t [(cols)] SELECT … — the reference streams
         SELECT output into Table::append_data (interpreter_insert_into
         .rs:33-45); here the SELECT DataFrame unions into the Memory
-        table (column-name matched, types cast to the declared schema)."""
+        table (column-name matched, types cast to the declared schema).
+
+        INSERT OVERWRITE (extension): on a PARTITION BY table this is a
+        *dynamic* partition overwrite — only the partitions present in
+        the SELECT output are replaced, everything else is untouched.
+        That makes day-level reprocessing idempotent: re-running a
+        backfill for one day rewrites that day's directory and nothing
+        else, which is the operational contract partitioned pipelines
+        rely on at fleet scale. Unpartitioned file tables and Memory
+        tables are replaced wholesale.
+        """
         db, tbl = self._qualify(name)
         tables = self.catalog.db(db)
         if tbl not in tables:
@@ -1137,7 +1333,32 @@ class Engine:
                 for src, dst in zip(df.columns, colnames)
             ]
         )
+        if overwrite:
+            return self._overwrite(tdef, aligned)
         return self._append(tdef, aligned)
+
+    def _overwrite(self, tdef: TableDef, df: DataFrame):
+        writers = {"Parquet": "parquet", "CSV": "csv", "JSONEachRow": "json", "ORC": "orc"}
+        if tdef.engine == "Memory":
+            tdef.data = df
+        elif tdef.engine == "Null":
+            pass
+        elif tdef.engine in writers:
+            if tdef.location is None:
+                raise UnsupportedStatement("INSERT OVERWRITE needs a table location")
+            ordered = self._align_to_schema(df, tdef.schema)
+            if tdef.partition_by:
+                ordered = ordered.repartition(*[F.col(c) for c in tdef.partition_by])
+            writer = ordered.write.mode("overwrite")
+            if tdef.partition_by:
+                # writer-scoped option, not the session conf: concurrent
+                # statements on other tables must not inherit dynamic mode
+                writer = writer.option("partitionOverwriteMode", "dynamic")
+                writer = writer.partitionBy(*tdef.partition_by)
+            getattr(writer, writers[tdef.engine])(tdef.location)
+        else:
+            raise UnsupportedStatement(f"INSERT OVERWRITE into engine {tdef.engine} not supported")
+        return None
 
     @staticmethod
     def _split_tuples(values: str) -> list[str]:

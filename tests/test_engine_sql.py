@@ -917,3 +917,156 @@ class TestPartitionedTables:
             files = glob.glob(f"{loc}/p={v}/*.parquet")
             assert len(files) == 1, f"partition p={v} has {len(files)} files"
         engine.sql("DROP TABLE clw")
+
+    def test_insert_overwrite_dynamic_partitions(self, engine, tmp_path):
+        """INSERT OVERWRITE on a partitioned table replaces ONLY the
+        partitions present in the SELECT — the idempotent-backfill
+        contract: re-running one day's pipeline rewrites that day's
+        directory and leaves every other day untouched."""
+        loc = str(tmp_path / "ovw_pq")
+        engine.sql("DROP TABLE IF EXISTS ovw")
+        engine.sql(
+            f"CREATE TABLE ovw(v bigint, day string) ENGINE = Parquet "
+            f"PARTITION BY (day) location = '{loc}'"
+        )
+        engine.sql(
+            "INSERT INTO ovw SELECT number, if(number < 5, 'd1', 'd2') "
+            "FROM numbers(10)"
+        )
+        # backfill d1 only: 3 new rows, values offset by 100
+        engine.sql(
+            "INSERT OVERWRITE ovw SELECT number + 100, 'd1' FROM numbers(3)"
+        )
+        assert one(engine.sql("SELECT count(1) FROM ovw WHERE day = 'd1'")) == 3
+        assert one(engine.sql("SELECT min(v) FROM ovw WHERE day = 'd1'")) == 100
+        # d2 untouched by the overwrite
+        assert one(engine.sql("SELECT count(1) FROM ovw WHERE day = 'd2'")) == 5
+        assert one(engine.sql("SELECT min(v) FROM ovw WHERE day = 'd2'")) == 5
+        # re-running the same backfill is a no-op (idempotent)
+        engine.sql(
+            "INSERT OVERWRITE ovw SELECT number + 100, 'd1' FROM numbers(3)"
+        )
+        assert one(engine.sql("SELECT count(1) FROM ovw")) == 8
+        engine.sql("DROP TABLE ovw")
+
+    def test_insert_overwrite_memory_and_flat_parquet(self, engine, tmp_path):
+        engine.sql("DROP TABLE IF EXISTS ovm")
+        engine.sql("CREATE TABLE ovm(a bigint) ENGINE = Memory")
+        engine.sql("INSERT INTO ovm SELECT number FROM numbers(5)")
+        engine.sql("INSERT OVERWRITE ovm SELECT number + 10 FROM numbers(2)")
+        assert col(engine.sql("SELECT a FROM ovm ORDER BY a")) == [10, 11]
+        engine.sql("DROP TABLE ovm")
+        loc = str(tmp_path / "ovf_pq")
+        engine.sql(f"CREATE TABLE ovf(a bigint) ENGINE = Parquet location = '{loc}'")
+        engine.sql("INSERT INTO ovf SELECT number FROM numbers(5)")
+        engine.sql("INSERT OVERWRITE TABLE ovf SELECT number + 7 FROM numbers(1)")
+        assert col(engine.sql("SELECT a FROM ovf")) == [7]
+        engine.sql("DROP TABLE ovf")
+
+    def test_show_partitions(self, engine, tmp_path):
+        loc = str(tmp_path / "showp_pq")
+        engine.sql("DROP TABLE IF EXISTS shp")
+        engine.sql(
+            f"CREATE TABLE shp(v bigint, day string, src string) ENGINE = Parquet "
+            f"PARTITION BY (day, src) location = '{loc}'"
+        )
+        assert col(engine.sql("SHOW PARTITIONS shp")) == []
+        engine.sql(
+            "INSERT INTO shp SELECT number, if(number % 2 = 0, 'd1', 'd2'), "
+            "if(number % 3 = 0, 'web', 'app') FROM numbers(12)"
+        )
+        assert col(engine.sql("SHOW PARTITIONS FROM shp")) == [
+            "day=d1/src=app",
+            "day=d1/src=web",
+            "day=d2/src=app",
+            "day=d2/src=web",
+        ]
+        engine.sql("DROP TABLE shp")
+
+    def test_alter_drop_partition(self, engine, tmp_path):
+        from fuse_query_spark.errors import UnsupportedStatement
+
+        loc = str(tmp_path / "dropp_pq")
+        engine.sql("DROP TABLE IF EXISTS drp")
+        engine.sql(
+            f"CREATE TABLE drp(v bigint, day string, src string) ENGINE = Parquet "
+            f"PARTITION BY (day, src) location = '{loc}'"
+        )
+        engine.sql(
+            "INSERT INTO drp SELECT number, if(number % 2 = 0, 'd1', 'd2'), "
+            "'web' FROM numbers(10)"
+        )
+        # full spec drops one leaf
+        engine.sql("ALTER TABLE drp DROP PARTITION (day='d1', src='web')")
+        assert one(engine.sql("SELECT count(1) FROM drp")) == 5
+        # prefix spec drops a whole subtree
+        engine.sql("ALTER TABLE drp DROP PARTITION (day='d2')")
+        assert col(engine.sql("SHOW PARTITIONS drp")) == []
+        # non-prefix spec refused
+        with pytest.raises(UnsupportedStatement, match="prefix"):
+            engine.sql("ALTER TABLE drp DROP PARTITION (src='web')")
+        engine.sql("DROP TABLE drp")
+
+    def test_optimize_table_partition(self, engine, tmp_path):
+        """OPTIMIZE TABLE compacts the many-small-files geometry that
+        repeated INSERTs leave behind, without changing the data or the
+        hive layout."""
+        import glob
+
+        loc = str(tmp_path / "opt_pq")
+        engine.sql("DROP TABLE IF EXISTS opt")
+        engine.sql(
+            f"CREATE TABLE opt(v bigint, day string) ENGINE = Parquet "
+            f"PARTITION BY (day) location = '{loc}'"
+        )
+        for i in range(4):  # 4 separate INSERTs → ≥4 files per partition
+            engine.sql(
+                f"INSERT INTO opt SELECT number + {10 * i}, "
+                "if(number % 2 = 0, 'd1', 'd2') FROM numbers(6)"
+            )
+        assert len(glob.glob(f"{loc}/day=d1/*.parquet")) >= 4
+        before = {
+            r["day"]: r["cnt"]
+            for r in engine.sql(
+                "SELECT day, count(1) AS cnt, sum(v) AS s FROM opt GROUP BY day"
+            ).collect()
+        }
+        # compact one partition: 1 output file, data identical, d2 untouched
+        row = engine.sql("OPTIMIZE TABLE opt PARTITION (day='d1')").collect()[0]
+        assert row["partition"] == "day=d1"
+        assert row["files_before"] >= 4 and row["files_after"] == 1
+        assert len(glob.glob(f"{loc}/day=d1/*.parquet")) == 1
+        assert len(glob.glob(f"{loc}/day=d2/*.parquet")) >= 4
+        after = {
+            r["day"]: r["cnt"]
+            for r in engine.sql(
+                "SELECT day, count(1) AS cnt, sum(v) AS s FROM opt GROUP BY day"
+            ).collect()
+        }
+        assert after == before
+        # whole-table OPTIMIZE preserves the hive layout
+        engine.sql("OPTIMIZE TABLE opt FINAL")
+        assert len(glob.glob(f"{loc}/day=d2/*.parquet")) == 1
+        assert col(engine.sql("SHOW PARTITIONS opt")) == ["day=d1", "day=d2"]
+        assert one(engine.sql("SELECT count(1) FROM opt")) == 24
+        engine.sql("DROP TABLE opt")
+
+    def test_optimize_table_errors(self, engine, tmp_path):
+        from fuse_query_spark.errors import UnsupportedStatement
+
+        engine.sql("DROP TABLE IF EXISTS optm")
+        engine.sql("CREATE TABLE optm(a bigint) ENGINE = Memory")
+        with pytest.raises(UnsupportedStatement, match="Parquet"):
+            engine.sql("OPTIMIZE TABLE optm")
+        engine.sql("DROP TABLE optm")
+        loc = str(tmp_path / "opte_pq")
+        engine.sql(
+            f"CREATE TABLE opte(v bigint, day string) ENGINE = Parquet "
+            f"PARTITION BY (day) location = '{loc}'"
+        )
+        # never-written table: zero-row summary, no crash
+        row = engine.sql("OPTIMIZE TABLE opte").collect()[0]
+        assert (row["files_before"], row["rows"]) == (0, 0)
+        with pytest.raises(UnsupportedStatement, match="No such partition"):
+            engine.sql("OPTIMIZE TABLE opte PARTITION (day='nope')")
+        engine.sql("DROP TABLE opte")
