@@ -372,6 +372,10 @@ class Engine:
             return self._drop_table(s)
         if up.startswith("CREATE VIEW") or up.startswith("CREATE OR REPLACE VIEW"):
             return self._create_view(s)
+        if up.startswith("CREATE MATERIALIZED VIEW"):
+            return self._create_materialized_view(s)
+        if up.startswith("REFRESH "):
+            return self._refresh_materialized_view(s)
         if up.startswith("DROP VIEW"):
             return self._drop_table(s.replace("VIEW", "TABLE", 1).replace("view", "TABLE", 1))
         if up.startswith("CREATE DATABASE"):
@@ -723,6 +727,7 @@ class Engine:
             "clusters": lambda: systbl.clusters_table(self.spark, self.cluster),
             "tracing": lambda: systbl.tracing_table(self.spark, self._trace),
             "metrics": lambda: systbl.metrics_table(self.spark),
+            "parts": lambda: systbl.parts_table(self.spark, self.catalog),
         }
         if name not in factories:
             raise UnknownTable(f"Unknown system table: '{name}'")
@@ -948,6 +953,99 @@ class Engine:
         )
         return None
 
+    _CREATE_MV = re.compile(
+        r"(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+        r"(?:ENGINE\s*=\s*(\w+))?\s*"
+        r"(?:PARTITION\s+BY\s*\(([^)]*)\))?\s*"
+        r"location\s*=\s*'([^']*)'\s*"
+        r"AS\s+(SELECT\b.*)$"
+    )
+
+    def _create_materialized_view(self, s: str) -> None:
+        """CREATE MATERIALIZED VIEW mv ENGINE = Parquet
+        [PARTITION BY (cols)] location = '…' AS SELECT … — capability
+        extension (the reference has no view interpreter at all): a
+        file-engine table that REMEMBERS its defining SELECT, computed
+        at create time and recomputable with REFRESH. Reads hit the
+        parquet directly — the precompute-once/read-many shape that
+        turns a repeated expensive aggregation into a partition-pruned
+        scan at fleet scale."""
+        m = self._CREATE_MV.match(s)
+        if not m:
+            raise UnsupportedStatement(f"Cannot parse CREATE MATERIALIZED VIEW: {s[:80]}")
+        if_not_exists, name, engine, partition_by, location, select = m.groups()
+        engine = (engine or "Parquet").strip()
+        if engine not in self._PARTITIONABLE_ENGINES:
+            raise UnsupportedStatement(
+                f"MATERIALIZED VIEW needs a file engine "
+                f"{self._PARTITIONABLE_ENGINES}, got {engine}"
+            )
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table in tables:
+            if if_not_exists:
+                return None
+            raise TableAlreadyExists(f"Table '{db}.{table}' already exists")
+        df = self._select(select)
+        tdef = TableDef(
+            name=table,
+            database=db,
+            engine=engine,
+            schema=df.schema,
+            location=location,
+            view_sql=select,
+            partition_by=self._parse_partition_by(engine, partition_by, df.schema),
+        )
+        tables[table] = tdef
+        self._overwrite(tdef, df)
+        return None
+
+    _REFRESH_MV = re.compile(
+        r"(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)"
+        r"(?:\s+PARTITION\s*\(([^)]*)\))?\s*$"
+    )
+
+    def _refresh_materialized_view(self, s: str) -> None:
+        """REFRESH MATERIALIZED VIEW mv [PARTITION (col='v', …)] —
+        recompute the stored SELECT and replace the stored data.
+
+        Full form replaces the WHOLE table (vanished groups vanish).
+        The PARTITION form is the scale path: it wraps the stored
+        SELECT in `WHERE col = 'v' …` — Catalyst pushes that predicate
+        down into the view's own plan, so refreshing one day READS one
+        day from a partitioned base and rewrites one subtree, never the
+        table. The subtree is deleted first, then rewritten: after the
+        refresh it equals the recompute exactly, including leaves that
+        dropped out of the result."""
+        import os
+        import shutil
+
+        m = self._REFRESH_MV.match(s)
+        if not m:
+            raise UnsupportedStatement(f"Cannot parse REFRESH: {s[:80]}")
+        name, spec = m.groups()
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table not in tables:
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        tdef = tables[table]
+        if tdef.view_sql is None or tdef.engine == "View":
+            raise UnsupportedStatement(f"'{db}.{table}' is not a materialized view")
+        if spec:
+            pairs = self._partition_prefix(db, table, tdef, spec)
+            where = " AND ".join(f"{c} = '{v}'" for c, v in pairs)
+            df = self._select(f"SELECT * FROM ({tdef.view_sql}) AS __mv WHERE {where}")
+            target = os.path.join(tdef.location, *[f"{c}={v}" for c, v in pairs])
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+            self._overwrite(tdef, df)  # dynamic: rewrites only present leaves
+        else:
+            df = self._select(tdef.view_sql)
+            if tdef.location and os.path.isdir(tdef.location):
+                shutil.rmtree(tdef.location)
+            self._overwrite(tdef, df)
+        return None
+
     def _create_table(self, s: str):
         mas = self._CREATE_TABLE_AS.match(s)
         if mas:
@@ -1136,6 +1234,14 @@ class Engine:
                 raise UnknownTable(f"Unknown table: '{db}.{table}'")
             if tdef.engine == "View":
                 ddl = f"CREATE VIEW {tdef.database}.{tdef.name} AS {tdef.view_sql}"
+            elif tdef.view_sql is not None:
+                ddl = (
+                    f"CREATE MATERIALIZED VIEW {tdef.database}.{tdef.name} "
+                    f"ENGINE = {tdef.engine}"
+                )
+                if tdef.partition_by:
+                    ddl += f" PARTITION BY ({', '.join(tdef.partition_by)})"
+                ddl += f" location = '{tdef.location}' AS {tdef.view_sql}"
             else:
                 cols = ", ".join(
                     f"{f.name} {f.dataType.simpleString()}" for f in tdef.schema

@@ -181,6 +181,65 @@ def metrics_table(spark: SparkSession) -> DataFrame:
     ).filter("metric != ''")
 
 
+def parts_table(spark: SparkSession, catalog) -> DataFrame:
+    """system.parts — file-level storage metadata for file-engine
+    tables, one row per partition leaf: (database, name, partition,
+    files, bytes, rows). ClickHouse's system.parts analogue at parquet
+    granularity (extension — the reference exposes no parts table).
+
+    Reads directory listings and parquet FOOTERS only (num_rows is
+    footer metadata), never data pages; on a real deployment this is a
+    metastore/manifest listing. `rows` is NULL for non-parquet engines
+    (CSV/JSON carry no row count without a scan — a listing table must
+    never scan). Pairs with OPTIMIZE TABLE: query system.parts for
+    partitions whose file count warrants compaction, then rewrite only
+    those subtrees."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for db in sorted(catalog.databases):
+        for name in sorted(catalog.databases[db]):
+            tdef = catalog.databases[db][name]
+            if tdef.engine not in ("Parquet", "CSV", "JSONEachRow", "ORC"):
+                continue
+            if not tdef.location or not os.path.isdir(tdef.location):
+                continue
+            leaves: dict[str, list] = {}
+            for root, _dirs, files in os.walk(tdef.location):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    rel = os.path.relpath(root, tdef.location)
+                    leaf = "" if rel == "." else rel
+                    e = leaves.setdefault(leaf, [0, 0, 0])
+                    p = os.path.join(root, f)
+                    e[0] += 1
+                    e[1] += os.path.getsize(p)
+                    if f.endswith(".parquet"):
+                        e[2] += pq.ParquetFile(p).metadata.num_rows
+            for leaf in sorted(leaves):
+                files_n, bytes_n, rows_n = leaves[leaf]
+                out.append(
+                    (
+                        db,
+                        name,
+                        leaf,
+                        files_n,
+                        bytes_n,
+                        rows_n if tdef.engine == "Parquet" else None,
+                    )
+                )
+    cols = ["database", "name", "partition", "files", "bytes", "rows"]
+    return local_values_df(spark, out, cols).selectExpr(
+        "database",
+        "name",
+        "partition",
+        *[f"CAST({c} AS BIGINT) AS {c}" for c in ("files", "bytes", "rows")],
+    )
+
+
 SYSTEM_TABLE_NAMES = (
     "tables",
     "databases",
@@ -192,4 +251,5 @@ SYSTEM_TABLE_NAMES = (
     "clusters",
     "tracing",
     "metrics",
+    "parts",
 )

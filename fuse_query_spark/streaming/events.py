@@ -32,6 +32,13 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_events_snapshot_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Like read_events_stream but WITHOUT one-file-per-trigger: under
+    trigger(availableNow) the whole backlog lands in one micro-batch —
+    the snapshot shape stream_overwrite_partitions requires."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
 def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -202,3 +209,68 @@ def stream_to_partitioned_parquet(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError(f"landing stream to {path} did not drain within {timeout_sec}s")
+
+
+def stream_overwrite_partitions(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] = ("event_type",),
+    timeout_sec: int = 120,
+) -> None:
+    """Reprocess-safe landing via foreachBatch + DYNAMIC partition
+    overwrite: each micro-batch REPLACES exactly the partitions it
+    contains, so replaying the same input — even with a FRESH
+    checkpoint (source redelivery, a deliberate backfill) — converges
+    to the same table instead of duplicating appends.
+
+    Complement to stream_to_partitioned_parquet: that one's
+    exactly-once comes from the file sink's _spark_metadata log, which
+    only Spark readers honor and only same-checkpoint restarts enjoy;
+    this one's comes from idempotence-by-overwrite, so it survives
+    checkpoint loss and writes a PLAIN hive directory any engine
+    (DuckDB, Trino, pyarrow) can consume — the shape shared object
+    stores actually need.
+
+    Contract: a batch must carry the FULL recomputed content of every
+    partition it touches (one batch = one snapshot slice; see
+    read_events_snapshot_stream, or per-partition source files). A
+    partition spanning two batches would mean batch 2 silently destroys
+    batch 1's output — so the writer TRACKS partitions across this
+    run's batches and fails the query loudly on a clash instead. The
+    distinct-collect behind that guard is bounded by the partition-key
+    cardinality (low by design — it routes directories).
+    """
+    seen: set[tuple] = set()
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        parts = {
+            tuple(str(r[c]) for c in partition_by)
+            for r in batch_df.select(*partition_by).distinct().collect()
+        }
+        clash = parts & seen
+        if clash:
+            raise ValueError(
+                f"partition(s) {sorted(clash)} span multiple micro-batches; "
+                "overwrite landing needs each partition's full content in one "
+                "batch — use stream_to_partitioned_parquet (append + sink log) "
+                "for interleaved arrivals"
+            )
+        seen.update(parts)
+        (
+            batch_df.write.mode("overwrite")
+            # writer-scoped: concurrent writes elsewhere keep static mode
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"overwrite landing to {path} did not drain within {timeout_sec}s")

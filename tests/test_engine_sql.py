@@ -1051,6 +1051,92 @@ class TestPartitionedTables:
         assert one(engine.sql("SELECT count(1) FROM opt")) == 24
         engine.sql("DROP TABLE opt")
 
+    def test_system_parts(self, engine, tmp_path):
+        """system.parts reports per-partition file/byte/row counts from
+        listings + parquet footers — the metadata view that tells an
+        operator which partitions OPTIMIZE should compact."""
+        loc = str(tmp_path / "parts_pq")
+        engine.sql("DROP TABLE IF EXISTS prt")
+        engine.sql(
+            f"CREATE TABLE prt(v bigint, day string) ENGINE = Parquet "
+            f"PARTITION BY (day) location = '{loc}'"
+        )
+        for _ in range(3):  # 3 INSERTs → 3 files per partition
+            engine.sql(
+                "INSERT INTO prt SELECT number, if(number < 2, 'd1', 'd2') "
+                "FROM numbers(5)"
+            )
+        rows = engine.sql(
+            "SELECT partition, files, rows FROM system.parts "
+            "WHERE name = 'prt' ORDER BY partition"
+        ).collect()
+        assert [(r["partition"], r["files"], r["rows"]) for r in rows] == [
+            ("day=d1", 3, 6),
+            ("day=d2", 3, 9),
+        ]
+        # OPTIMIZE drives files back to 1 per partition; rows unchanged
+        engine.sql("OPTIMIZE TABLE prt")
+        rows = engine.sql(
+            "SELECT partition, files, rows FROM system.parts "
+            "WHERE name = 'prt' ORDER BY partition"
+        ).collect()
+        assert [(r["partition"], r["files"], r["rows"]) for r in rows] == [
+            ("day=d1", 1, 6),
+            ("day=d2", 1, 9),
+        ]
+        engine.sql("DROP TABLE prt")
+
+    def test_materialized_view_lifecycle(self, engine, tmp_path):
+        """CREATE MATERIALIZED VIEW … AS SELECT precomputes into a
+        partitioned parquet table; REFRESH PARTITION recomputes ONE
+        subtree (stale elsewhere — that's the contract); full REFRESH
+        replaces the whole table including vanished groups."""
+        from fuse_query_spark.errors import UnsupportedStatement
+
+        loc = str(tmp_path / "mv_pq")
+        engine.sql("DROP TABLE IF EXISTS mvbase")
+        engine.sql("DROP TABLE IF EXISTS mv")
+        engine.sql("CREATE TABLE mvbase(v bigint, day string) ENGINE = Memory")
+        engine.sql(
+            "INSERT INTO mvbase SELECT number, if(number % 2 = 0, 'd1', 'd2') "
+            "FROM numbers(10)"
+        )
+        engine.sql(
+            f"CREATE MATERIALIZED VIEW mv PARTITION BY (day) location = '{loc}' "
+            "AS SELECT day, count(1) AS n, sum(v) AS s FROM mvbase GROUP BY day"
+        )
+
+        def snap():
+            return {
+                r["day"]: (r["n"], r["s"])
+                for r in engine.sql("SELECT * FROM mv").collect()
+            }
+
+        assert snap() == {"d1": (5, 20), "d2": (5, 25)}
+        # MV is a materialization: base changes do NOT show until REFRESH
+        engine.sql("INSERT INTO mvbase VALUES (100, 'd1')")
+        assert snap() == {"d1": (5, 20), "d2": (5, 25)}
+        # partition refresh recomputes only that subtree
+        engine.sql("REFRESH MATERIALIZED VIEW mv PARTITION (day='d1')")
+        assert snap() == {"d1": (6, 120), "d2": (5, 25)}
+        # empty recompute for a partition deletes its leaf
+        engine.sql("TRUNCATE TABLE mvbase")
+        engine.sql("INSERT INTO mvbase VALUES (1, 'd9')")
+        engine.sql("REFRESH MATERIALIZED VIEW mv PARTITION (day='d2')")
+        assert snap() == {"d1": (6, 120)}  # d2 gone, d1 deliberately stale
+        # full refresh: vanished groups vanish, new groups appear
+        engine.sql("REFRESH MATERIALIZED VIEW mv")
+        assert snap() == {"d9": (1, 1)}
+        ddl = engine.sql("SHOW CREATE TABLE mv").collect()[0]["CreateTable"]
+        assert ddl.startswith(
+            "CREATE MATERIALIZED VIEW default.mv ENGINE = Parquet "
+            "PARTITION BY (day)"
+        ) and ddl.endswith("GROUP BY day")
+        with pytest.raises(UnsupportedStatement, match="not a materialized view"):
+            engine.sql("REFRESH MATERIALIZED VIEW mvbase")
+        engine.sql("DROP TABLE mv")
+        engine.sql("DROP TABLE mvbase")
+
     def test_optimize_table_errors(self, engine, tmp_path):
         from fuse_query_spark.errors import UnsupportedStatement
 

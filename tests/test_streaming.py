@@ -173,6 +173,55 @@ def test_stream_to_partitioned_parquet_exactly_once(spark, sf_dir, events_dir, t
     ).count()
 
 
+def test_stream_overwrite_partitions_idempotent_replay(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """foreachBatch + dynamic partition overwrite: replaying the same
+    snapshot with a FRESH checkpoint (redelivery / checkpoint loss /
+    deliberate backfill) converges to the same table — append mode
+    would have doubled it. The landed layout is a plain hive directory
+    (no _spark_metadata), readable by any engine."""
+    import os
+
+    from fuse_query_spark.streaming.events import (
+        read_events_snapshot_stream,
+        stream_overwrite_partitions,
+    )
+
+    out = str(tmp_path / "landed_ovw")
+    n_src = table(spark, sf_dir, "events").count()
+    stream_overwrite_partitions(
+        read_events_snapshot_stream(spark, events_dir), out, str(tmp_path / "ck1")
+    )
+    assert spark.read.parquet(out).count() == n_src
+    # replay with a fresh checkpoint: same final state, not 2x
+    stream_overwrite_partitions(
+        read_events_snapshot_stream(spark, events_dir), out, str(tmp_path / "ck2")
+    )
+    assert spark.read.parquet(out).count() == n_src
+    # plain directory: no streaming-sink transaction log
+    assert not os.path.isdir(os.path.join(out, "_spark_metadata"))
+
+
+def test_stream_overwrite_partitions_guards_cross_batch_clash(
+    spark, events_dir, tmp_path
+):
+    """A partition whose content spans two micro-batches (events are
+    split randomly across the 3 source files, one file per trigger)
+    would be silently truncated by overwrite landing — the writer must
+    detect the clash and fail the query instead."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from fuse_query_spark.streaming.events import stream_overwrite_partitions
+
+    with pytest.raises(StreamingQueryException, match="span multiple micro-batches"):
+        stream_overwrite_partitions(
+            read_events_stream(spark, events_dir),  # 1 file per trigger
+            str(tmp_path / "landed_clash"),
+            str(tmp_path / "ck_clash"),
+        )
+
+
 @pytest.fixture(scope="module")
 def documents_dir(spark, sf_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("documents_stream"))
