@@ -90,6 +90,97 @@ def run_case(spark, con, seed: int, views_registered: bool = True) -> list[str]:
     return problems
 
 
+# --- r5: window / set-op / subquery grammar ------------------------------
+# Shapes the plain grammar can't reach. Determinism contract: the
+# compare hash is ORDER-INSENSITIVE (testing.table_hash sorts lines),
+# so any multiset-deterministic query qualifies; LIMIT appears only
+# under a UNIQUE total order ((l_orderkey, l_linenumber) is lineitem's
+# PK). Integer-only outputs keep hashing exact.
+
+_ADV_TEMPLATES = [
+    # running sum over the PK order (rows frame)
+    "SELECT l_orderkey, l_linenumber, CAST(SUM(l_partkey % {m}) OVER ("
+    "ORDER BY l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND"
+    " CURRENT ROW) AS BIGINT) AS rsum FROM lineitem WHERE l_orderkey % {mm} = 0"
+    " ORDER BY l_orderkey, l_linenumber LIMIT {lim}",
+    # partitioned row_number, filtered outside (top-n per group)
+    "SELECT l_returnflag, rn, v FROM (SELECT l_returnflag,"
+    " ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey,"
+    " l_linenumber) AS rn, CAST(l_partkey % {m} AS BIGINT) AS v"
+    " FROM lineitem WHERE l_linenumber <= {ln}) t WHERE rn <= {lim}",
+    # lag with default, PK order
+    "SELECT l_orderkey, l_linenumber, CAST(COALESCE(LAG(l_suppkey, 1) OVER ("
+    "PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber), -1)"
+    " AS BIGINT) AS prev FROM lineitem WHERE l_linenumber <= {ln}"
+    " ORDER BY l_orderkey, l_linenumber LIMIT {lim}",
+    # ntile histogram over the PK order
+    "SELECT nt, CAST(COUNT(*) AS BIGINT) AS c FROM (SELECT NTILE({nt})"
+    " OVER (ORDER BY l_orderkey, l_linenumber) AS nt FROM lineitem"
+    " WHERE l_linenumber <= {ln}) t GROUP BY nt",
+    # set ops (set semantics are order-free)
+    "SELECT l_orderkey % {m} AS k FROM lineitem WHERE l_quantity > {q}"
+    " INTERSECT SELECT o_orderkey % {m} AS k FROM orders"
+    " WHERE o_orderkey % {mm} = 0",
+    "SELECT l_orderkey % {m} AS k FROM lineitem"
+    " EXCEPT SELECT o_orderkey % {mm} AS k FROM orders",
+    "SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM ("
+    "SELECT l_orderkey % {m} AS k FROM lineitem WHERE l_linenumber <= {ln}"
+    " UNION ALL SELECT o_orderkey % {m} AS k FROM orders) t GROUP BY k",
+    # scalar subquery (integer arithmetic only)
+    "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem"
+    " WHERE l_orderkey > (SELECT MAX(o_orderkey) FROM orders) - {big}",
+    # correlated EXISTS
+    "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders o WHERE EXISTS ("
+    "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+    " AND l.l_quantity > {q})",
+    # NOT IN over a non-null key set
+    "SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem"
+    " WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders"
+    " WHERE o_orderkey % {mm} = 0)",
+    # rollup (NULL super-aggregate rows hash as None on both sides)
+    "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS c"
+    " FROM lineitem WHERE l_linenumber <= {ln}"
+    " GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+]
+
+
+def gen_advanced_query(seed: int) -> str:
+    """One deterministic window/set-op/subquery case (valid in both
+    Spark SQL and DuckDB)."""
+    rng = random.Random(20_000 + seed)
+    tmpl = _ADV_TEMPLATES[seed % len(_ADV_TEMPLATES)]
+    return tmpl.format(
+        m=rng.randint(2, 9),
+        mm=rng.randint(2, 9),
+        q=rng.randint(5, 45),
+        ln=rng.randint(1, 6),
+        lim=rng.randint(3, 40),
+        nt=rng.randint(2, 8),
+        big=rng.randint(100, 5000),
+    )
+
+
+def run_advanced_case(spark, con, seed: int) -> list[str]:
+    """Execute one advanced fuzz case on both engines; returns problems."""
+    from fuse_query_spark.testing import table_hash
+
+    sql = gen_advanced_query(seed)
+    sdf = spark.sql(sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    ores = con.execute(sql)
+    ocols = [d[0] for d in ores.description]
+    orows = ores.fetchall()
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"seed {seed}: rowcount {len(srows)} vs {len(orows)} :: {sql}")
+    else:
+        sh, _ = table_hash(srows, sdf.columns)
+        oh, _ = table_hash(orows, ocols)
+        if sh != oh:
+            problems.append(f"seed {seed}: hash mismatch :: {sql}")
+    return problems
+
+
 # --- r5: dialect-layer differential fuzzing -----------------------------
 # Generates PAIRS (fuse-dialect SQL, independently constructed DuckDB
 # SQL) from one template draw — the DuckDB side is built from the

@@ -28,6 +28,16 @@ def test_fuzz_case_matches_duckdb(spark, oracle, seed):
     assert not problems, problems
 
 
+@pytest.mark.parametrize("seed", list(range(44)))
+def test_advanced_fuzz_matches_duckdb(spark, oracle, seed):
+    """Window / set-op / subquery grammar — 4 passes over the 11
+    templates with varied fills."""
+    from fuse_query_spark.testing_fuzz import run_advanced_case
+
+    problems = run_advanced_case(spark, oracle, seed)
+    assert not problems, problems
+
+
 @pytest.fixture(scope="module")
 def dialect_engine(spark):
     from fuse_query_spark.engine import Engine
