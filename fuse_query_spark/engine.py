@@ -769,12 +769,28 @@ class Engine:
             if not plan["parts"]:
                 return self.spark.createDataFrame([], tdef.schema)
             return self.spark.read.schema(tdef.schema).parquet(*plan["parts"])
-        if tdef.engine in ("CSV", "Parquet", "JSONEachRow", "ORC"):
+        if tdef.engine in ("CSV", "Parquet", "JSONEachRow", "ORC", "BinaryFile"):
+            import glob as _glob
             import os
 
-            if tdef.location is None or not os.path.exists(tdef.location):
+            if tdef.location is None or (
+                not os.path.exists(tdef.location)
+                and not _glob.glob(tdef.location)  # BinaryFile allows globs
+            ):
                 # freshly created table, nothing appended yet
                 return self.spark.createDataFrame([], tdef.schema)
+            if tdef.engine == "BinaryFile":
+                # read-only ingest engine over raw files (images, audio,
+                # any blob): Spark's binaryFile source yields
+                # (path, modificationTime, length, content) with
+                # pushdown on length; the declared schema picks the
+                # subset. The multimodal operators (mapInPandas decode)
+                # consume `content` directly — blobs stream executor-
+                # side as Arrow batches, never through the driver.
+                df = self.spark.read.format("binaryFile").load(tdef.location)
+                return df.select(
+                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tdef.schema]
+                )
             if tdef.engine == "CSV":
                 return self.spark.read.schema(tdef.schema).csv(tdef.location, header=False)
             if tdef.engine == "JSONEachRow":
@@ -1081,6 +1097,15 @@ class Engine:
                 return None
             raise TableAlreadyExists(f"Table '{db}.{table}' already exists")
         schema = self._parse_schema(cols)
+        if engine == "BinaryFile":
+            allowed = ("path", "modificationTime", "length", "content")
+            bad = [f.name for f in schema.fields if f.name not in allowed]
+            if bad:
+                raise UnsupportedStatement(
+                    f"BinaryFile columns must be a subset of {allowed}, got {bad}"
+                )
+            if location is None:
+                raise UnsupportedStatement("BinaryFile table needs a location")
         if db in self.catalog.remote_dbs:
             # a remote database stores ALL its tables store-side
             # (remote_database.rs create_table goes through MetaApi;

@@ -918,6 +918,59 @@ class TestPartitionedTables:
             assert len(files) == 1, f"partition p={v} has {len(files)} files"
         engine.sql("DROP TABLE clw")
 
+    def test_binaryfile_engine_ingest(self, engine, tmp_path):
+        """ENGINE = BinaryFile: read-only ingest over raw blob files —
+        the entry point of the multimodal pipeline (content arrives as
+        a binary column the mapInPandas decoders consume). Length
+        predicates push to the source scan; INSERT is refused."""
+        from fuse_query_spark.errors import UnsupportedStatement
+        from fuse_query_spark.operators.multimodal import (
+            _ppm_bytes,
+            parse_image_header,
+        )
+
+        d = tmp_path / "blob_dir"
+        d.mkdir()
+        ppm = _ppm_bytes(7)
+        (d / "a.ppm").write_bytes(ppm)
+        (d / "b.bin").write_bytes(b"\x00\x01\x02")
+        engine.sql("DROP TABLE IF EXISTS blobs")
+        engine.sql(
+            f"CREATE TABLE blobs(path string, length bigint, content binary) "
+            f"ENGINE = BinaryFile location = '{d}'"
+        )
+        rows = engine.sql(
+            "SELECT path, length, content FROM blobs ORDER BY path"
+        ).collect()
+        assert [r["path"].rsplit("/", 1)[-1] for r in rows] == ["a.ppm", "b.bin"]
+        assert rows[0]["length"] == len(ppm)
+        assert bytes(rows[0]["content"]) == ppm
+        # the ingested bytes are decodable by the multimodal header parser
+        w_h_fmt = parse_image_header(bytes(rows[0]["content"]))
+        assert w_h_fmt is not None and w_h_fmt[2].startswith("image/")
+        # length predicate reaches the binaryFile source scan
+        df = engine.sql(f"SELECT count(1) AS c FROM blobs WHERE length < {len(ppm)}")
+        plan = df._jdf.queryExecution().executedPlan().treeString()
+        assert "PushedFilters" in plan and "length" in plan
+        assert df.collect()[0]["c"] == 1
+        # read-only engine
+        with pytest.raises(UnsupportedStatement, match="BinaryFile"):
+            engine.sql("INSERT INTO blobs SELECT path, length, content FROM blobs")
+        engine.sql("DROP TABLE blobs")
+        # glob locations narrow the ingest set
+        engine.sql(
+            f"CREATE TABLE ppms(path string, content binary) "
+            f"ENGINE = BinaryFile location = '{d}/*.ppm'"
+        )
+        assert one(engine.sql("SELECT count(1) FROM ppms")) == 1
+        engine.sql("DROP TABLE ppms")
+        # schema outside (path, modificationTime, length, content) refused
+        with pytest.raises(UnsupportedStatement, match="subset"):
+            engine.sql(
+                f"CREATE TABLE badb(nope string) ENGINE = BinaryFile "
+                f"location = '{d}'"
+            )
+
     def test_insert_overwrite_dynamic_partitions(self, engine, tmp_path):
         """INSERT OVERWRITE on a partitioned table replaces ONLY the
         partitions present in the SELECT — the idempotent-backfill
