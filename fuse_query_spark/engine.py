@@ -1458,6 +1458,10 @@ class Engine:
         colnames = [c.strip() for c in cols.split(",")] if cols else [f.name for f in tdef.schema]
         from pyspark.sql import functions as F
 
+        # alignment is POSITIONAL (SQL INSERT semantics) — rename first
+        # so duplicate SELECT output names (e.g. two literal `1`s) can't
+        # trip an ambiguous-reference error
+        df = df.toDF(*[f"__ins{i}" for i in range(len(df.columns))])
         aligned = df.select(
             *[
                 F.col(src).cast(tdef.schema[dst].dataType).alias(dst)

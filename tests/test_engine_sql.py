@@ -1016,6 +1016,15 @@ class TestPartitionedTables:
         assert col(engine.sql("SELECT a FROM ovf")) == [7]
         engine.sql("DROP TABLE ovf")
 
+    def test_insert_select_duplicate_output_names(self, engine):
+        """INSERT alignment is positional: duplicate SELECT output
+        names (two literal 1s) must not trip ambiguous-reference."""
+        engine.sql("DROP TABLE IF EXISTS dupins")
+        engine.sql("CREATE TABLE dupins(a bigint, b bigint) ENGINE = Memory")
+        engine.sql("INSERT INTO dupins SELECT 1, 1 FROM numbers(3)")
+        assert one(engine.sql("SELECT sum(a + b) FROM dupins")) == 6
+        engine.sql("DROP TABLE dupins")
+
     def test_show_partitions(self, engine, tmp_path):
         loc = str(tmp_path / "showp_pq")
         engine.sql("DROP TABLE IF EXISTS shp")
