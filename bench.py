@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "pipeline_filter_funnel",
     "sample_split_leakage_safe",
     "corpus_vocab_stats",
+    "multimodal_wav_decode",
 ]
 
 

@@ -163,9 +163,11 @@ DRIVER_PRIORITY = [
     "text_bigram_logprob",  # r5: word-order-aware LM quality
     "recursive_month_spine",
     # dedup family
+    # (dedup_simhash_md5 rotated out r5-late for multimodal_wav_decode:
+    # r3+r4 driver-green, stays locally oracle-checked; the family
+    # keeps 5 prefix rows)
     "dedup_duplicated_spans",
     "decontaminate_bloom",
-    "dedup_simhash_md5",
     "dedup_minhash_cross_corpus",
     "dedup_cluster_canonical",  # r5: CC clustering over LSH pairs
     "dedup_chunk_fraction",  # r5: paragraph-analog chunk dedup
@@ -180,6 +182,7 @@ DRIVER_PRIORITY = [
     # multimodal
     "multimodal_ppm_decode",  # r4-first, second round
     "multimodal_blob_meta",
+    "multimodal_wav_decode",  # r5: real RIFF/PCM16 audio decode
     # similarity family
     "similarity_knn_ivf_md5",
     "embedding_quantize_int8",

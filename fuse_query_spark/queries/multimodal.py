@@ -68,3 +68,38 @@ def multimodal_ppm_decode(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return decode_image_meta(synthesize_ppm_blobs(docs)).drop("checksum")
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(8000 + (d.doc_id % 5) * 4000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(16 AS INT) AS bits,
+           CAST(50 + d.doc_id % 100 AS INT) AS n_samples,
+           CAST(FLOOR((50 + d.doc_id % 100) * 1000000.0
+                      / (8000 + (d.doc_id % 5) * 4000)) AS BIGINT) AS duration_us,
+           CAST(SUM(ABS((d.doc_id * 31 + i.i * 7) % 65536 - 32768)) AS BIGINT)
+             AS sum_abs
+    FROM documents d CROSS JOIN generate_series(0, 149) AS i(i)
+    WHERE i.i < 50 + d.doc_id % 100
+    GROUP BY d.doc_id
+    """,
+    tags=("pipeline", "multimodal", "decode", "audio"),
+)
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode end-to-end: synthesize valid RIFF/WAVE PCM16
+    files (rate/length/samples a pure function of doc_id, with a junk
+    LIST chunk so only a true chunk-walker parses them), decode in the
+    Arrow-batched parser, and hash-verify geometry + integer duration +
+    exact PCM energy sum(|s|) against the closed-form oracle. The
+    container half of a production audio pipeline — compressed codecs
+    (MP3/AAC/FLAC) are the documented library boundary."""
+    from fuse_query_spark.operators.multimodal import (
+        decode_audio_meta,
+        synthesize_wav_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_audio_meta(synthesize_wav_blobs(docs))

@@ -61,6 +61,71 @@ class TestHeaderParser:
             _ppm_frame(b, 0)
 
 
+class TestWavParser:
+    def test_roundtrip_matches_synth(self):
+        from fuse_query_spark.operators.multimodal import _wav_bytes, parse_wav
+
+        for doc_id in (0, 7, 123, 4999):
+            rate, ch, bits, n, sum_abs = parse_wav(_wav_bytes(doc_id))
+            assert rate == 8000 + (doc_id % 5) * 4000
+            assert (ch, bits) == (1, 16)
+            assert n == 50 + doc_id % 100
+            want = sum(
+                abs(((doc_id * 31 + i * 7) % 65536) - 32768) for i in range(n)
+            )
+            assert sum_abs == want
+
+    def test_chunk_walk_skips_junk_and_handles_order(self):
+        from fuse_query_spark.operators.multimodal import parse_wav
+
+        fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+        data = struct.pack("<6h", 1, -2, 3, -4, 5, -6)  # 3 stereo frames
+        # data BEFORE fmt, odd-sized junk chunk (word-alignment padding)
+        body = (
+            b"WAVE"
+            + b"data" + struct.pack("<I", len(data)) + data
+            + b"odd " + struct.pack("<I", 3) + b"abc\x00"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        )
+        b = b"RIFF" + struct.pack("<I", len(body)) + body
+        assert parse_wav(b) == (44100, 2, 16, 3, 21)
+
+    def test_rejects_non_pcm_and_garbage(self):
+        from fuse_query_spark.operators.multimodal import _wav_bytes, parse_wav
+
+        assert parse_wav(b"not audio") is None
+        assert parse_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+        # float WAV (format 3) is the codec boundary
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        )
+        assert parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body) is None
+        # valid file, truncated mid-data: parses what's whole
+        good = _wav_bytes(3)
+        assert parse_wav(good[:-5]) is not None
+
+    def test_decode_audio_meta_distributed(self, spark, sf_dir):
+        from fuse_query_spark.operators.multimodal import (
+            decode_audio_meta,
+            synthesize_wav_blobs,
+        )
+
+        docs = table(spark, sf_dir, "documents").limit(20)
+        rows = decode_audio_meta(synthesize_wav_blobs(docs)).collect()
+        assert len(rows) == 20
+        r = {x["doc_id"]: x for x in rows}
+        for doc_id, row in r.items():
+            assert row["sample_rate"] == 8000 + (doc_id % 5) * 4000
+            assert row["n_samples"] == 50 + doc_id % 100
+            assert (
+                row["duration_us"]
+                == row["n_samples"] * 1_000_000 // row["sample_rate"]
+            )
+
+
 def test_blob_meta_pipeline_fallback_path(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").limit(50)
     blobs = synthesize_blobs(docs)
