@@ -398,6 +398,8 @@ class Engine:
             return self._truncate(s)
         if up.startswith("OPTIMIZE "):
             return self._optimize(s)
+        if up.startswith("DELETE "):
+            return self._delete(s)
         if up.startswith("EXPLAIN"):
             return self._explain(s)
         if up.startswith("KILL "):
@@ -524,6 +526,101 @@ class Engine:
             )
             if os.path.isdir(target):
                 shutil.rmtree(target)
+        return None
+
+    _DELETE = re.compile(r"(?is)^DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)$")
+
+    def _delete(self, s: str):
+        """DELETE FROM t WHERE pred — extension (the reference has no
+        mutations): the GDPR/expiry delete a long-lived warehouse needs.
+        SQL semantics: rows where pred is TRUE are removed; NULL-pred
+        rows are KEPT (keep-condition = COALESCE(NOT pred, TRUE), not
+        plain NOT pred).
+
+        Scale posture: on a PARTITION BY table, one pruned scan finds
+        the AFFECTED partitions (distinct partition tuples where pred
+        holds — bounded by partition cardinality), and only those
+        subtrees are rewritten via dynamic overwrite; a delete that
+        touches 3 days of a year rewrites 3 directories. Unpartitioned
+        file tables are fully rewritten through a temp-dir swap; Memory
+        filters its DataFrame; a predicate on partition columns only
+        degenerates to directory removal (generalized DROP PARTITION).
+        """
+        import os
+        import shutil
+
+        m = self._DELETE.match(s)
+        if not m:
+            raise UnsupportedStatement(f"Cannot parse DELETE: {s[:80]}")
+        name, pred = m.groups()
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table not in tables:
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        tdef = tables[table]
+        keep = f"COALESCE(NOT ({pred}), TRUE)"
+        if tdef.engine == "Memory":
+            tdef.data = self._select(f"SELECT * FROM {name} WHERE {keep}")
+            return None
+        if tdef.engine == "Null":
+            return None
+        if tdef.engine not in ("Parquet", "CSV", "JSONEachRow", "ORC"):
+            raise UnsupportedStatement(f"Cannot DELETE from engine {tdef.engine}")
+        if tdef.location is None or not os.path.isdir(tdef.location):
+            return None  # nothing written yet
+        if tdef.partition_by:
+            pcols = ", ".join(tdef.partition_by)
+            affected = self._select(
+                f"SELECT DISTINCT {pcols} FROM {name} WHERE ({pred})"
+            ).collect()
+            if not affected:
+                return None
+            member = " OR ".join(
+                "("
+                + " AND ".join(
+                    f"{c} = '{str(r[c]).replace(chr(39), chr(39) * 2)}'"
+                    for c in tdef.partition_by
+                )
+                + ")"
+                for r in affected
+            )
+            keep_df = self._select(
+                f"SELECT * FROM {name} WHERE ({member}) AND {keep}"
+            )
+            # materialize the survivors BEFORE touching their leaves
+            # (the read and the delete race otherwise); the staging
+            # write is bounded by the affected subtrees, not the table
+            tmp = os.path.join(tdef.location, "..", f".{table}__delete_tmp__")
+            tmp = os.path.normpath(tmp)
+            shutil.rmtree(tmp, ignore_errors=True)
+            staged = self._align_to_schema(keep_df, tdef.schema)
+            staged.repartition(*[F.col(c) for c in tdef.partition_by]).write.mode(
+                "overwrite"
+            ).partitionBy(*tdef.partition_by).parquet(tmp)
+            for r in affected:
+                leaf = os.path.join(
+                    tdef.location,
+                    *[f"{c}={r[c]}" for c in tdef.partition_by],
+                )
+                if os.path.isdir(leaf):
+                    shutil.rmtree(leaf)
+            has_parts = any(
+                f.endswith(".parquet")
+                for _r, _d, fs in os.walk(tmp)
+                for f in fs
+            )
+            if has_parts:  # no survivors → the leaf removal WAS the delete
+                # dynamic overwrite: only the survivors' leaves rewritten
+                self._overwrite(tdef, self.spark.read.parquet(tmp))
+            shutil.rmtree(tmp, ignore_errors=True)
+            return None
+        keep_df = self._select(f"SELECT * FROM {name} WHERE {keep}")
+        tmp = tdef.location.rstrip("/") + ".__delete_tmp__"
+        writers = {"Parquet": "parquet", "CSV": "csv", "JSONEachRow": "json", "ORC": "orc"}
+        ordered = self._align_to_schema(keep_df, tdef.schema)
+        getattr(ordered.write.mode("overwrite"), writers[tdef.engine])(tmp)
+        shutil.rmtree(tdef.location)
+        os.rename(tmp, tdef.location)
         return None
 
     _OPTIMIZE = re.compile(

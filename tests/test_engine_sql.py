@@ -1113,6 +1113,60 @@ class TestPartitionedTables:
         assert one(engine.sql("SELECT count(1) FROM opt")) == 24
         engine.sql("DROP TABLE opt")
 
+    def test_delete_where_memory_and_null_semantics(self, engine):
+        engine.sql("DROP TABLE IF EXISTS delm")
+        engine.sql("CREATE TABLE delm(a bigint) ENGINE = Memory")
+        engine.sql("INSERT INTO delm SELECT number FROM numbers(10)")
+        engine.sql("DELETE FROM delm WHERE a % 2 = 0")
+        assert col(engine.sql("SELECT a FROM delm ORDER BY a")) == [1, 3, 5, 7, 9]
+        # SQL DELETE semantics: NULL-pred rows are KEPT, not deleted
+        engine.sql(
+            "DELETE FROM delm WHERE a < (CASE WHEN a = 3 THEN NULL ELSE 100 END)"
+        )
+        assert col(engine.sql("SELECT a FROM delm")) == [3]
+        engine.sql("DROP TABLE delm")
+
+    def test_delete_where_partition_scoped_rewrite(self, engine, tmp_path):
+        """DELETE on a partitioned table rewrites only the AFFECTED
+        partitions: untouched days keep their physical files."""
+        import glob
+
+        loc = str(tmp_path / "del_pq")
+        engine.sql("DROP TABLE IF EXISTS delp")
+        engine.sql(
+            f"CREATE TABLE delp(v bigint, day string) ENGINE = Parquet "
+            f"PARTITION BY (day) location = '{loc}'"
+        )
+        engine.sql(
+            "INSERT INTO delp SELECT number, if(number % 2 = 0, 'd1', 'd2') "
+            "FROM numbers(20)"
+        )
+        engine.sql("INSERT INTO delp SELECT number + 100, 'd3' FROM numbers(5)")
+        d2_files_before = sorted(glob.glob(f"{loc}/day=d2/*.parquet"))
+        # row-level delete confined to d1
+        engine.sql("DELETE FROM delp WHERE v % 4 = 0 AND day = 'd1'")
+        assert one(engine.sql("SELECT count(1) FROM delp WHERE day = 'd1'")) == 5
+        assert one(engine.sql("SELECT count(1) FROM delp WHERE day = 'd2'")) == 10
+        # d2 was not rewritten: same physical files
+        assert sorted(glob.glob(f"{loc}/day=d2/*.parquet")) == d2_files_before
+        # partition-only predicate degenerates to directory removal
+        engine.sql("DELETE FROM delp WHERE day = 'd3'")
+        assert col(engine.sql("SHOW PARTITIONS delp")) == ["day=d1", "day=d2"]
+        # all rows of an affected partition deleted → its leaf is gone
+        engine.sql("DELETE FROM delp WHERE day = 'd2' AND v >= 0")
+        assert col(engine.sql("SHOW PARTITIONS delp")) == ["day=d1"]
+        assert one(engine.sql("SELECT count(1) FROM delp")) == 5
+        engine.sql("DROP TABLE delp")
+
+    def test_delete_where_flat_parquet(self, engine, tmp_path):
+        loc = str(tmp_path / "delf_pq")
+        engine.sql("DROP TABLE IF EXISTS delf")
+        engine.sql(f"CREATE TABLE delf(a bigint) ENGINE = Parquet location = '{loc}'")
+        engine.sql("INSERT INTO delf SELECT number FROM numbers(8)")
+        engine.sql("DELETE FROM delf WHERE a >= 5")
+        assert col(engine.sql("SELECT a FROM delf ORDER BY a")) == [0, 1, 2, 3, 4]
+        engine.sql("DROP TABLE delf")
+
     def test_system_parts(self, engine, tmp_path):
         """system.parts reports per-partition file/byte/row counts from
         listings + parquet footers — the metadata view that tells an
