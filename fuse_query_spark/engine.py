@@ -400,6 +400,8 @@ class Engine:
             return self._optimize(s)
         if up.startswith("DELETE "):
             return self._delete(s)
+        if up.startswith("UPDATE "):
+            return self._update(s)
         if up.startswith("EXPLAIN"):
             return self._explain(s)
         if up.startswith("KILL "):
@@ -569,58 +571,161 @@ class Engine:
         if tdef.location is None or not os.path.isdir(tdef.location):
             return None  # nothing written yet
         if tdef.partition_by:
-            pcols = ", ".join(tdef.partition_by)
-            affected = self._select(
-                f"SELECT DISTINCT {pcols} FROM {name} WHERE ({pred})"
-            ).collect()
+            affected, member = self._affected_partitions(name, tdef, pred)
             if not affected:
                 return None
-            member = " OR ".join(
-                "("
-                + " AND ".join(
-                    f"{c} = '{str(r[c]).replace(chr(39), chr(39) * 2)}'"
-                    for c in tdef.partition_by
-                )
-                + ")"
-                for r in affected
+            self._swap_partitions(
+                name, tdef, affected,
+                f"SELECT * FROM {name} WHERE ({member}) AND {keep}",
             )
-            keep_df = self._select(
-                f"SELECT * FROM {name} WHERE ({member}) AND {keep}"
-            )
-            # materialize the survivors BEFORE touching their leaves
-            # (the read and the delete race otherwise); the staging
-            # write is bounded by the affected subtrees, not the table
-            tmp = os.path.join(tdef.location, "..", f".{table}__delete_tmp__")
-            tmp = os.path.normpath(tmp)
-            shutil.rmtree(tmp, ignore_errors=True)
-            staged = self._align_to_schema(keep_df, tdef.schema)
-            staged.repartition(*[F.col(c) for c in tdef.partition_by]).write.mode(
-                "overwrite"
-            ).partitionBy(*tdef.partition_by).parquet(tmp)
-            for r in affected:
-                leaf = os.path.join(
-                    tdef.location,
-                    *[f"{c}={r[c]}" for c in tdef.partition_by],
-                )
-                if os.path.isdir(leaf):
-                    shutil.rmtree(leaf)
-            has_parts = any(
-                f.endswith(".parquet")
-                for _r, _d, fs in os.walk(tmp)
-                for f in fs
-            )
-            if has_parts:  # no survivors → the leaf removal WAS the delete
-                # dynamic overwrite: only the survivors' leaves rewritten
-                self._overwrite(tdef, self.spark.read.parquet(tmp))
-            shutil.rmtree(tmp, ignore_errors=True)
             return None
-        keep_df = self._select(f"SELECT * FROM {name} WHERE {keep}")
-        tmp = tdef.location.rstrip("/") + ".__delete_tmp__"
+        self._full_rewrite(tdef, f"SELECT * FROM {name} WHERE {keep}")
+        return None
+
+    def _affected_partitions(self, name: str, tdef: TableDef, pred: str):
+        """Distinct partition tuples where pred holds (one pruned scan,
+        bounded by partition cardinality) + the membership predicate
+        naming exactly those leaves."""
+        pcols = ", ".join(tdef.partition_by)
+        affected = self._select(
+            f"SELECT DISTINCT {pcols} FROM {name} WHERE ({pred})"
+        ).collect()
+        member = " OR ".join(
+            "("
+            + " AND ".join(
+                f"{c} = '{str(r[c]).replace(chr(39), chr(39) * 2)}'"
+                for c in tdef.partition_by
+            )
+            + ")"
+            for r in affected
+        )
+        return affected, member
+
+    def _swap_partitions(self, name: str, tdef: TableDef, affected, stage_sql: str):
+        """Rewrite ONLY the affected leaves: materialize stage_sql (must
+        be bounded to the affected subtrees) to a staging dir BEFORE
+        touching their files (the read and the removal race otherwise),
+        remove the affected leaves, then dynamic-overwrite the staged
+        rows back in."""
+        import os
+        import shutil
+
+        _db, table = self._qualify(name)
+        tmp = os.path.normpath(
+            os.path.join(tdef.location, "..", f".{table}__dml_tmp__")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        staged = self._align_to_schema(self._select(stage_sql), tdef.schema)
+        staged.repartition(*[F.col(c) for c in tdef.partition_by]).write.mode(
+            "overwrite"
+        ).partitionBy(*tdef.partition_by).parquet(tmp)
+        for r in affected:
+            leaf = os.path.join(
+                tdef.location,
+                *[f"{c}={r[c]}" for c in tdef.partition_by],
+            )
+            if os.path.isdir(leaf):
+                shutil.rmtree(leaf)
+        has_parts = any(
+            f.endswith(".parquet") for _r, _d, fs in os.walk(tmp) for f in fs
+        )
+        if has_parts:  # no survivors → the leaf removal WAS the mutation
+            # dynamic overwrite: only the staged rows' leaves rewritten
+            self._overwrite(tdef, self.spark.read.parquet(tmp))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _full_rewrite(self, tdef: TableDef, select_sql: str):
+        """Whole-table rewrite through a temp-dir swap (unpartitioned
+        tables, or mutations that move rows across partitions)."""
+        import os
+        import shutil
+
+        df = self._align_to_schema(self._select(select_sql), tdef.schema)
+        tmp = tdef.location.rstrip("/") + ".__dml_tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
         writers = {"Parquet": "parquet", "CSV": "csv", "JSONEachRow": "json", "ORC": "orc"}
-        ordered = self._align_to_schema(keep_df, tdef.schema)
-        getattr(ordered.write.mode("overwrite"), writers[tdef.engine])(tmp)
+        if tdef.partition_by:
+            df = df.repartition(*[F.col(c) for c in tdef.partition_by])
+            getattr(
+                df.write.mode("overwrite").partitionBy(*tdef.partition_by),
+                writers[tdef.engine],
+            )(tmp)
+        else:
+            getattr(df.write.mode("overwrite"), writers[tdef.engine])(tmp)
         shutil.rmtree(tdef.location)
         os.rename(tmp, tdef.location)
+
+    _UPDATE = re.compile(r"(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$")
+
+    def _update(self, s: str):
+        """UPDATE t SET col = expr[, …] [WHERE pred] — extension (the
+        reference has no mutations): the correction/backfill write a
+        long-lived warehouse needs. SQL semantics: rows where pred is
+        TRUE get the new values; FALSE **and NULL** predicate rows are
+        unchanged (CASE WHEN pred THEN new ELSE old END gives exactly
+        that). SET expressions may reference any column and the full
+        dialect function surface.
+
+        Scale posture mirrors DELETE: on a PARTITION BY table whose SET
+        list leaves the partition columns alone, one pruned scan finds
+        the affected partitions and only those subtrees are rewritten
+        via dynamic overwrite. A SET that writes a partition column can
+        MOVE rows between leaves — destination leaves would be blindly
+        replaced by a scoped overwrite — so that case (and flat file
+        tables) takes the whole-table temp-dir swap.
+        """
+        import os
+
+        m = self._UPDATE.match(s)
+        if not m:
+            raise UnsupportedStatement(f"Cannot parse UPDATE: {s[:80]}")
+        name, set_clause, pred = m.groups()
+        db, table = self._qualify(name)
+        tables = self.catalog.db(db)
+        if table not in tables:
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        tdef = tables[table]
+        sets: dict[str, str] = {}
+        for part in self._split_cols(set_clause):
+            eq = part.find("=")
+            if eq < 0:
+                raise UnsupportedStatement(f"Cannot parse SET assignment: {part[:60]}")
+            col_name, expr = part[:eq].strip(), part[eq + 1 :].strip()
+            if col_name not in tdef.schema.names:
+                raise UnknownTable(f"Unknown column in SET: '{col_name}'")
+            sets[col_name] = expr
+        proj = ", ".join(
+            (
+                f"CASE WHEN ({pred}) THEN ({sets[c]}) ELSE {c} END AS {c}"
+                if pred is not None
+                else f"({sets[c]}) AS {c}"
+            )
+            if c in sets
+            else c
+            for c in tdef.schema.names
+        )
+        if tdef.engine == "Memory":
+            tdef.data = self._align_to_schema(
+                self._select(f"SELECT {proj} FROM {name}"), tdef.schema
+            )
+            return None
+        if tdef.engine == "Null":
+            return None
+        if tdef.engine not in ("Parquet", "CSV", "JSONEachRow", "ORC"):
+            raise UnsupportedStatement(f"Cannot UPDATE engine {tdef.engine}")
+        if tdef.location is None or not os.path.isdir(tdef.location):
+            return None  # nothing written yet
+        moves_partitions = any(c in sets for c in tdef.partition_by or ())
+        if tdef.partition_by and pred is not None and not moves_partitions:
+            affected, member = self._affected_partitions(name, tdef, pred)
+            if not affected:
+                return None
+            self._swap_partitions(
+                name, tdef, affected,
+                f"SELECT {proj} FROM {name} WHERE ({member})",
+            )
+            return None
+        self._full_rewrite(tdef, f"SELECT {proj} FROM {name}")
         return None
 
     _OPTIMIZE = re.compile(

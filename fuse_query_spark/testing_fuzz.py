@@ -98,21 +98,27 @@ def run_case(spark, con, seed: int, views_registered: bool = True) -> list[str]:
 # PK). Integer-only outputs keep hashing exact.
 
 _ADV_TEMPLATES = [
-    # running sum over the PK order (rows frame)
+    # running sum in rows-frame order. The synthetic lineitem has
+    # DUPLICATE (l_orderkey, l_linenumber) pairs, so every window /
+    # outer ORDER BY here carries tiebreakers down to a set of columns
+    # whose duplicates make the remaining rows interchangeable —
+    # otherwise LAG/rsum/LIMIT are tie-nondeterministic across engines
+    # (seed 24 caught this in the wild).
     "SELECT l_orderkey, l_linenumber, CAST(SUM(l_partkey % {m}) OVER ("
-    "ORDER BY l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND"
-    " CURRENT ROW) AS BIGINT) AS rsum FROM lineitem WHERE l_orderkey % {mm} = 0"
-    " ORDER BY l_orderkey, l_linenumber LIMIT {lim}",
+    "ORDER BY l_orderkey, l_linenumber, l_partkey ROWS BETWEEN UNBOUNDED"
+    " PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum FROM lineitem"
+    " WHERE l_orderkey % {mm} = 0"
+    " ORDER BY l_orderkey, l_linenumber, rsum LIMIT {lim}",
     # partitioned row_number, filtered outside (top-n per group)
     "SELECT l_returnflag, rn, v FROM (SELECT l_returnflag,"
     " ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey,"
-    " l_linenumber) AS rn, CAST(l_partkey % {m} AS BIGINT) AS v"
+    " l_linenumber, l_partkey) AS rn, CAST(l_partkey % {m} AS BIGINT) AS v"
     " FROM lineitem WHERE l_linenumber <= {ln}) t WHERE rn <= {lim}",
-    # lag with default, PK order
+    # lag with default
     "SELECT l_orderkey, l_linenumber, CAST(COALESCE(LAG(l_suppkey, 1) OVER ("
-    "PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber), -1)"
-    " AS BIGINT) AS prev FROM lineitem WHERE l_linenumber <= {ln}"
-    " ORDER BY l_orderkey, l_linenumber LIMIT {lim}",
+    "PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_suppkey),"
+    " -1) AS BIGINT) AS prev FROM lineitem WHERE l_linenumber <= {ln}"
+    " ORDER BY l_orderkey, l_linenumber, prev LIMIT {lim}",
     # ntile histogram over the PK order
     "SELECT nt, CAST(COUNT(*) AS BIGINT) AS c FROM (SELECT NTILE({nt})"
     " OVER (ORDER BY l_orderkey, l_linenumber) AS nt FROM lineitem"

@@ -1158,6 +1158,61 @@ class TestPartitionedTables:
         assert one(engine.sql("SELECT count(1) FROM delp")) == 5
         engine.sql("DROP TABLE delp")
 
+    def test_update_memory_null_pred_semantics(self, engine):
+        engine.sql("DROP TABLE IF EXISTS updm")
+        engine.sql("CREATE TABLE updm(a bigint, b bigint) ENGINE = Memory")
+        engine.sql("INSERT INTO updm SELECT number, number * 10 FROM numbers(5)")
+        engine.sql("UPDATE updm SET b = b + 1 WHERE a % 2 = 0")
+        assert col(engine.sql("SELECT b FROM updm ORDER BY a")) == [1, 10, 21, 30, 41]
+        # NULL predicate rows are UNCHANGED (CASE WHEN semantics)
+        engine.sql(
+            "UPDATE updm SET b = 0 WHERE a < (CASE WHEN a = 3 THEN NULL ELSE 100 END)"
+        )
+        assert col(engine.sql("SELECT b FROM updm ORDER BY a")) == [0, 0, 0, 30, 0]
+        # multi-assignment; SET expressions see the OLD row values
+        engine.sql("UPDATE updm SET a = a + 100, b = a WHERE a = 4")
+        assert col(engine.sql("SELECT b FROM updm WHERE a = 104")) == [4]
+        engine.sql("DROP TABLE updm")
+
+    def test_update_partition_scoped_rewrite(self, engine, tmp_path):
+        """UPDATE that leaves partition columns alone rewrites only the
+        affected leaves; a SET on a partition column moves rows across
+        leaves via the full-rewrite path."""
+        import glob
+
+        loc = str(tmp_path / "upd_pq")
+        engine.sql("DROP TABLE IF EXISTS updp")
+        engine.sql(
+            f"CREATE TABLE updp(v bigint, day string) ENGINE = Parquet "
+            f"PARTITION BY (day) location = '{loc}'"
+        )
+        engine.sql(
+            "INSERT INTO updp SELECT number, if(number % 2 = 0, 'd1', 'd2') "
+            "FROM numbers(20)"
+        )
+        d2_files_before = sorted(glob.glob(f"{loc}/day=d2/*.parquet"))
+        engine.sql("UPDATE updp SET v = v + 1000 WHERE day = 'd1' AND v < 10")
+        assert one(engine.sql("SELECT count(1) FROM updp WHERE v >= 1000")) == 5
+        assert one(engine.sql("SELECT count(1) FROM updp")) == 20
+        # d2 was not rewritten: same physical files
+        assert sorted(glob.glob(f"{loc}/day=d2/*.parquet")) == d2_files_before
+        # partition-column SET: rows MOVE from d2 into d3; d3 did not
+        # exist, and pre-existing d1 rows must survive the move
+        engine.sql("UPDATE updp SET day = 'd3' WHERE day = 'd2'")
+        assert col(engine.sql("SHOW PARTITIONS updp")) == ["day=d1", "day=d3"]
+        assert one(engine.sql("SELECT count(1) FROM updp WHERE day = 'd3'")) == 10
+        assert one(engine.sql("SELECT count(1) FROM updp")) == 20
+        engine.sql("DROP TABLE updp")
+
+    def test_update_flat_parquet_no_where(self, engine, tmp_path):
+        loc = str(tmp_path / "updf_pq")
+        engine.sql("DROP TABLE IF EXISTS updf")
+        engine.sql(f"CREATE TABLE updf(a bigint) ENGINE = Parquet location = '{loc}'")
+        engine.sql("INSERT INTO updf SELECT number FROM numbers(6)")
+        engine.sql("UPDATE updf SET a = a * 2")
+        assert col(engine.sql("SELECT a FROM updf ORDER BY a")) == [0, 2, 4, 6, 8, 10]
+        engine.sql("DROP TABLE updf")
+
     def test_delete_where_flat_parquet(self, engine, tmp_path):
         loc = str(tmp_path / "delf_pq")
         engine.sql("DROP TABLE IF EXISTS delf")
