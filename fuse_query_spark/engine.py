@@ -394,6 +394,13 @@ class Engine:
             return self._insert(s)
         if up.startswith("ALTER TABLE"):
             return self._alter_table(s)
+        if up.startswith("RENAME TABLE"):
+            m = re.match(r"(?is)^RENAME\s+TABLE\s+([\w.]+)\s+TO\s+([\w.]+)\s*$", s)
+            if not m:
+                raise UnsupportedStatement(f"Cannot parse RENAME TABLE: {s[:60]}")
+            return self._alter_schema(
+                f"ALTER TABLE {m.group(1)} RENAME TO {m.group(2)}"
+            )
         if up.startswith("TRUNCATE "):
             return self._truncate(s)
         if up.startswith("OPTIMIZE "):
@@ -514,7 +521,7 @@ class Engine:
 
         m = self._ALTER_DROP_PARTITION.match(s)
         if not m:
-            raise UnsupportedStatement(f"Unsupported ALTER TABLE: {s[:80]}")
+            return self._alter_schema(s)
         name, spec = m.groups()
         db, table = self._qualify(name)
         tables = self.catalog.db(db)
@@ -529,6 +536,80 @@ class Engine:
             if os.path.isdir(target):
                 shutil.rmtree(target)
         return None
+
+    _ALTER_ADD_COL = re.compile(
+        r"(?is)^ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+"
+        r"(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+?)\s*$"
+    )
+    _ALTER_DROP_COL = re.compile(
+        r"(?is)^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+"
+        r"(IF\s+EXISTS\s+)?(\w+)\s*$"
+    )
+    _ALTER_RENAME = re.compile(
+        r"(?is)^ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$"
+    )
+
+    def _alter_schema(self, s: str):
+        """ALTER TABLE ADD COLUMN / DROP COLUMN / RENAME TO — extension:
+        metadata-only schema evolution. The declared schema is the
+        reader contract (_table_df null-fills declared-but-absent
+        columns and projects away undeclared ones), so ADD/DROP touch
+        ZERO data files — at 100 TB a column add must not rewrite the
+        table. DROP of a re-added name resurfaces old file data, same
+        as any schema-on-read store; partition columns cannot be
+        dropped (they are the directory layout).
+        """
+        m = self._ALTER_ADD_COL.match(s)
+        if m:
+            name, if_not, col_name, col_type = m.groups()
+            tdef = self.resolve_table(name)
+            if col_name in tdef.schema.names:
+                if if_not:
+                    return None
+                raise UnsupportedStatement(f"Column already exists: '{col_name}'")
+            new_field = self._parse_schema(f"{col_name} {col_type}")[0]
+            tdef.schema = StructType(list(tdef.schema.fields) + [new_field])
+            if tdef.engine == "Memory" and tdef.data is not None:
+                tdef.data = self._align_to_schema(tdef.data, tdef.schema)
+            return None
+        m = self._ALTER_DROP_COL.match(s)
+        if m:
+            name, if_exists, col_name = m.groups()
+            tdef = self.resolve_table(name)
+            if col_name not in tdef.schema.names:
+                if if_exists:
+                    return None
+                raise UnsupportedStatement(f"Unknown column: '{col_name}'")
+            if col_name in (tdef.partition_by or ()):
+                raise UnsupportedStatement(
+                    f"Cannot drop partition column '{col_name}'"
+                )
+            if len(tdef.schema.fields) == 1:
+                raise UnsupportedStatement("Cannot drop the only column")
+            tdef.schema = StructType(
+                [f for f in tdef.schema.fields if f.name != col_name]
+            )
+            if tdef.engine == "Memory" and tdef.data is not None:
+                tdef.data = self._align_to_schema(tdef.data, tdef.schema)
+            return None
+        m = self._ALTER_RENAME.match(s)
+        if m:
+            old, new = m.groups()
+            db, table = self._qualify(old)
+            new_db, new_table = self._qualify(new)
+            tables = self.catalog.db(db)
+            if table not in tables:
+                raise UnknownTable(f"Unknown table: '{db}.{table}'")
+            dest = self.catalog.db(new_db)
+            if new_table in dest:
+                raise UnsupportedStatement(
+                    f"Table already exists: '{new_db}.{new_table}'"
+                )
+            tdef = tables.pop(table)
+            tdef.name, tdef.database = new_table, new_db
+            dest[new_table] = tdef
+            return None
+        raise UnsupportedStatement(f"Unsupported ALTER TABLE: {s[:80]}")
 
     _DELETE = re.compile(r"(?is)^DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)$")
 
@@ -1012,40 +1093,42 @@ class Engine:
                 # capability extension past the reference's format set
                 # (CSV/Parquet/JSON/Null/Memory) — ORC is Spark-native
                 df = self.spark.read.orc(tdef.location)
-                if tdef.schema is not None and all(
-                    f.name in df.columns for f in tdef.schema
-                ):
-                    df = df.select(
-                        *[
-                            F.col(f.name).cast(f.dataType).alias(f.name)
-                            for f in tdef.schema
-                        ]
-                    )
+                if tdef.schema is not None:
+                    df = self._align_to_schema(df, tdef.schema)
                 return df
-            df = self._read_parquet(tdef.location, table_name=tdef.name)
+            df = self._read_parquet(
+                tdef.location,
+                table_name=tdef.name,
+                # post-ADD COLUMN, files written before and after the
+                # ALTER disagree on columns; default inference samples
+                # one footer and could drop the new column from the
+                # files that HAVE it. mergeSchema is a footer-only
+                # union (distributed, no data read).
+                merge_schema=tdef.schema is not None,
+            )
             # reader-schema coercion: the CREATE TABLE's declared types
             # win over the file's physical types (e.g. alltypes_plain's
             # un-annotated BYTE_ARRAY reads as BINARY but is declared
             # varchar) — mirrors the reference's make_data_type coercion
-            # (sql_common.rs). Only when every declared column exists;
-            # otherwise fall back to the raw file schema.
-            if tdef.schema is not None and all(
-                f.name in df.columns for f in tdef.schema
-            ):
-                df = df.select(
-                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tdef.schema]
-                )
+            # (sql_common.rs). Declared columns absent from the files
+            # null-fill and extra file columns project away: that is
+            # what makes ALTER TABLE ADD/DROP COLUMN metadata-only
+            # (parquet schema evolution — no rewrite of live data).
+            if tdef.schema is not None:
+                df = self._align_to_schema(df, tdef.schema)
             return df
         raise UnsupportedStatement(f"Unknown engine {tdef.engine}")
 
-    def _read_parquet(self, path: str, table_name: str | None = None) -> DataFrame:
+    def _read_parquet(
+        self, path: str, table_name: str | None = None, merge_schema: bool = False
+    ) -> DataFrame:
         """Parquet read (with NANOS-fallback) plus `ts` normalization,
         applied ONLY to the events table — keying on a column merely
         named 'ts' would silently re-type an unrelated user table's
         NTZ/long column (see sources/tables._normalize_event_ts)."""
         from fuse_query_spark.sources.tables import _normalize_event_ts, read_parquet_maybe_nanos
 
-        df = read_parquet_maybe_nanos(self.spark, path)
+        df = read_parquet_maybe_nanos(self.spark, path, merge_schema=merge_schema)
         if table_name == "events" and "ts" in df.columns:
             df = _normalize_event_ts(df, "ts")
         return df

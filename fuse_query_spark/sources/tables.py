@@ -34,7 +34,9 @@ BROADCAST_TABLES = {"region", "nation"}
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
-def read_parquet_maybe_nanos(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet_maybe_nanos(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Parquet read that tolerates legacy TIMESTAMP(NANOS) columns.
 
     Spark rejects TIMESTAMP(NANOS) parquet columns outright unless
@@ -45,14 +47,21 @@ def read_parquet_maybe_nanos(spark: SparkSession, path: str) -> DataFrame:
     handling of NANOS columns (which are otherwise unreadable) and
     restoring it would race any still-lazy scan planned under it.
     """
+    reader = spark.read
+    if merge_schema:
+        # footer-only union across files: required after ALTER TABLE
+        # ADD COLUMN, where pre-ALTER files lack the new column and
+        # single-footer inference could drop it from the files that
+        # have it
+        reader = reader.option("mergeSchema", "true")
     try:
-        return spark.read.parquet(path)
+        return reader.parquet(path)
     except Exception as e:  # AnalysisException, but match on message
         msg = str(e)
         if "NANOS" not in msg and "nanosAsLong" not in msg:
             raise
         spark.conf.set(_NANOS_CONF, "true")
-        return spark.read.parquet(path)
+        return reader.parquet(path)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1372,3 +1372,81 @@ class TestPartitionedTables:
         with pytest.raises(UnsupportedStatement, match="No such partition"):
             engine.sql("OPTIMIZE TABLE opte PARTITION (day='nope')")
         engine.sql("DROP TABLE opte")
+
+
+class TestSchemaEvolution:
+    """ALTER TABLE ADD/DROP COLUMN + RENAME: metadata-only evolution —
+    the declared schema is the reader contract, data files are never
+    rewritten."""
+
+    def test_add_column_parquet_null_fill_and_merge(self, engine, tmp_path):
+        loc = str(tmp_path / "evo_pq")
+        engine.sql("DROP TABLE IF EXISTS evo")
+        engine.sql(f"CREATE TABLE evo(a bigint) ENGINE = Parquet location = '{loc}'")
+        engine.sql("INSERT INTO evo SELECT number FROM numbers(3)")
+        engine.sql("ALTER TABLE evo ADD COLUMN b string")
+        # pre-ALTER rows read the new column as NULL, no rewrite
+        assert col(engine.sql("SELECT b FROM evo")) == [None, None, None]
+        # post-ALTER inserts carry it; old and new files merge on read
+        engine.sql("INSERT INTO evo VALUES (100, 'x')")
+        rows = engine.sql("SELECT a, b FROM evo ORDER BY a").collect()
+        assert [(r["a"], r["b"]) for r in rows] == [
+            (0, None), (1, None), (2, None), (100, "x"),
+        ]
+        # IF NOT EXISTS is idempotent; a bare duplicate refuses
+        engine.sql("ALTER TABLE evo ADD COLUMN IF NOT EXISTS b string")
+        from fuse_query_spark.errors import UnsupportedStatement
+
+        with pytest.raises(UnsupportedStatement, match="already exists"):
+            engine.sql("ALTER TABLE evo ADD COLUMN b string")
+        engine.sql("DROP TABLE evo")
+
+    def test_drop_column_projects_away(self, engine, tmp_path):
+        loc = str(tmp_path / "evod_pq")
+        engine.sql("DROP TABLE IF EXISTS evod")
+        engine.sql(
+            f"CREATE TABLE evod(a bigint, b string, day string) ENGINE = Parquet "
+            f"PARTITION BY (day) location = '{loc}'"
+        )
+        engine.sql("INSERT INTO evod VALUES (1, 'keep', 'd1'), (2, 'gone', 'd2')")
+        engine.sql("ALTER TABLE evod DROP COLUMN b")
+        assert [f.name for f in engine.resolve_table("evod").schema] == ["a", "day"]
+        rows = engine.sql("SELECT * FROM evod ORDER BY a").collect()
+        assert [tuple(r) for r in rows] == [(1, "d1"), (2, "d2")]
+        from fuse_query_spark.errors import UnsupportedStatement
+
+        with pytest.raises(UnsupportedStatement, match="partition column"):
+            engine.sql("ALTER TABLE evod DROP COLUMN day")
+        with pytest.raises(UnsupportedStatement, match="Unknown column"):
+            engine.sql("ALTER TABLE evod DROP COLUMN nope")
+        engine.sql("ALTER TABLE evod DROP COLUMN IF EXISTS nope")  # no raise
+        engine.sql("DROP TABLE evod")
+
+    def test_add_column_memory_and_update_fill(self, engine):
+        engine.sql("DROP TABLE IF EXISTS evom")
+        engine.sql("CREATE TABLE evom(a bigint) ENGINE = Memory")
+        engine.sql("INSERT INTO evom SELECT number FROM numbers(3)")
+        engine.sql("ALTER TABLE evom ADD COLUMN score double")
+        # backfill the new column through UPDATE
+        engine.sql("UPDATE evom SET score = a * 1.5 WHERE a >= 0")
+        assert col(engine.sql("SELECT score FROM evom ORDER BY a")) == [0.0, 1.5, 3.0]
+        engine.sql("ALTER TABLE evom DROP COLUMN a")
+        assert [f.name for f in engine.resolve_table("evom").schema] == ["score"]
+        engine.sql("DROP TABLE evom")
+
+    def test_rename_table_both_forms(self, engine, tmp_path):
+        loc = str(tmp_path / "ren_pq")
+        engine.sql("DROP TABLE IF EXISTS ren1")
+        engine.sql("DROP TABLE IF EXISTS ren2")
+        engine.sql("DROP TABLE IF EXISTS ren3")
+        engine.sql(f"CREATE TABLE ren1(a bigint) ENGINE = Parquet location = '{loc}'")
+        engine.sql("INSERT INTO ren1 SELECT number FROM numbers(4)")
+        engine.sql("ALTER TABLE ren1 RENAME TO ren2")
+        assert one(engine.sql("SELECT count(1) FROM ren2")) == 4
+        from fuse_query_spark.errors import UnknownTable
+
+        with pytest.raises(UnknownTable):
+            engine.sql("SELECT 1 FROM ren1")
+        engine.sql("RENAME TABLE ren2 TO ren3")
+        assert one(engine.sql("SELECT count(1) FROM ren3")) == 4
+        engine.sql("DROP TABLE ren3")
