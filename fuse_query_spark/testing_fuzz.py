@@ -303,3 +303,121 @@ def run_dialect_case(engine, con, seed: int) -> list[str]:
         if sh != oh:
             problems.append(f"seed {seed}: hash mismatch :: {fuse_sql} :: {duck_sql}")
     return problems
+
+
+# --- r5: DML differential fuzzing ---------------------------------------
+# Random INSERT/UPDATE/DELETE sequences applied VERBATIM to both our
+# engine and DuckDB, with the full table state compared after every
+# mutation. The statements are standard SQL so neither side needs a
+# rewrite — what's under test is mutation semantics (NULL predicates,
+# partition-scoped rewrites, partition moves), not dialect.
+
+_DML_PREDS = [
+    "a % {k} = {c}",
+    "b < {n}",
+    "a + b > {n}",
+    "b IS NULL",
+    "a BETWEEN {lo} AND {hi}",
+    "b % {k} = {c}",  # NULL b → NULL predicate: row kept/unchanged
+]
+
+_DML_SET_EXPRS = [
+    "b + {k}",
+    "a * {k}",
+    "NULL",
+    "CASE WHEN a % 2 = 0 THEN b ELSE a END",
+    "a - b",
+]
+
+
+def gen_dml_ops(seed: int, partitioned: bool) -> list[str]:
+    """Deterministic mutation sequence with `{t}` as the table-name
+    placeholder."""
+    rng = random.Random(40_000 + seed)
+
+    def fill(tmpl: str) -> str:
+        lo = rng.randint(0, 8)
+        return tmpl.format(
+            k=rng.randint(2, 5),
+            c=rng.randint(0, 1),
+            n=rng.randint(2, 40),
+            lo=lo,
+            hi=lo + rng.randint(1, 9),
+        )
+
+    def values(n_rows: int) -> str:
+        tuples = []
+        for _ in range(n_rows):
+            a = rng.randint(0, 30)
+            b = "NULL" if rng.random() < 0.25 else str(rng.randint(-5, 40))
+            if partitioned:
+                tuples.append(f"({a}, {b}, 'd{rng.randint(1, 3)}')")
+            else:
+                tuples.append(f"({a}, {b})")
+        return ", ".join(tuples)
+
+    ops = [f"INSERT INTO {{t}} VALUES {values(rng.randint(4, 8))}"]
+    for _ in range(rng.randint(4, 7)):
+        roll = rng.random()
+        if roll < 0.35:
+            pred = fill(rng.choice(_DML_PREDS))
+            if partitioned and rng.random() < 0.4:
+                pred = f"day = 'd{rng.randint(1, 3)}' AND ({pred})"
+            expr = fill(rng.choice(_DML_SET_EXPRS))
+            if partitioned and rng.random() < 0.25:
+                # partition MOVE: rows change leaves (full-swap path)
+                ops.append(f"UPDATE {{t}} SET day = 'd{rng.randint(1, 4)}' WHERE {pred}")
+            else:
+                ops.append(f"UPDATE {{t}} SET b = {expr} WHERE {pred}")
+        elif roll < 0.65:
+            pred = fill(rng.choice(_DML_PREDS))
+            if partitioned and rng.random() < 0.4:
+                pred = f"day = 'd{rng.randint(1, 3)}' AND ({pred})"
+            ops.append(f"DELETE FROM {{t}} WHERE {pred}")
+        else:
+            ops.append(f"INSERT INTO {{t}} VALUES {values(rng.randint(1, 4))}")
+    return ops
+
+
+def _dml_state(rows) -> list[tuple]:
+    return sorted(
+        (tuple(r) for r in rows),
+        key=lambda r: tuple((x is None, x) for x in r),
+    )
+
+
+def run_dml_case(engine, con, seed: int, parquet_loc: str | None = None) -> list[str]:
+    """Apply one mutation sequence to both engines; compare the full
+    table state after EVERY statement (pinpoints the first divergent
+    op, not just the final state)."""
+    partitioned = parquet_loc is not None
+    t = f"dml_{'pq' if partitioned else 'mem'}_{seed}"
+    engine.sql(f"DROP TABLE IF EXISTS {t}")
+    con.execute(f"DROP TABLE IF EXISTS {t}")
+    if partitioned:
+        engine.sql(
+            f"CREATE TABLE {t}(a bigint, b bigint, day string) ENGINE = Parquet"
+            f" PARTITION BY (day) location = '{parquet_loc}'"
+        )
+        con.execute(f"CREATE TABLE {t}(a BIGINT, b BIGINT, day VARCHAR)")
+    else:
+        engine.sql(f"CREATE TABLE {t}(a bigint, b bigint) ENGINE = Memory")
+        con.execute(f"CREATE TABLE {t}(a BIGINT, b BIGINT)")
+    problems = []
+    try:
+        for i, op in enumerate(gen_dml_ops(seed, partitioned)):
+            stmt = op.format(t=t)
+            engine.sql(stmt)
+            con.execute(stmt)
+            ours = _dml_state(engine.sql(f"SELECT * FROM {t}").collect())
+            theirs = _dml_state(con.execute(f"SELECT * FROM {t}").fetchall())
+            if ours != theirs:
+                problems.append(
+                    f"seed {seed} diverged after op {i}: {stmt} ::"
+                    f" ours={ours[:8]} theirs={theirs[:8]}"
+                )
+                break
+    finally:
+        engine.sql(f"DROP TABLE IF EXISTS {t}")
+        con.execute(f"DROP TABLE IF EXISTS {t}")
+    return problems

@@ -55,3 +55,29 @@ def test_dialect_fuzz_matches_duckdb(dialect_engine, oracle, seed):
 
     problems = run_dialect_case(dialect_engine, oracle, seed)
     assert not problems, problems
+
+
+@pytest.mark.parametrize("seed", list(range(14)))
+def test_dml_fuzz_memory_matches_duckdb(dialect_engine, oracle, seed):
+    """Differential DML fuzzing (Memory engine): identical
+    INSERT/UPDATE/DELETE sequences on both engines, full-state compare
+    after every mutation — NULL-predicate semantics included."""
+    from fuse_query_spark.testing_fuzz import run_dml_case
+
+    problems = run_dml_case(dialect_engine, oracle, seed)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("seed", list(range(4)))
+def test_dml_fuzz_partitioned_parquet_matches_duckdb(
+    dialect_engine, oracle, seed, tmp_path
+):
+    """Same, over a partitioned Parquet table: exercises the
+    partition-scoped rewrite, partition-only predicates, and
+    partition-move updates against DuckDB's plain-table semantics."""
+    from fuse_query_spark.testing_fuzz import run_dml_case
+
+    problems = run_dml_case(
+        dialect_engine, oracle, seed, parquet_loc=str(tmp_path / f"dmlpq{seed}")
+    )
+    assert not problems, problems
