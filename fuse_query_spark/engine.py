@@ -1011,6 +1011,7 @@ class Engine:
             "tracing": lambda: systbl.tracing_table(self.spark, self._trace),
             "metrics": lambda: systbl.metrics_table(self.spark),
             "parts": lambda: systbl.parts_table(self.spark, self.catalog),
+            "columns": lambda: systbl.columns_table(self.spark, self.catalog),
         }
         if name not in factories:
             raise UnknownTable(f"Unknown system table: '{name}'")

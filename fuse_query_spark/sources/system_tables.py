@@ -46,6 +46,36 @@ def tables_table(spark: SparkSession, catalog) -> DataFrame:
     )
 
 
+def columns_table(spark: SparkSession, catalog) -> DataFrame:
+    """system.columns: (database, table, name, type, position,
+    is_partition_key) — extension past the reference's system set
+    (ClickHouse-style), driven by the declared reader schemas so it
+    reflects ALTER TABLE evolution without touching data files."""
+    rows = []
+    for db, tables in catalog.databases.items():
+        for tname, tdef in tables.items():
+            if tdef.schema is None:
+                continue
+            for pos, f in enumerate(tdef.schema.fields):
+                rows.append(
+                    (
+                        db,
+                        tname,
+                        f.name,
+                        f.dataType.simpleString(),
+                        pos,
+                        f.name in (tdef.partition_by or ()),
+                    )
+                )
+    schema = (
+        "database STRING, table STRING, name STRING, type STRING,"
+        " position INT, is_partition_key BOOLEAN"
+    )
+    return spark.createDataFrame(
+        rows or [("", "", "", "", 0, False)], schema
+    ).filter("database != ''")
+
+
 def databases_table(spark: SparkSession, catalog) -> DataFrame:
     """system.databases: (name) — databases_table.rs:21."""
     rows = [(db,) for db in sorted(catalog.databases)] + [("system",)]
@@ -252,4 +282,5 @@ SYSTEM_TABLE_NAMES = (
     "tracing",
     "metrics",
     "parts",
+    "columns",
 )

@@ -1450,3 +1450,25 @@ class TestSchemaEvolution:
         engine.sql("RENAME TABLE ren2 TO ren3")
         assert one(engine.sql("SELECT count(1) FROM ren3")) == 4
         engine.sql("DROP TABLE ren3")
+
+    def test_system_columns_tracks_evolution(self, engine, tmp_path):
+        loc = str(tmp_path / "sysc_pq")
+        engine.sql("DROP TABLE IF EXISTS sysc")
+        engine.sql(
+            f"CREATE TABLE sysc(v bigint, day string) ENGINE = Parquet "
+            f"PARTITION BY (day) location = '{loc}'"
+        )
+        rows = engine.sql(
+            "SELECT name, type, position, is_partition_key FROM system.columns"
+            " WHERE table = 'sysc' ORDER BY position"
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("v", "bigint", 0, False),
+            ("day", "string", 1, True),
+        ]
+        engine.sql("ALTER TABLE sysc ADD COLUMN score double")
+        rows = engine.sql(
+            "SELECT name FROM system.columns WHERE table = 'sysc' ORDER BY position"
+        ).collect()
+        assert [r["name"] for r in rows] == ["v", "day", "score"]
+        engine.sql("DROP TABLE sysc")
