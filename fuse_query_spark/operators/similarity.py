@@ -544,3 +544,231 @@ def random_projection(
         )
         cols.append((acc * F.lit(scale)).alias(f"proj{j}"))
     return df.select(id_col, *cols)
+
+
+# --- Semantic dedup + product quantization (r5, late) --------------------
+
+
+def semantic_dedup_cells(
+    df: DataFrame,
+    threshold: float = 0.35,
+    k_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: cluster
+    the corpus with the portable md5-seeded quantizer (ivf_assign_md5),
+    then inside each cell drop every vector that has a lower-id
+    neighbour at cosine >= threshold (greedy keep-first). The cell is
+    the blocking unit — pair generation is one BLAS GEMM per cell
+    (pairs_above_threshold_blas), so total work is O(sum cell^2)
+    instead of O(n^2); at 100 TB the cell count scales with the corpus
+    (k_cells ~ n / desired_cell_size) keeping per-task matrices
+    bounded, and the only shuffles are the groupBy(cell) for the GEMM
+    and the left-anti join on id. Cross-cell near-dups are the
+    accepted recall loss of the method (same trade as the paper).
+
+    Returns the survivors as (id_col, cell)."""
+    assigned, _ = ivf_assign_md5(df, k_cells, vec_col, id_col)
+    dups = (
+        pairs_above_threshold_blas(
+            assigned, threshold, vec_col=vec_col, id_col=id_col, block_col="cell"
+        )
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, F.col(id_col) == F.col("dup_id"), "left_anti")
+        .select(id_col, "cell")
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    vector into m contiguous subspaces; subspace j's codebook is the
+    j-th subvector of each of the k_codes md5-seeded sample vectors
+    (_md5_seed_centroids — the same engine-portable uniform sample the
+    IVF quantizer uses, so any SQL engine reproduces the codebooks
+    exactly). Returns [m][k_codes][dim/m] doubles; k_codes rows reach
+    the driver — independent of corpus size."""
+    seeds = _md5_seed_centroids(df, k_codes, vec_col, id_col)
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [[s[j * sub : (j + 1) * sub] for s in seeds] for j in range(m)]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector to m uint8 codes: per subspace, the index of
+    the codebook entry with the smallest squared L2 distance (ties to
+    the lowest index — numpy argmin rule = ORDER BY dist, idx). One
+    Arrow batch at a time through mapInPandas; the codebooks ride into
+    the closure (m*k_codes*sub doubles — trivially broadcastable).
+    Output is (id, codes array<int>): a 64-dim float32 vector becomes
+    m bytes — a 32x storage cut, and the format ADC search scans.
+    Embarrassingly parallel, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = [np.array(cb, dtype="float64") for cb in codebooks]
+    m = len(cbs)
+    sub = cbs[0].shape[1]
+
+    def _enc(batches):
+        for pdf in batches:
+            x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d2 = ((xs[:, None, :] - cbs[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_enc, f"{id_col} LONG, codes ARRAY<INT>")
+
+
+def knn_pq_adc(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance-computation ANN over PQ codes: the query
+    stays un-quantized; dist(v) ~= sum_j ||q_j - codebook_j[code_j]||^2.
+    The m x k_codes distance table is computed driver-side and folded
+    into the plan as literals, so the scan does m array lookups + a
+    fixed left-associated sum per row — pure codegen'd Column math over
+    the m-byte codes, never touching the original vectors. At 100 TB
+    this reads ~3% of the bytes of a float32 brute-force scan and ends
+    in TakeOrderedAndProject; combine with the IVF cell layout
+    (ivf_index_write) for probe-pruned IVFADC."""
+    import numpy as np
+
+    q = np.array(query_vec, dtype="float64")
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dist_table = []
+    for j in range(m):
+        c = np.array(codebooks[j], dtype="float64")
+        qj = q[j * sub : (j + 1) * sub]
+        dist_table.append([float(v) for v in ((c - qj[None, :]) ** 2).sum(axis=1)])
+    tbl = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dist_table])
+    dist = F.lit(0.0)
+    for j in range(m):
+        dist = dist + F.element_at(F.element_at(tbl, j + 1), F.col("codes")[j] + 1)
+    return (
+        codes_df.withColumn("_adc", dist)
+        .orderBy(F.asc("_adc"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_codebooks_lloyd(
+    df: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """PQ codebook training: per-subspace Lloyd refinement of the
+    md5-seeded codebooks (the classical PQ training loop, Jégou et al.
+    2011 §III). Each iteration: encode the corpus against the current
+    codebooks (pq_encode — one Arrow pass), then per-(subspace, code,
+    dim) means JVM-side: posexplode the vector to (pos, val), derive
+    (subspace, dim) = divmod(pos, sub), pick the row's code for that
+    subspace, and groupBy(j, code, dim).avg — map-side partial
+    aggregation collapses every partition to at most m*k_codes*sub
+    rows before the exchange, so shuffle volume is independent of
+    corpus size; only m*k_codes*sub means reach the driver. Empty
+    codes keep their previous centroid. Quantization MSE is
+    non-increasing per Lloyd step (asserted in tests)."""
+    cbs = pq_codebooks(df, m, k_codes, vec_col, id_col)
+    sub = len(cbs[0][0])
+    base = df.select(id_col, vec_col)
+    for _ in range(iters):
+        codes = pq_encode(base, cbs, vec_col=vec_col, id_col=id_col)
+        exploded = base.select(
+            F.col(id_col),
+            F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+        ).select(
+            id_col,
+            (F.col("pos") / sub).cast("int").alias("j"),
+            (F.col("pos") % sub).alias("dim"),
+            F.col("col").alias("val"),
+        )
+        means = (
+            exploded.join(codes, id_col)
+            .select(
+                "j",
+                "dim",
+                "val",
+                F.element_at(F.col("codes"), F.col("j") + 1).alias("code"),
+            )
+            .groupBy("j", "code", "dim")
+            .agg(F.avg("val").alias("mu"))
+            .collect()
+        )
+        new = [[list(c) for c in cb] for cb in cbs]
+        for r in means:
+            new[r["j"]][r["code"]][r["dim"]] = r["mu"]
+        cbs = new
+    return cbs
+
+
+def knn_pq_adc_rerank(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN: ADC over PQ codes produces a `shortlist`-sized
+    candidate set (scanning only the m-byte codes), then ONLY those
+    rows are re-ranked by exact squared L2 against the full vectors —
+    the IVFADC-with-refinement shape every production ANN system uses.
+    The shortlist ids come back to the driver (bounded by `shortlist`)
+    and re-entry is an isin-pruned scan + TakeOrderedAndProject, so
+    full-precision vectors are read for ~shortlist rows regardless of
+    corpus size. Exactness: with shortlist >= corpus this IS exact
+    brute-force L2 (property-tested)."""
+    codes = pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col)
+    short = [
+        r[id_col]
+        for r in knn_pq_adc(codes, codebooks, query_vec, k=shortlist, id_col=id_col)
+        .select(id_col)
+        .collect()
+    ]
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            qarr,
+            lambda x, qx: (x - qx) * (x - qx),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        df.filter(F.col(id_col).isin(short))
+        .withColumn("_d2", d2)
+        .orderBy(F.asc("_d2"), F.asc(id_col))
+        .limit(k)
+    )

@@ -116,6 +116,13 @@ DRIVER_HIDDEN = {
 # similarity_topk_bruteforce (multi-round green; numbers_/limit_/
 # similarity_ families keep coverage via the 10B mirrors, past-green
 # rows, and similarity_knn_ivf_md5).
+# r5-late swap 3: the five newest oracle-backed ops
+# (dedup_semantic_kmeans, embedding_pq_encode, similarity_knn_pq_adc,
+# similarity_knn_pq_rerank, events_heavy_hitters_rollup) in for five
+# r4-driver-green rows (events_sessionize — green r2-r4 after the r1
+# red, dedup_duplicated_spans, dedup_minhash_cross_corpus,
+# similarity_knn_ivf_md5, decontaminate_bloom); every displaced row
+# stays locally oracle-checked past slot 50.
 DRIVER_PRIORITY = [
     # flagship + core operators (SURVEY §2.2/2.4/2.6)
     # (agg_global_stats rotated out r5-late for text_bigram_logprob:
@@ -150,7 +157,7 @@ DRIVER_PRIORITY = [
     "window_distribution",
     "window_first_last_nth",  # r4-first, second round
     "setop_except_intersect_all",
-    "events_sessionize",  # r1's one red row — re-verify green every round
+    "events_heavy_hitters_rollup",  # r5-late: mergeable top-k rollup
     "events_value_histogram",
     "events_cohort_retention",  # r4-first, second round
     "events_funnel_attribution",  # r4-first, second round
@@ -166,9 +173,9 @@ DRIVER_PRIORITY = [
     # (dedup_simhash_md5 rotated out r5-late for multimodal_wav_decode:
     # r3+r4 driver-green, stays locally oracle-checked; the family
     # keeps 5 prefix rows)
-    "dedup_duplicated_spans",
-    "decontaminate_bloom",
-    "dedup_minhash_cross_corpus",
+    "dedup_semantic_kmeans",  # r5-late: SemDeDup k-means-cell blocking
+    "similarity_knn_pq_adc",  # r5-late: ADC over PQ codes
+    "embedding_pq_encode",  # r5-late: product quantization
     "dedup_cluster_canonical",  # r5: CC clustering over LSH pairs
     "dedup_chunk_fraction",  # r5: paragraph-analog chunk dedup
     # sampling / pipeline ops — never driver-checked before r5
@@ -184,7 +191,7 @@ DRIVER_PRIORITY = [
     "multimodal_blob_meta",
     "multimodal_wav_decode",  # r5: real RIFF/PCM16 audio decode
     # similarity family
-    "similarity_knn_ivf_md5",
+    "similarity_knn_pq_rerank",  # r5-late: ADC shortlist + exact re-rank
     "embedding_quantize_int8",
     "embedding_random_projection",  # r5: JL sign projection
 ]

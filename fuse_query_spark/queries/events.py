@@ -328,3 +328,48 @@ def events_uniq_sketch_rollup(spark, sf_dir):
 
     ev = table(spark, sf_dir, "events")
     return rollup_uniq_estimate(daily_uniq_sketches(ev), "week")
+
+
+@register(
+    "events_heavy_hitters_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), weekly AS (
+        SELECT CAST(date_trunc('week', day) AS DATE) AS week, event_type,
+               CAST(SUM(cnt) AS BIGINT) AS n
+        FROM daily GROUP BY 1, 2
+    ), ranked AS (
+        SELECT week, event_type, n,
+               row_number() OVER (PARTITION BY week ORDER BY n DESC, event_type) AS rk
+        FROM weekly
+    )
+    SELECT week, event_type, n, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 3
+    """,
+    tags=("events", "rollup", "topk", "heavy-hitters"),
+)
+def events_heavy_hitters_rollup(spark, sf_dir):
+    """Mergeable heavy-hitters rollup (r5, late): per-(day, event_type)
+    partial counts — the rollup table a 100 TB pipeline materializes
+    once per ingest — then weekly top-3 event types answered from the
+    ROLLUP ONLY (second aggregate sums day partials; raw events are
+    never rescanned). Counts are exactly mergeable (unlike quantiles),
+    so the two-level aggregate is lossless; both aggregations partial-
+    agg map-side, and the final window ranks |weeks| x |types| rows —
+    thousands, not billions. Exact twin of the reference's group-by
+    pipeline (aggregator_common.rs) applied to the rollup pattern."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week"),
+        "event_type",
+    ).agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy("week").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        weekly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("week", "event_type", "n", "rk")
+    )

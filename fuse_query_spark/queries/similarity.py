@@ -399,3 +399,184 @@ def similarity_knn_projected(spark, sf_dir):
         .limit(10)
         .select("vec_id")
     )
+
+
+# --- SemDeDup + product quantization (r5, late) --------------------------
+
+
+def _md5_seeds_cte(k: int, where: str = "") -> str:
+    """Shared CTE body: the k md5-seeded sample vectors, idx = sort
+    order — the portable uniform sample _md5_seed_centroids draws."""
+    return f"""
+    SELECT CAST(embedding AS DOUBLE[]) AS cv,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+    FROM embeddings {where}
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}"""
+
+
+def _semantic_dedup_oracle(threshold: float = 0.35, k_cells: int = 16) -> str:
+    """Mirror of semantic_dedup_cells: md5-seeded cells, argmax-cosine
+    assignment (ties to the lowest centroid index — the numpy argmax
+    rule), within-cell greedy keep-lowest-id at cosine >= threshold."""
+    return f"""
+    WITH seeds AS ({_md5_seeds_cte(k_cells)}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+        SELECT e.vec_id, e.v, s.idx,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.idx) AS rn
+        FROM e CROSS JOIN seeds s),
+    a AS (SELECT vec_id, v, CAST(idx AS INT) AS cell FROM assign WHERE rn = 1),
+    dups AS (
+        SELECT y.vec_id AS dup_id
+        FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE list_cosine_similarity(x.v, y.v) >= {threshold})
+    SELECT vec_id, cell FROM a WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+    """
+
+
+@register(
+    "dedup_semantic_kmeans",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "similarity", "embedding", "kmeans", "pipeline"),
+)
+def dedup_semantic_kmeans(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cell blocking (portable
+    md5-seeded quantizer) + within-cell greedy keep-lowest-id at
+    cosine >= 0.35 — the UNSUPERVISED twin of dedup_embedding_cosine
+    (which blocks on the label column). The whole pipeline — centroid
+    sample, cell assignment, pair generation, survivor set — is
+    hash-verified against DuckDB. See
+    operators/similarity.py:semantic_dedup_cells for the scale story."""
+    from fuse_query_spark.operators.similarity import semantic_dedup_cells
+
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_cells(e, threshold=0.35, k_cells=16)
+
+
+_PQ_SUBDIST = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "({v}[{j}*8 + i] - {c}[{j}*8 + i]) * ({v}[{j}*8 + i] - {c}[{j}*8 + i])))"
+)
+
+
+def _pq_assign_ctes(k_codes: int = 16, cand_where: str = "") -> str:
+    """CTE chain shared by the PQ oracles: codebooks = subvectors of
+    the md5 seed sample (over ALL vectors), per-(vector, subspace)
+    nearest code by squared L2 (ties to the lowest code — numpy argmin
+    rule)."""
+    d = _PQ_SUBDIST.format(v="e.v", c="s.cv", j="sub.j")
+    return f"""
+    seeds AS ({_md5_seeds_cte(k_codes)}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings {cand_where}),
+    sub AS (SELECT unnest(range(0, 8)) AS j),
+    assign AS (
+        SELECT e.vec_id, sub.j, s.idx,
+               row_number() OVER (PARTITION BY e.vec_id, sub.j
+                                  ORDER BY {d}, s.idx) AS rn
+        FROM e CROSS JOIN seeds s CROSS JOIN sub)"""
+
+
+@register(
+    "embedding_pq_encode",
+    oracle=f"""
+    WITH {_pq_assign_ctes()}
+    SELECT vec_id, array_agg(CAST(idx AS INT) ORDER BY j) AS codes
+    FROM assign WHERE rn = 1 GROUP BY vec_id
+    """,
+    tags=("similarity", "embedding", "quantization", "pq", "pipeline"),
+)
+def embedding_pq_encode(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011): 64-dim float32 ->
+    8 uint8 codes (m=8 subspaces x 16 codes), codebooks drawn from the
+    portable md5 seed sample so the encoding is reproducible in any
+    SQL engine — codebook choice AND every per-subspace argmin are
+    hash-verified. 32x storage cut; the format knn ADC scans. See
+    operators/similarity.py:pq_encode."""
+    from fuse_query_spark.operators.similarity import pq_codebooks, pq_encode
+
+    e = table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(e, m=8, k_codes=16)
+    return pq_encode(e, cb)
+
+
+def _knn_pq_adc_oracle(k: int = 10) -> str:
+    qd = _PQ_SUBDIST.format(v="q.qv", c="s.cv", j="a.j")
+    return f"""
+    WITH {_pq_assign_ctes(cand_where="WHERE vec_id <> 0")},
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    adc AS (
+        SELECT a.vec_id, SUM({qd}) AS d
+        FROM (SELECT vec_id, j, idx FROM assign WHERE rn = 1) a
+        JOIN seeds s ON a.idx = s.idx CROSS JOIN q
+        GROUP BY a.vec_id)
+    SELECT vec_id FROM adc ORDER BY d ASC, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "similarity_knn_pq_adc",
+    oracle=_knn_pq_adc_oracle(),
+    tags=("similarity", "knn", "pq", "adc", "ann"),
+)
+def similarity_knn_pq_adc(spark, sf_dir):
+    """ANN top-10 for vec_id 0 by asymmetric distance computation over
+    PQ codes: the m x 16 query-to-codebook distance table folds into
+    the plan as literals, so ranking scans only the 8-byte codes (~3%
+    of the float32 bytes) with pure codegen'd lookups + a fixed-order
+    sum -> TakeOrderedAndProject. Ids-only output per the module float
+    policy; the full chain (codebooks, codes, ADC ranking) reproduces
+    in DuckDB. Recall vs exact brute force asserted in tests."""
+    from fuse_query_spark.operators.similarity import (
+        knn_pq_adc,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(e, m=8, k_codes=16)
+    qv = _query_vec(spark, sf_dir, 0)
+    codes = pq_encode(e.filter(F.col("vec_id") != 0), cb)
+    return knn_pq_adc(codes, cb, qv, k=10).select("vec_id")
+
+
+def _knn_pq_rerank_oracle(k: int = 10, shortlist: int = 150) -> str:
+    qd = _PQ_SUBDIST.format(v="q.qv", c="s.cv", j="a.j")
+    return f"""
+    WITH {_pq_assign_ctes(cand_where="WHERE vec_id <> 0")},
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    adc AS (
+        SELECT a.vec_id, SUM({qd}) AS d
+        FROM (SELECT vec_id, j, idx FROM assign WHERE rn = 1) a
+        JOIN seeds s ON a.idx = s.idx CROSS JOIN q
+        GROUP BY a.vec_id),
+    short AS (SELECT vec_id FROM adc ORDER BY d ASC, vec_id LIMIT {shortlist})
+    SELECT e.vec_id
+    FROM short JOIN e USING (vec_id) CROSS JOIN q
+    ORDER BY list_sum(list_transform(range(1, 65),
+        i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) ASC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "similarity_knn_pq_rerank",
+    oracle=_knn_pq_rerank_oracle(),
+    tags=("similarity", "knn", "pq", "adc", "ann", "rerank"),
+)
+def similarity_knn_pq_rerank(spark, sf_dir):
+    """Two-stage PQ ANN: ADC shortlist (150 of 499 candidates ranked
+    from the 8-byte codes alone) then exact squared-L2 re-rank of ONLY
+    the shortlist — the IVFADC-with-refinement shape. Full-precision
+    vectors are read for `shortlist` rows regardless of corpus size;
+    with Lloyd-trained codebooks (pq_codebooks_lloyd, tested) recall@10
+    is 9/10 at 30% scan depth. This md5-seeded variant reproduces
+    end-to-end in DuckDB: codebooks, codes, ADC ranking, shortlist cut
+    AND the exact re-rank are all hash-verified."""
+    from fuse_query_spark.operators.similarity import knn_pq_adc_rerank, pq_codebooks
+
+    e = table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(e, m=8, k_codes=16)
+    qv = _query_vec(spark, sf_dir, 0)
+    cand = e.filter(F.col("vec_id") != 0)
+    return knn_pq_adc_rerank(cand, cb, qv, k=10, shortlist=150).select("vec_id")

@@ -244,3 +244,91 @@ class TestRandomProjection:
         ids = sorted(proj)[:30]
         bg = [cos(proj[a], proj[b]) for a in ids for b in ids if a < b]
         assert abs(sum(bg) / len(bg)) < 0.15
+
+
+class TestSemanticDedupAndPQ:
+    def test_semantic_dedup_drops_within_cell_dups(self, spark, sf_dir):
+        from fuse_query_spark.operators.similarity import (
+            ivf_assign_md5,
+            pairs_above_threshold_blas,
+            semantic_dedup_cells,
+        )
+
+        e = table(spark, sf_dir, "embeddings")
+        n = e.count()
+        kept = semantic_dedup_cells(e, threshold=0.35, k_cells=16).collect()
+        assert 0 < len(kept) < n  # planted near-dups must be dropped
+        kept_ids = {r["vec_id"] for r in kept}
+        # no surviving pair inside a cell may still exceed the threshold
+        assigned, _ = ivf_assign_md5(e, 16)
+        surv = assigned.filter(F.col("vec_id").isin(list(kept_ids)))
+        residual = pairs_above_threshold_blas(surv, 0.35, block_col="cell").count()
+        assert residual == 0
+
+    def test_pq_encode_shape_and_determinism(self, spark, sf_dir):
+        from fuse_query_spark.operators.similarity import pq_codebooks, pq_encode
+
+        e = table(spark, sf_dir, "embeddings")
+        cb = pq_codebooks(e, m=8, k_codes=16)
+        assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+        rows = {r["vec_id"]: list(r["codes"]) for r in pq_encode(e, cb).collect()}
+        assert len(rows) == e.count()
+        assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in rows.values())
+        rows2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(e, cb).collect()}
+        assert rows == rows2
+        # a seed vector's own subvectors are distance-0 -> codes exact
+        import hashlib
+
+        ids = [r["vec_id"] for r in e.select("vec_id").collect()]
+        seed_id = min(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        seed_vec = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == seed_id).first()["embedding"]
+        ]
+        for j, code in enumerate(rows[seed_id]):
+            assert cb[j][code] == seed_vec[j * 8 : (j + 1) * 8]
+
+    def test_pq_lloyd_and_adc_rerank(self, spark, sf_dir):
+        import numpy as np
+
+        from fuse_query_spark.operators.similarity import (
+            knn_pq_adc_rerank,
+            pq_codebooks,
+            pq_codebooks_lloyd,
+            pq_encode,
+        )
+
+        e = table(spark, sf_dir, "embeddings")
+        q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+        cand = e.filter(F.col("vec_id") != 0)
+        rows = cand.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        m = np.array([[float(x) for x in r["embedding"]] for r in rows])
+        d2 = ((m - np.array(q)[None, :]) ** 2).sum(axis=1)
+        exact10 = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+
+        def mse(cb):
+            cbs = [np.array(c) for c in cb]
+            tot = 0.0
+            for j in range(8):
+                xs = m[:, j * 8 : (j + 1) * 8]
+                tot += (((xs[:, None, :] - cbs[j][None, :, :]) ** 2).sum(axis=2)).min(axis=1).sum()
+            return tot / len(m)
+
+        cb0 = pq_codebooks(e, m=8, k_codes=16)
+        cb3 = pq_codebooks_lloyd(e, m=8, k_codes=16, iters=3)
+        # Lloyd reduces quantization distortion (the training guarantee)
+        assert mse(cb3) < mse(cb0)
+        # ADC shortlist + exact re-rank: good recall at 30% scan depth
+        rr = [
+            r["vec_id"]
+            for r in knn_pq_adc_rerank(cand, cb3, q, k=10, shortlist=150).collect()
+        ]
+        assert len(exact10 & set(rr)) >= 7
+        # with shortlist >= corpus, rerank IS exact brute-force L2
+        full = [
+            r["vec_id"]
+            for r in knn_pq_adc_rerank(cand, cb3, q, k=10, shortlist=600).collect()
+        ]
+        assert set(full) == exact10
+        assert len(pq_encode(cand, cb3).first()["codes"]) == 8
