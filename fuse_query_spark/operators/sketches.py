@@ -66,3 +66,58 @@ def global_uniq_estimate(sketches: DataFrame) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("uniq_estimate"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+# --- Frequent-items (heavy hitters) sketches (r5, late) ------------------
+
+
+def daily_topk_sketches(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    max_items_tracked: int = 10_000,
+) -> DataFrame:
+    """Mergeable heavy-hitters rollup build: one approx_top_k sketch
+    (Spark 4 native, DataSketches frequent-items) of `key_col` per
+    day. Same shape as daily_uniq_sketches — one map-side-combinable
+    aggregate, fixed-size binary state per day — but answering "top
+    keys by count" instead of "distinct keys". The EXACT twin
+    (events_heavy_hitters_rollup) keys the rollup on (day, key) and is
+    lossless; this sketch form is for key cardinalities where even the
+    (day, key) rollup is too wide to store — state is bounded by
+    max_items_tracked regardless of distinct keys."""
+    return events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.expr(
+            f"approx_top_k_accumulate({key_col}, {max_items_tracked})"
+        ).alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def rollup_topk_estimate(
+    sketches: DataFrame,
+    k: int = 3,
+    grain: str = "week",
+) -> DataFrame:
+    """Top-k per coarser grain from the rollup alone: combine the
+    per-day sketches, estimate, explode to (bucket, item, count) rows.
+    Input is |days| rows; raw events are never rescanned."""
+    bucket = F.date_trunc(grain, F.col("day")).cast("date").alias("bucket")
+    combined = sketches.groupBy(bucket).agg(
+        F.expr("approx_top_k_combine(sketch)").alias("csk"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return (
+        combined.select(
+            "bucket",
+            "n_events",
+            F.explode(F.expr(f"approx_top_k_estimate(csk, {k})")).alias("e"),
+        )
+        .select(
+            "bucket",
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("cnt"),
+            "n_events",
+        )
+        .orderBy("bucket", F.desc("cnt"), "item")
+    )

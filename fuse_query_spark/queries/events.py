@@ -373,3 +373,27 @@ def events_heavy_hitters_rollup(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("week", "event_type", "n", "rk")
     )
+
+
+@register(
+    "events_topk_sketch_rollup",
+    oracle=None,  # sketch binary layout is implementation-specific;
+    # in the low-cardinality regime the counts are EXACT and equality
+    # with the exact rollup is pinned in tests/test_sketches.py.
+    tags=("events", "sketch", "topk", "heavy-hitters", "rollup"),
+)
+def events_topk_sketch_rollup(spark, sf_dir):
+    """Mergeable frequent-items rollup (r5, late): per-day
+    approx_top_k sketches (Spark 4 native DataSketches) merged to
+    weekly top-3 — the bounded-state twin of
+    events_heavy_hitters_rollup for key cardinalities where even the
+    (day, key) exact rollup is too wide. State per day is fixed by
+    max_items_tracked, never by distinct keys. See
+    operators/sketches.py."""
+    from fuse_query_spark.operators.sketches import (
+        daily_topk_sketches,
+        rollup_topk_estimate,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return rollup_topk_estimate(daily_topk_sketches(ev), k=3, grain="week")

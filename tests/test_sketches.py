@@ -89,3 +89,70 @@ def test_weekly_estimates_bounded_by_daily_sum(spark, sf_dir):
         assert weekly[wk] <= sum(ests) * 1.03
         assert weekly[wk] >= max(ests) * 0.97
     sk.unpersist()
+
+
+class TestTopKSketch:
+    def test_topk_sketch_exact_at_low_cardinality(self, spark, sf_dir):
+        """event_type cardinality << max_items_tracked, so the
+        frequent-items sketch degenerates to exact counts: every
+        (week, item) count from the rollup must equal the true count,
+        and the top-3 count multiset must match the exact rollup's."""
+        from fuse_query_spark.operators.sketches import (
+            daily_topk_sketches,
+            rollup_topk_estimate,
+        )
+
+        ev = table(spark, sf_dir, "events")
+        est = rollup_topk_estimate(daily_topk_sketches(ev), k=3, grain="week").collect()
+        exact = {
+            (r["week"], r["event_type"]): r["n"]
+            for r in ev.groupBy(
+                F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert est, "rollup must produce rows"
+        for r in est:
+            assert exact[(r["bucket"], r["item"])] == r["cnt"]
+        import collections
+
+        top3 = collections.defaultdict(list)
+        for (wk, _), n in exact.items():
+            top3[wk].append(n)
+        for wk in top3:
+            top3[wk] = sorted(top3[wk], reverse=True)[:3]
+        got = collections.defaultdict(list)
+        for r in est:
+            got[r["bucket"]].append(r["cnt"])
+        for wk, cnts in got.items():
+            assert sorted(cnts, reverse=True) == top3[wk]
+
+    def test_topk_merge_consistency(self, spark, sf_dir):
+        """Combining daily sketches must equal sketching the whole
+        range directly (exact regime ⇒ strict equality)."""
+        from fuse_query_spark.operators.sketches import (
+            daily_topk_sketches,
+            rollup_topk_estimate,
+        )
+
+        ev = table(spark, sf_dir, "events")
+        merged = {
+            (r["bucket"], r["item"]): r["cnt"]
+            for r in rollup_topk_estimate(
+                daily_topk_sketches(ev), k=5, grain="year"
+            ).collect()
+        }
+        direct = {
+            (r["bucket"], r["item"]): r["cnt"]
+            for r in rollup_topk_estimate(
+                ev.groupBy(F.to_date("ts").alias("day")).agg(
+                    F.expr("approx_top_k_accumulate(event_type, 10000)").alias("sketch"),
+                    F.count(F.lit(1)).alias("n_events"),
+                ),
+                k=5,
+                grain="year",
+            ).collect()
+        }
+        assert merged == direct and merged

@@ -267,3 +267,48 @@ def test_streaming_curation_quality_filter(spark, documents_dir):
     batch = curate_documents(spark.read.parquet(documents_dir), min_quality=cutoff)
     assert got.count() == batch.count()
     assert 0 < got.count() < full.count()
+
+
+def test_streaming_ann_index_ingest(spark, sf_dir, tmp_path):
+    """Freshness: vectors streamed into the IVF index after the batch
+    build are found by search without a rebuild; ingest is exactly-once
+    on checkpointed replay; probed search still partition-prunes."""
+    from fuse_query_spark.operators.similarity import ivf_index_write
+    from fuse_query_spark.streaming.ann_index import (
+        index_vectors_fresh,
+        ingest_into_index,
+        ivf_index_search_fresh,
+        read_embeddings_stream,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    late = e.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_index")
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "ckpt")
+
+    centroids = ivf_index_write(base, idx, k_cells=8, iters=1)
+    n_base = spark.read.parquet(f"{idx}/vectors").count()
+    late.repartition(2).write.parquet(src)
+
+    q = ingest_into_index(read_embeddings_stream(spark, src), centroids, idx, ckpt)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert index_vectors_fresh(spark, idx).count() == n_base + late.count()
+
+    # a streamed vector is now its own nearest neighbour in the index
+    probe_id = late.select("vec_id").orderBy("vec_id").first()["vec_id"]
+    qv = [float(x) for x in late.filter(F.col("vec_id") == probe_id).first()["embedding"]]
+    hits = ivf_index_search_fresh(spark, idx, qv, k=3, n_probe=3).collect()
+    assert hits[0]["vec_id"] == probe_id
+
+    # exactly-once: same checkpoint, no new source files -> no growth
+    q2 = ingest_into_index(read_embeddings_stream(spark, src), centroids, idx, ckpt)
+    q2.awaitTermination(120)
+    assert index_vectors_fresh(spark, idx).count() == n_base + late.count()
+
+    # probe-pruned scan: both zones prune on the cell predicate
+    pruned = index_vectors_fresh(spark, idx).filter(F.col("cell").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -74,6 +74,61 @@ def replicated(docs, r: int):
     return out
 
 
+def replicated_emb(emb, r: int):
+    """R disjoint copies of the embeddings corpus: vec_id shifted and
+    each copy's vectors multiplied by a deterministic per-copy ±1 sign
+    pattern (md5 parity per (copy, dim)). Sign flips are an orthogonal
+    transform, so cosine structure WITHIN a copy is preserved exactly,
+    while cross-copy pairs decorrelate — the embedding analog of the
+    per-copy-salted vocabulary above."""
+    import hashlib
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    copies = []
+    for i in range(r):
+        signs = [
+            1.0 if int(hashlib.md5(f"{i}_{d}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+            for d in range(dim)
+        ]
+        sarr = F.array(*[F.lit(s) for s in signs])
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                F.zip_with(F.col("embedding"), sarr, lambda x, s: x * s).alias(
+                    "embedding"
+                ),
+                "label",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def probe_emb_ops(spark, emb, r: int):
+    """Embedding-pipeline cells. semantic_dedup scales k_cells ∝ R —
+    the operator's documented lever: per-cell size (and so per-cell
+    GEMM work) stays constant, total work O(n²/k) stays linear. At
+    fixed k_cells the op is quadratic BY DESIGN (cells grow with the
+    corpus); probing the scaled form verifies the lever works."""
+    from fuse_query_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        semantic_dedup_cells,
+    )
+
+    return {
+        "semantic_dedup": lambda: semantic_dedup_cells(
+            emb, threshold=0.35, k_cells=16 * r
+        ),
+        "pq_encode": lambda: pq_encode(emb, pq_codebooks(emb, m=8, k_codes=16)),
+    }
+
+
+EMB_OPS = ("semantic_dedup", "pq_encode")
+
+
 def probe_ops(spark, docs):
     from fuse_query_spark.operators.dedup import (
         dedup_exact,
@@ -138,6 +193,21 @@ def measure_cell(spark, base, name: str, r: int) -> dict:
     """One (op, R) measurement in the CURRENT session: warm the op at
     R=1 (codegen compile), materialize the R-corpus (cost floor), gc +
     reset heap peaks, run, report wall + peak-heap delta."""
+    if name in EMB_OPS:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        emb_base = table(spark, sf_dir, "embeddings")
+        probe_emb_ops(spark, replicated_emb(emb_base, 1), 1)[name]().write.format(
+            "noop"
+        ).mode("overwrite").save()
+        emb = replicated_emb(emb_base, r)
+        emb.write.format("noop").mode("overwrite").save()
+        baseline = _reset_peaks(spark)
+        build = probe_emb_ops(spark, emb, r)[name]
+        t0 = time.monotonic()
+        build().write.format("noop").mode("overwrite").save()
+        dt = round(time.monotonic() - t0, 3)
+        peak_delta = round(_peak_heap_mb(spark) - baseline, 1)
+        return {"op": name, "replication": r, "sec": dt, "peak_heap_delta_mb": peak_delta}
     warm = replicated(base, 1)
     probe_ops(spark, warm)[name]().write.format("noop").mode("overwrite").save()
     docs = replicated(base, r)
@@ -208,6 +278,8 @@ def main():
             "chunk_dup_fraction",
             "cluster_canonical",
             "bigram_logprob",
+            "semantic_dedup",
+            "pq_encode",
         ]
         if only:
             ops = [o for o in ops if o in only]
