@@ -122,3 +122,40 @@ def ivf_index_search_fresh(
         F.col("cell").isin(probe_cells)
     )
     return brute_force_topk(vectors, query_vec, vec_col=vec_col, id_col=id_col, k=k)
+
+
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    k_cells: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """The periodic batch pass that folds the streamed delta into the
+    base and RE-TRAINS the quantizer on the union (centroid drift is
+    the cost of frozen-codebook ingest; this is where it's paid down).
+    Staging discipline: the new index is built into `<path>.staging/`
+    first and swapped in with directory renames, so a concurrent
+    reader never sees a half-built index; the delta zone and the
+    ingest checkpoint must be retired TOGETHER (a replayed micro-batch
+    against a compacted index would double-ingest), which is why this
+    returns only after both are moved aside. Single-writer assumption:
+    stop the ingest query before compacting — same contract as every
+    LSM compactor."""
+    import shutil
+
+    from fuse_query_spark.operators.similarity import ivf_index_write
+
+    union = index_vectors_fresh(spark, index_path).drop("cell")
+    staging = f"{index_path}.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    centroids = ivf_index_write(
+        union, staging, k_cells=k_cells, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    retired = f"{index_path}.retired"
+    shutil.rmtree(retired, ignore_errors=True)
+    shutil.move(index_path, retired)
+    shutil.move(staging, index_path)
+    shutil.rmtree(retired, ignore_errors=True)
+    return centroids

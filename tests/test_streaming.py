@@ -312,3 +312,42 @@ def test_streaming_ann_index_ingest(spark, sf_dir, tmp_path):
     pruned = index_vectors_fresh(spark, idx).filter(F.col("cell").isin([0, 1]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_ann_index_compaction_folds_delta(spark, sf_dir, tmp_path):
+    """compact_index: base+delta become one re-trained base; the delta
+    zone is gone; search results survive the swap."""
+    from fuse_query_spark.operators.similarity import ivf_index_write
+    from fuse_query_spark.streaming.ann_index import (
+        compact_index,
+        index_vectors_fresh,
+        ingest_into_index,
+        ivf_index_search_fresh,
+        read_embeddings_stream,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    late = e.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_index")
+    src = str(tmp_path / "late_src")
+
+    centroids = ivf_index_write(base, idx, k_cells=8, iters=1)
+    late.write.parquet(src)
+    q = ingest_into_index(
+        read_embeddings_stream(spark, src), centroids, idx, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    total = e.count()
+    assert index_vectors_fresh(spark, idx).count() == total
+
+    compact_index(spark, idx, k_cells=8, iters=1)
+    import os
+
+    assert not os.path.exists(f"{idx}/vectors_delta")
+    assert spark.read.parquet(f"{idx}/vectors").count() == total
+    # search still finds a formerly-delta vector post-swap
+    probe_id = late.select("vec_id").orderBy("vec_id").first()["vec_id"]
+    qv = [float(x) for x in late.filter(F.col("vec_id") == probe_id).first()["embedding"]]
+    hits = ivf_index_search_fresh(spark, idx, qv, k=3, n_probe=4).collect()
+    assert hits[0]["vec_id"] == probe_id
