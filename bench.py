@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     "sample_split_leakage_safe",
     "corpus_vocab_stats",
     "multimodal_wav_decode",
+    # r5-late additions: SemDeDup / PQ / rollups
+    "dedup_semantic_kmeans",
+    "embedding_pq_encode",
+    "similarity_knn_pq_rerank",
+    "events_heavy_hitters_rollup",
+    "events_topk_sketch_rollup",
 ]
 
 
