@@ -122,6 +122,11 @@ class Engine:
         import collections
 
         self._trace: collections.deque = collections.deque(maxlen=512)
+        # structured completed-statement history backing
+        # system.query_log (extension past the reference's system set —
+        # ClickHouse-style; the tracing buffer keeps the reference's
+        # bunyan-line parity, this one keeps typed fields)
+        self._query_log: collections.deque = collections.deque(maxlen=4096)
         # cluster-membership metadata (clusters/cluster.rs:23-27),
         # mutated by the HTTP API and read by system.clusters; lives
         # in core so the engine never imports the servers layer
@@ -314,6 +319,7 @@ class Engine:
         sample line's bunyan numbering (20=debug, 50=error)."""
         from datetime import datetime, timezone
 
+        now = datetime.now(timezone.utc).isoformat()
         self._trace.append(
             {
                 "v": 0,
@@ -322,7 +328,16 @@ class Engine:
                 "level": 50 if state == "Error" else 20,
                 "hostname": "localhost",
                 "pid": int(pid),
-                "time": datetime.now(timezone.utc).isoformat(),
+                "time": now,
+            }
+        )
+        self._query_log.append(
+            {
+                "query_id": int(pid),
+                "query": query,
+                "state": state,
+                "duration_ms": round(dur_s * 1000, 3),
+                "event_time": now,
             }
         )
 
@@ -1012,6 +1027,7 @@ class Engine:
             "metrics": lambda: systbl.metrics_table(self.spark),
             "parts": lambda: systbl.parts_table(self.spark, self.catalog),
             "columns": lambda: systbl.columns_table(self.spark, self.catalog),
+            "query_log": lambda: systbl.query_log_table(self.spark, self._query_log),
         }
         if name not in factories:
             raise UnknownTable(f"Unknown system table: '{name}'")

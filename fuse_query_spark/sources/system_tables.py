@@ -76,6 +76,24 @@ def columns_table(spark: SparkSession, catalog) -> DataFrame:
     ).filter("database != ''")
 
 
+_QUERY_LOG_SCHEMA = (
+    "query_id LONG, query STRING, state STRING, duration_ms DOUBLE,"
+    " event_time STRING"
+)
+
+
+def query_log_table(spark: SparkSession, records=None) -> DataFrame:
+    """system.query_log: typed completed-statement history (query_id,
+    query, state, duration_ms, event_time) — ClickHouse-style extension
+    past the reference's system set; same ring-buffer discipline as
+    system.tracing (engine.py Engine._trace_record appends both)."""
+    rows = [
+        (r["query_id"], r["query"], r["state"], r["duration_ms"], r["event_time"])
+        for r in list(records or [])
+    ]
+    return spark.createDataFrame(rows, _QUERY_LOG_SCHEMA)
+
+
 def databases_table(spark: SparkSession, catalog) -> DataFrame:
     """system.databases: (name) — databases_table.rs:21."""
     rows = [(db,) for db in sorted(catalog.databases)] + [("system",)]
@@ -283,4 +301,5 @@ SYSTEM_TABLE_NAMES = (
     "metrics",
     "parts",
     "columns",
+    "query_log",
 )

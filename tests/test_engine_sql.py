@@ -1472,3 +1472,26 @@ class TestSchemaEvolution:
         ).collect()
         assert [r["name"] for r in rows] == ["v", "day", "score"]
         engine.sql("DROP TABLE sysc")
+
+
+class TestQueryLog:
+    def test_query_log_records_success_and_error(self, engine):
+        engine.sql("SELECT 1")
+        try:
+            engine.sql("SELECT * FROM no_such_table_qlog")
+        except Exception:
+            pass
+        rows = engine.sql(
+            "SELECT query, state, duration_ms FROM system.query_log"
+        ).collect()
+        assert any(r["query"] == "SELECT 1" and r["state"] == "Finished" for r in rows)
+        err = [r for r in rows if "no_such_table_qlog" in r["query"]]
+        assert err and err[-1]["state"] == "Error"
+        assert all(r["duration_ms"] >= 0 for r in rows)
+
+    def test_query_log_queryable_with_aggregates(self, engine):
+        engine.sql("SELECT 42")
+        n = engine.sql(
+            "SELECT count(1) AS n FROM system.query_log WHERE state = 'Finished'"
+        ).collect()[0]["n"]
+        assert n >= 1
