@@ -123,6 +123,9 @@ DRIVER_HIDDEN = {
 # red, dedup_duplicated_spans, dedup_minhash_cross_corpus,
 # similarity_knn_ivf_md5, decontaminate_bloom); every displaced row
 # stays locally oracle-checked past slot 50.
+# r5-late swap 4: multimodal_png_decode (real stdlib-zlib PNG decode,
+# closed-form pixel-sum oracle) in for text_repetition_metrics (r4
+# driver-green; the text family keeps 5 prefix rows).
 DRIVER_PRIORITY = [
     # flagship + core operators (SURVEY §2.2/2.4/2.6)
     # (agg_global_stats rotated out r5-late for text_bigram_logprob:
@@ -162,7 +165,7 @@ DRIVER_PRIORITY = [
     "events_cohort_retention",  # r4-first, second round
     "events_funnel_attribution",  # r4-first, second round
     # text analysis
-    "text_repetition_metrics",
+    "multimodal_png_decode",  # r5-late: real zlib PNG decode, closed-form oracle
     "text_pii_redact",  # r5: PII scrub stage
     "text_unigram_logprob",  # r5: CCNet-style unigram-LM quality
     "text_tfidf_keywords",  # r5: tf-idf keyword extraction

@@ -103,3 +103,36 @@ def multimodal_wav_decode(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return decode_audio_meta(synthesize_wav_blobs(docs))
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 9 AS INT) AS width,
+           CAST(4 + doc_id % 7 AS INT) AS height,
+           CAST(list_sum(list_transform(
+               range(0, 3 * (4 + doc_id % 9) * (4 + doc_id % 7)),
+               i -> (doc_id + i) % 256)) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal", "decode", "png"),
+)
+def multimodal_png_decode(spark, sf_dir):
+    """REAL PNG pixel decode end-to-end (r5 late): synthesize valid
+    8-bit RGB PNGs (pixel byte i = (doc_id+i)%256, scanline filters
+    cycling None/Sub/Up/Average/Paeth by row), decode them with the
+    stdlib-zlib decoder (chunk CRC verify + inflate + unfilter —
+    operators/multimodal.py _png_pixels), and hash-verify dims + the
+    sum over every decoded byte against DuckDB's closed form. One
+    wrong byte anywhere in the chunk walk, inflate, or any of the five
+    filter reversals moves pixel_sum. This closes the PNG half of the
+    former compressed-codec boundary; JPEG/GIF entropy coding remains
+    the library line."""
+    from fuse_query_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_png_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_pixel_stats(synthesize_png_blobs(docs))

@@ -246,7 +246,112 @@ def test_bmp_truncated_and_unsupported_raise(spark):
     )
     with pytest.raises(Exception, match="truncated"):
         decode_image_pixels(df_trunc).collect()
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"\x00\x00\x00\x10\x00\x00\x00\x10"
-    df_png = spark.createDataFrame([(2, png)], "doc_id LONG, content BINARY")
+    # GIF stays behind the library boundary (LZW entropy coding)
+    gif = b"GIF89a" + b"\x10\x00\x10\x00" + b"\x00" * 20
+    df_gif = spark.createDataFrame([(2, gif)], "doc_id LONG, content BINARY")
     with pytest.raises(Exception, match="image library"):
+        decode_image_pixels(df_gif).collect()
+    # a PNG-magic prefix with garbage chunks now reaches the REAL
+    # decoder and must fail structurally, not be misread as pixels
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + b"\x00\x00\x00\x10\x00\x00\x00\x10"
+    df_png = spark.createDataFrame([(3, png)], "doc_id LONG, content BINARY")
+    with pytest.raises(Exception, match="CRC|truncated|missing"):
         decode_image_pixels(df_png).collect()
+
+
+class TestPngDecode:
+    def test_roundtrip_all_filter_types(self):
+        from fuse_query_spark.operators.multimodal import _png_bytes, _png_pixels
+
+        # h = 4 + id%7 = 9 -> rows exercise filters 0,1,2,3,4 (cycling)
+        for doc_id in (5, 33, 1234):
+            w, h, px = _png_pixels(_png_bytes(doc_id))
+            assert (w, h) == (4 + doc_id % 9, 4 + doc_id % 7)
+            assert px == bytes((doc_id + i) % 256 for i in range(3 * w * h))
+
+    def test_crc_corruption_and_truncation_raise(self):
+        import pytest as _pytest
+
+        from fuse_query_spark.operators.multimodal import _png_bytes, _png_pixels
+
+        good = _png_bytes(7)
+        bad = bytearray(good)
+        bad[40] ^= 0xFF  # flip a byte inside IDAT
+        with _pytest.raises(ValueError, match="CRC"):
+            _png_pixels(bytes(bad))
+        with _pytest.raises(ValueError):
+            _png_pixels(good[:-8])
+
+    def test_rgba_decodes_and_drops_alpha(self):
+        import struct as _struct
+        import zlib
+
+        from fuse_query_spark.operators.multimodal import _png_pixels
+
+        w = h = 2
+        rgba = bytes(range(4 * w * h))  # 0..15
+        stream = bytearray()
+        prev = bytes(4 * w)
+        for y in range(h):  # filter 2 (Up) everywhere
+            row = rgba[y * 4 * w : (y + 1) * 4 * w]
+            stream.append(2)
+            stream += bytes((row[i] - prev[i]) & 0xFF for i in range(4 * w))
+            prev = row
+
+        def chunk(t, b):
+            return (
+                _struct.pack(">I", len(b))
+                + t
+                + b
+                + _struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b"")
+        )
+        dw, dh, px = _png_pixels(png)
+        assert (dw, dh) == (w, h)
+        want = bytes(v for i, v in enumerate(rgba) if i % 4 != 3)
+        assert px == want
+
+    def test_unsupported_depth_raises_not_implemented(self):
+        import struct as _struct
+        import zlib
+
+        import pytest as _pytest
+
+        from fuse_query_spark.operators.multimodal import _png_pixels
+
+        def chunk(t, b):
+            return (
+                _struct.pack(">I", len(b))
+                + t
+                + b
+                + _struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        png16 = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
+            + chunk(b"IEND", b"")
+        )
+        with _pytest.raises(Exception, match="8-bit truecolor"):
+            _png_pixels(png16)
+
+    def test_distributed_png_pixel_stats(self, spark, sf_dir):
+        from fuse_query_spark.operators.multimodal import (
+            image_pixel_stats,
+            synthesize_png_blobs,
+        )
+
+        docs = table(spark, sf_dir, "documents").limit(20)
+        rows = image_pixel_stats(synthesize_png_blobs(docs)).collect()
+        assert len(rows) == 20
+        for r in rows:
+            d = r["doc_id"]
+            n = 3 * (4 + d % 9) * (4 + d % 7)
+            assert r["pixel_sum"] == sum((d + i) % 256 for i in range(n))
