@@ -6,13 +6,15 @@ formats whose headers are pure struct/ascii parsing (PPM P6, PNG,
 GIF87a/89a, BMP) — no image library needed; unrecognized bytes fall
 back to deterministic byte-derived pseudo-metadata (format
 'fake/binary'), which is also what the text-derived test blobs hit.
-Pixel decode is REAL for PPM (raw RGB), uncompressed 24-bit BMP, and
+Pixel decode is REAL for PPM (raw RGB), uncompressed 24-bit BMP,
 8-bit truecolor PNG (chunk walk + CRC verify + stdlib-zlib inflate +
-scanline unfiltering — see _png_pixels); only entropy-coded codecs
-(JPEG DCT, GIF LZW) genuinely need a library absent from this
-container and raise NotImplementedError with the integration point
-documented. Frame sampling is REAL over the concatenated-P6 toy video
-container synthesized here (parse frame boundaries, emit every Nth).
+scanline unfiltering — _png_pixels), and global-color-table GIF
+(container walk + a full pure-Python LZW codec — _gif_pixels /
+_lzw_decode); only JPEG (DCT + Huffman entropy coding) genuinely
+needs a library absent from this container and raises
+NotImplementedError with the integration point documented. Frame
+sampling is REAL over the concatenated-P6 toy video container
+synthesized here (parse frame boundaries, emit every Nth).
 
 Scale notes: mapInPandas streams Arrow batches; binary payloads never
 materialize on the driver. Partition sizing for blob columns should be
@@ -279,13 +281,14 @@ def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 data = bytes(b)  # bind once: Arrow may hand back bytearray
                 parsed = parse_image_header(data)
                 fmt = parsed[2] if parsed else None
-                if fmt in ("image/bmp", "image/png"):
+                codec = {
+                    "image/bmp": _bmp_pixels,
+                    "image/png": _png_pixels,
+                    "image/gif": _gif_pixels,
+                }.get(fmt)
+                if codec is not None:
                     try:
-                        w, h, rgb = (
-                            _bmp_pixels(data)
-                            if fmt == "image/bmp"
-                            else _png_pixels(data)
-                        )
+                        w, h, rgb = codec(data)
                     except ValueError as e:
                         raise ValueError(f"doc {doc_id}: {e}") from None
                     ids.append(doc_id)
@@ -296,9 +299,9 @@ def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if fmt != "image/ppm":
                     raise NotImplementedError(
                         "pixel decode implemented for raw PPM, uncompressed "
-                        "24-bit BMP, and 8-bit truecolor PNG; got "
-                        f"{fmt or 'unknown bytes'} — entropy-coded codecs "
-                        "(JPEG DCT, GIF LZW) need an image library (PIL/libvips)"
+                        "24-bit BMP, 8-bit truecolor PNG, and GCT GIF; got "
+                        f"{fmt or 'unknown bytes'} — JPEG (DCT + Huffman) is "
+                        "the remaining library boundary (PIL/libvips)"
                     )
                 # _ppm_frame re-derives dims + bytes-per-sample and
                 # REJECTS truncated bodies (a silent short buffer would
@@ -603,3 +606,219 @@ def image_pixel_stats(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return decoded.mapInPandas(
         _stats, "doc_id LONG, width INT, height INT, pixel_sum LONG"
     )
+
+
+# --- Real GIF decode (r5, late) -------------------------------------------
+# GIF's compression is LZW — a dictionary coder, ~60 lines of plain
+# Python each way. With PNG (zlib) and GIF (LZW) both decoded for
+# real, the library boundary is exactly one thing: JPEG's DCT +
+# Huffman entropy pipeline.
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW decode: codes are LSB-first bit-packed, start at
+    min_code_size+1 bits, grow to 12 when the dictionary fills a code
+    width; CLEAR resets, END stops. Raises on codes beyond the
+    dictionary (corrupt stream)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream: first code not in table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond dictionary")
+        out += entry
+        prev = entry
+        # EARLY bump (the convention classic encoders use — giflib's
+        # free_ent > maxcode): the next append target is len(table),
+        # and the KwKwK case means the next CODE may equal it, so the
+        # width must cover len(table) ALREADY at the next read
+        if len(table) == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+    raise ValueError("LZW stream ended without END code")
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """GIF-variant LZW encode (the exact decoder mirror: same bump
+    point, CLEAR emitted when the dictionary reaches 4096). Used by
+    the GIF synthesizer; roundtrip with _lzw_decode is property-
+    tested."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    code_size = min_code_size + 1
+    codes: list[tuple[int, int]] = [(clear, code_size)]
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], code_size))
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) - 1 and code_size < 12:
+            # the just-assigned code is the last representable one; the
+            # DECODER bumps after its mirroring append — bump with it
+            code_size += 1
+        elif next_code > (1 << 12) - 1:
+            codes.append((clear, code_size))
+            table = fresh()
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([k])
+    if w:
+        codes.append((table[w], code_size))
+    codes.append((end, code_size))
+    buf = bytearray()
+    acc = nbits = 0
+    for code, size in codes:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _gif_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """REAL GIF pixel decode for the common case: global color table,
+    single non-interlaced image, no local palette. Walks the container
+    (header, logical screen descriptor, extension blocks skipped by
+    their sub-block lengths), LZW-decodes the index stream
+    (_lzw_decode), maps indices through the palette to RGB bytes.
+    Interlace/local-palette raise NotImplementedError (scope bounds);
+    structural damage raises ValueError."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        raise ValueError("not a GIF or truncated header")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    if not packed & 0x80:
+        raise NotImplementedError("GIF decode needs a global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    palette = data[pos : pos + 3 * gct_n]
+    if len(palette) < 3 * gct_n:
+        raise ValueError("truncated GIF palette")
+    pos += 3 * gct_n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated GIF image descriptor")
+            x, y, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            ipacked = data[pos + 9]
+            if ipacked & 0x80:
+                raise NotImplementedError("GIF local color tables unsupported")
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            pos += 10
+            if pos >= len(data):
+                raise ValueError("truncated GIF before LZW data")
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while pos < len(data) and data[pos]:
+                ln = data[pos]
+                block = data[pos + 1 : pos + 1 + ln]
+                if len(block) != ln:
+                    raise ValueError("truncated GIF data sub-block")
+                stream += block
+                pos += 1 + ln
+            if pos >= len(data):
+                raise ValueError("truncated GIF: no sub-block terminator")
+            idx = _lzw_decode(min_code, bytes(stream))
+            if len(idx) < w * h:
+                raise ValueError(f"GIF index stream short: {len(idx)} < {w * h}")
+            out = bytearray(3 * w * h)
+            for i, c in enumerate(idx[: w * h]):
+                if c >= gct_n:
+                    raise ValueError("GIF pixel index beyond palette")
+                out[3 * i : 3 * i + 3] = palette[3 * c : 3 * c + 3]
+            return w, h, bytes(out)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _gif_bytes(doc_id: int) -> bytes:
+    """Deterministic valid GIF87a per doc: w=4+id%8, h=4+id%6, 4-color
+    global palette (channel ch of color c = (doc_id + 17c + 5ch) % 256
+    — a closed form DuckDB reproduces), pixel index i = (doc_id+i)%4,
+    REAL LZW-compressed via _lzw_encode (min code size 2, so the tiny
+    dictionary grows and the decoder's width-bump path is exercised by
+    every image)."""
+    w, h = 4 + doc_id % 8, 4 + doc_id % 6
+    palette = bytes(
+        (doc_id + 17 * c + 5 * ch) % 256 for c in range(4) for ch in range(3)
+    )
+    idx = bytes((doc_id + i) % 4 for i in range(w * h))
+    lzw = _lzw_encode(2, idx)
+    out = bytearray()
+    out += b"GIF87a"
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | 0x01)  # GCT present, size bits 1 -> 4 entries
+    out += b"\x00\x00"  # bg color, aspect
+    out += palette
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(2)  # LZW min code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def synthesize_gif_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content): deterministic valid GIF87a files (_gif_bytes)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": [_gif_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")

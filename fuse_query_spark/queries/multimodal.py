@@ -3,8 +3,11 @@ multimodal_blob_meta drives the UNKNOWN-format fallback path (text
 bytes; DuckDB recomputes length/md5/pseudo-dims SQL-side), and
 multimodal_ppm_decode drives the REAL decoder (valid P6 images whose
 dims are a closed-form function of doc_id, parsed by the Arrow-batched
-header decoder). Compressed-codec pixel decode (PNG/JPEG) is the one
-remaining library boundary, documented in operators/multimodal.py."""
+header decoder). multimodal_png_decode and multimodal_gif_decode (r5
+late) drive REAL compressed-image decoding — stdlib-zlib PNG and
+pure-Python-LZW GIF — each verified byte-for-byte via a closed-form
+pixel-sum oracle; JPEG (DCT + Huffman) is the one remaining library
+boundary, documented in operators/multimodal.py."""
 
 from __future__ import annotations
 
@@ -136,3 +139,35 @@ def multimodal_png_decode(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return image_pixel_stats(synthesize_png_blobs(docs))
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 8 AS INT) AS width,
+           CAST(4 + doc_id % 6 AS INT) AS height,
+           CAST(list_sum(list_transform(
+               range(0, 3 * (4 + doc_id % 8) * (4 + doc_id % 6)),
+               i -> (doc_id + 17 * ((doc_id + i // 3) % 4) + 5 * (i % 3)) % 256
+           )) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal", "decode", "gif", "lzw"),
+)
+def multimodal_gif_decode(spark, sf_dir):
+    """REAL GIF pixel decode end-to-end (r5 late): synthesize valid
+    GIF87a files (4-color palette, pixel index i = (doc_id+i)%4,
+    REAL LZW compression), decode with the pure-Python LZW codec +
+    container walk (operators/multimodal._gif_pixels), and hash-verify
+    dims + the sum over every decoded RGB byte against DuckDB's closed
+    form. min-code-size 2 means every image exercises the dictionary
+    width-bump path. With PNG (zlib) and GIF (LZW) both real, JPEG's
+    DCT+Huffman is the only remaining codec boundary."""
+    from fuse_query_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_gif_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_pixel_stats(synthesize_gif_blobs(docs))

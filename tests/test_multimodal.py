@@ -246,10 +246,10 @@ def test_bmp_truncated_and_unsupported_raise(spark):
     )
     with pytest.raises(Exception, match="truncated"):
         decode_image_pixels(df_trunc).collect()
-    # GIF stays behind the library boundary (LZW entropy coding)
+    # a GCT-less GIF is a scope bound of the real GIF decoder
     gif = b"GIF89a" + b"\x10\x00\x10\x00" + b"\x00" * 20
     df_gif = spark.createDataFrame([(2, gif)], "doc_id LONG, content BINARY")
-    with pytest.raises(Exception, match="image library"):
+    with pytest.raises(Exception, match="color table"):
         decode_image_pixels(df_gif).collect()
     # a PNG-magic prefix with garbage chunks now reaches the REAL
     # decoder and must fail structurally, not be misread as pixels
@@ -355,3 +355,70 @@ class TestPngDecode:
             d = r["doc_id"]
             n = 3 * (4 + d % 9) * (4 + d % 7)
             assert r["pixel_sum"] == sum((d + i) % 256 for i in range(n))
+
+
+class TestGifDecode:
+    def test_lzw_roundtrip_widths_and_reset(self):
+        import random
+
+        from fuse_query_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+        random.seed(11)
+        for mcs in (2, 3, 8):
+            for n in (1, 7, 300, 9000):
+                idx = bytes(random.randrange(1 << mcs) for _ in range(n))
+                assert _lzw_decode(mcs, _lzw_encode(mcs, idx)) == idx
+        # low-entropy long stream: many width bumps + a 4096-entry reset
+        idx = bytes((i * i) % 4 for i in range(60000))
+        assert _lzw_decode(2, _lzw_encode(2, idx)) == idx
+
+    def test_gif_roundtrip_and_extension_skip(self):
+        from fuse_query_spark.operators.multimodal import _gif_bytes, _gif_pixels
+
+        for doc_id in (0, 9, 41):
+            w, h, px = _gif_pixels(_gif_bytes(doc_id))
+            assert (w, h) == (4 + doc_id % 8, 4 + doc_id % 6)
+            want = bytes(
+                (doc_id + 17 * ((doc_id + p) % 4) + 5 * ch) % 256
+                for p in range(w * h)
+                for ch in range(3)
+            )
+            assert px == want
+        # a graphic-control extension before the image must be skipped
+        g = _gif_bytes(9)
+        head_end = 13 + 12  # header+LSD + 4-entry palette
+        ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        w, h, px = _gif_pixels(g[:head_end] + ext + g[head_end:])
+        assert (w, h) == (4 + 9 % 8, 4 + 9 % 6)
+
+    def test_gif_corruption_raises(self):
+        import pytest as _pytest
+
+        from fuse_query_spark.operators.multimodal import _gif_bytes, _gif_pixels
+
+        good = _gif_bytes(7)
+        with _pytest.raises(ValueError):
+            _gif_pixels(good[:-4])  # lose terminator+trailer
+        bad = bytearray(good)
+        bad[-6] ^= 0xFF  # corrupt LZW bytes near the end
+        with _pytest.raises(ValueError):
+            _gif_pixels(bytes(bad))
+
+    def test_distributed_gif_pixel_stats(self, spark, sf_dir):
+        from fuse_query_spark.operators.multimodal import (
+            image_pixel_stats,
+            synthesize_gif_blobs,
+        )
+
+        docs = table(spark, sf_dir, "documents").limit(15)
+        rows = image_pixel_stats(synthesize_gif_blobs(docs)).collect()
+        assert len(rows) == 15
+        for r in rows:
+            d = r["doc_id"]
+            w, h = 4 + d % 8, 4 + d % 6
+            want = sum(
+                (d + 17 * ((d + p) % 4) + 5 * ch) % 256
+                for p in range(w * h)
+                for ch in range(3)
+            )
+            assert (r["width"], r["height"], r["pixel_sum"]) == (w, h, want)
