@@ -485,3 +485,101 @@ def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id", lam: floa
             ),
         )
     )
+
+
+def remove_boilerplate_chunks(
+    df,
+    chunk_tokens: int = 8,
+    max_doc_frac: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Boilerplate removal, the RefinedWeb/CCNet line-dedup shape
+    adapted to token chunks (this corpus has no newlines; the
+    fixed-size token chunk is the line/paragraph analog): split every
+    document into NON-overlapping `chunk_tokens` windows, count in how
+    many DISTINCT documents each chunk string occurs, and drop chunks
+    occurring in more than `max_doc_frac` of the corpus (headers,
+    footers, navigation, license blurbs — content repeated verbatim
+    across many documents). The document is reassembled from its
+    surviving chunks in order.
+
+    Scale shape: chunking is scan-side; the chunk-frequency table is
+    one map-side-combinable agg on md5(chunk) (COUNT(DISTINCT doc) per
+    chunk stays bounded because a chunk's distinct-doc set is what the
+    aggregate itself outputs — the heavy stream is chunk rows, the
+    output is |distinct chunks|); corpus size is a 1-row broadcast; the
+    rebuild is a hash agg on doc id with an in-group sort_array over
+    that doc's own chunks only. Nothing quadratic, no driver state.
+
+    Returns (id_col, clean_text, n_chunks, n_dropped_chunks)."""
+    chunks = chunk_windows(df, chunk_tokens, chunk_tokens, text_col, id_col)
+    freq = (
+        chunks.groupBy(F.md5("chunk_text").alias("h"))
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+    )
+    n_total = df.agg(F.countDistinct(id_col).alias("_n_total"))
+    tagged = (
+        chunks.withColumn("h", F.md5("chunk_text"))
+        .join(freq, "h")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "_is_boiler", F.col("n_docs") / F.col("_n_total") > F.lit(max_doc_frac)
+        )
+    )
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("_is_boiler").cast("int")).alias("n_dropped_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_is_boiler"),
+                            F.struct("chunk_id", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return rebuilt.select(id_col, "clean_text", "n_chunks", "n_dropped_chunks")
+
+
+def hashed_linear_score(
+    df,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """fastText-shaped quality scoring: hash every token into one of
+    `n_buckets` feature buckets (the hashing trick — no vocabulary
+    table to build, broadcast, or version) and score the document as
+    the sum of per-bucket weights. Real pipelines load trained weights
+    (a broadcast of n_buckets floats — corpus-independent); here the
+    weights are a deterministic function of the bucket so the ENTIRE
+    inference path (tokenize → hash → bucket → weight → reduce) is
+    engine-portable and hash-verified. Integer weights keep the reduce
+    associative-exact (no float summation order to match across
+    engines); `mean_weight_r6` is the thresholdable per-token score.
+
+    One explode + one map-side-combinable hash agg on doc id; no
+    joins, no driver state — linear at any scale.
+
+    Returns (id_col, n_tokens, score_raw, mean_weight_r6)."""
+    from fuse_query_spark.operators.dedup import md5_int32
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    bucket = md5_int32(F.col("_t")) % n_buckets
+    weight = (bucket % 201) - 100  # deterministic stand-in weights
+    return (
+        tok.select(id_col, weight.alias("_w"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_w").alias("score_raw"),
+            F.round(F.sum("_w") / F.count(F.lit(1)), 6).alias("mean_weight_r6"),
+        )
+    )

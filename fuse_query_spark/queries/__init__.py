@@ -126,6 +126,13 @@ DRIVER_HIDDEN = {
 # r5-late swap 4: multimodal_png_decode (real stdlib-zlib PNG decode,
 # closed-form pixel-sum oracle) in for text_repetition_metrics (r4
 # driver-green; the text family keeps 5 prefix rows).
+# r5-late swap 5: dedup_containment_md5, text_boilerplate_scrub,
+# text_hashed_linear_score in for q16_parts_supplier_relationship,
+# window_first_last_nth, events_funnel_attribution (each r4
+# driver-green once; never-checked new surface carries more
+# information than a second round of a green row — all three stay
+# locally oracle-checked past slot 50; TPC-H keeps 9+ prefix rows,
+# windows keeps window_distribution, events keeps 3 rows).
 DRIVER_PRIORITY = [
     # flagship + core operators (SURVEY §2.2/2.4/2.6)
     # (agg_global_stats rotated out r5-late for text_bigram_logprob:
@@ -152,18 +159,18 @@ DRIVER_PRIORITY = [
     "q17_small_quantity_revenue",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
-    "q16_parts_supplier_relationship",  # r4-first, second round
+    "dedup_containment_md5",  # r5-late: asymmetric containment dedup
     # joins & subqueries (§2.3)
     "correlated_scalar_subquery",
     "correlated_exists",
     # windows / set ops / events
     "window_distribution",
-    "window_first_last_nth",  # r4-first, second round
+    "text_boilerplate_scrub",  # r5-late: chunk-level boilerplate removal
     "setop_except_intersect_all",
     "events_heavy_hitters_rollup",  # r5-late: mergeable top-k rollup
     "events_value_histogram",
     "events_cohort_retention",  # r4-first, second round
-    "events_funnel_attribution",  # r4-first, second round
+    "text_hashed_linear_score",  # r5-late: fastText-shaped classifier
     # text analysis
     "multimodal_png_decode",  # r5-late: real zlib PNG decode, closed-form oracle
     "text_pii_redact",  # r5: PII scrub stage

@@ -418,3 +418,59 @@ def dedup_cluster_canonical(spark, sf_dir):
     pairs = jaccard_verify(d, cands, threshold=0.2)
     cc = connected_components(pairs)
     return cc.withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+
+
+def _md5_containment_oracle(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    """Directional-containment mirror of _md5_minhash_oracle: same
+    shingle → md5 minhash → band → bucket-join candidates, then
+    |A∩B|/|src| for BOTH directions of each undirected candidate."""
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(s || '|{i}')), 'min') AS mh{i}"
+        for i in range(k)
+    )
+    r = k // bands
+    band_cols = ", ".join(
+        "md5({}) AS b{}".format(" || '|' || ".join(f"mh{b * r + j}" for j in range(r)), b)
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    mh AS (SELECT doc_id, {mh_cols} FROM t),
+    bands AS (SELECT doc_id, {band_cols} FROM mh),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_match})),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(ta.sh, tb.sh)) AS inter,
+               greatest(len(ta.sh), 1) AS na,
+               greatest(len(tb.sh), 1) AS nb
+        FROM cand c
+        JOIN t ta ON ta.doc_id = c.id_a
+        JOIN t tb ON tb.doc_id = c.id_b),
+    directed AS (
+        SELECT id_a AS src_id, id_b AS dst_id, inter / na AS containment FROM scored
+        UNION ALL
+        SELECT id_b AS src_id, id_a AS dst_id, inter / nb AS containment FROM scored)
+    SELECT src_id, dst_id, containment FROM directed WHERE containment >= {threshold}
+    """
+
+
+@register(
+    "dedup_containment_md5",
+    oracle=_md5_containment_oracle(),
+    tags=("dedup", "minhash", "lsh", "containment", "portable"),
+)
+def dedup_containment_md5(spark, sf_dir):
+    """ASYMMETRIC near-dup detection (r5 late): directional shingle
+    containment |A∩B|/|A| over MinHash-LSH candidates — catches a
+    document quoted inside a larger one, which Jaccard structurally
+    misses. Whole pipeline (shingle → md5 minhash → band → bucket join
+    → both-direction containment) reproduces in DuckDB; int/int
+    division yields identical doubles. See
+    operators/dedup.py:minhash_containment_pairs (incl. the recall
+    caveat for extreme asymmetry and the production mitigation)."""
+    from fuse_query_spark.operators.dedup import minhash_containment_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_containment_pairs(d, k=8, bands=4, threshold=0.5)

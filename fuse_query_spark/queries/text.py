@@ -560,3 +560,80 @@ def corpus_vocab_stats(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "text_boilerplate_scrub",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    pre AS (SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / 2.0) AS INT))) AS g
+            FROM docs),
+    chunks AS (SELECT doc_id, g AS chunk_id,
+                      array_to_string(toks[g*2+1 : g*2+2], ' ') AS chunk_text
+               FROM pre),
+    freq AS (SELECT chunk_text, count(DISTINCT doc_id) AS n_docs
+             FROM chunks GROUP BY 1),
+    tot AS (SELECT count(DISTINCT doc_id) AS n FROM docs),
+    tagged AS (SELECT c.doc_id, c.chunk_id, c.chunk_text,
+                      f.n_docs / t.n > 0.04 AS boiler
+               FROM chunks c JOIN freq f USING (chunk_text) CROSS JOIN tot t)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT boiler THEN chunk_text END,
+                               ' ' ORDER BY chunk_id), '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped_chunks
+    FROM tagged GROUP BY doc_id
+    """,
+    tags=("text", "pipeline", "boilerplate", "dedup"),
+)
+def text_boilerplate_scrub(spark, sf_dir):
+    """Boilerplate removal (r5 late), the RefinedWeb/CCNet repeated-
+    line scrub adapted to token chunks (this corpus is single-line;
+    the aligned 2-token chunk is the line analog): drop every chunk
+    occurring in > 4% of DISTINCT documents, reassemble each document
+    from its surviving chunks in order. The whole transform — chunking,
+    corpus frequency, threshold, re-joined clean text — is
+    hash-verified against DuckDB. See
+    operators/text.py:remove_boilerplate_chunks for the scale shape."""
+    from fuse_query_spark.operators.text import remove_boilerplate_chunks
+
+    d = table(spark, sf_dir, "documents")
+    return remove_boilerplate_chunks(d, chunk_tokens=2, max_doc_frac=0.04)
+
+
+def _hashed_linear_oracle(n_buckets: int = 1024) -> str:
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+    ),
+    w AS (SELECT doc_id, (({nibbles}) % {n_buckets}) % 201 - 100 AS wt FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(wt) AS BIGINT) AS score_raw,
+           round(SUM(wt) / count(*), 6) AS mean_weight_r6
+    FROM w GROUP BY doc_id
+    """
+
+
+@register(
+    "text_hashed_linear_score",
+    oracle=_hashed_linear_oracle(),
+    tags=("text", "pipeline", "classifier", "quality"),
+)
+def text_hashed_linear_score(spark, sf_dir):
+    """fastText-shaped hashed-linear document scoring (r5 late):
+    token → 32-bit md5 hash → 1024 feature buckets → per-bucket weight
+    → per-doc reduce. The inference path real quality classifiers run
+    (with trained weights broadcast in place of the deterministic
+    stand-ins), hash-verified end-to-end including the exact integer
+    score. See operators/text.py:hashed_linear_score."""
+    from fuse_query_spark.operators.text import hashed_linear_score
+
+    return hashed_linear_score(table(spark, sf_dir, "documents"), n_buckets=1024)

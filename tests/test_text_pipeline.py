@@ -212,3 +212,80 @@ def test_bigram_nll_detects_shuffled_text(spark):
 
     bi = {r["doc_id"]: r["avg_bigram_nll"] for r in bigram_logprob(df).collect()}
     assert bi[99] > bi[0] + 0.5  # bigram flags the broken transitions
+
+
+class TestBoilerplateScrub:
+    def test_shared_header_dropped_content_kept_in_order(self, spark):
+        from fuse_query_spark.operators.text import remove_boilerplate_chunks
+
+        header = "subscribe to newsletter"  # shows up in every doc
+        rows = [(i, f"{header} unique{i}a text{i} unique{i}b body{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        # chunk=1 token, drop chunks present in >50% of docs
+        out = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_chunks(
+                df, chunk_tokens=1, max_doc_frac=0.5
+            ).collect()
+        }
+        for i in range(10):
+            r = out[i]
+            assert r["clean_text"] == f"unique{i}a text{i} unique{i}b body{i}"
+            assert r["n_dropped_chunks"] == 3 and r["n_chunks"] == 7
+
+    def test_nothing_dropped_below_threshold(self, spark):
+        from fuse_query_spark.operators.text import remove_boilerplate_chunks
+
+        rows = [(i, f"only{i} unique{i} words{i}") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        out = remove_boilerplate_chunks(df, chunk_tokens=1, max_doc_frac=0.5).collect()
+        assert all(r["n_dropped_chunks"] == 0 for r in out)
+        assert {r["clean_text"] for r in out} == {f"only{i} unique{i} words{i}" for i in range(5)}
+
+
+class TestContainment:
+    def test_quote_detected_where_jaccard_misses(self, spark):
+        from fuse_query_spark.operators.dedup import (
+            containment_verify,
+            jaccard_verify,
+        )
+
+        quote = "alpha beta gamma delta epsilon zeta"
+        filler = " ".join(f"w{i}" for i in range(120))
+        df = spark.createDataFrame(
+            [(1, quote), (2, f"{filler} {quote}")], "doc_id LONG, text STRING"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a LONG, id_b LONG")
+        cont = containment_verify(df, pairs, threshold=0.9).collect()
+        directed = {(r["src_id"], r["dst_id"]): r["containment"] for r in cont}
+        assert directed[(1, 2)] == 1.0  # the quote is fully contained
+        assert (2, 1) not in directed  # big doc not contained in quote
+        jac = jaccard_verify(df, pairs, threshold=0.2).collect()
+        assert not jac  # Jaccard structurally misses the embedding
+
+    def test_full_pipeline_reflexivity_bounds(self, spark, sf_dir):
+        from fuse_query_spark.operators.dedup import minhash_containment_pairs
+        from fuse_query_spark.sources.tables import table
+
+        d = table(spark, sf_dir, "documents")
+        rows = minhash_containment_pairs(d, threshold=0.5).collect()
+        assert rows, "corpus has planted near-dups"
+        assert all(0.5 <= r["containment"] <= 1.0 for r in rows)
+        assert all(r["src_id"] != r["dst_id"] for r in rows)
+
+
+class TestHashedLinearScore:
+    def test_deterministic_and_token_exact(self, spark):
+        from fuse_query_spark.operators.text import hashed_linear_score
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the the the")],
+            "doc_id LONG, text STRING",
+        )
+        a = {r["doc_id"]: r for r in hashed_linear_score(df).collect()}
+        b = {r["doc_id"]: r for r in hashed_linear_score(df).collect()}
+        assert a == b
+        assert a[1]["n_tokens"] == 4 and a[2]["n_tokens"] == 3
+        # a repeated token contributes its weight exactly k times
+        assert a[2]["score_raw"] % 3 == 0
+        assert abs(a[1]["mean_weight_r6"]) <= 100
