@@ -418,6 +418,10 @@ class Engine:
             )
         if up.startswith("TRUNCATE "):
             return self._truncate(s)
+        if up.startswith("ROLLBACK TABLE"):
+            return self._rollback_table(s)
+        if up.startswith("VACUUM "):
+            return self._vacuum(s)
         if up.startswith("OPTIMIZE "):
             return self._optimize(s)
         if up.startswith("DELETE "):
@@ -431,6 +435,49 @@ class Engine:
         if up.startswith(("SELECT", "WITH", "(")):
             return self._select(s)
         raise UnsupportedStatement(f"Unsupported statement: {s[:60]}")
+
+    def _snapshot_tdef(self, name: str, verb: str) -> TableDef:
+        db, table = self._qualify(name)
+        tdef = self.catalog.db(db).get(table)
+        if tdef is None:
+            raise UnknownTable(f"Unknown table: '{db}.{table}'")
+        if tdef.engine != "Snapshot":
+            raise UnsupportedStatement(
+                f"{verb} needs ENGINE = Snapshot; '{db}.{table}' is "
+                f"ENGINE={tdef.engine}"
+            )
+        return tdef
+
+    def _rollback_table(self, s: str) -> None:
+        """ROLLBACK TABLE t TO VERSION n — restore an old snapshot's
+        file list as a NEW version (history preserved; the rollback is
+        itself in SHOW SNAPSHOTS and can be rolled back)."""
+        m = re.match(
+            r"(?is)^ROLLBACK\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+(\d+)\s*$", s
+        )
+        if not m:
+            raise UnsupportedStatement(f"Cannot parse ROLLBACK TABLE: {s[:60]}")
+        from fuse_query_spark.sources.snapshots import snapshot_rollback
+
+        tdef = self._snapshot_tdef(m.group(1), "ROLLBACK TABLE")
+        snapshot_rollback(tdef.location, int(m.group(2)))
+        return None
+
+    def _vacuum(self, s: str) -> DataFrame:
+        """VACUUM t [KEEP n] — reclaim data files referenced by none of
+        the n (default 1) newest snapshots. Returns the deleted file
+        list; time travel beyond the kept window is gone (the
+        documented retention trade)."""
+        m = re.match(r"(?is)^VACUUM\s+([\w.]+)(?:\s+KEEP\s+(\d+))?\s*$", s)
+        if not m:
+            raise UnsupportedStatement(f"Cannot parse VACUUM: {s[:60]}")
+        from fuse_query_spark.sources.snapshots import snapshot_vacuum
+
+        tdef = self._snapshot_tdef(m.group(1), "VACUUM")
+        deleted = snapshot_vacuum(tdef.location, int(m.group(2) or 1))
+        return self.spark.createDataFrame(
+            [(f,) for f in deleted] or [], "deleted_file STRING"
+        )
 
     def _truncate(self, s: str) -> None:
         """TRUNCATE TABLE — extension: Memory drops its rows, file
@@ -662,6 +709,21 @@ class Engine:
             return None
         if tdef.engine == "Null":
             return None
+        if tdef.engine == "Snapshot":
+            # MVCC delete: the filtered survivors become a NEW version;
+            # the pre-delete version stays readable via VERSION AS OF
+            # (and restorable via ROLLBACK) — this is the delete shape
+            # a versioned table format gives you for free
+            from fuse_query_spark.sources.snapshots import snapshot_commit
+
+            snapshot_commit(
+                self._align_to_schema(
+                    self._select(f"SELECT * FROM {name} WHERE {keep}"), tdef.schema
+                ),
+                tdef.location,
+                "overwrite",
+            )
+            return None
         if tdef.engine not in ("Parquet", "CSV", "JSONEachRow", "ORC"):
             raise UnsupportedStatement(f"Cannot DELETE from engine {tdef.engine}")
         if tdef.location is None or not os.path.isdir(tdef.location):
@@ -807,6 +869,19 @@ class Engine:
             return None
         if tdef.engine == "Null":
             return None
+        if tdef.engine == "Snapshot":
+            # MVCC update: rewritten rows land as a new version; the
+            # pre-update state stays time-travelable (see _delete)
+            from fuse_query_spark.sources.snapshots import snapshot_commit
+
+            snapshot_commit(
+                self._align_to_schema(
+                    self._select(f"SELECT {proj} FROM {name}"), tdef.schema
+                ),
+                tdef.location,
+                "overwrite",
+            )
+            return None
         if tdef.engine not in ("Parquet", "CSV", "JSONEachRow", "ORC"):
             raise UnsupportedStatement(f"Cannot UPDATE engine {tdef.engine}")
         if tdef.location is None or not os.path.isdir(tdef.location):
@@ -927,7 +1002,38 @@ class Engine:
             current_db=self.current_db, known_dbs=tuple(self.catalog.databases)
         )
 
+    def _resolve_time_travel(self, s: str) -> str:
+        """`FROM t VERSION AS OF n` (Snapshot tables): register a temp
+        view pinned to manifest vN and substitute it for the clause —
+        time travel resolves BEFORE dialect rewriting so the rest of
+        the query sees a plain relation. Multiple/ mixed versions of
+        the same table in one query work (each pin is its own view)."""
+        from fuse_query_spark.sources.snapshots import snapshot_read
+
+        def repl(m: re.Match) -> str:
+            name, ver = m.group(1), int(m.group(2))
+            db, tbl = self._qualify(name)
+            tdef = self.catalog.db(db).get(tbl)
+            if tdef is None:
+                raise UnknownTable(f"Unknown table: '{db}.{tbl}'")
+            if tdef.engine != "Snapshot":
+                raise UnsupportedStatement(
+                    f"VERSION AS OF needs ENGINE = Snapshot; "
+                    f"'{db}.{tbl}' is ENGINE={tdef.engine}"
+                )
+            view = f"{db}__{tbl}__v{ver}"
+            snapshot_read(
+                self.spark, tdef.location, version=ver, schema=tdef.schema
+            ).createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            r"(?is)\b([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", repl, s
+        )
+
     def _select(self, s: str) -> DataFrame:
+        if re.search(r"(?i)\bVERSION\s+AS\s+OF\b", s):
+            s = self._resolve_time_travel(s)
         self._register_views(s)
         # ClickHouse GROUP BY 1 groups by the CONSTANT 1, not the first
         # select item (03_0003_select_group_by.sql) — disable Spark's
@@ -1056,6 +1162,10 @@ class Engine:
             return tdef.data
         if tdef.engine == "Null":
             return self.spark.createDataFrame([], tdef.schema)
+        if tdef.engine == "Snapshot":
+            from fuse_query_spark.sources.snapshots import snapshot_read
+
+            return snapshot_read(self.spark, tdef.location, schema=tdef.schema)
         if tdef.engine == "remote":
             # remote_table.rs read_plan: ask the store for the part
             # list, then scan the parts. Executors read the parquet
@@ -1408,6 +1518,8 @@ class Engine:
                 )
             if location is None:
                 raise UnsupportedStatement("BinaryFile table needs a location")
+        if engine == "Snapshot" and location is None:
+            raise UnsupportedStatement("Snapshot table needs a location")
         if db in self.catalog.remote_dbs:
             # a remote database stores ALL its tables store-side
             # (remote_database.rs create_table goes through MetaApi;
@@ -1553,6 +1665,20 @@ class Engine:
         m = re.match(r"(?is)^SHOW\s+PARTITIONS\s+(?:FROM\s+)?([\w.]+)\s*$", s)
         if m:
             return self._show_partitions(m.group(1))
+        m = re.match(r"(?is)^SHOW\s+SNAPSHOTS\s+(?:FROM\s+)?([\w.]+)\s*$", s)
+        if m:
+            from fuse_query_spark.sources.snapshots import snapshot_history
+
+            db, table = self._qualify(m.group(1))
+            tdef = self.catalog.db(db).get(table)
+            if tdef is None:
+                raise UnknownTable(f"Unknown table: '{db}.{table}'")
+            if tdef.engine != "Snapshot":
+                raise UnsupportedStatement(
+                    f"SHOW SNAPSHOTS needs ENGINE = Snapshot; "
+                    f"'{db}.{table}' is ENGINE={tdef.engine}"
+                )
+            return snapshot_history(self.spark, tdef.location)
         m = re.match(r"(?is)^SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", s)
         if m:
             db, table = self._qualify(m.group(1))
@@ -1671,6 +1797,12 @@ class Engine:
         writers = {"Parquet": "parquet", "CSV": "csv", "JSONEachRow": "json", "ORC": "orc"}
         if tdef.engine == "Memory":
             tdef.data = self._table_df(tdef).unionByName(df, allowMissingColumns=True)
+        elif tdef.engine == "Snapshot":
+            from fuse_query_spark.sources.snapshots import snapshot_commit
+
+            snapshot_commit(
+                self._align_to_schema(df, tdef.schema), tdef.location, "append"
+            )
         elif tdef.engine in writers:
             if tdef.location is None or "." in tdef.location.rsplit("/", 1)[-1]:
                 raise UnsupportedStatement(
@@ -1780,6 +1912,12 @@ class Engine:
             tdef.data = df
         elif tdef.engine == "Null":
             pass
+        elif tdef.engine == "Snapshot":
+            from fuse_query_spark.sources.snapshots import snapshot_commit
+
+            snapshot_commit(
+                self._align_to_schema(df, tdef.schema), tdef.location, "overwrite"
+            )
         elif tdef.engine in writers:
             if tdef.location is None:
                 raise UnsupportedStatement("INSERT OVERWRITE needs a table location")

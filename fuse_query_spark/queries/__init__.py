@@ -133,6 +133,10 @@ DRIVER_HIDDEN = {
 # information than a second round of a green row — all three stay
 # locally oracle-checked past slot 50; TPC-H keeps 9+ prefix rows,
 # windows keeps window_distribution, events keeps 3 rows).
+# r5-late swap 6: snapshot_time_travel (Snapshot engine: versioned
+# parquet, VERSION AS OF, MVCC DELETE — sources/snapshots.py) in for
+# events_cohort_retention (r4 driver-green; events keeps
+# value_histogram + heavy_hitters_rollup in-prefix).
 DRIVER_PRIORITY = [
     # flagship + core operators (SURVEY §2.2/2.4/2.6)
     # (agg_global_stats rotated out r5-late for text_bigram_logprob:
@@ -169,7 +173,7 @@ DRIVER_PRIORITY = [
     "setop_except_intersect_all",
     "events_heavy_hitters_rollup",  # r5-late: mergeable top-k rollup
     "events_value_histogram",
-    "events_cohort_retention",  # r4-first, second round
+    "snapshot_time_travel",  # r5-late: versioned tables / MVCC / time travel
     "text_hashed_linear_score",  # r5-late: fastText-shaped classifier
     # text analysis
     "multimodal_png_decode",  # r5-late: real zlib PNG decode, closed-form oracle

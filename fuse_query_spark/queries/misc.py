@@ -319,3 +319,55 @@ def remote_engine_scan(spark, sf_dir):
         FROM docs_mirror GROUP BY source ORDER BY source
         """
     )
+
+
+@register(
+    "snapshot_time_travel",
+    oracle="""
+    WITH latest AS (
+        SELECT source, COUNT(*) AS n FROM documents
+        WHERE n_chars > 300 GROUP BY source
+    ), v0 AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    )
+    SELECT v0.source,
+           CAST(v0.n AS BIGINT) AS n_v0,
+           CAST(COALESCE(latest.n, 0) AS BIGINT) AS n_latest,
+           CAST(v0.n - COALESCE(latest.n, 0) AS BIGINT) AS n_deleted
+    FROM v0 LEFT JOIN latest USING (source)
+    ORDER BY source
+    """,
+    tags=("engine", "snapshot", "timetravel", "mvcc"),
+)
+def snapshot_time_travel(spark, sf_dir):
+    """Snapshot-table lifecycle end-to-end (sources/snapshots.py): a
+    versioned table is loaded from documents (v0), an MVCC DELETE
+    drops short docs (v1 — new manifest, old files untouched), and the
+    query joins the LATEST state against VERSION AS OF 0 to report
+    per-source deletions — exactly the audit a data-retention pass
+    runs, answerable only because the pre-delete version is still
+    readable. Manifest commits are O(KB) metadata regardless of data
+    volume; see the module docstring for the 100 TB posture."""
+    import tempfile
+
+    from fuse_query_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.attach_parquet_dir(sf_dir)
+    loc = tempfile.mkdtemp(prefix="snap_tt_")
+    eng.sql("DROP TABLE IF EXISTS docs_versioned")
+    return eng.sql(
+        f"""
+        CREATE TABLE docs_versioned(doc_id bigint, source varchar, n_chars bigint)
+            ENGINE = Snapshot location = '{loc}/t';
+        INSERT INTO docs_versioned SELECT doc_id, source, n_chars FROM documents;
+        DELETE FROM docs_versioned WHERE n_chars <= 300;
+        SELECT v0.source,
+               COUNT(v0.doc_id) AS n_v0,
+               COUNT(cur.doc_id) AS n_latest,
+               COUNT(v0.doc_id) - COUNT(cur.doc_id) AS n_deleted
+        FROM docs_versioned VERSION AS OF 0 v0
+        LEFT JOIN docs_versioned cur ON v0.doc_id = cur.doc_id
+        GROUP BY v0.source ORDER BY v0.source
+        """
+    )

@@ -1,0 +1,220 @@
+"""Snapshot tables: versioned, time-travelable Parquet with
+metadata-only commits — the lakehouse table-format core (Iceberg/Delta
+shape) built on two invariants:
+
+  1. data files are IMMUTABLE — every commit writes NEW files under
+     data/<commit-uuid>/ and never touches existing bytes;
+  2. the table's state IS its newest manifest — a tiny JSON listing the
+     exact file set of that version (plus schema, parent, operation).
+
+Everything else falls out: time travel is "read an old manifest";
+rollback is "write a new manifest whose file list is an old one's"
+(history is never destroyed — a rollback is itself a version);
+readers are isolated from in-flight writes because a half-written
+commit's files are unreachable until its manifest lands; and commits
+are atomic via write-temp + rename on the manifest file.
+
+At 100 TB the manifest is the only coordination point: commits move
+O(KB) of metadata no matter how many TB the data files hold, readers
+plan scans from the manifest's explicit file list (no directory
+listing — the classic object-store pain), and VACUUM is a pure
+metadata diff (files referenced by no kept manifest). Concurrency:
+single-writer per table (optimistic — the version-file create is the
+lock; a concurrent commit loses the rename race and raises). The
+reference has no versioned tables (its Parquet engine is append-only,
+parquet_table.rs); capability extension.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_SNAPDIR = "_snapshots"
+
+
+def _manifest_path(location: str, version: int) -> str:
+    return os.path.join(location, _SNAPDIR, f"v{version}.json")
+
+
+def latest_version(location: str) -> int | None:
+    d = os.path.join(location, _SNAPDIR)
+    if not os.path.isdir(d):
+        return None
+    versions = [
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(os.path.join(d, "v*.json"))
+    ]
+    return max(versions) if versions else None
+
+
+def read_manifest(location: str, version: int) -> dict:
+    p = _manifest_path(location, version)
+    if not os.path.exists(p):
+        have = latest_version(location)
+        raise ValueError(
+            f"snapshot version {version} does not exist at {location}"
+            f" (latest: {have})"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(location: str, manifest: dict) -> int:
+    """Atomic commit: serialize to a temp file, then os.rename onto the
+    version path — rename is the commit point. If the target already
+    exists, a concurrent writer won the race: raise (optimistic
+    single-writer; retry at a higher version is the caller's policy)."""
+    d = os.path.join(location, _SNAPDIR)
+    os.makedirs(d, exist_ok=True)
+    version = manifest["version"]
+    target = _manifest_path(location, version)
+    if os.path.exists(target):
+        raise RuntimeError(
+            f"concurrent snapshot commit detected: v{version} already exists"
+        )
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, target)
+    return version
+
+
+def snapshot_commit(
+    df: DataFrame,
+    location: str,
+    mode: str = "append",
+) -> int:
+    """Write df's rows as new immutable files under data/<uuid>/ and
+    commit manifest v(latest+1). mode='append' keeps the parent's file
+    list + the new files; 'overwrite' starts from just the new files.
+    Returns the committed version. The data write is fully distributed
+    (executors write parquet); only file NAMES pass through here."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"snapshot mode must be append|overwrite, got {mode}")
+    commit_id = uuid.uuid4().hex
+    data_dir = os.path.join(location, "data", commit_id)
+    df.write.parquet(data_dir)
+    new_files = sorted(
+        os.path.relpath(p, location)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    )
+    parent = latest_version(location)
+    files: list[str] = []
+    if mode == "append" and parent is not None:
+        files += read_manifest(location, parent)["files"]
+    files += new_files
+    manifest = {
+        "version": (parent + 1) if parent is not None else 0,
+        "parent": parent,
+        "operation": mode,
+        "files": files,
+        "schema_ddl": df.schema.simpleString()[7:-1],  # struct<...> → ...
+        "added_files": len(new_files),
+        "committed_at": datetime.now(timezone.utc).isoformat(),
+    }
+    return _write_manifest(location, manifest)
+
+
+def snapshot_read(
+    spark: SparkSession,
+    location: str,
+    version: int | None = None,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Read the table AS OF a version (None = latest). The scan plans
+    from the manifest's explicit file list — no directory listing, and
+    files from commits after `version` are invisible by construction."""
+    v = latest_version(location) if version is None else version
+    if v is None:
+        if schema is None:
+            raise ValueError(f"no snapshots at {location} and no schema given")
+        return spark.createDataFrame([], schema)
+    m = read_manifest(location, v)
+    if not m["files"]:
+        return spark.createDataFrame([], schema or m["schema_ddl"])
+    paths = [os.path.join(location, f) for f in m["files"]]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*paths)
+
+
+def snapshot_rollback(location: str, to_version: int) -> int:
+    """Restore the file list of `to_version` as a NEW version —
+    time travel forward-written: nothing is deleted, the rollback is
+    itself in the history and can be rolled back."""
+    m = read_manifest(location, to_version)
+    parent = latest_version(location)
+    manifest = {
+        "version": parent + 1,
+        "parent": parent,
+        "operation": f"rollback_to_v{to_version}",
+        "files": m["files"],
+        "schema_ddl": m["schema_ddl"],
+        "added_files": 0,
+        "committed_at": datetime.now(timezone.utc).isoformat(),
+    }
+    return _write_manifest(location, manifest)
+
+
+def snapshot_history(spark: SparkSession, location: str) -> DataFrame:
+    """(version, parent, operation, n_files, added_files, committed_at)
+    — one row per snapshot, the SHOW SNAPSHOTS surface."""
+    rows = []
+    v = latest_version(location)
+    for i in range((v + 1) if v is not None else 0):
+        m = read_manifest(location, i)
+        rows.append(
+            (
+                m["version"],
+                m["parent"],
+                m["operation"],
+                len(m["files"]),
+                m["added_files"],
+                m["committed_at"],
+            )
+        )
+    schema = (
+        "version INT, parent INT, operation STRING, n_files INT,"
+        " added_files INT, committed_at STRING"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def snapshot_vacuum(location: str, keep_last: int = 1) -> list[str]:
+    """Delete data files referenced by NONE of the `keep_last` newest
+    manifests, then drop the older manifests — the storage-reclaim
+    pass. Time travel beyond keep_last is gone after this (that's the
+    trade; production schedules it against the retention SLA). Pure
+    metadata diff + unlinks; returns the deleted file list."""
+    v = latest_version(location)
+    if v is None:
+        return []
+    keep_versions = list(range(max(0, v - keep_last + 1), v + 1))
+    keep: set[str] = set()
+    for k in keep_versions:
+        keep.update(read_manifest(location, k)["files"])
+    deleted = []
+    for p in glob.glob(os.path.join(location, "data", "*", "*.parquet")):
+        rel = os.path.relpath(p, location)
+        if rel not in keep:
+            os.remove(p)
+            deleted.append(rel)
+    # drop empty commit dirs + retired manifests
+    for d in glob.glob(os.path.join(location, "data", "*")):
+        if os.path.isdir(d) and not os.listdir(d):
+            shutil.rmtree(d)
+    for i in range(keep_versions[0]):
+        p = _manifest_path(location, i)
+        if os.path.exists(p):
+            os.remove(p)
+    return sorted(deleted)

@@ -1,0 +1,148 @@
+"""Snapshot tables: versioned Parquet with time travel, rollback,
+MVCC DML, vacuum — the lakehouse table-format surface
+(sources/snapshots.py + Engine ENGINE = Snapshot integration)."""
+
+import os
+
+import pytest
+
+from fuse_query_spark.engine import Engine
+from fuse_query_spark.sources.snapshots import (
+    latest_version,
+    read_manifest,
+    snapshot_commit,
+    snapshot_history,
+    snapshot_read,
+    snapshot_rollback,
+    snapshot_vacuum,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+def one(df):
+    return df.collect()[0][0]
+
+
+class TestSnapshotLayer:
+    def test_commit_read_versions(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, v STRING")
+        df2 = spark.createDataFrame([(3, "c")], "id LONG, v STRING")
+        assert snapshot_commit(df1, loc) == 0
+        assert snapshot_commit(df2, loc, "append") == 1
+        assert snapshot_read(spark, loc).count() == 3
+        assert snapshot_read(spark, loc, version=0).count() == 2
+        assert snapshot_commit(df2, loc, "overwrite") == 2
+        assert snapshot_read(spark, loc).count() == 1
+        # old versions still intact after the overwrite
+        assert snapshot_read(spark, loc, version=1).count() == 3
+
+    def test_data_files_are_immutable(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        snapshot_commit(spark.createDataFrame([(1,)], "id LONG"), loc)
+        files_v0 = set(read_manifest(loc, 0)["files"])
+        snapshot_commit(spark.createDataFrame([(2,)], "id LONG"), loc, "append")
+        snapshot_commit(spark.createDataFrame([(9,)], "id LONG"), loc, "overwrite")
+        # v0's physical files still exist, untouched
+        for f in files_v0:
+            assert os.path.exists(os.path.join(loc, f))
+        assert [r["id"] for r in snapshot_read(spark, loc, version=0).collect()] == [1]
+
+    def test_rollback_is_forward_written(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        snapshot_commit(spark.createDataFrame([(1,)], "id LONG"), loc)
+        snapshot_commit(spark.createDataFrame([(2,)], "id LONG"), loc, "overwrite")
+        v = snapshot_rollback(loc, 0)
+        assert v == 2 and latest_version(loc) == 2
+        assert [r["id"] for r in snapshot_read(spark, loc).collect()] == [1]
+        # the rollback itself shows in history and is reversible
+        ops = [r["operation"] for r in snapshot_history(spark, loc).collect()]
+        assert ops == ["append", "overwrite", "rollback_to_v0"]
+        snapshot_rollback(loc, 1)
+        assert [r["id"] for r in snapshot_read(spark, loc).collect()] == [2]
+
+    def test_vacuum_reclaims_unreferenced(self, spark, tmp_path):
+        loc = str(tmp_path / "t")
+        snapshot_commit(spark.createDataFrame([(1,)], "id LONG"), loc)
+        snapshot_commit(spark.createDataFrame([(2,)], "id LONG"), loc, "overwrite")
+        deleted = snapshot_vacuum(loc, keep_last=1)
+        assert deleted, "v0's files are unreferenced by the kept window"
+        assert snapshot_read(spark, loc).count() == 1  # latest unharmed
+        with pytest.raises(ValueError):
+            snapshot_read(spark, loc, version=0)  # beyond retention
+
+    def test_concurrent_commit_detected(self, spark, tmp_path):
+        """Two writers that both planned v1 (same parent): the second
+        rename loses and raises — the version file IS the lock."""
+        from fuse_query_spark.sources.snapshots import _write_manifest
+
+        loc = str(tmp_path / "t")
+        snapshot_commit(spark.createDataFrame([(1,)], "id LONG"), loc)
+        planned = dict(read_manifest(loc, 0), version=1, parent=0)
+        _write_manifest(loc, planned)  # writer A lands v1
+        with pytest.raises(RuntimeError, match="concurrent"):
+            _write_manifest(loc, dict(planned))  # writer B loses the race
+        # a writer that re-reads latest AFTER the loss commits cleanly
+        assert snapshot_commit(
+            spark.createDataFrame([(2,)], "id LONG"), loc, "append"
+        ) == 2
+
+
+class TestSnapshotEngine:
+    def test_engine_end_to_end(self, engine, tmp_path):
+        loc = str(tmp_path / "snap_pq")
+        engine.sql("DROP TABLE IF EXISTS snap")
+        engine.sql(
+            f"CREATE TABLE snap(id bigint, v varchar) ENGINE = Snapshot location = '{loc}'"
+        )
+        engine.sql("INSERT INTO snap VALUES (1, 'a'), (2, 'b')")
+        engine.sql("INSERT INTO snap VALUES (3, 'c')")
+        assert one(engine.sql("SELECT count(1) FROM snap")) == 3
+        # time travel
+        assert one(engine.sql("SELECT count(1) FROM snap VERSION AS OF 0")) == 2
+        # MVCC delete: new version, old state travelable
+        engine.sql("DELETE FROM snap WHERE id = 2")
+        assert one(engine.sql("SELECT count(1) FROM snap")) == 2
+        assert one(engine.sql("SELECT count(1) FROM snap VERSION AS OF 1")) == 3
+        # MVCC update
+        engine.sql("UPDATE snap SET v = 'z' WHERE id = 1")
+        assert one(engine.sql("SELECT v FROM snap WHERE id = 1")) == "z"
+        assert (
+            one(engine.sql("SELECT v FROM snap VERSION AS OF 2 WHERE id = 1")) == "a"
+        )
+        # history + rollback + vacuum
+        hist = engine.sql("SHOW SNAPSHOTS FROM snap").collect()
+        assert [r["version"] for r in hist] == [0, 1, 2, 3]
+        engine.sql("ROLLBACK TABLE snap TO VERSION 1")
+        assert one(engine.sql("SELECT count(1) FROM snap")) == 3
+        deleted = engine.sql("VACUUM snap KEEP 1").collect()
+        assert deleted  # older versions' files reclaimed
+        assert one(engine.sql("SELECT count(1) FROM snap")) == 3
+        engine.sql("DROP TABLE snap")
+
+    def test_mixed_versions_in_one_query(self, engine, tmp_path):
+        loc = str(tmp_path / "snap2_pq")
+        engine.sql("DROP TABLE IF EXISTS snap2")
+        engine.sql(
+            f"CREATE TABLE snap2(id bigint) ENGINE = Snapshot location = '{loc}'"
+        )
+        engine.sql("INSERT INTO snap2 VALUES (1), (2)")
+        engine.sql("INSERT INTO snap2 VALUES (3)")
+        # rows added between v0 and v1, via an anti-join of two pins
+        added = engine.sql(
+            "SELECT a.id FROM snap2 VERSION AS OF 1 a "
+            "LEFT ANTI JOIN snap2 VERSION AS OF 0 b ON a.id = b.id"
+        ).collect()
+        assert [r["id"] for r in added] == [3]
+        engine.sql("DROP TABLE snap2")
+
+    def test_time_travel_rejected_on_plain_engines(self, engine, tmp_path):
+        engine.sql("DROP TABLE IF EXISTS plainmem")
+        engine.sql("CREATE TABLE plainmem(id bigint) ENGINE = Memory")
+        with pytest.raises(Exception, match="Snapshot"):
+            engine.sql("SELECT * FROM plainmem VERSION AS OF 0")
+        engine.sql("DROP TABLE plainmem")
