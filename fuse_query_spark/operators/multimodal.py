@@ -10,9 +10,11 @@ Pixel decode is REAL for PPM (raw RGB), uncompressed 24-bit BMP,
 8-bit truecolor PNG (chunk walk + CRC verify + stdlib-zlib inflate +
 scanline unfiltering — _png_pixels), and global-color-table GIF
 (container walk + a full pure-Python LZW codec — _gif_pixels /
-_lzw_decode); only JPEG (DCT + Huffman entropy coding) genuinely
-needs a library absent from this container and raises
-NotImplementedError with the integration point documented. Frame
+_lzw_decode), and BASELINE GRAYSCALE JPEG (marker walk, DHT-driven
+canonical Huffman entropy decode with byte unstuffing, dequant, 8x8
+IDCT — _jpeg_pixels); only color/progressive/arithmetic JPEG still
+needs a library and raises NotImplementedError with the integration
+point documented. Frame
 sampling is REAL over the concatenated-P6 toy video container
 synthesized here (parse frame boundaries, emit every Nth).
 
@@ -68,6 +70,34 @@ def parse_image_header(b: bytes) -> tuple[int, int, str] | None:
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])
         return _bounded(w, abs(h), "image/bmp")  # negative h = top-down BMP
+    if b[:2] == b"\xff\xd8":
+        dims = _jpeg_dims(b)
+        if dims:
+            return _bounded(dims[0], dims[1], "image/jpeg")
+    return None
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first SOFn marker — the JPEG header
+    walk (segments are length-prefixed, entropy data comes only after
+    SOS so the walk never needs unstuffing)."""
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            if pos + 9 > len(b):
+                return None
+            h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+            return w, h
+        if marker in (0xDA, 0xD9):
+            return None
+        seglen = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        pos += 2 + seglen
     return None
 
 
@@ -285,6 +315,7 @@ def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "image/bmp": _bmp_pixels,
                     "image/png": _png_pixels,
                     "image/gif": _gif_pixels,
+                    "image/jpeg": _jpeg_pixels,
                 }.get(fmt)
                 if codec is not None:
                     try:
@@ -299,9 +330,10 @@ def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if fmt != "image/ppm":
                     raise NotImplementedError(
                         "pixel decode implemented for raw PPM, uncompressed "
-                        "24-bit BMP, 8-bit truecolor PNG, and GCT GIF; got "
-                        f"{fmt or 'unknown bytes'} — JPEG (DCT + Huffman) is "
-                        "the remaining library boundary (PIL/libvips)"
+                        "24-bit BMP, 8-bit truecolor PNG, GCT GIF, and "
+                        f"baseline grayscale JPEG; got {fmt or 'unknown bytes'}"
+                        " — color/progressive JPEG is the remaining library "
+                        "boundary (PIL/libvips)"
                     )
                 # _ppm_frame re-derives dims + bytes-per-sample and
                 # REJECTS truncated bodies (a silent short buffer would
@@ -818,6 +850,350 @@ def synthesize_gif_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col],
                     "content": [_gif_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+
+
+# --- Real baseline JPEG decode, grayscale (r5, late) ----------------------
+# The "JPEG needs a library" boundary is narrower than it looks: for
+# BASELINE GRAYSCALE the whole pipeline — marker walk, DQT/DHT/SOF0/
+# SOS parse, canonical Huffman entropy decode with byte-unstuffing,
+# coefficient dequant, 8x8 IDCT (numpy), level shift — is implemented
+# here for real. The synthesized corpus carries its own DHT tables, so
+# nothing depends on the spec's example tables. What still needs a
+# library: color (multi-component + chroma subsampling), progressive
+# (SOF2), and arithmetic coding.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Our canonical tables (carried in DHT — any table-driven decoder,
+# including this one, reads them from the file): DC categories 0..11
+# all at 5 bits; AC symbols EOB, ZRL and (run<<4)|size for run 0..15,
+# size 1..10 all at 9 bits. Uniform lengths keep Kraft satisfied
+# (12 <= 2^5, 162 <= 2^9) with room so the all-ones code stays unused.
+_JPEG_DC_BITS = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_VALS), 0, 0, 0, 0, 0, 0, 0]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """JPEG canonical Huffman assignment (spec C.2): symbols in `vals`
+    order get increasing codes, shorter lengths first. Returns
+    {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    hitting a real marker (0xFF followed by non-zero) ends the data."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # stuffed FF
+                else:
+                    raise ValueError("JPEG entropy data exhausted (marker)")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _bitsize(v: int) -> int:
+    return v.bit_length()
+
+
+def _encode_block(w: _BitWriter, coeffs: list[int], prev_dc: int, dc_codes, ac_codes) -> int:
+    """Huffman-encode one 8x8 block's 64 zigzag coefficients (general —
+    not just DC-only): DC diff category + bits, AC run-length with ZRL
+    and EOB. Returns the block's DC for the next diff."""
+    diff = coeffs[0] - prev_dc
+    size = _bitsize(abs(diff))
+    w.put(*dc_codes[size])
+    if size:
+        w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if coeffs[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = coeffs[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        size = _bitsize(abs(v))
+        w.put(*ac_codes[(run << 4) | size])
+        w.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        w.put(*ac_codes[0x00])  # EOB
+    return coeffs[0]
+
+
+def _decode_block(r: _BitReader, prev_dc: int, dc_tbl, ac_tbl) -> tuple[list[int], int]:
+    coeffs = [0] * 64
+    size = r.huff(dc_tbl)
+    dc = prev_dc + (_extend(r.bits(size), size) if size else 0)
+    coeffs[0] = dc
+    i = 1
+    while i < 64:
+        rs = r.huff(ac_tbl)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = rs >> 4, rs & 0x0F
+        i += run
+        if i > 63 or size == 0:
+            raise ValueError("corrupt JPEG AC run")
+        coeffs[i] = _extend(r.bits(size), size)
+        i += 1
+    return coeffs, dc
+
+
+def _idct_matrix():
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = (cu / 2) * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """REAL baseline JPEG decode for GRAYSCALE (1-component SOF0):
+    marker walk → DQT/DHT/SOF0/SOS → canonical Huffman entropy decode
+    (tables read from the file's own DHT) → dequant in zigzag order →
+    8x8 IDCT → level shift/clamp. Gray replicates to RGB to match the
+    decode_image_pixels contract. Color (multi-component), progressive
+    (SOF2), and arithmetic coding raise NotImplementedError — the
+    honest remaining library boundary."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_q = 0
+    dc_id = ac_id = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            raise ValueError("JPEG has no scan data")
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtables[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                codes = _canonical_codes(bits, vals)
+                htables[(tc, th)] = {(c, ln): sym for sym, (c, ln) in codes.items()}
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "color JPEG (multi-component) needs an image library;"
+                    " grayscale baseline decodes here"
+                )
+            sampling, comp_q = seg[7], seg[8]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampled JPEG unsupported")
+        elif marker in (0xC2, 0xC1, 0xC3):
+            raise NotImplementedError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan unsupported")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    else:
+        raise ValueError("JPEG missing SOS")
+    if w is None or comp_q not in qtables:
+        raise ValueError("JPEG missing SOF0/DQT")
+    q = qtables[comp_q]
+    dc_tbl = htables.get((0, dc_id))
+    ac_tbl = htables.get((1, ac_id))
+    if dc_tbl is None or ac_tbl is None:
+        raise ValueError("JPEG missing Huffman tables")
+    a = _idct_matrix()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype="uint8")
+    r = _BitReader(data, pos)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz, prev_dc = _decode_block(r, prev_dc, dc_tbl, ac_tbl)
+            f = np.zeros((8, 8))
+            for i in range(64):
+                f[_ZIGZAG[i] // 8, _ZIGZAG[i] % 8] = zz[i] * q[i]
+            block = a.T @ f @ a + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype("uint8")
+    gray = out[:h, :w].reshape(-1)
+    rgb = np.repeat(gray, 3)  # contract: RGB bytes
+    return w, h, rgb.tobytes()
+
+
+def _jpeg_encode_gray(
+    blocks_zz: list[list[int]], w: int, h: int, q: list[int]
+) -> bytes:
+    """Assemble a valid baseline grayscale JPEG from quantized zigzag
+    coefficient blocks (raster order): DQT + our canonical DHT tables
+    + SOF0 + SOS + Huffman entropy data with byte stuffing. General —
+    arbitrary AC runs encode too (roundtrip with _jpeg_pixels'
+    entropy decoder is property-tested at the coefficient level)."""
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _BitWriter()
+    prev_dc = 0
+    for zz in blocks_zz:
+        prev_dc = _encode_block(wtr, zz, prev_dc, dc_codes, ac_codes)
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(q))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + dht + sof + sos + entropy + b"\xff\xd9"
+
+
+def _jpeg_bytes(doc_id: int) -> bytes:
+    """Deterministic valid baseline grayscale JPEG per doc: w=8*(1+id%3),
+    h=8*(1+id%2); each 8x8 block is FLAT with DC chosen so the decoded
+    value is the exact integer 128 + 2*dc (quant step 16 → IDCT of a
+    DC-only block is the constant dc*16/8): block (bx,by) decodes to
+    128 + 2*((doc_id + bx + 3*by) % 64 - 32) — a closed form any SQL
+    engine reproduces. Lossless BY CONSTRUCTION, so the whole decode
+    pipeline (markers, DHT, Huffman, dequant, IDCT) is byte-exact
+    verifiable despite JPEG being a lossy format in general."""
+    bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+    q = [16] * 64
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            zz[0] = (doc_id + bx + 3 * by) % 64 - 32
+            blocks.append(zz)
+    return _jpeg_encode_gray(blocks, bw * 8, bh * 8, q)
+
+
+def synthesize_jpeg_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content): deterministic valid grayscale JPEGs."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": [_jpeg_bytes(int(i)) for i in pdf[id_col]],
                 }
             )
 

@@ -137,6 +137,9 @@ DRIVER_HIDDEN = {
 # parquet, VERSION AS OF, MVCC DELETE — sources/snapshots.py) in for
 # events_cohort_retention (r4 driver-green; events keeps
 # value_histogram + heavy_hitters_rollup in-prefix).
+# r5-late swap 7: multimodal_jpeg_decode (real DHT-driven Huffman +
+# IDCT decode, closed-form oracle) in for multimodal_ppm_decode (r4
+# driver-green; the family keeps blob_meta/wav/png/jpeg in-prefix).
 DRIVER_PRIORITY = [
     # flagship + core operators (SURVEY §2.2/2.4/2.6)
     # (agg_global_stats rotated out r5-late for text_bigram_logprob:
@@ -201,7 +204,7 @@ DRIVER_PRIORITY = [
     "sample_stratified_rates",
     "pack_sequences",
     # multimodal
-    "multimodal_ppm_decode",  # r4-first, second round
+    "multimodal_jpeg_decode",  # r5-late: real baseline JPEG decode
     "multimodal_blob_meta",
     "multimodal_wav_decode",  # r5: real RIFF/PCM16 audio decode
     # similarity family

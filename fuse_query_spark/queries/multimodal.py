@@ -6,8 +6,10 @@ dims are a closed-form function of doc_id, parsed by the Arrow-batched
 header decoder). multimodal_png_decode and multimodal_gif_decode (r5
 late) drive REAL compressed-image decoding — stdlib-zlib PNG and
 pure-Python-LZW GIF — each verified byte-for-byte via a closed-form
-pixel-sum oracle; JPEG (DCT + Huffman) is the one remaining library
-boundary, documented in operators/multimodal.py."""
+pixel-sum oracle. multimodal_jpeg_decode drives the REAL baseline
+grayscale JPEG decoder (flat DC-only blocks at quant 16 make the lossy
+format byte-exact verifiable); color/progressive JPEG is the remaining
+library boundary, documented in operators/multimodal.py."""
 
 from __future__ import annotations
 
@@ -171,3 +173,39 @@ def multimodal_gif_decode(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return image_pixel_stats(synthesize_gif_blobs(docs))
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(192 * list_sum(list_transform(
+               range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+               k -> 128 + 2 * ((doc_id + (k % (1 + doc_id % 3))
+                                + 3 * (k // (1 + doc_id % 3))) % 64 - 32)
+           )) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal", "decode", "jpeg", "dct"),
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline JPEG decode end-to-end (r5 late): synthesize
+    valid grayscale JPEGs whose 8x8 blocks are flat with quant step 16
+    — the IDCT of a DC-only block is then the exact integer
+    128 + 2*DC, making a LOSSY format byte-exact verifiable — and run
+    the full decoder (marker walk, file-carried canonical DHT tables,
+    Huffman entropy decode with unstuffing, dequant, numpy IDCT).
+    pixel_sum = 192 * sum of block values (64 px/block x 3 RGB
+    channels); one wrong bit anywhere in the entropy stream moves it.
+    General-coefficient entropy roundtrip is property-tested in
+    tests/test_multimodal.py; color/progressive JPEG remains the
+    library boundary."""
+    from fuse_query_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_jpeg_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_pixel_stats(synthesize_jpeg_blobs(docs))

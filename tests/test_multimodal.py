@@ -422,3 +422,100 @@ class TestGifDecode:
                 for ch in range(3)
             )
             assert (r["width"], r["height"], r["pixel_sum"]) == (w, h, want)
+
+
+class TestJpegDecode:
+    def test_flat_block_decode_exact(self):
+        from fuse_query_spark.operators.multimodal import _jpeg_bytes, _jpeg_pixels
+
+        for d in (0, 5, 7, 4444):
+            w, h, px = _jpeg_pixels(_jpeg_bytes(d))
+            bw, bh = 1 + d % 3, 1 + d % 2
+            assert (w, h) == (8 * bw, 8 * bh)
+            for by in range(bh):
+                for bx in range(bw):
+                    want = 128 + 2 * ((d + bx + 3 * by) % 64 - 32)
+                    y, x = by * 8 + 3, bx * 8 + 4
+                    assert px[3 * (y * w + x)] == want
+
+    def test_entropy_roundtrip_general_coefficients(self):
+        """The Huffman layer is general, not DC-only: random coefficient
+        blocks (runs, ZRL cases, category sizes 1..10) survive
+        encode→decode exactly at the coefficient level."""
+        import random
+
+        from fuse_query_spark.operators.multimodal import (
+            _JPEG_AC_BITS,
+            _JPEG_AC_VALS,
+            _JPEG_DC_BITS,
+            _JPEG_DC_VALS,
+            _BitReader,
+            _BitWriter,
+            _canonical_codes,
+            _decode_block,
+            _encode_block,
+        )
+
+        random.seed(3)
+        dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+        dc_tbl = {(c, ln): s for s, (c, ln) in dc_codes.items()}
+        ac_tbl = {(c, ln): s for s, (c, ln) in ac_codes.items()}
+        blocks = []
+        for _ in range(60):
+            zz = [0] * 64
+            zz[0] = random.randint(-200, 200)
+            for _k in range(random.randint(0, 12)):
+                zz[random.randint(1, 63)] = random.randint(-511, 511)
+            blocks.append(zz)
+        w = _BitWriter()
+        prev = 0
+        for zz in blocks:
+            prev = _encode_block(w, zz, prev, dc_codes, ac_codes)
+        data = w.flush() + b"\xff\xd9"
+        r = _BitReader(data, 0)
+        prev = 0
+        for zz in blocks:
+            got, prev = _decode_block(r, prev, dc_tbl, ac_tbl)
+            assert got == zz
+
+    def test_jpeg_header_parse_and_meta(self, spark):
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_bytes,
+            parse_image_header,
+        )
+
+        assert parse_image_header(_jpeg_bytes(5)) == (24, 16, "image/jpeg")
+
+    def test_unsupported_jpeg_classes_raise(self):
+        import pytest as _pytest
+
+        from fuse_query_spark.operators.multimodal import _jpeg_bytes, _jpeg_pixels
+
+        good = bytearray(_jpeg_bytes(5))
+        # flip SOF0 -> SOF2 (progressive)
+        i = bytes(good).find(b"\xff\xc0")
+        good[i + 1] = 0xC2
+        with _pytest.raises(NotImplementedError, match="baseline"):
+            _jpeg_pixels(bytes(good))
+        with _pytest.raises(ValueError):
+            _jpeg_pixels(_jpeg_bytes(5)[:40])  # truncated before SOS
+
+    def test_distributed_jpeg_pixel_stats(self, spark, sf_dir):
+        from fuse_query_spark.operators.multimodal import (
+            image_pixel_stats,
+            synthesize_jpeg_blobs,
+        )
+
+        docs = table(spark, sf_dir, "documents").limit(12)
+        rows = image_pixel_stats(synthesize_jpeg_blobs(docs)).collect()
+        assert len(rows) == 12
+        for r in rows:
+            d = r["doc_id"]
+            bw, bh = 1 + d % 3, 1 + d % 2
+            want = 192 * sum(
+                128 + 2 * ((d + bx + 3 * by) % 64 - 32)
+                for by in range(bh)
+                for bx in range(bw)
+            )
+            assert (r["width"], r["height"], r["pixel_sum"]) == (8 * bw, 8 * bh, want)
