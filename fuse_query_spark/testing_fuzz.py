@@ -421,3 +421,50 @@ def run_dml_case(engine, con, seed: int, parquet_loc: str | None = None) -> list
         engine.sql(f"DROP TABLE IF EXISTS {t}")
         con.execute(f"DROP TABLE IF EXISTS {t}")
     return problems
+
+
+def run_snapshot_dml_case(engine, con, seed: int, loc: str) -> list[str]:
+    """Time-travel differential fuzz: apply one mutation sequence to an
+    ENGINE = Snapshot table and a DuckDB table, recording DuckDB's
+    state after EVERY statement; then verify (a) the live state after
+    each op, and (b) at the end, that `VERSION AS OF k` reproduces the
+    recorded state after statement k for EVERY k — i.e. the whole
+    history is correct, not just the head. Each DML statement commits
+    exactly one snapshot version, so version index == statement index."""
+    t = f"dml_snap_{seed}"
+    engine.sql(f"DROP TABLE IF EXISTS {t}")
+    con.execute(f"DROP TABLE IF EXISTS {t}")
+    engine.sql(
+        f"CREATE TABLE {t}(a bigint, b bigint) ENGINE = Snapshot location = '{loc}'"
+    )
+    con.execute(f"CREATE TABLE {t}(a BIGINT, b BIGINT)")
+    problems = []
+    history: list[list[tuple]] = []
+    try:
+        for i, op in enumerate(gen_dml_ops(seed, partitioned=False)):
+            stmt = op.format(t=t)
+            engine.sql(stmt)
+            con.execute(stmt)
+            theirs = _dml_state(con.execute(f"SELECT * FROM {t}").fetchall())
+            history.append(theirs)
+            ours = _dml_state(engine.sql(f"SELECT * FROM {t}").collect())
+            if ours != theirs:
+                problems.append(
+                    f"seed {seed} live state diverged after op {i}: {stmt}"
+                )
+                break
+        if not problems:
+            for k, want in enumerate(history):
+                got = _dml_state(
+                    engine.sql(f"SELECT * FROM {t} VERSION AS OF {k}").collect()
+                )
+                if got != want:
+                    problems.append(
+                        f"seed {seed}: VERSION AS OF {k} != state after op {k}:"
+                        f" got={got[:8]} want={want[:8]}"
+                    )
+                    break
+    finally:
+        engine.sql(f"DROP TABLE IF EXISTS {t}")
+        con.execute(f"DROP TABLE IF EXISTS {t}")
+    return problems

@@ -81,3 +81,18 @@ def test_dml_fuzz_partitioned_parquet_matches_duckdb(
         dialect_engine, oracle, seed, parquet_loc=str(tmp_path / f"dmlpq{seed}")
     )
     assert not problems, problems
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_dml_fuzz_snapshot_time_travel_matches_duckdb(
+    dialect_engine, oracle, seed, tmp_path
+):
+    """MVCC differential fuzz: every random DML sequence must leave a
+    history where VERSION AS OF k equals DuckDB's state after op k —
+    the whole version chain is checked, not just the final table."""
+    from fuse_query_spark.testing_fuzz import run_snapshot_dml_case
+
+    problems = run_snapshot_dml_case(
+        dialect_engine, oracle, seed, str(tmp_path / f"snapfuzz{seed}")
+    )
+    assert not problems, "\n".join(problems)
