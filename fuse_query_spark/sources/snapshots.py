@@ -112,11 +112,20 @@ def snapshot_commit(
     if mode == "append" and parent is not None:
         files += read_manifest(location, parent)["files"]
     files += new_files
+    # per-file footer stats ride in the manifest (Iceberg's shape):
+    # new files are stat'ed here (footer-only reads); inherited files
+    # keep their existing entries — commit cost stays O(added files)
+    stats: dict[str, dict] = {}
+    if mode == "append" and parent is not None:
+        stats.update(read_manifest(location, parent).get("stats", {}))
+    for f in new_files:
+        stats[f] = _file_stats(os.path.join(location, f))
     manifest = {
         "version": (parent + 1) if parent is not None else 0,
         "parent": parent,
         "operation": mode,
         "files": files,
+        "stats": stats,
         "schema_ddl": df.schema.simpleString()[7:-1],  # struct<...> → ...
         "added_files": len(new_files),
         "committed_at": datetime.now(timezone.utc).isoformat(),
@@ -159,6 +168,7 @@ def snapshot_rollback(location: str, to_version: int) -> int:
         "parent": parent,
         "operation": f"rollback_to_v{to_version}",
         "files": m["files"],
+        "stats": m.get("stats", {}),
         "schema_ddl": m["schema_ddl"],
         "added_files": 0,
         "committed_at": datetime.now(timezone.utc).isoformat(),
@@ -218,3 +228,110 @@ def snapshot_vacuum(location: str, keep_last: int = 1) -> list[str]:
         if os.path.exists(p):
             os.remove(p)
     return sorted(deleted)
+
+
+# --- Manifest file statistics + file skipping (r5, late) ------------------
+
+
+def _file_stats(path: str) -> dict:
+    """Per-column min/max/null_count from the parquet FOOTER (pyarrow
+    metadata — no data pages read). Only scalar-typed columns with
+    valid statistics participate; everything else is simply absent
+    (absence = cannot prune on that column)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            name = col.path_in_schema
+            if name in stats:
+                cur = stats[name]
+                cur[0], cur[1] = min(cur[0], mn), max(cur[1], mx)
+            else:
+                stats[name] = [mn, mx]
+    return {k: {"min": v[0], "max": v[1]} for k, v in stats.items()}
+
+
+def _prunable(stats: dict, predicates) -> bool:
+    """True if the file can be SKIPPED: some predicate (col, op, val)
+    is provably false over the file's [min, max]. Conservative — a
+    column without stats never prunes."""
+    for col, op, val in predicates:
+        s = stats.get(col)
+        if s is None:
+            continue
+        mn, mx = s["min"], s["max"]
+        try:
+            if (
+                (op == "=" and (val < mn or val > mx))
+                or (op == ">" and mx <= val)
+                or (op == ">=" and mx < val)
+                or (op == "<" and mn >= val)
+                or (op == "<=" and mn > val)
+            ):
+                return True
+        except TypeError:
+            continue  # cross-type comparison: never prune
+    return False
+
+
+def snapshot_read_pruned(
+    spark: SparkSession,
+    location: str,
+    predicates,
+    version: int | None = None,
+    schema: StructType | None = None,
+) -> tuple[DataFrame, dict]:
+    """Manifest-driven FILE SKIPPING: drop every file whose footer
+    stats prove the conjunction of `predicates` [(col, op, literal)]
+    matches nothing, then scan only the survivors (the predicate still
+    applies in full — pruning is an optimization, never a filter).
+    This is the table-format half of predicate pushdown: at 100 TB the
+    planner eliminates files from the MANIFEST, before any task is
+    scheduled or any footer re-read — the scan's file list is already
+    minimal. Returns (df, {"kept": k, "pruned": p})."""
+    from pyspark.sql import functions as F
+
+    v = latest_version(location) if version is None else version
+    if v is None:
+        raise ValueError(f"no snapshots at {location}")
+    m = read_manifest(location, v)
+    kept, pruned = [], 0
+    for f in m["files"]:
+        st = m.get("stats", {}).get(f)
+        if st is not None and _prunable(st, predicates):
+            pruned += 1
+        else:
+            kept.append(os.path.join(location, f))
+    if not kept:
+        df = spark.createDataFrame([], schema or m["schema_ddl"])
+    else:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*kept)
+    cond = None
+    for col, op, val in predicates:
+        c = {
+            "=": F.col(col) == F.lit(val),
+            ">": F.col(col) > F.lit(val),
+            ">=": F.col(col) >= F.lit(val),
+            "<": F.col(col) < F.lit(val),
+            "<=": F.col(col) <= F.lit(val),
+        }[op]
+        cond = c if cond is None else (cond & c)
+    return (df.filter(cond) if cond is not None else df), {
+        "kept": len(kept),
+        "pruned": pruned,
+    }

@@ -146,3 +146,53 @@ class TestSnapshotEngine:
         with pytest.raises(Exception, match="Snapshot"):
             engine.sql("SELECT * FROM plainmem VERSION AS OF 0")
         engine.sql("DROP TABLE plainmem")
+
+
+class TestFileSkipping:
+    def test_manifest_stats_prune_files(self, spark, tmp_path):
+        from fuse_query_spark.sources.snapshots import snapshot_read_pruned
+
+        loc = str(tmp_path / "t")
+        # three commits with disjoint id ranges -> three file groups
+        for lo in (0, 100, 200):
+            snapshot_commit(
+                spark.createDataFrame(
+                    [(lo + i, f"s{lo}") for i in range(10)], "id LONG, src STRING"
+                ).coalesce(1),
+                loc,
+                "append",
+            )
+        df, st = snapshot_read_pruned(spark, loc, [("id", ">=", 200)])
+        assert st == {"kept": 1, "pruned": 2}
+        assert df.count() == 10 and df.agg({"id": "min"}).collect()[0][0] == 200
+        # equality on a string column prunes by string min/max
+        df2, st2 = snapshot_read_pruned(spark, loc, [("src", "=", "s100")])
+        assert st2["pruned"] == 2 and df2.count() == 10
+        # pruning is an optimization, never a filter: predicate still applies
+        df3, st3 = snapshot_read_pruned(spark, loc, [("id", "<", 105)])
+        assert st3 == {"kept": 2, "pruned": 1}
+        assert df3.count() == 15  # 10 from file0 + 5 from file1
+        # a predicate matching nothing prunes everything
+        df4, st4 = snapshot_read_pruned(spark, loc, [("id", ">", 10_000)])
+        assert st4["kept"] == 0 and df4.count() == 0
+
+    def test_stats_survive_rollback_and_time_travel(self, spark, tmp_path):
+        from fuse_query_spark.sources.snapshots import snapshot_read_pruned
+
+        loc = str(tmp_path / "t")
+        snapshot_commit(
+            spark.createDataFrame([(i,) for i in range(10)], "id LONG").coalesce(1),
+            loc,
+        )
+        snapshot_commit(
+            spark.createDataFrame([(100 + i,) for i in range(10)], "id LONG").coalesce(1),
+            loc,
+            "append",
+        )
+        snapshot_rollback(loc, 0)
+        # post-rollback manifest still prunes (stats were carried over)
+        df, st = snapshot_read_pruned(spark, loc, [("id", ">=", 100)])
+        assert st == {"kept": 0, "pruned": 1} and df.count() == 0
+        # pruned read of a PINNED old version
+        df1, st1 = snapshot_read_pruned(spark, loc, [("id", ">=", 100)], version=1)
+        assert st1 == {"kept": 1, "pruned": 1} and df1.count() == 10
