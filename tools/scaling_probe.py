@@ -140,15 +140,24 @@ def probe_ops(spark, docs):
         contaminated_ids,
         contaminated_ids_bloom,
     )
+    from fuse_query_spark.operators.dedup import minhash_containment_pairs
     from fuse_query_spark.operators.text import (
         bigram_logprob,
         chunk_dup_fraction,
+        remove_boilerplate_chunks,
         repetition_metrics,
     )
 
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     return {
+        # r5-late shuffle-bearing text ops
+        "containment_pairs": lambda: minhash_containment_pairs(
+            docs, k=8, bands=4, threshold=0.5
+        ),
+        "boilerplate_scrub": lambda: remove_boilerplate_chunks(
+            docs, chunk_tokens=2, max_doc_frac=0.04
+        ),
         "dedup_exact": lambda: dedup_exact(docs),
         "minhash_lsh_pairs": lambda: minhash_dedup_pairs(docs, k=16, bands=4, threshold=0.2),
         "decontaminate": lambda: contaminated_ids(corpus, ev, n=4),
@@ -280,6 +289,8 @@ def main():
             "bigram_logprob",
             "semantic_dedup",
             "pq_encode",
+            "containment_pairs",
+            "boilerplate_scrub",
         ]
         if only:
             ops = [o for o in ops if o in only]
