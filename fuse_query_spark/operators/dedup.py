@@ -533,9 +533,23 @@ def minhash_containment_pairs(
     side's signature is dominated by its own shingles) — production
     containment search uses size-stratified bands or one-sided
     signatures; candidates here inherit the standard banding, which is
-    exactly what the oracle mirrors."""
-    sigs = minhash_signatures_md5(df, text_col, id_col, k, shingle_n)
+    exactly what the oracle mirrors.
+
+    The shingle and signature tables are persisted for the same
+    measured reason as minhash_dedup_pairs: shingles feed the
+    signature build AND both sides of the verify join (3 consumers),
+    and without persistence Spark re-runs the shingle explode per
+    consumer — the scaling probe caught this as a 6.7x super-linear
+    step at 64x replication (321 s, 40 GB peak heap); with the persist
+    the op rejoins the linear family (re-measured in SCALE.md)."""
+    sh_df = _shingle_table(df, text_col, id_col, shingle_n).persist()
+    ex = sh_df.select(F.col("_id").alias(id_col), F.explode("_sh").alias("_s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("_s"), F.lit(f"|{i}")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    sigs = ex.groupBy(id_col).agg(*aggs).persist()
     cands = lsh_candidate_pairs_md5(sigs, id_col, k, bands)
     return containment_verify(
-        df, cands, text_col, id_col, shingle_n, threshold
+        df, cands, text_col, id_col, shingle_n, threshold, shingle_df=sh_df
     )
