@@ -10,11 +10,12 @@ Pixel decode is REAL for PPM (raw RGB), uncompressed 24-bit BMP,
 8-bit truecolor PNG (chunk walk + CRC verify + stdlib-zlib inflate +
 scanline unfiltering — _png_pixels), and global-color-table GIF
 (container walk + a full pure-Python LZW codec — _gif_pixels /
-_lzw_decode), and BASELINE GRAYSCALE JPEG (marker walk, DHT-driven
-canonical Huffman entropy decode with byte unstuffing, dequant, 8x8
-IDCT — _jpeg_pixels); only color/progressive/arithmetic JPEG still
-needs a library and raises NotImplementedError with the integration
-point documented. Frame
+_lzw_decode), and BASELINE JPEG — grayscale AND 4:4:4 color (marker
+walk, DHT-driven canonical Huffman entropy decode with byte
+unstuffing, interleaved MCUs with per-component DC predictors,
+dequant, 8x8 IDCT, JFIF YCbCr→RGB — _jpeg_pixels); only chroma-
+subsampled / progressive / arithmetic JPEG still needs a library and
+raises NotImplementedError with the integration point documented. Frame
 sampling is REAL over the concatenated-P6 toy video container
 synthesized here (parse frame boundaries, emit every Nth).
 
@@ -1041,13 +1042,15 @@ def _idct_matrix():
 
 
 def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
-    """REAL baseline JPEG decode for GRAYSCALE (1-component SOF0):
+    """REAL baseline JPEG decode for GRAYSCALE (1 component) and
+    4:4:4 COLOR (3 components, 1x1 sampling, interleaved MCUs):
     marker walk → DQT/DHT/SOF0/SOS → canonical Huffman entropy decode
-    (tables read from the file's own DHT) → dequant in zigzag order →
-    8x8 IDCT → level shift/clamp. Gray replicates to RGB to match the
-    decode_image_pixels contract. Color (multi-component), progressive
-    (SOF2), and arithmetic coding raise NotImplementedError — the
-    honest remaining library boundary."""
+    (tables read from the file's own DHT, per-component DC predictors)
+    → dequant in zigzag order → 8x8 IDCT → level shift/clamp →
+    JFIF YCbCr→RGB for 3 components (gray replicates). Chroma
+    SUBSAMPLING (sampling factors != 1x1), progressive (SOF2), and
+    arithmetic coding raise NotImplementedError — the remaining
+    library boundary."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -1056,8 +1059,7 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = None
-    comp_q = 0
-    dc_id = ac_id = 0
+    comps: list[dict] = []  # SOF order: {cid, tq, dc, ac}
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -1088,51 +1090,74 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "color JPEG (multi-component) needs an image library;"
-                    " grayscale baseline decodes here"
-                )
-            sampling, comp_q = seg[7], seg[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled JPEG unsupported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG unsupported")
+            for ci in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (chroma sampling != 1x1) needs an"
+                        " image library; 4:4:4 and grayscale decode here"
+                    )
+                comps.append({"cid": cid, "tq": tq})
         elif marker in (0xC2, 0xC1, 0xC3):
             raise NotImplementedError("only baseline (SOF0) JPEG supported")
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan unsupported")
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            if ns != len(comps):
+                raise NotImplementedError("non-interleaved scans unsupported")
+            by_cid = {c["cid"]: c for c in comps}
+            for si in range(ns):
+                cid, tids = seg[1 + 2 * si], seg[2 + 2 * si]
+                if cid not in by_cid:
+                    raise ValueError("SOS names unknown component")
+                by_cid[cid]["dc"], by_cid[cid]["ac"] = tids >> 4, tids & 0x0F
             pos = pos + 2 + seglen
             break
         pos += 2 + seglen
     else:
         raise ValueError("JPEG missing SOS")
-    if w is None or comp_q not in qtables:
-        raise ValueError("JPEG missing SOF0/DQT")
-    q = qtables[comp_q]
-    dc_tbl = htables.get((0, dc_id))
-    ac_tbl = htables.get((1, ac_id))
-    if dc_tbl is None or ac_tbl is None:
-        raise ValueError("JPEG missing Huffman tables")
+    if w is None or not comps:
+        raise ValueError("JPEG missing SOF0")
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError("JPEG missing DQT for a component")
+        c["q"] = qtables[c["tq"]]
+        c["dc_tbl"] = htables.get((0, c.get("dc", 0)))
+        c["ac_tbl"] = htables.get((1, c.get("ac", 0)))
+        if c["dc_tbl"] is None or c["ac_tbl"] is None:
+            raise ValueError("JPEG missing Huffman tables")
     a = _idct_matrix()
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype="uint8")
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
     r = _BitReader(data, pos)
-    prev_dc = 0
+    prev_dc = [0] * len(comps)
     for by in range(bh):
         for bx in range(bw):
-            zz, prev_dc = _decode_block(r, prev_dc, dc_tbl, ac_tbl)
-            f = np.zeros((8, 8))
-            for i in range(64):
-                f[_ZIGZAG[i] // 8, _ZIGZAG[i] % 8] = zz[i] * q[i]
-            block = a.T @ f @ a + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype("uint8")
-    gray = out[:h, :w].reshape(-1)
-    rgb = np.repeat(gray, 3)  # contract: RGB bytes
-    return w, h, rgb.tobytes()
+            # interleaved MCU at 1x1 sampling: one block per component
+            for ci, c in enumerate(comps):
+                zz, prev_dc[ci] = _decode_block(
+                    r, prev_dc[ci], c["dc_tbl"], c["ac_tbl"]
+                )
+                f = np.zeros((8, 8))
+                for i in range(64):
+                    f[_ZIGZAG[i] // 8, _ZIGZAG[i] % 8] = zz[i] * c["q"][i]
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    a.T @ f @ a + 128.0
+                )
+    if len(comps) == 1:
+        gray = np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype("uint8")
+        return w, h, np.repeat(gray.reshape(-1), 3).tobytes()
+    y, cb, cr = (p[:h, :w] for p in planes)
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return w, h, np.clip(np.rint(rgb), 0, 255).astype("uint8").tobytes()
 
 
 def _jpeg_encode_gray(
@@ -1194,6 +1219,80 @@ def synthesize_jpeg_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col],
                     "content": [_jpeg_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+
+
+def _jpeg_encode_color(
+    comp_blocks: list[list[list[int]]], w: int, h: int, q: list[int]
+) -> bytes:
+    """Assemble a valid baseline 4:4:4 color JPEG: 3 components (1x1
+    sampling, shared quant + Huffman tables — legal and compact),
+    interleaved MCUs with per-component DC predictors."""
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _BitWriter()
+    prev = [0, 0, 0]
+    n_blocks = len(comp_blocks[0])
+    for b in range(n_blocks):
+        for ci in range(3):
+            prev[ci] = _encode_block(
+                wtr, comp_blocks[ci][b], prev[ci], dc_codes, ac_codes
+            )
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(q))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + dht + sof + sos + entropy + b"\xff\xd9"
+
+
+def _jpeg_color_bytes(doc_id: int) -> bytes:
+    """Deterministic valid baseline COLOR JPEG per doc (4:4:4): same
+    flat-block geometry as _jpeg_bytes, luma DC as there, chroma DCs
+    ZERO (Cb = Cr = 128 exactly — neutral), so YCbCr→RGB degenerates
+    to R = G = B = Y with NO rounding ambiguity: the color machinery
+    (3-component SOF/SOS, interleaved MCUs, per-component predictors)
+    is byte-exact verifiable by the same closed form as the grayscale
+    file. Non-neutral chroma conversion is pinned in pytest instead
+    (cross-engine float rounding at .5 would poison a SQL oracle)."""
+    bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+    q = [16] * 64
+    y_blocks, zero_blocks = [], []
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            zz[0] = (doc_id + bx + 3 * by) % 64 - 32
+            y_blocks.append(zz)
+            zero_blocks.append([0] * 64)
+    return _jpeg_encode_color(
+        [y_blocks, zero_blocks, list(zero_blocks)], bw * 8, bh * 8, q
+    )
+
+
+def synthesize_jpeg_color_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content): deterministic valid 4:4:4 color JPEGs."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": [_jpeg_color_bytes(int(i)) for i in pdf[id_col]],
                 }
             )
 

@@ -200,8 +200,9 @@ def multimodal_jpeg_decode(spark, sf_dir):
     pixel_sum = 192 * sum of block values (64 px/block x 3 RGB
     channels); one wrong bit anywhere in the entropy stream moves it.
     General-coefficient entropy roundtrip is property-tested in
-    tests/test_multimodal.py; color/progressive JPEG remains the
-    library boundary."""
+    tests/test_multimodal.py; 4:4:4 color decodes too
+    (multimodal_jpeg_color_decode) — chroma-subsampled/progressive
+    JPEG remains the library boundary."""
     from fuse_query_spark.operators.multimodal import (
         image_pixel_stats,
         synthesize_jpeg_blobs,
@@ -209,3 +210,37 @@ def multimodal_jpeg_decode(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return image_pixel_stats(synthesize_jpeg_blobs(docs))
+
+
+@register(
+    "multimodal_jpeg_color_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(192 * list_sum(list_transform(
+               range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+               k -> 128 + 2 * ((doc_id + (k % (1 + doc_id % 3))
+                                + 3 * (k // (1 + doc_id % 3))) % 64 - 32)
+           )) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal", "decode", "jpeg", "color", "ycbcr"),
+)
+def multimodal_jpeg_color_decode(spark, sf_dir):
+    """REAL 4:4:4 COLOR baseline JPEG decode end-to-end (r5 late):
+    3-component SOF0/SOS, interleaved MCUs with per-component DC
+    predictors, JFIF YCbCr→RGB. Synthesized with NEUTRAL chroma
+    (Cb = Cr = 128 exactly), so the conversion degenerates to
+    R = G = B = Y with no rounding ambiguity and the whole color
+    machinery is byte-exact against the same closed form as the
+    grayscale file; NON-neutral conversion is pinned in pytest (engine
+    float-rounding at .5 would poison a SQL oracle). Chroma-subsampled
+    and progressive JPEG remain the library boundary."""
+    from fuse_query_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_jpeg_color_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_pixel_stats(synthesize_jpeg_color_blobs(docs))

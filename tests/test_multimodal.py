@@ -519,3 +519,81 @@ class TestJpegDecode:
                 for bx in range(bw)
             )
             assert (r["width"], r["height"], r["pixel_sum"]) == (8 * bw, 8 * bh, want)
+
+
+class TestJpegColorDecode:
+    def test_neutral_chroma_exact(self):
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_color_bytes,
+            _jpeg_pixels,
+        )
+
+        for d in (0, 5, 123):
+            w, h, px = _jpeg_pixels(_jpeg_color_bytes(d))
+            bw, bh = 1 + d % 3, 1 + d % 2
+            assert (w, h) == (8 * bw, 8 * bh)
+            for by in range(bh):
+                for bx in range(bw):
+                    want = 128 + 2 * ((d + bx + 3 * by) % 64 - 32)
+                    y, x = by * 8 + 2, bx * 8 + 5
+                    assert tuple(px[3 * (y * w + x) : 3 * (y * w + x) + 3]) == (
+                        want,
+                        want,
+                        want,
+                    )
+
+    def test_nonneutral_ycbcr_conversion(self):
+        """Non-neutral chroma: the decoded RGB must match the JFIF
+        conversion of the exact (Y, Cb, Cr) the flat blocks encode."""
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_encode_color,
+            _jpeg_pixels,
+        )
+
+        cases = [(4, -3, 5), (-10, 7, -2), (0, 12, 12)]
+        for dy, dcb, dcr in cases:
+            yb, cb, cr = [[0] * 64], [[0] * 64], [[0] * 64]
+            yb[0][0], cb[0][0], cr[0][0] = dy, dcb, dcr
+            w, h, px = _jpeg_pixels(_jpeg_encode_color([yb, cb, cr], 8, 8, [16] * 64))
+            Y, Cb, Cr = 128 + 2 * dy, 128 + 2 * dcb, 128 + 2 * dcr
+            want = (
+                round(Y + 1.402 * (Cr - 128)),
+                round(Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)),
+                round(Y + 1.772 * (Cb - 128)),
+            )
+            assert tuple(px[:3]) == want
+            # flat block: every pixel identical
+            assert px == bytes(want) * (w * h)
+
+    def test_subsampled_rejected(self):
+        import pytest as _pytest
+
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_color_bytes,
+            _jpeg_pixels,
+        )
+
+        data = bytearray(_jpeg_color_bytes(5))
+        i = bytes(data).find(b"\xff\xc0")
+        # component 1 sampling byte: SOF0 seg = len(2)+prec(1)+h(2)+w(2)+nc(1), comp0 at +10
+        data[i + 11] = 0x22  # 2x2 sampling -> 4:2:0
+        with _pytest.raises(NotImplementedError, match="subsampled|4:4:4"):
+            _jpeg_pixels(bytes(data))
+
+    def test_distributed_color_stats(self, spark, sf_dir):
+        from fuse_query_spark.operators.multimodal import (
+            image_pixel_stats,
+            synthesize_jpeg_color_blobs,
+        )
+
+        docs = table(spark, sf_dir, "documents").limit(10)
+        rows = image_pixel_stats(synthesize_jpeg_color_blobs(docs)).collect()
+        for r in rows:
+            d = r["doc_id"]
+            bw, bh = 1 + d % 3, 1 + d % 2
+            want = 192 * sum(
+                128 + 2 * ((d + bx + 3 * by) % 64 - 32)
+                for by in range(bh)
+                for bx in range(bw)
+            )
+            assert r["pixel_sum"] == want
