@@ -130,6 +130,13 @@ def snapshot_commit(
         "added_files": len(new_files),
         "committed_at": datetime.now(timezone.utc).isoformat(),
     }
+    if parent is not None:
+        # streamed-batch ids survive EVERY commit (incl. interleaved
+        # DML): dropping them would let a checkpoint replay after a
+        # mid-stream DELETE double-ingest a batch
+        prev_ids = read_manifest(location, parent).get("batch_ids")
+        if prev_ids:
+            manifest["batch_ids"] = prev_ids
     return _write_manifest(location, manifest)
 
 
@@ -173,6 +180,9 @@ def snapshot_rollback(location: str, to_version: int) -> int:
         "added_files": 0,
         "committed_at": datetime.now(timezone.utc).isoformat(),
     }
+    head_ids = read_manifest(location, parent).get("batch_ids")
+    if head_ids:
+        manifest["batch_ids"] = head_ids  # replay safety (see snapshot_commit)
     return _write_manifest(location, manifest)
 
 
@@ -335,3 +345,61 @@ def snapshot_read_pruned(
         "kept": len(kept),
         "pruned": pruned,
     }
+
+
+# --- Streaming ingest (r5, late): exactly-once via batch-id commits -------
+
+
+def snapshot_commit_batch(
+    df: DataFrame, location: str, batch_id: int, mode: str = "append"
+) -> int | None:
+    """Idempotent commit for foreachBatch sinks: the manifest records
+    the micro-batch id, and a commit whose batch_id already appears in
+    the current history is SKIPPED (returns None). foreachBatch is
+    at-least-once on restart — Structured Streaming may replay the
+    last un-checkpointed batch — so idempotence here is what upgrades
+    the pipeline to exactly-once: replaying batch k finds k in the
+    manifest chain and lands nothing. The scan walks manifests, not
+    data (O(versions) tiny JSON reads; a production store keeps the
+    set in the newest manifest — done here too, so the check is one
+    read)."""
+    latest = latest_version(location)
+    seen: set[int] = set()
+    if latest is not None:
+        seen = set(read_manifest(location, latest).get("batch_ids", []))
+    if batch_id in seen:
+        return None
+    v = snapshot_commit(df, location, mode)
+    # stamp the batch id into the just-written manifest (same commit —
+    # the manifest file is ours until the next version lands)
+    m = read_manifest(location, v)
+    m["batch_ids"] = sorted(seen | {batch_id})
+    with open(_manifest_path(location, v), "w") as f:
+        json.dump(m, f, indent=1)
+    return v
+
+
+def stream_into_snapshot(
+    stream: DataFrame,
+    location: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """writeStream → Snapshot table: each micro-batch becomes one
+    snapshot version via the idempotent batch-id commit, so the sink
+    is exactly-once end-to-end (checkpoint replays are no-ops) AND
+    every micro-batch is time-travelable — a streaming table with
+    full history, queryable mid-stream by any reader (snapshot
+    isolation: a reader pinned to vN never sees a half-written batch
+    because visibility is manifest membership). Returns the
+    StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_commit_batch(batch_df, location, int(batch_id), "append")
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

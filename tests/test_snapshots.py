@@ -196,3 +196,79 @@ class TestFileSkipping:
         # pruned read of a PINNED old version
         df1, st1 = snapshot_read_pruned(spark, loc, [("id", ">=", 100)], version=1)
         assert st1 == {"kept": 1, "pruned": 1} and df1.count() == 10
+
+
+class TestStreamingIngest:
+    def test_stream_exactly_once_and_versioned(self, spark, sf_dir, tmp_path):
+        from fuse_query_spark.sources.snapshots import (
+            snapshot_commit_batch,
+            stream_into_snapshot,
+        )
+        from fuse_query_spark.sources.tables import table
+
+        src = str(tmp_path / "src")
+        loc = str(tmp_path / "t")
+        ckpt = str(tmp_path / "ckpt")
+        ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+        ev.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema("event_id LONG, event_type STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_into_snapshot(stream, loc, ckpt)
+        q.awaitTermination(120)
+        assert q.exception() is None
+        total = ev.count()
+        assert snapshot_read(spark, loc).count() == total
+        # one version per micro-batch; history is queryable
+        hist = snapshot_history(spark, loc).collect()
+        assert len(hist) >= 2  # 3 files -> up to 3 micro-batches
+        # earlier versions hold strictly fewer rows (mid-stream state)
+        assert snapshot_read(spark, loc, version=0).count() < total
+
+        # checkpoint replay: same source, same checkpoint -> no growth
+        q2 = stream_into_snapshot(
+            (
+                spark.readStream.schema("event_id LONG, event_type STRING")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            ),
+            loc,
+            ckpt,
+        )
+        q2.awaitTermination(120)
+        assert snapshot_read(spark, loc).count() == total
+
+        # direct idempotence: re-committing an already-seen batch id is a no-op
+        v_before = latest_version(loc)
+        assert (
+            snapshot_commit_batch(
+                spark.createDataFrame([(1, "x")], "event_id LONG, event_type STRING"),
+                loc,
+                batch_id=0,
+            )
+            is None
+        )
+        assert latest_version(loc) == v_before
+
+    def test_batch_ids_survive_interleaved_dml_and_rollback(self, spark, tmp_path):
+        from fuse_query_spark.sources.snapshots import snapshot_commit_batch
+
+        loc = str(tmp_path / "t")
+        assert snapshot_commit_batch(
+            spark.createDataFrame([(1,)], "id LONG"), loc, batch_id=0
+        ) == 0
+        # interleaved non-batch commit (a DML-style overwrite)
+        snapshot_commit(spark.createDataFrame([(9,)], "id LONG"), loc, "overwrite")
+        snapshot_rollback(loc, 0)
+        # replaying batch 0 after DML + rollback must STILL be a no-op
+        v = latest_version(loc)
+        assert snapshot_commit_batch(
+            spark.createDataFrame([(1,)], "id LONG"), loc, batch_id=0
+        ) is None
+        assert latest_version(loc) == v
+        # a genuinely new batch lands
+        assert snapshot_commit_batch(
+            spark.createDataFrame([(2,)], "id LONG"), loc, batch_id=1
+        ) == v + 1
