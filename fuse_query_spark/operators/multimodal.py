@@ -12,10 +12,11 @@ scanline unfiltering — _png_pixels), and global-color-table GIF
 (container walk + a full pure-Python LZW codec — _gif_pixels /
 _lzw_decode), and BASELINE JPEG — grayscale AND 4:4:4 color (marker
 walk, DHT-driven canonical Huffman entropy decode with byte
-unstuffing, interleaved MCUs with per-component DC predictors,
-dequant, 8x8 IDCT, JFIF YCbCr→RGB — _jpeg_pixels); only chroma-
-subsampled / progressive / arithmetic JPEG still needs a library and
-raises NotImplementedError with the integration point documented. Frame
+unstuffing, interleaved MCUs with per-component DC predictors at ANY
+integer sampling layout incl. 4:2:0, dequant, 8x8 IDCT, chroma
+upsample, JFIF YCbCr→RGB — _jpeg_pixels); only progressive (SOF2) and
+arithmetic-coded JPEG still need a library and raise
+NotImplementedError with the integration point documented. Frame
 sampling is REAL over the concatenated-P6 toy video container
 synthesized here (parse frame boundaries, emit every Nth).
 
@@ -1042,13 +1043,13 @@ def _idct_matrix():
 
 
 def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
-    """REAL baseline JPEG decode for GRAYSCALE (1 component) and
-    4:4:4 COLOR (3 components, 1x1 sampling, interleaved MCUs):
-    marker walk → DQT/DHT/SOF0/SOS → canonical Huffman entropy decode
-    (tables read from the file's own DHT, per-component DC predictors)
-    → dequant in zigzag order → 8x8 IDCT → level shift/clamp →
-    JFIF YCbCr→RGB for 3 components (gray replicates). Chroma
-    SUBSAMPLING (sampling factors != 1x1), progressive (SOF2), and
+    """REAL baseline JPEG decode — GRAYSCALE and COLOR at ANY integer
+    sampling-factor layout (4:4:4, 4:2:0, 4:2:2, ...): marker walk →
+    DQT/DHT/SOF0/SOS → canonical Huffman entropy decode (tables read
+    from the file's own DHT, per-component DC predictors) → interleaved
+    MCUs of hi*vi blocks per component → dequant in zigzag order →
+    8x8 IDCT → nearest-neighbor chroma upsample → level shift/clamp →
+    JFIF YCbCr→RGB (gray replicates). Progressive (SOF2) and
     arithmetic coding raise NotImplementedError — the remaining
     library boundary."""
     import numpy as np
@@ -1094,12 +1095,10 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
                 raise NotImplementedError(f"{ncomp}-component JPEG unsupported")
             for ci in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (chroma sampling != 1x1) needs an"
-                        " image library; 4:4:4 and grayscale decode here"
-                    )
-                comps.append({"cid": cid, "tq": tq})
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {hi}x{vi}")
+                comps.append({"cid": cid, "tq": tq, "hi": hi, "vi": vi})
         elif marker in (0xC2, 0xC1, 0xC3):
             raise NotImplementedError("only baseline (SOF0) JPEG supported")
         elif marker == 0xDA:  # SOS
@@ -1128,23 +1127,37 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
         if c["dc_tbl"] is None or c["ac_tbl"] is None:
             raise ValueError("JPEG missing Huffman tables")
     a = _idct_matrix()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    if any(hmax % c["hi"] or vmax % c["vi"] for c in comps):
+        raise NotImplementedError("non-integer chroma sampling ratios")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_y * 8 * c["vi"], mcus_x * 8 * c["hi"])) for c in comps
+    ]
     r = _BitReader(data, pos)
     prev_dc = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            # interleaved MCU at 1x1 sampling: one block per component
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            # interleaved MCU: hi*vi blocks per component, raster order
             for ci, c in enumerate(comps):
-                zz, prev_dc[ci] = _decode_block(
-                    r, prev_dc[ci], c["dc_tbl"], c["ac_tbl"]
-                )
-                f = np.zeros((8, 8))
-                for i in range(64):
-                    f[_ZIGZAG[i] // 8, _ZIGZAG[i] % 8] = zz[i] * c["q"][i]
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    a.T @ f @ a + 128.0
-                )
+                for byi in range(c["vi"]):
+                    for bxi in range(c["hi"]):
+                        zz, prev_dc[ci] = _decode_block(
+                            r, prev_dc[ci], c["dc_tbl"], c["ac_tbl"]
+                        )
+                        f = np.zeros((8, 8))
+                        for i in range(64):
+                            f[_ZIGZAG[i] // 8, _ZIGZAG[i] % 8] = zz[i] * c["q"][i]
+                        y0 = (my * c["vi"] + byi) * 8
+                        x0 = (mx * c["hi"] + bxi) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = a.T @ f @ a + 128.0
+    # nearest-neighbor upsample subsampled components to full grid
+    for ci, c in enumerate(comps):
+        fy, fx = vmax // c["vi"], hmax // c["hi"]
+        if fy > 1 or fx > 1:
+            planes[ci] = np.repeat(np.repeat(planes[ci], fy, axis=0), fx, axis=1)
     if len(comps) == 1:
         gray = np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype("uint8")
         return w, h, np.repeat(gray.reshape(-1), 3).tobytes()
@@ -1297,3 +1310,52 @@ def synthesize_jpeg_color_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFr
             )
 
     return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+
+
+def _jpeg_encode_420(
+    y_blocks: list[list[int]],
+    cb_blocks: list[list[int]],
+    cr_blocks: list[list[int]],
+    mcus_x: int,
+    mcus_y: int,
+    q: list[int],
+) -> bytes:
+    """Assemble a valid baseline 4:2:0 color JPEG (Y at 2x2, chroma at
+    1x1): each MCU carries 4 Y blocks (raster order within the MCU)
+    then Cb then Cr. `y_blocks` is raster order over the FULL Y block
+    grid (2*mcus_x wide); chroma lists are raster over the MCU grid."""
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for byi in range(2):
+                for bxi in range(2):
+                    yb = y_blocks[(my * 2 + byi) * (mcus_x * 2) + mx * 2 + bxi]
+                    prev[0] = _encode_block(wtr, yb, prev[0], dc_codes, ac_codes)
+            prev[1] = _encode_block(
+                wtr, cb_blocks[my * mcus_x + mx], prev[1], dc_codes, ac_codes
+            )
+            prev[2] = _encode_block(
+                wtr, cr_blocks[my * mcus_x + mx], prev[2], dc_codes, ac_codes
+            )
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    w, h = mcus_x * 16, mcus_y * 16
+    dqt = seg(0xDB, bytes([0x00]) + bytes(q))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + dht + sof + sos + entropy + b"\xff\xd9"

@@ -565,20 +565,50 @@ class TestJpegColorDecode:
             # flat block: every pixel identical
             assert px == bytes(want) * (w * h)
 
-    def test_subsampled_rejected(self):
-        import pytest as _pytest
-
+    def test_420_subsampled_decode(self):
+        """4:2:0 (the real-world default layout): 4 Y blocks + 1 Cb +
+        1 Cr per MCU, chroma upsampled 2x. Flat blocks make both the
+        per-block Y geometry and the upsampled conversion exact."""
         from fuse_query_spark.operators.multimodal import (
-            _jpeg_color_bytes,
+            _jpeg_encode_420,
             _jpeg_pixels,
         )
 
-        data = bytearray(_jpeg_color_bytes(5))
-        i = bytes(data).find(b"\xff\xc0")
-        # component 1 sampling byte: SOF0 seg = len(2)+prec(1)+h(2)+w(2)+nc(1), comp0 at +10
-        data[i + 11] = 0x22  # 2x2 sampling -> 4:2:0
-        with _pytest.raises(NotImplementedError, match="subsampled|4:4:4"):
-            _jpeg_pixels(bytes(data))
+        def flat(dc):
+            z = [0] * 64
+            z[0] = dc
+            return z
+
+        yb = [flat(2), flat(-4), flat(8), flat(0)]  # TL TR BL BR
+        w, h, px = _jpeg_pixels(
+            _jpeg_encode_420(yb, [flat(0)], [flat(0)], 1, 1, [16] * 64)
+        )
+        assert (w, h) == (16, 16)
+        for (y, x), want in {(0, 0): 132, (0, 8): 120, (8, 0): 144, (8, 8): 128}.items():
+            p = 3 * ((y + 3) * w + (x + 3))
+            assert tuple(px[p : p + 3]) == (want, want, want)
+        # non-neutral chroma through the 2x upsample
+        w, h, px = _jpeg_pixels(
+            _jpeg_encode_420([flat(4)] * 4, [flat(-3)], [flat(5)], 1, 1, [16] * 64)
+        )
+        Y, Cb, Cr = 136.0, 122.0, 138.0
+        exp = (
+            round(Y + 1.402 * (Cr - 128)),
+            round(Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128)),
+            round(Y + 1.772 * (Cb - 128)),
+        )
+        assert px == bytes(exp) * (16 * 16)
+        # multi-MCU: per-component DC predictors chain across MCUs
+        yb2 = [flat((i * 7) % 30 - 15) for i in range(16)]  # 2x2 MCUs -> 4x4 Y grid
+        w, h, px = _jpeg_pixels(
+            _jpeg_encode_420(yb2, [flat(0)] * 4, [flat(0)] * 4, 2, 2, [16] * 64)
+        )
+        assert (w, h) == (32, 32)
+        for by in range(4):
+            for bx in range(4):
+                want = 128 + 2 * ((((by * 4 + bx) * 7) % 30) - 15)
+                p = 3 * ((by * 8 + 4) * w + bx * 8 + 4)
+                assert px[p] == want
 
     def test_distributed_color_stats(self, spark, sf_dir):
         from fuse_query_spark.operators.multimodal import (
