@@ -1060,6 +1060,7 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = None
+    restart_interval = 0
     comps: list[dict] = []  # SOF order: {cid, tq, dc, ac}
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -1101,6 +1102,8 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
                 comps.append({"cid": cid, "tq": tq, "hi": hi, "vi": vi})
         elif marker in (0xC2, 0xC1, 0xC3):
             raise NotImplementedError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             if ns != len(comps):
@@ -1138,8 +1141,23 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
     ]
     r = _BitReader(data, pos)
     prev_dc = [0] * len(comps)
+    mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # RSTn: byte-align, consume the marker, reset every
+                # component's DC predictor (spec F.2.1.3.1) — camera
+                # files emit these every few MCU rows for resync
+                r.n = 0
+                if (
+                    r.pos + 2 > len(r.data)
+                    or r.data[r.pos] != 0xFF
+                    or not 0xD0 <= r.data[r.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("expected JPEG restart marker")
+                r.pos += 2
+                prev_dc = [0] * len(comps)
+            mcu_count += 1
             # interleaved MCU: hi*vi blocks per component, raster order
             for ci, c in enumerate(comps):
                 for byi in range(c["vi"]):

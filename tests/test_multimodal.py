@@ -627,3 +627,60 @@ class TestJpegColorDecode:
                 for bx in range(bw)
             )
             assert r["pixel_sum"] == want
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: byte-aligned restart every N MCUs with DC-predictor
+    reset — the layout camera baseline files use."""
+    import struct as _struct
+
+    from fuse_query_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _BitWriter,
+        _canonical_codes,
+        _encode_block,
+        _jpeg_pixels,
+    )
+
+    dcs = [5, -7, 12, 3]  # 4 flat blocks, restart every 2
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    entropy = bytearray()
+    wtr = _BitWriter()
+    prev = 0
+    for i, dc in enumerate(dcs):
+        if i and i % 2 == 0:
+            entropy += wtr.flush()  # byte-align the segment
+            entropy += bytes([0xFF, 0xD0 + (i // 2 - 1) % 8])
+            wtr = _BitWriter()
+            prev = 0  # predictor resets at the restart
+        zz = [0] * 64
+        zz[0] = dc
+        prev = _encode_block(wtr, zz, prev, dc_codes, ac_codes)
+    entropy += wtr.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    data = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+        + seg(
+            0xC4,
+            bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+        )
+        + seg(0xDD, _struct.pack(">H", 2))
+        + seg(0xC0, bytes([8]) + _struct.pack(">HH", 8, 32) + bytes([1, 1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(entropy)
+        + b"\xff\xd9"
+    )
+    w, h, px = _jpeg_pixels(data)
+    assert (w, h) == (32, 8)
+    for i, dc in enumerate(dcs):
+        want = 128 + 2 * dc
+        assert px[3 * (4 * w + i * 8 + 4)] == want
