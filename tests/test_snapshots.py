@@ -272,3 +272,19 @@ class TestStreamingIngest:
         assert snapshot_commit_batch(
             spark.createDataFrame([(2,)], "id LONG"), loc, batch_id=1
         ) == v + 1
+
+
+def test_ctas_snapshot(engine, tmp_path):
+    """CREATE TABLE … ENGINE = Snapshot AS SELECT: the CTAS write is
+    snapshot v0 and immediately time-travelable."""
+    loc = str(tmp_path / "ctas_t")
+    engine.sql("DROP TABLE IF EXISTS ctas_snap")
+    engine.sql(
+        f"CREATE TABLE ctas_snap ENGINE = Snapshot location = '{loc}'"
+        " AS SELECT number AS n FROM numbers(10)"
+    )
+    assert one(engine.sql("SELECT count(1) FROM ctas_snap")) == 10
+    engine.sql("INSERT INTO ctas_snap SELECT number + 100 FROM numbers(5)")
+    assert one(engine.sql("SELECT count(1) FROM ctas_snap")) == 15
+    assert one(engine.sql("SELECT count(1) FROM ctas_snap VERSION AS OF 0")) == 10
+    engine.sql("DROP TABLE ctas_snap")
