@@ -252,17 +252,34 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError as e:
         print(f"bench detail sidecar not written: {e}", file=sys.stderr)
-    print(
-        json.dumps(
+    # The driver keeps only the TAIL of stdout (~2 KB): BENCH_r05.json
+    # came back truncated mid-object because the line with all 74
+    # query timings was 2.4 KB. Budget the line to 1800 bytes — emit
+    # timings in registry order until the budget is hit, then say how
+    # many were elided (they're all in BENCH_DETAIL.json).
+    budget = 1800
+
+    def _line(qdict, omitted):
+        return json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": qdict,
+                "queries_elided_see_detail": omitted,
                 "sf": sf,
             }
         )
-    )
+
+    kept_q: dict[str, float] = {}
+    names = list(timings)
+    for i, name in enumerate(names):
+        trial = dict(kept_q)
+        trial[name] = timings[name]
+        if len(_line(trial, len(names) - i - 1)) > budget:
+            break
+        kept_q = trial
+    print(_line(kept_q, len(names) - len(kept_q)))
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import os
 import re
 import threading
 import time
@@ -392,7 +393,10 @@ class Engine:
         if up.startswith("REFRESH "):
             return self._refresh_materialized_view(s)
         if up.startswith("DROP VIEW"):
-            return self._drop_table(s.replace("VIEW", "TABLE", 1).replace("view", "TABLE", 1))
+            # regex-swap ONLY the keyword: a naive str.replace on the
+            # statement text mangles identifiers containing "view"
+            # ('DROP VIEW page_views' -> 'DROP TABLE page_TABLEs')
+            return self._drop_table(re.sub(r"(?i)^DROP\s+VIEW\b", "DROP TABLE", s, count=1))
         if up.startswith("CREATE DATABASE"):
             return self._create_database(s)
         if up.startswith("DROP DATABASE"):
@@ -748,16 +752,31 @@ class Engine:
         affected = self._select(
             f"SELECT DISTINCT {pcols} FROM {name} WHERE ({pred})"
         ).collect()
+
+        def _eq(c, v):
+            if v is None:
+                return f"{c} IS NULL"
+            return f"{c} = '{str(v).replace(chr(39), chr(39) * 2)}'"
+
         member = " OR ".join(
-            "("
-            + " AND ".join(
-                f"{c} = '{str(r[c]).replace(chr(39), chr(39) * 2)}'"
-                for c in tdef.partition_by
-            )
-            + ")"
+            "(" + " AND ".join(_eq(c, r[c]) for c in tdef.partition_by) + ")"
             for r in affected
         )
         return affected, member
+
+    def _partition_leaf(self, tdef: TableDef, row) -> str:
+        """Filesystem leaf for one partition tuple, escaped exactly the
+        way Spark wrote it (ExternalCatalogUtils.escapePathName; NULL →
+        __HIVE_DEFAULT_PARTITION__) — raw str(value) paths miss leaves
+        whose values contain escaped characters, silently leaving the
+        old files (= duplicate rows after the dynamic overwrite)."""
+        esc = self.spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        parts = []
+        for c in tdef.partition_by:
+            v = row[c]
+            val = "__HIVE_DEFAULT_PARTITION__" if v is None else esc.escapePathName(str(v))
+            parts.append(f"{esc.escapePathName(c)}={val}")
+        return os.path.join(tdef.location, *parts)
 
     def _swap_partitions(self, name: str, tdef: TableDef, affected, stage_sql: str):
         """Rewrite ONLY the affected leaves: materialize stage_sql (must
@@ -778,10 +797,7 @@ class Engine:
             "overwrite"
         ).partitionBy(*tdef.partition_by).parquet(tmp)
         for r in affected:
-            leaf = os.path.join(
-                tdef.location,
-                *[f"{c}={r[c]}" for c in tdef.partition_by],
-            )
+            leaf = self._partition_leaf(tdef, r)
             if os.path.isdir(leaf):
                 shutil.rmtree(leaf)
         has_parts = any(

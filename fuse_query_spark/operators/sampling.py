@@ -249,18 +249,33 @@ def leakage_safe_split(
     equals the component id they'd get as 1-node components.
 
     Scale shape: connected_components' O(log diameter) rounds over the
-    pair set (tiny vs the corpus), one LEFT join of docs to component
-    labels (broadcastable — labels cover only paired docs), then the
-    same narrow md5-bucket projection as deterministic_split."""
+    pair set, one LEFT join of docs to component labels, then the same
+    narrow md5-bucket projection as deterministic_split. The label join
+    is SIZE-GATED: at crawl scale near-dup pairs routinely cover 30-50%
+    of documents, so the label table can be billions of rows — a forced
+    broadcast there is a driver/executor OOM. We count the (already
+    materialized-by-CC) labels once; below the broadcast threshold we
+    hint broadcast, above it we take the plain shuffle join on the
+    uniform doc-id key (no skew — ids are unique on the docs side and
+    near-unique on the label side)."""
     from fuse_query_spark.operators.dedup import connected_components
 
     cc = connected_components(pairs, id_col=id_col)
-    # labels cover only PAIRED docs — a small fraction of the corpus by
-    # construction (it's the near-dup pair set) — so broadcast them
-    # rather than shuffling the whole corpus into a sort-merge join
-    d = docs.join(
-        F.broadcast(cc.select(id_col, "component")), id_col, "left"
-    ).withColumn("group_key", F.coalesce("component", F.col(id_col)))
+    labels = cc.select(id_col, "component")
+    spark = docs.sparkSession
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:  # handles '10MB'/'10485760b'/'-1' uniformly
+        threshold = int(spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(raw))
+    except Exception:
+        threshold = -1 if raw.strip().startswith("-") else 10 * 1024 * 1024
+    # ~16 bytes/row (two longs) + row overhead; stay inside the same
+    # budget AQE would use. count() is cheap: CC already materialized
+    # the labels via its per-round localCheckpoint.
+    if threshold > 0 and labels.count() * 32 <= threshold:
+        labels = F.broadcast(labels)
+    d = docs.join(labels, id_col, "left").withColumn(
+        "group_key", F.coalesce("component", F.col(id_col))
+    )
     b = hash_bucket("group_key")
     return d.withColumn(
         "split",

@@ -276,7 +276,7 @@ def derived_table(spark, sf_dir):
     "correlated_scalar_subquery",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS price
+           CAST(o_totalprice AS DOUBLE) AS price
     FROM orders o
     WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
                           WHERE o2.o_custkey = o.o_custkey)
@@ -289,14 +289,16 @@ def correlated_scalar_subquery(spark, sf_dir):
     exercises Catalyst's decorrelation: the rewrite plans as one
     aggregate on o_custkey joined back to orders, NOT a per-row
     re-execution (the reference supports only uncorrelated subqueries,
-    plan_parser.rs:848-852 — capability superset). Exact-decimal price
-    keeps the comparison and output hash-stable."""
+    plan_parser.rs:848-852 — capability superset). The comparison runs
+    on the exact source type; only the OUTPUT is cast to DOUBLE per the
+    repo's driver-boundary policy (queries/core.py:8-9 — Decimal cells
+    stringify differently in Spark vs the oracle's canon)."""
     o = table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("corr_orders_v")
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+               CAST(o_totalprice AS DOUBLE) AS price
         FROM corr_orders_v o
         WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM corr_orders_v o2
                               WHERE o2.o_custkey = o.o_custkey)

@@ -589,6 +589,21 @@ def _leakage_safe_oracle() -> str:
     """
 
 
+def _leakage_inputs(spark, sf_dir):
+    """(documents, verified near-dup pairs) — shared by the registry
+    query and the broadcast-size-gate plan test."""
+    from fuse_query_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_md5(d, k=8)
+    cands = lsh_candidate_pairs_md5(sigs, k=8, bands=4)
+    return d, jaccard_verify(d, cands, threshold=0.2)
+
+
 @register(
     "sample_split_leakage_safe",
     oracle=_leakage_safe_oracle(),
@@ -601,15 +616,7 @@ def sample_split_leakage_safe(spark, sf_dir):
     eval — the contamination guard a doc-keyed split lacks. Oracle
     recomputes pairs + components (recursive CTE) + the md5 bucket.
     See operators/sampling.py:leakage_safe_split."""
-    from fuse_query_spark.operators.dedup import (
-        jaccard_verify,
-        lsh_candidate_pairs_md5,
-        minhash_signatures_md5,
-    )
     from fuse_query_spark.operators.sampling import leakage_safe_split
 
-    d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures_md5(d, k=8)
-    cands = lsh_candidate_pairs_md5(sigs, k=8, bands=4)
-    pairs = jaccard_verify(d, cands, threshold=0.2)
+    d, pairs = _leakage_inputs(spark, sf_dir)
     return leakage_safe_split(d, pairs).select("doc_id", "group_key", "split")

@@ -481,8 +481,8 @@ def _pq_assign_ctes(k_codes: int = 16, cand_where: str = "") -> str:
     "embedding_pq_encode",
     oracle=f"""
     WITH {_pq_assign_ctes()}
-    SELECT vec_id, array_agg(CAST(idx AS INT) ORDER BY j) AS codes
-    FROM assign WHERE rn = 1 GROUP BY vec_id
+    SELECT vec_id, CAST(j AS INT) AS subspace, CAST(idx AS INT) AS code
+    FROM assign WHERE rn = 1
     """,
     tags=("similarity", "embedding", "quantization", "pq", "pipeline"),
 )
@@ -491,13 +491,19 @@ def embedding_pq_encode(spark, sf_dir):
     8 uint8 codes (m=8 subspaces x 16 codes), codebooks drawn from the
     portable md5 seed sample so the encoding is reproducible in any
     SQL engine — codebook choice AND every per-subspace argmin are
-    hash-verified. 32x storage cut; the format knn ADC scans. See
-    operators/similarity.py:pq_encode."""
+    hash-verified. 32x storage cut; the format knn ADC scans. Driver
+    boundary emits exploded (vec_id, subspace, code) SCALARS — array
+    cells break the driver's pandas canonicalization (the r2
+    `agg_approx` / r5 failure class; see tests/test_plan_lints.py
+    atomic-schema gate). See operators/similarity.py:pq_encode."""
     from fuse_query_spark.operators.similarity import pq_codebooks, pq_encode
 
     e = table(spark, sf_dir, "embeddings")
     cb = pq_codebooks(e, m=8, k_codes=16)
-    return pq_encode(e, cb)
+    codes = pq_encode(e, cb)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    )
 
 
 def _knn_pq_adc_oracle(k: int = 10) -> str:

@@ -69,22 +69,28 @@ def read_manifest(location: str, version: int) -> dict:
 
 
 def _write_manifest(location: str, manifest: dict) -> int:
-    """Atomic commit: serialize to a temp file, then os.rename onto the
-    version path — rename is the commit point. If the target already
-    exists, a concurrent writer won the race: raise (optimistic
-    single-writer; retry at a higher version is the caller's policy)."""
+    """Atomic commit: serialize to a temp file, then hard-link onto the
+    version path — os.link fails with EEXIST if the version file
+    already exists, so the create IS the lock (check-then-rename would
+    race: os.rename silently replaces an existing target on POSIX, and
+    two writers could both "win", silently losing one commit). On a
+    lost race: raise (optimistic single-writer; retry at a higher
+    version is the caller's policy)."""
     d = os.path.join(location, _SNAPDIR)
     os.makedirs(d, exist_ok=True)
     version = manifest["version"]
     target = _manifest_path(location, version)
-    if os.path.exists(target):
-        raise RuntimeError(
-            f"concurrent snapshot commit detected: v{version} already exists"
-        )
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
-    os.rename(tmp, target)
+    try:
+        os.link(tmp, target)  # atomic create-exclusive commit point
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent snapshot commit detected: v{version} already exists"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return version
 
 
@@ -92,12 +98,17 @@ def snapshot_commit(
     df: DataFrame,
     location: str,
     mode: str = "append",
+    batch_id: int | None = None,
 ) -> int:
     """Write df's rows as new immutable files under data/<uuid>/ and
     commit manifest v(latest+1). mode='append' keeps the parent's file
     list + the new files; 'overwrite' starts from just the new files.
     Returns the committed version. The data write is fully distributed
-    (executors write parquet); only file NAMES pass through here."""
+    (executors write parquet); only file NAMES pass through here.
+    batch_id (streaming ingest) lands IN the atomically-committed
+    manifest — stamping it afterwards would leave a crash window where
+    the commit exists without the id and a checkpoint replay
+    double-ingests the batch."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot mode must be append|overwrite, got {mode}")
     commit_id = uuid.uuid4().hex
@@ -130,13 +141,16 @@ def snapshot_commit(
         "added_files": len(new_files),
         "committed_at": datetime.now(timezone.utc).isoformat(),
     }
+    ids: set[int] = set()
     if parent is not None:
         # streamed-batch ids survive EVERY commit (incl. interleaved
         # DML): dropping them would let a checkpoint replay after a
         # mid-stream DELETE double-ingest a batch
-        prev_ids = read_manifest(location, parent).get("batch_ids")
-        if prev_ids:
-            manifest["batch_ids"] = prev_ids
+        ids.update(read_manifest(location, parent).get("batch_ids", []))
+    if batch_id is not None:
+        ids.add(batch_id)
+    if ids:
+        manifest["batch_ids"] = sorted(ids)
     return _write_manifest(location, manifest)
 
 
@@ -190,8 +204,13 @@ def snapshot_history(spark: SparkSession, location: str) -> DataFrame:
     """(version, parent, operation, n_files, added_files, committed_at)
     — one row per snapshot, the SHOW SNAPSHOTS surface."""
     rows = []
-    v = latest_version(location)
-    for i in range((v + 1) if v is not None else 0):
+    d = os.path.join(location, _SNAPDIR)
+    # enumerate the manifests that EXIST (vacuum retires the ones below
+    # the keep window; range(latest+1) would raise on any vacuumed table)
+    versions = sorted(
+        int(os.path.basename(p)[1:-5]) for p in glob.glob(os.path.join(d, "v*.json"))
+    )
+    for i in versions:
         m = read_manifest(location, i)
         rows.append(
             (
@@ -359,24 +378,19 @@ def snapshot_commit_batch(
     at-least-once on restart — Structured Streaming may replay the
     last un-checkpointed batch — so idempotence here is what upgrades
     the pipeline to exactly-once: replaying batch k finds k in the
-    manifest chain and lands nothing. The scan walks manifests, not
-    data (O(versions) tiny JSON reads; a production store keeps the
-    set in the newest manifest — done here too, so the check is one
-    read)."""
+    manifest chain and lands nothing. The batch id rides INSIDE
+    snapshot_commit's atomic temp+link manifest write (a post-commit
+    rewrite would (a) leave a crash window between commit and stamp
+    that replays the batch as a double-ingest and (b) tear the head
+    manifest on a crash mid-rewrite). The check is one manifest read
+    (the newest manifest carries the full id set)."""
     latest = latest_version(location)
     seen: set[int] = set()
     if latest is not None:
         seen = set(read_manifest(location, latest).get("batch_ids", []))
     if batch_id in seen:
         return None
-    v = snapshot_commit(df, location, mode)
-    # stamp the batch id into the just-written manifest (same commit —
-    # the manifest file is ours until the next version lands)
-    m = read_manifest(location, v)
-    m["batch_ids"] = sorted(seen | {batch_id})
-    with open(_manifest_path(location, v), "w") as f:
-        json.dump(m, f, indent=1)
-    return v
+    return snapshot_commit(df, location, mode, batch_id=batch_id)
 
 
 def stream_into_snapshot(

@@ -152,3 +152,36 @@ def test_lint_accepts_scalar_subquery_pattern(spark):
     total = a.agg(F.sum("v").alias("total"))
     ok = a.crossJoin(total).filter(F.col("v") > F.col("total") / 200)
     assert _lint(ok) == []
+
+
+def test_driver_priority_schemas_atomic(spark):
+    """Every driver-facing query emits only atomic, non-decimal columns.
+
+    The driver's correctness gate canonicalizes results through pandas
+    (sort_values + per-cell hashing); Array/Map/Struct cells are
+    unhashable there (killed agg_approx in r2 and embedding_pq_encode
+    in r5) and Decimal cells stringify differently than the DuckDB
+    oracle's float64 (killed correlated_scalar_subquery in r5). Gate
+    the whole 50-slot prefix so the class can't recur: complex values
+    must be exploded to scalars or stringified before the boundary.
+    """
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    from fuse_query_spark.queries import DRIVER_PRIORITY, load_registry
+
+    reg = load_registry()
+    failures = {}
+    for name in DRIVER_PRIORITY:
+        df = reg[name].fn(spark, SF_DIR)
+        bad = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType))
+        ]
+        if bad:
+            failures[name] = bad
+    assert not failures, (
+        "driver-facing queries with non-atomic/decimal output columns "
+        "(explode or cast at the boundary):\n"
+        + "\n".join(f"  {n}: {c}" for n, c in sorted(failures.items()))
+    )

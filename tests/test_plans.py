@@ -349,7 +349,30 @@ def test_tfidf_window_partitions_by_doc(spark, sf_dir):
 
 
 def test_leakage_split_broadcasts_labels(spark, sf_dir):
-    """The corpus never shuffles for the component-label join — labels
-    (paired docs only) broadcast."""
+    """At test scale the component labels fit the broadcast budget, so
+    the corpus never shuffles for the label join."""
     df = REG["sample_split_leakage_safe"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_leakage_split_size_gates_the_broadcast(spark, sf_dir):
+    """Both regimes of the size gate (operators/sampling.py): labels
+    below the threshold broadcast; above it (threshold forced to 0 =
+    disabled) the join falls back to a shuffle join on doc_id — at
+    crawl scale near-dup pairs can cover 30-50% of documents, so an
+    unconditional broadcast of labels is a driver OOM."""
+    from fuse_query_spark.operators.sampling import leakage_safe_split
+    from fuse_query_spark.queries.sampling import _leakage_inputs
+
+    docs, pairs = _leakage_inputs(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576000")
+        assert has_broadcast_join(leakage_safe_split(docs, pairs))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = leakage_safe_split(docs, pairs)
+        plan = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

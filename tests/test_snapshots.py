@@ -288,3 +288,80 @@ def test_ctas_snapshot(engine, tmp_path):
     assert one(engine.sql("SELECT count(1) FROM ctas_snap")) == 15
     assert one(engine.sql("SELECT count(1) FROM ctas_snap VERSION AS OF 0")) == 10
     engine.sql("DROP TABLE ctas_snap")
+
+
+class TestAdviceRegressions:
+    """r6: regressions for the judge-advisor findings (ADVICE.md r5)."""
+
+    def test_history_after_vacuum(self, spark, tmp_path):
+        """SHOW SNAPSHOTS must survive vacuum: history enumerates the
+        manifests that EXIST, not range(latest+1)."""
+        loc = str(tmp_path / "t")
+        for i in range(4):
+            snapshot_commit(spark.createDataFrame([(i,)], "id LONG"), loc, "overwrite" if i else "append")
+        snapshot_vacuum(loc, keep_last=2)
+        hist = snapshot_history(spark, loc).collect()
+        assert [r["version"] for r in hist] == [2, 3]
+
+    def test_batch_id_lands_in_atomic_commit(self, spark, tmp_path):
+        """The batch id is in the manifest written by the atomic commit
+        itself — no stamp-after-commit window (double-ingest on crash)."""
+        from fuse_query_spark.sources.snapshots import snapshot_commit_batch
+
+        loc = str(tmp_path / "t")
+        v = snapshot_commit_batch(spark.createDataFrame([(1,)], "id LONG"), loc, batch_id=7)
+        assert v == 0
+        assert read_manifest(loc, 0)["batch_ids"] == [7]
+        # replay is a no-op
+        assert snapshot_commit_batch(spark.createDataFrame([(1,)], "id LONG"), loc, batch_id=7) is None
+        assert latest_version(loc) == 0
+
+    def test_manifest_commit_is_create_exclusive(self, tmp_path, spark):
+        """os.link-based commit point: a racer who lost cannot silently
+        replace the winner's manifest (os.rename would)."""
+        from fuse_query_spark.sources.snapshots import _write_manifest, _manifest_path
+        import json
+
+        loc = str(tmp_path / "t")
+        m = {"version": 0, "parent": None, "operation": "append", "files": [],
+             "stats": {}, "schema_ddl": "id BIGINT", "added_files": 0,
+             "committed_at": "x"}
+        _write_manifest(loc, m)
+        loser = dict(m, committed_at="LOSER")
+        with pytest.raises(RuntimeError, match="concurrent"):
+            _write_manifest(loc, loser)
+        with open(_manifest_path(loc, 0)) as f:
+            assert json.load(f)["committed_at"] == "x"  # winner intact
+        # no temp litter left behind
+        snapdir = os.path.dirname(_manifest_path(loc, 0))
+        assert not [p for p in os.listdir(snapdir) if p.startswith(".tmp-")]
+
+    def test_drop_view_name_containing_view(self, engine):
+        """'DROP VIEW page_views' must not mangle the identifier."""
+        engine.sql("DROP TABLE IF EXISTS pv_src")
+        engine.sql("CREATE TABLE pv_src(id bigint) ENGINE = Memory")
+        engine.sql("INSERT INTO pv_src VALUES (1), (2)")
+        engine.sql("CREATE VIEW page_views AS SELECT id FROM pv_src")
+        assert engine.sql("SELECT count(*) AS n FROM page_views").collect()[0]["n"] == 2
+        engine.sql("DROP VIEW page_views")
+        # the view is gone, the source table is untouched
+        assert engine.sql("SELECT count(*) AS n FROM pv_src").collect()[0]["n"] == 2
+
+    def test_delete_escaped_and_null_partitions(self, engine, tmp_path):
+        """Partition-scoped DELETE finds leaves whose values need Hive
+        path escaping (':' -> %3A) and NULL partitions."""
+        loc = str(tmp_path / "pesc")
+        engine.sql("DROP TABLE IF EXISTS pesc")
+        engine.sql(
+            f"CREATE TABLE pesc(id bigint, k varchar) ENGINE = Parquet"
+            f" PARTITION BY (k) location = '{loc}'"
+        )
+        engine.sql(
+            "INSERT INTO pesc VALUES (1, 'a:b'), (2, 'plain'), (3, NULL), (4, 'a:b')"
+        )
+        engine.sql("DELETE FROM pesc WHERE k = 'a:b'")
+        rows = sorted(r["id"] for r in engine.sql("SELECT id FROM pesc").collect())
+        assert rows == [2, 3], f"escaped-partition delete left {rows}"
+        engine.sql("DELETE FROM pesc WHERE k IS NULL")
+        rows = sorted(r["id"] for r in engine.sql("SELECT id FROM pesc").collect())
+        assert rows == [2], f"NULL-partition delete left {rows}"
