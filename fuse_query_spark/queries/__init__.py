@@ -90,56 +90,29 @@ DRIVER_HIDDEN = {
     "similarity_knn_ivf",  # xxhash64 twin of similarity_knn_ivf_md5
 }
 
-# r5 rotation (judge ask #6): 26 never-driver-checked queries enter
-# the 50-slot prefix — the whole remaining oracle-backed backlog except
-# numbers_sum_triple_1b/numbers_groupby3_1b (their DuckDB oracles scan
-# 1B generator rows; bench + closed-form locals cover them). Displaced
-# (ALL multi-round driver-green, all still locally oracle-checked via
-# tools/check_oracle.py past slot 50): agg_uniq, q09, sort_topk,
-# having_filter, expr_projection, q05, q02, q10, join_semi_exists,
-# q20, q11, setop_union_keys, text_quality_score, sample_split_documents,
-# decontaminate_ngram, pack_token_bins, dialect_scalar_surface,
-# pivot_events, interval_arithmetic, grouping_sets, limit_offset,
-# scd2_customer_tiers, csv_engine_scan, json_engine_scan,
-# similarity_pairs_label_blocked, dedup_embedding_cosine,
-# text_lang_id (slot to the new dedup_cluster_canonical). Singleton
-# families (pivot/grouping/scd2/csv/json/sort/having/interval) rotate
-# out entirely — the coverage test asserts every family is in-prefix
-# OR driver-green in a past CORRECTNESS artifact; r4-first-checked
-# rows keep their slots for a second driver round.
-# r5-late swap: the three new text-pipeline ops (text_pii_redact,
-# text_unigram_logprob, text_tfidf_keywords) take the slots of
-# filter_predicates, dialect_numbers_groupby, dedup_exact_docs (all
-# multi-round driver-green, all still locally oracle-checked).
-# r5-late swap 2: text_chunk_windows, dedup_chunk_fraction,
-# embedding_random_projection in for numbers_substring_topk, limit_by,
-# similarity_topk_bruteforce (multi-round green; numbers_/limit_/
-# similarity_ families keep coverage via the 10B mirrors, past-green
-# rows, and similarity_knn_ivf_md5).
-# r5-late swap 3: the five newest oracle-backed ops
-# (dedup_semantic_kmeans, embedding_pq_encode, similarity_knn_pq_adc,
-# similarity_knn_pq_rerank, events_heavy_hitters_rollup) in for five
-# r4-driver-green rows (events_sessionize — green r2-r4 after the r1
-# red, dedup_duplicated_spans, dedup_minhash_cross_corpus,
-# similarity_knn_ivf_md5, decontaminate_bloom); every displaced row
-# stays locally oracle-checked past slot 50.
-# r5-late swap 4: multimodal_png_decode (real stdlib-zlib PNG decode,
-# closed-form pixel-sum oracle) in for text_repetition_metrics (r4
-# driver-green; the text family keeps 5 prefix rows).
-# r5-late swap 5: dedup_containment_md5, text_boilerplate_scrub,
-# text_hashed_linear_score in for q16_parts_supplier_relationship,
-# window_first_last_nth, events_funnel_attribution (each r4
-# driver-green once; never-checked new surface carries more
-# information than a second round of a green row — all three stay
-# locally oracle-checked past slot 50; TPC-H keeps 9+ prefix rows,
-# windows keeps window_distribution, events keeps 3 rows).
-# r5-late swap 6: snapshot_time_travel (Snapshot engine: versioned
-# parquet, VERSION AS OF, MVCC DELETE — sources/snapshots.py) in for
-# events_cohort_retention (r4 driver-green; events keeps
-# value_histogram + heavy_hitters_rollup in-prefix).
-# r5-late swap 7: multimodal_jpeg_decode (real DHT-driven Huffman +
-# IDCT decode, closed-form oracle) in for multimodal_ppm_decode (r4
-# driver-green; the family keeps blob_meta/wav/png/jpeg in-prefix).
+# Rotation history lives in ROTATION.md — GENERATED from the
+# CORRECTNESS_r*.json artifacts by `python tools/check_oracle.py
+# --rotation` (judge r5 ask #8: one source of truth instead of stacked
+# swap comments). Rotation policy: never-driver-checked oracle-backed
+# queries outrank a repeat round of a green row; a displaced row stays
+# locally oracle-checked past slot 50; every query family keeps at
+# least one prefix row or a past driver-green round (enforced by
+# tests/test_queries_misc.py). Rows-only entries (oracle=None — the
+# two mergeable-sketch rollups, whose outputs are approximate by
+# design) are EXEMPT from prefix rotation: the 50 slots are reserved
+# for hash-checkable queries (judge r3); their exact twins
+# events_heavy_hitters_rollup / events_value_histogram are the
+# driver-checked stand-ins.
+# r6 rotation: the last 9 never-checked oracle-backed queries enter
+# (text_winnow_fingerprint, corpus_vocab_stats, pipeline_filter_funnel,
+# similarity_knn_projected, multimodal_gif_decode,
+# multimodal_jpeg_color_decode, numbers_sum_triple_1b +
+# numbers_groupby3_1b — closed-form oracles replaced their 1B DuckDB
+# range scans — and similarity_knn_ivf_lloyd, whose 2 Lloyd rounds are
+# now unrolled in SQL); out: recursive_month_spine,
+# pipeline_curation_end_to_end, q13/q15/q17, text_tfidf_keywords,
+# text_chunk_windows, sample_stratified_rates, embedding_quantize_int8
+# (all r5-green, families keep coverage — see ROTATION.md).
 DRIVER_PRIORITY = [
     # flagship + core operators (SURVEY §2.2/2.4/2.6)
     # (agg_global_stats rotated out r5-late for text_bigram_logprob:
@@ -156,14 +129,12 @@ DRIVER_PRIORITY = [
     "numbers_topk_sort_10b",
     # engines (§2.1)
     "remote_engine_scan",  # r5: the fusestore-analog path end-to-end
-    "pipeline_curation_end_to_end",  # capstone
+    "multimodal_gif_decode",  # r6: LZW GIF decode, closed-form oracle
+    "multimodal_jpeg_color_decode",  # r6: 4:2:0 color JPEG decode
     # TPC-H — the eight shapes never driver-checked before r5
     "q19_discounted_revenue",
     "q07_volume_shipping",
     "q08_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
     "dedup_containment_md5",  # r5-late: asymmetric containment dedup
@@ -182,10 +153,10 @@ DRIVER_PRIORITY = [
     "multimodal_png_decode",  # r5-late: real zlib PNG decode, closed-form oracle
     "text_pii_redact",  # r5: PII scrub stage
     "text_unigram_logprob",  # r5: CCNet-style unigram-LM quality
-    "text_tfidf_keywords",  # r5: tf-idf keyword extraction
-    "text_chunk_windows",  # r5: RAG chunking
+    "text_winnow_fingerprint",  # r6: winnowing doc fingerprints
+    "corpus_vocab_stats",  # r6: corpus-level vocabulary stats
     "text_bigram_logprob",  # r5: word-order-aware LM quality
-    "recursive_month_spine",
+    "pipeline_filter_funnel",  # r6: staged curation funnel counts
     # dedup family
     # (dedup_simhash_md5 rotated out r5-late for multimodal_wav_decode:
     # r3+r4 driver-green, stays locally oracle-checked; the family
@@ -201,7 +172,8 @@ DRIVER_PRIORITY = [
     # stays prefix-covered via dedup_cluster_canonical + cross_corpus)
     "sample_split_leakage_safe",  # r5: group-integrity split over CC
     "sample_temperature_mix",
-    "sample_stratified_rates",
+    "numbers_sum_triple_1b",  # r6: closed-form oracle (3n(n-1)/2)
+    "numbers_groupby3_1b",  # r6: CRT closed-form oracle (60 progressions)
     "pack_sequences",
     # multimodal
     "multimodal_jpeg_decode",  # r5-late: real baseline JPEG decode
@@ -209,7 +181,8 @@ DRIVER_PRIORITY = [
     "multimodal_wav_decode",  # r5: real RIFF/PCM16 audio decode
     # similarity family
     "similarity_knn_pq_rerank",  # r5-late: ADC shortlist + exact re-rank
-    "embedding_quantize_int8",
+    "similarity_knn_projected",  # r6: ANN in JL-projected space
+    "similarity_knn_ivf_lloyd",  # r6: Lloyd rounds unrolled in the oracle
     "embedding_random_projection",  # r5: JL sign projection
 ]
 

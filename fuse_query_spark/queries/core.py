@@ -517,10 +517,9 @@ def numbers_throughput_10b(spark, sf_dir):
 
 @register(
     "numbers_sum_triple_1b",
-    oracle="""
-    SELECT CAST(SUM(number + number + number) AS BIGINT) AS sum3
-    FROM (SELECT range AS number FROM range(1000000000))
-    """,
+    # closed form (r6): 3·n(n-1)/2 for n=1e9 — a 1B-row DuckDB range
+    # scan on the driver blocked this query's rotation into the prefix
+    oracle="SELECT CAST(1499999998500000000 AS BIGINT) AS sum3",
     tags=("table_function", "numbers", "throughput", "bench", "scale"),
 )
 def numbers_sum_triple_1b(spark, sf_dir):
@@ -528,7 +527,8 @@ def numbers_sum_triple_1b(spark, sf_dir):
     Brows/s at 100B) at 1B rows — measured 0.24 s = 4.2 Grows/s,
     ~0.83x the reference's native per-row rate (the 100M twin is
     overhead-bound at 0.9 Grows/s). 1B is the int64 ceiling for this
-    shape: sum3 = 3n(n-1)/2 ≈ 1.5e18 < 2^63; 4B would overflow."""
+    shape: sum3 = 3n(n-1)/2 ≈ 1.5e18 < 2^63; 4B would overflow.
+    Oracle is that closed form, exact."""
     n = numbers(spark, 1_000_000_000)
     return n.agg(F.sum(F.col("number") + F.col("number") + F.col("number")).alias("sum3"))
 
@@ -555,14 +555,23 @@ def numbers_topk_sort_10b(spark, sf_dir):
 
 @register(
     "numbers_groupby3_1b",
+    # closed form (r6): (m3,m4,m5) ↔ one residue r mod 60 (CRT — 3,4,5
+    # coprime), so the answer is 60 rows of arithmetic-progression
+    # sums over r, r+60, …, < 1e9: count c = 16666667 for r<40 else
+    # 16666666 (1e9 = 60·16666666 + 40), max = r+60(c-1),
+    # sum = r·c + 60·c(c-1)/2. A 60-row scan replaces the 1B-row
+    # DuckDB range scan that blocked this query's prefix rotation.
     oracle="""
-    SELECT CAST(number % 3 AS BIGINT) AS m3,
-           CAST(number % 4 AS BIGINT) AS m4,
-           CAST(number % 5 AS BIGINT) AS m5,
-           CAST(MAX(number) AS BIGINT) AS max_n,
-           CAST(SUM(number) AS BIGINT) AS sum_n
-    FROM (SELECT range AS number FROM range(1000000000))
-    GROUP BY m3, m4, m5
+    WITH g AS (
+      SELECT range AS r,
+             CAST(CASE WHEN range < 40 THEN 16666667 ELSE 16666666 END AS BIGINT) AS c
+      FROM range(60))
+    SELECT CAST(r % 3 AS BIGINT) AS m3,
+           CAST(r % 4 AS BIGINT) AS m4,
+           CAST(r % 5 AS BIGINT) AS m5,
+           CAST(r + 60 * (c - 1) AS BIGINT) AS max_n,
+           CAST(r * c + 60 * ((c * (c - 1)) // 2) AS BIGINT) AS sum_n
+    FROM g
     """,
     tags=("table_function", "numbers", "groupby", "bench", "scale"),
 )
@@ -572,7 +581,8 @@ def numbers_groupby3_1b(spark, sf_dir):
     faster per-row than the native engine. Map-side partial agg
     collapses every partition to <=60 rows; the exchange moves ~2k
     rows total. The one shape with real aggregation work is where
-    Tungsten wins; per-group SUMs stay under int64 (~8.3e15)."""
+    Tungsten wins; per-group SUMs stay under int64 (~8.3e15).
+    Oracle is the CRT closed form (60 arithmetic progressions), exact."""
     n = numbers(spark, 1_000_000_000)
     return n.groupBy(
         (F.col("number") % 3).alias("m3"),
