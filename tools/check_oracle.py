@@ -173,7 +173,7 @@ def write_rotation_table(path: str = "ROTATION.md") -> str:
         "| query | slot | driver rounds (result) | last green |",
         "|---|---|---|---|",
     ]
-    never = []
+    queued, exempt, backlog = [], [], []
     for name in sorted(reg):
         h = history.get(name, {})
         s = "hidden" if name in DRIVER_HIDDEN else str(slot.get(name, "-"))
@@ -181,12 +181,24 @@ def write_rotation_table(path: str = "ROTATION.md") -> str:
         greens = [r for r, st in h.items() if st == "green"]
         last = f"r{max(greens)}" if greens else "-"
         if not h and name not in DRIVER_HIDDEN:
-            never.append(name)
+            if name in slot:
+                queued.append(name)
+            elif reg[name].oracle is None:
+                exempt.append(name)
+            else:
+                backlog.append(name)
         lines.append(f"| {name} | {s} | {rounds} | {last} |")
     lines += [
         "",
-        f"Never driver-checked: {len(never)}"
-        + (f" — {', '.join(never)}" if never else ""),
+        f"Never checked, IN-PREFIX (queued for next round): {len(queued)}"
+        + (f" — {', '.join(queued)}" if queued else ""),
+        "",
+        f"Never checked, rows-only by design (oracle=None — exempt from the"
+        f" 50 hash-checkable slots; exact twins cover them): {len(exempt)}"
+        + (f" — {', '.join(exempt)}" if exempt else ""),
+        "",
+        f"Never checked, oracle-backed, NOT queued (rotation debt): {len(backlog)}"
+        + (f" — {', '.join(backlog)}" if backlog else ""),
         "",
     ]
     out = _os.path.join(root, path)
