@@ -14,9 +14,11 @@ _lzw_decode), and BASELINE JPEG — grayscale AND 4:4:4 color (marker
 walk, DHT-driven canonical Huffman entropy decode with byte
 unstuffing, interleaved MCUs with per-component DC predictors at ANY
 integer sampling layout incl. 4:2:0, dequant, 8x8 IDCT, chroma
-upsample, JFIF YCbCr→RGB — _jpeg_pixels); only progressive (SOF2) and
-arithmetic-coded JPEG still need a library and raise
-NotImplementedError with the integration point documented. Frame
+upsample, JFIF YCbCr→RGB — _jpeg_pixels), and PROGRESSIVE (SOF2)
+JPEG (multi-scan spectral selection + successive approximation with
+EOB runs and refinement bits — _jpeg_pixels_progressive, r6); only
+arithmetic-coded JPEG (SOF9/10/11, patent-era rarity) still needs a
+library and raises NotImplementedError. Frame
 sampling is REAL over the concatenated-P6 toy video container
 synthesized here (parse frame boundaries, emit every Nth).
 
@@ -333,9 +335,9 @@ def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     raise NotImplementedError(
                         "pixel decode implemented for raw PPM, uncompressed "
                         "24-bit BMP, 8-bit truecolor PNG, GCT GIF, and "
-                        f"baseline grayscale JPEG; got {fmt or 'unknown bytes'}"
-                        " — color/progressive JPEG is the remaining library "
-                        "boundary (PIL/libvips)"
+                        "baseline + progressive JPEG; got "
+                        f"{fmt or 'unknown bytes'} — arithmetic-coded JPEG "
+                        "is the remaining library boundary (PIL/libvips)"
                     )
                 # _ppm_frame re-derives dims + bytes-per-sample and
                 # REJECTS truncated bodies (a silent short buffer would
@@ -864,9 +866,9 @@ def synthesize_gif_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # SOS parse, canonical Huffman entropy decode with byte-unstuffing,
 # coefficient dequant, 8x8 IDCT (numpy), level shift — is implemented
 # here for real. The synthesized corpus carries its own DHT tables, so
-# nothing depends on the spec's example tables. What still needs a
-# library: color (multi-component + chroma subsampling), progressive
-# (SOF2), and arithmetic coding.
+# nothing depends on the spec's example tables. Color (any integer
+# sampling layout) landed in r5 and progressive (SOF2) in r6; what
+# still needs a library: arithmetic entropy coding only.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -1049,9 +1051,9 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
     from the file's own DHT, per-component DC predictors) → interleaved
     MCUs of hi*vi blocks per component → dequant in zigzag order →
     8x8 IDCT → nearest-neighbor chroma upsample → level shift/clamp →
-    JFIF YCbCr→RGB (gray replicates). Progressive (SOF2) and
-    arithmetic coding raise NotImplementedError — the remaining
-    library boundary."""
+    JFIF YCbCr→RGB (gray replicates). Progressive (SOF2) dispatches
+    to _jpeg_pixels_progressive; arithmetic coding raises
+    NotImplementedError — the remaining library boundary."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -1100,8 +1102,13 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"bad JPEG sampling factors {hi}x{vi}")
                 comps.append({"cid": cid, "tq": tq, "hi": hi, "vi": vi})
-        elif marker in (0xC2, 0xC1, 0xC3):
-            raise NotImplementedError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xC2:  # SOF2: progressive has its own scan loop
+            return _jpeg_pixels_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "extended-sequential/lossless/arithmetic JPEG unsupported "
+                "(baseline SOF0 and progressive SOF2 decode are real)"
+            )
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -1171,7 +1178,15 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
                         y0 = (my * c["vi"] + byi) * 8
                         x0 = (mx * c["hi"] + bxi) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = a.T @ f @ a + 128.0
-    # nearest-neighbor upsample subsampled components to full grid
+    return _jpeg_finish(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_finish(planes, comps, w, h, hmax, vmax) -> tuple[int, int, bytes]:
+    """Shared JPEG reconstruction tail (baseline + progressive):
+    nearest-neighbor chroma upsample to the full grid, crop to the
+    frame, level-clamped JFIF YCbCr→RGB (grayscale replicates)."""
+    import numpy as np
+
     for ci, c in enumerate(comps):
         fy, fx = vmax // c["vi"], hmax // c["hi"]
         if fy > 1 or fx > 1:
@@ -1377,3 +1392,532 @@ def _jpeg_encode_420(
     )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + dht + sof + sos + entropy + b"\xff\xd9"
+
+
+# --- Progressive (SOF2) JPEG decode + encode (r6) ----------------------
+# Closes the last real-crawl image-input class that errored. The scan
+# machinery follows ITU-T T.81 Annex G (spectral selection + successive
+# approximation): DC-first/DC-refine scans (interleaved or single
+# component), AC-first scans with EOB-run coding, AC-refinement scans
+# with zero-history runs and correction bits. Coefficients accumulate
+# across scans in per-component block grids; dequant/IDCT/upsample/
+# color conversion reuse the baseline path's machinery (_jpeg_finish).
+# The remaining boundary is arithmetic entropy coding (SOF9/10/11,
+# patent-era rarity) — Huffman progressive, which is what cjpeg/libjpeg
+# -progressive emits, decodes for real here.
+
+def _jpeg_pixels_progressive(data: bytes) -> tuple[int, int, bytes]:
+    """REAL progressive JPEG decode: multi-scan marker walk (DHT/DRI
+    may be redefined between scans), per-scan spectral band [Ss,Se] and
+    successive-approximation [Ah,Al] state, EOB-run + refinement-bit
+    entropy decode, then the shared dequant/IDCT/upsample/YCbCr tail.
+    General integer sampling layouts; restart markers reset both DC
+    predictors and the EOB run."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    w = h = None
+    restart_interval = 0
+    comps: list[dict] = []
+    coefs: list = []  # per comp: int32[bh_full, bw_full, 64] zigzag
+    mcus_x = mcus_y = hmax = vmax = 0
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray restart between scans
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment")
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtables[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT (legal between scans in progressive)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                codes = _canonical_codes(bits, vals)
+                htables[(tc, th)] = {(c, ln): sym for sym, (c, ln) in codes.items()}
+                p += 17 + n
+        elif marker == 0xC2:  # SOF2
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG unsupported")
+            for ci in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {hi}x{vi}")
+                comps.append({"cid": cid, "tq": tq, "hi": hi, "vi": vi})
+            hmax = max(c["hi"] for c in comps)
+            vmax = max(c["vi"] for c in comps)
+            if any(hmax % c["hi"] or vmax % c["vi"] for c in comps):
+                raise NotImplementedError("non-integer chroma sampling ratios")
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # non-interleaved scans cover the REAL block grid
+                # (ceil of the component's sample dims / 8); interleaved
+                # DC scans cover the MCU-padded full grid
+                cw = (w * c["hi"] + hmax - 1) // hmax
+                ch = (h * c["vi"] + vmax - 1) // vmax
+                c["bw"], c["bh"] = (cw + 7) // 8, (ch + 7) // 8
+                c["pred"] = 0
+                coefs.append(
+                    np.zeros((mcus_y * c["vi"], mcus_x * c["hi"], 64), np.int32)
+                )
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise ValueError("mixed/unsupported SOF in progressive decode")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS: one progressive scan
+            if not comps:
+                raise ValueError("JPEG SOS before SOF2")
+            ns = seg[0]
+            scan = []
+            by_cid = {c["cid"]: (i, c) for i, c in enumerate(comps)}
+            for si in range(ns):
+                cid, tids = seg[1 + 2 * si], seg[2 + 2 * si]
+                if cid not in by_cid:
+                    raise ValueError("SOS names unknown component")
+                ci, c = by_cid[cid]
+                scan.append((ci, c, tids >> 4, tids & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            r = _BitReader(data, pos + 2 + seglen)
+            _jpeg_decode_prog_scan(
+                r, scan, ss, se, ah, al, htables, coefs,
+                restart_interval, mcus_x, mcus_y,
+            )
+            # advance to the next true marker after the entropy data
+            # (skip stuffed FF00s and any trailing restart markers)
+            p = r.pos
+            while p + 1 < len(data):
+                if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+                    0xD0 <= data[p + 1] <= 0xD7
+                ):
+                    break
+                p += 1
+            pos = p
+            continue
+        pos += 2 + seglen
+    if w is None or not comps:
+        raise ValueError("JPEG missing SOF2")
+    # reconstruction: dequant + IDCT every block of every component
+    a = _idct_matrix()
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qtables:
+            raise ValueError("JPEG missing DQT for a component")
+        q = np.array(qtables[c["tq"]], np.float64)
+        grid = coefs[ci].astype(np.float64) * q  # (bh, bw, 64) dequant
+        bh_full, bw_full = grid.shape[:2]
+        f = np.zeros((bh_full, bw_full, 8, 8))
+        zz_rows = [z // 8 for z in _ZIGZAG]
+        zz_cols = [z % 8 for z in _ZIGZAG]
+        f[:, :, zz_rows, zz_cols] = grid
+        # pixel[i,j] = sum_{u,v} a[u,i] f[u,v] a[v,j] per block, batched
+        px = np.einsum("ui,bcuv,vj->bcij", a, f, a, optimize=True)
+        plane = px.transpose(0, 2, 1, 3).reshape(bh_full * 8, bw_full * 8) + 128.0
+        planes.append(plane)
+    return _jpeg_finish(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_decode_prog_scan(
+    r: _BitReader, scan, ss, se, ah, al, htables, coefs,
+    restart_interval, mcus_x, mcus_y,
+):
+    """Decode one progressive scan's entropy data into the coefficient
+    grids. scan = [(ci, comp, td, ta), ...]."""
+    state = {"eobrun": 0}
+
+    def _restart(preds):
+        r.n = 0  # byte-align
+        if (
+            r.pos + 2 > len(r.data)
+            or r.data[r.pos] != 0xFF
+            or not 0xD0 <= r.data[r.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        r.pos += 2
+        for i in range(len(preds)):
+            preds[i] = 0
+        state["eobrun"] = 0
+
+    if ss == 0:  # DC scan (Se must be 0 in progressive)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        preds = [0] * len(scan)
+        if len(scan) > 1:
+            units = [(my, mx) for my in range(mcus_y) for mx in range(mcus_x)]
+        else:
+            ci, c, td, ta = scan[0]
+            units = [(by, bx) for by in range(c["bh"]) for bx in range(c["bw"])]
+        for ui, unit in enumerate(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                _restart(preds)
+            if len(scan) > 1:  # interleaved MCU: hi*vi blocks per comp
+                my, mx = unit
+                for si, (ci, c, td, ta) in enumerate(scan):
+                    for byi in range(c["vi"]):
+                        for bxi in range(c["hi"]):
+                            by, bx = my * c["vi"] + byi, mx * c["hi"] + bxi
+                            _dc_prog_block(
+                                r, coefs[ci], by, bx, ah, al, preds, si,
+                                htables, td,
+                            )
+            else:
+                ci, c, td, ta = scan[0]
+                by, bx = unit
+                _dc_prog_block(r, coefs[ci], by, bx, ah, al, preds, 0, htables, td)
+        return
+    # AC scan: single component, non-interleaved
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, c, td, ta = scan[0]
+    ac_tbl = htables.get((1, ta))
+    if ah == 0 and ac_tbl is None:
+        raise ValueError("JPEG missing AC Huffman table for scan")
+    grid = coefs[ci]
+    n = 0
+    for by in range(c["bh"]):
+        for bx in range(c["bw"]):
+            if restart_interval and n and n % restart_interval == 0:
+                _restart([])
+            n += 1
+            if ah == 0:
+                _ac_first_block(r, grid, by, bx, ss, se, al, ac_tbl, state)
+            else:
+                if ac_tbl is None:
+                    raise ValueError("JPEG missing AC Huffman table for scan")
+                _ac_refine_block(r, grid, by, bx, ss, se, al, ac_tbl, state)
+
+
+def _dc_prog_block(r, grid, by, bx, ah, al, preds, si, htables, td):
+    if ah == 0:  # first DC scan: diff-coded at reduced precision
+        dc_tbl = htables.get((0, td))
+        if dc_tbl is None:
+            raise ValueError("JPEG missing DC Huffman table for scan")
+        size = r.huff(dc_tbl)
+        diff = _extend(r.bits(size), size) if size else 0
+        preds[si] += diff
+        grid[by, bx, 0] = preds[si] << al
+    else:  # DC refinement: one raw bit per block
+        if r.bit():
+            grid[by, bx, 0] |= 1 << al
+
+
+def _ac_first_block(r, grid, by, bx, ss, se, al, ac_tbl, state):
+    """AC first scan (Ah=0): baseline-style run/size pairs scaled by
+    2^Al, plus EOBn codes carrying runs of all-zero bands."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    blk = grid[by, bx]
+    k = ss
+    while k <= se:
+        rs = r.huff(ac_tbl)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run != 15:  # EOBn: band ends; run covers 2^r-1 more blocks
+                state["eobrun"] = (1 << run) - 1
+                if run:
+                    state["eobrun"] += r.bits(run)
+                return
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("corrupt progressive JPEG AC run")
+        blk[k] = _extend(r.bits(size), size) << al
+        k += 1
+
+
+def _ac_refine_block(r, grid, by, bx, ss, se, al, ac_tbl, state):
+    """AC refinement scan (Ah=Al+1): newly-significant coefficients
+    arrive as (run,1) symbols whose run counts ZERO-HISTORY positions;
+    every already-nonzero position traversed absorbs one correction
+    bit (T.81 G.1.2.3; the libjpeg-compatible Huffman refinement)."""
+    p1, m1 = 1 << al, -1 << al
+    blk = grid[by, bx]
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = r.huff(ac_tbl)
+            run, size = rs >> 4, rs & 0x0F
+            sval = 0
+            if size:
+                if size != 1:
+                    raise ValueError("corrupt AC refinement symbol")
+                sval = p1 if r.bit() else m1
+            elif run != 15:  # EOBn
+                state["eobrun"] = 1 << run
+                if run:
+                    state["eobrun"] += r.bits(run)
+                break
+            # advance over `run` zero-history positions, absorbing
+            # correction bits at nonzero-history positions en route
+            while k <= se:
+                if blk[k] != 0:
+                    if r.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    run -= 1
+                    if run < 0:
+                        break
+                k += 1
+            if sval:
+                if k > se:
+                    raise ValueError("corrupt AC refinement run")
+                blk[k] = sval
+            k += 1
+    if state["eobrun"] > 0:
+        # inside an EOB run: remaining nonzero positions in the band
+        # still carry correction bits
+        while k <= se:
+            if blk[k] != 0:
+                if r.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+# Progressive AC symbol set: every (run, size) pair is meaningful —
+# size 0 with run<15 is EOBn (EOB-run length category), (15,0) is ZRL,
+# size 1..10 as in baseline. 176 symbols at a uniform 9 bits keeps
+# Kraft satisfied (176 < 512) with the all-ones code unused.
+_JPEG_AC_PROG_VALS = [(run << 4) | size for run in range(16) for size in range(11)]
+_JPEG_AC_PROG_BITS = [0] * 16
+_JPEG_AC_PROG_BITS[8] = len(_JPEG_AC_PROG_VALS)
+
+
+def _flush_eobrun(wtr, state, ac_codes):
+    """Emit a pending EOB run (EOBn symbol + n extra bits) followed by
+    any buffered refinement correction bits attached to it."""
+    e = state["eobrun"]
+    if e > 0:
+        n = e.bit_length() - 1
+        wtr.put(*ac_codes[n << 4])
+        if n:
+            wtr.put(e - (1 << n), n)
+        state["eobrun"] = 0
+    for b in state["pending"]:
+        wtr.put(b, 1)
+    state["pending"] = []
+
+
+def _enc_ac_first(wtr, zz, ss, se, al, ac_codes, state):
+    """Encode one block's band for an AC first scan (Ah=0): magnitudes
+    scaled down by 2^Al, zero runs with ZRL, all-zero bands folded into
+    the scan-wide EOB run."""
+    tvals = []
+    for k in range(ss, se + 1):
+        t = abs(zz[k]) >> al
+        tvals.append(-t if zz[k] < 0 else t)
+    last_nz = -1
+    for i, t in enumerate(tvals):
+        if t:
+            last_nz = i
+    if last_nz < 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(wtr, state, ac_codes)
+        return
+    _flush_eobrun(wtr, state, ac_codes)
+    run = 0
+    for i in range(last_nz + 1):
+        t = tvals[i]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            wtr.put(*ac_codes[0xF0])
+            run -= 16
+        size = abs(t).bit_length()
+        wtr.put(*ac_codes[(run << 4) | size])
+        wtr.put(t if t > 0 else t + (1 << size) - 1, size)
+        run = 0
+    if last_nz < se - ss:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(wtr, state, ac_codes)
+
+
+def _enc_ac_refine(wtr, zz, ss, se, al, ac_codes, state):
+    """Encode one block's band for an AC refinement scan (Ah=Al+1):
+    newly-significant coefficients as (zero-history-run, 1) symbols +
+    sign bit; already-significant coefficients contribute correction
+    bits, buffered and emitted after the next symbol (or with the EOB
+    run) — the T.81 G.1.2.3 ordering the decoder mirrors."""
+    absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+    eob = -1  # index of last newly-significant coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    run, br = 0, []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            _flush_eobrun(wtr, state, ac_codes)
+            wtr.put(*ac_codes[0xF0])
+            run -= 16
+            for b in br:
+                wtr.put(b, 1)
+            br = []
+        if t > 1:  # already significant: correction bit only
+            br.append(t & 1)
+            continue
+        _flush_eobrun(wtr, state, ac_codes)
+        wtr.put(*ac_codes[(run << 4) | 1])
+        wtr.put(1 if zz[ss + i] >= 0 else 0, 1)
+        for b in br:
+            wtr.put(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        state["eobrun"] += 1
+        state["pending"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(wtr, state, ac_codes)
+
+
+# Default scan script: DC split across two successive-approximation
+# levels, ACs split across two spectral bands and three approximation
+# levels — every progressive decode path (interleaved DC scans, EOB
+# runs, ZRL-in-refinement, correction bits) gets exercised, and all
+# coefficients refine to Al=0 so the roundtrip is exact.
+_JPEG_PROG_SCRIPT = [
+    ("dc", None, 0, 0, 0, 1),
+    ("ac", 0, 1, 5, 0, 2),
+    ("ac", 0, 6, 63, 0, 1),
+    ("dc", None, 0, 0, 1, 0),
+    ("ac", 0, 1, 5, 2, 1),
+    ("ac", 0, 1, 5, 1, 0),
+    ("ac", 0, 6, 63, 1, 0),
+]
+
+
+def _jpeg_encode_progressive(
+    comp_blocks: list[list[list[int]]], w: int, h: int, q: list[int]
+) -> bytes:
+    """Assemble a valid PROGRESSIVE (SOF2) JPEG from per-component
+    zigzag coefficient blocks (1 or 3 components, all 1x1 sampling,
+    raster block order; shared quant + Huffman tables). Scans follow
+    _JPEG_PROG_SCRIPT, with per-component AC scans as T.81 requires."""
+    ncomp = len(comp_blocks)
+    if ncomp not in (1, 3):
+        raise ValueError("progressive encoder supports 1 or 3 components")
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_PROG_BITS, _JPEG_AC_PROG_VALS)
+    n_blocks = len(comp_blocks[0])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(q))
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_PROG_BITS) + bytes(_JPEG_AC_PROG_VALS),
+    )
+    sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof_body += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof_body)
+    for kind, comp_sel, ss, se, ah, al in _JPEG_PROG_SCRIPT:
+        if kind == "dc":
+            sos = bytes([ncomp])
+            for ci in range(ncomp):
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += seg(0xDA, sos)
+            wtr = _BitWriter()
+            if ah == 0:
+                preds = [0] * ncomp
+                for b in range(n_blocks):  # interleaved 1x1: MCU = block
+                    for ci in range(ncomp):
+                        dc = comp_blocks[ci][b][0] >> al  # arithmetic shift
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        size = abs(diff).bit_length()
+                        wtr.put(*dc_codes[size])
+                        if size:
+                            wtr.put(
+                                diff if diff > 0 else diff + (1 << size) - 1, size
+                            )
+            else:
+                for b in range(n_blocks):
+                    for ci in range(ncomp):
+                        wtr.put((comp_blocks[ci][b][0] >> al) & 1, 1)
+            out += wtr.flush()
+        else:
+            for ci in range(ncomp):  # AC scans are per-component
+                sos = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+                out += seg(0xDA, sos)
+                wtr = _BitWriter()
+                state = {"eobrun": 0, "pending": []}
+                enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+                for zz in comp_blocks[ci]:
+                    enc(wtr, zz, ss, se, al, ac_codes, state)
+                _flush_eobrun(wtr, state, ac_codes)
+                out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_progressive_bytes(doc_id: int) -> bytes:
+    """Deterministic valid PROGRESSIVE grayscale JPEG per doc: the
+    same flat-block closed form as _jpeg_bytes (block (bx,by) decodes
+    to exactly 128 + 2*((doc_id+bx+3*by) % 64 - 32) at quant 16), but
+    the DC arrives across two successive-approximation scans and the
+    all-zero AC bands exercise the EOB-run machinery."""
+    bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+    q = [16] * 64
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            zz[0] = (doc_id + bx + 3 * by) % 64 - 32
+            blocks.append(zz)
+    return _jpeg_encode_progressive([blocks], bw * 8, bh * 8, q)
+
+
+def synthesize_jpeg_progressive_blobs(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, content): deterministic valid progressive JPEGs."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": [
+                        _jpeg_progressive_bytes(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")

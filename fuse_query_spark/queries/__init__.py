@@ -176,7 +176,9 @@ DRIVER_PRIORITY = [
     "numbers_groupby3_1b",  # r6: CRT closed-form oracle (60 progressions)
     "pack_sequences",
     # multimodal
-    "multimodal_jpeg_decode",  # r5-late: real baseline JPEG decode
+    # (multimodal_jpeg_decode rotated out r6 for the progressive path:
+    # r5 driver-green, same closed form, stays locally oracle-checked)
+    "multimodal_jpeg_progressive_decode",  # r6: multi-scan SOF2 decode
     "multimodal_blob_meta",
     "multimodal_wav_decode",  # r5: real RIFF/PCM16 audio decode
     # similarity family

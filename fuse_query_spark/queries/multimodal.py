@@ -8,8 +8,9 @@ late) drive REAL compressed-image decoding — stdlib-zlib PNG and
 pure-Python-LZW GIF — each verified byte-for-byte via a closed-form
 pixel-sum oracle. multimodal_jpeg_decode drives the REAL baseline
 grayscale JPEG decoder (flat DC-only blocks at quant 16 make the lossy
-format byte-exact verifiable); color/progressive JPEG is the remaining
-library boundary, documented in operators/multimodal.py."""
+format byte-exact verifiable); multimodal_jpeg_progressive_decode (r6)
+drives the multi-scan SOF2 path; arithmetic-coded JPEG is the
+remaining library boundary, documented in operators/multimodal.py."""
 
 from __future__ import annotations
 
@@ -201,7 +202,8 @@ def multimodal_jpeg_decode(spark, sf_dir):
     channels); one wrong bit anywhere in the entropy stream moves it.
     General-coefficient entropy roundtrip is property-tested in
     tests/test_multimodal.py; 4:4:4 color decodes too
-    (multimodal_jpeg_color_decode) — chroma-subsampled/progressive
+    (multimodal_jpeg_color_decode), as does progressive SOF2
+    (multimodal_jpeg_progressive_decode, r6) — arithmetic-coded
     JPEG remains the library boundary."""
     from fuse_query_spark.operators.multimodal import (
         image_pixel_stats,
@@ -235,8 +237,9 @@ def multimodal_jpeg_color_decode(spark, sf_dir):
     R = G = B = Y with no rounding ambiguity and the whole color
     machinery is byte-exact against the same closed form as the
     grayscale file; NON-neutral conversion is pinned in pytest (engine
-    float-rounding at .5 would poison a SQL oracle). Chroma-subsampled
-    and progressive JPEG remain the library boundary."""
+    float-rounding at .5 would poison a SQL oracle). Chroma
+    subsampling (4:2:0/4:2:2) and progressive SOF2 decode too;
+    arithmetic-coded JPEG remains the library boundary."""
     from fuse_query_spark.operators.multimodal import (
         image_pixel_stats,
         synthesize_jpeg_color_blobs,
@@ -244,3 +247,39 @@ def multimodal_jpeg_color_decode(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return image_pixel_stats(synthesize_jpeg_color_blobs(docs))
+
+
+@register(
+    "multimodal_jpeg_progressive_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(192 * list_sum(list_transform(
+               range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+               k -> 128 + 2 * ((doc_id + (k % (1 + doc_id % 3))
+                                + 3 * (k // (1 + doc_id % 3))) % 64 - 32)
+           )) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal", "decode", "jpeg", "progressive"),
+)
+def multimodal_jpeg_progressive_decode(spark, sf_dir):
+    """REAL PROGRESSIVE (SOF2) JPEG decode end-to-end (r6): the same
+    flat-block closed form as multimodal_jpeg_decode, but each file's
+    coefficients arrive across SEVEN scans — DC split over two
+    successive-approximation levels (the refinement bit restores the
+    odd DCs exactly), ACs over two spectral bands and three
+    approximation levels with EOB-run coding (T.81 Annex G; the scan
+    script libjpeg -progressive uses). One wrong bit in any scan's
+    entropy stream, EOB-run accounting, or refinement-bit ordering
+    moves pixel_sum. General-coefficient progressive-vs-baseline
+    differential decode is property-tested in tests/test_multimodal.py;
+    arithmetic entropy coding is the remaining library boundary."""
+    from fuse_query_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_jpeg_progressive_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_pixel_stats(synthesize_jpeg_progressive_blobs(docs))

@@ -493,9 +493,10 @@ class TestJpegDecode:
         from fuse_query_spark.operators.multimodal import _jpeg_bytes, _jpeg_pixels
 
         good = bytearray(_jpeg_bytes(5))
-        # flip SOF0 -> SOF2 (progressive)
+        # flip SOF0 -> SOF1 (extended sequential — still unsupported;
+        # SOF2 progressive decodes for real as of r6)
         i = bytes(good).find(b"\xff\xc0")
-        good[i + 1] = 0xC2
+        good[i + 1] = 0xC1
         with _pytest.raises(NotImplementedError, match="baseline"):
             _jpeg_pixels(bytes(good))
         with _pytest.raises(ValueError):
@@ -684,3 +685,128 @@ def test_jpeg_restart_markers():
     for i, dc in enumerate(dcs):
         want = 128 + 2 * dc
         assert px[3 * (4 * w + i * 8 + 4)] == want
+
+
+class TestJpegProgressiveDecode:
+    """Progressive (SOF2) decode: spectral selection + successive
+    approximation per T.81 Annex G. The encoder's scan script splits
+    DC across two approximation levels and ACs across two bands and
+    three levels, so every scan kind (interleaved DC first/refine,
+    AC first with EOB runs, AC refinement with zero-history runs and
+    correction bits) executes in every file."""
+
+    def test_flat_block_closed_form(self):
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_pixels,
+            _jpeg_progressive_bytes,
+        )
+
+        for d in (0, 5, 7, 4444):
+            w, h, px = _jpeg_pixels(_jpeg_progressive_bytes(d))
+            bw, bh = 1 + d % 3, 1 + d % 2
+            assert (w, h) == (8 * bw, 8 * bh)
+            for by in range(bh):
+                for bx in range(bw):
+                    want = 128 + 2 * ((d + bx + 3 * by) % 64 - 32)
+                    y, x = by * 8 + 3, bx * 8 + 4
+                    assert px[3 * (y * w + x)] == want
+
+    def test_matches_baseline_on_random_coefficients_gray(self):
+        """Differential oracle: the SAME coefficient blocks encoded
+        baseline and progressive must decode to identical pixels —
+        the refinement math has no slack to hide in."""
+        import numpy as np
+
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_encode_gray,
+            _jpeg_encode_progressive,
+            _jpeg_pixels,
+        )
+
+        rng = np.random.RandomState(42)
+        q = [16] * 64
+        for _ in range(12):
+            bw, bh = int(rng.randint(1, 4)), int(rng.randint(1, 3))
+            blocks = []
+            for _b in range(bw * bh):
+                zz = [0] * 64
+                zz[0] = int(rng.randint(-60, 60))
+                for _k in range(int(rng.randint(0, 20))):
+                    zz[int(rng.randint(1, 64))] = int(rng.randint(-1000, 1001))
+                blocks.append(zz)
+            prog = _jpeg_encode_progressive([blocks], bw * 8, bh * 8, q)
+            base = _jpeg_encode_gray(blocks, bw * 8, bh * 8, q)
+            assert _jpeg_pixels(prog) == _jpeg_pixels(base)
+
+    def test_matches_baseline_on_random_coefficients_color(self):
+        import numpy as np
+
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_encode_color,
+            _jpeg_encode_progressive,
+            _jpeg_pixels,
+        )
+
+        rng = np.random.RandomState(7)
+        q = [16] * 64
+        for _ in range(6):
+            bw, bh = int(rng.randint(1, 4)), int(rng.randint(1, 3))
+            comp_blocks = []
+            for _ci in range(3):
+                blocks = []
+                for _b in range(bw * bh):
+                    zz = [0] * 64
+                    zz[0] = int(rng.randint(-40, 40))
+                    for _k in range(int(rng.randint(0, 15))):
+                        zz[int(rng.randint(1, 64))] = int(rng.randint(-500, 501))
+                    blocks.append(zz)
+                comp_blocks.append(blocks)
+            prog = _jpeg_encode_progressive(comp_blocks, bw * 8, bh * 8, q)
+            base = _jpeg_encode_color(comp_blocks, bw * 8, bh * 8, q)
+            assert _jpeg_pixels(prog) == _jpeg_pixels(base)
+
+    def test_eob_runs_span_blocks(self):
+        """Mostly-empty 10x6 block grid: EOBn codes with n>0 carry
+        multi-block runs; refinement scans absorb correction bits for
+        blocks inside an EOB run."""
+        import numpy as np
+
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_encode_gray,
+            _jpeg_encode_progressive,
+            _jpeg_pixels,
+        )
+
+        rng = np.random.RandomState(11)
+        q = [16] * 64
+        bw, bh = 10, 6
+        blocks = []
+        for _b in range(bw * bh):
+            zz = [0] * 64
+            zz[0] = int(rng.randint(-50, 50))
+            if rng.rand() < 0.15:
+                for _k in range(int(rng.randint(1, 6))):
+                    zz[int(rng.randint(1, 64))] = int(rng.randint(-1000, 1001))
+            blocks.append(zz)
+        prog = _jpeg_encode_progressive([blocks], bw * 8, bh * 8, q)
+        base = _jpeg_encode_gray(blocks, bw * 8, bh * 8, q)
+        assert _jpeg_pixels(prog) == _jpeg_pixels(base)
+
+    def test_distributed_progressive_pixel_stats(self, spark, sf_dir):
+        from fuse_query_spark.operators.multimodal import (
+            image_pixel_stats,
+            synthesize_jpeg_progressive_blobs,
+        )
+
+        docs = table(spark, sf_dir, "documents").limit(12)
+        rows = image_pixel_stats(synthesize_jpeg_progressive_blobs(docs)).collect()
+        assert len(rows) == 12
+        for r in rows:
+            d = r["doc_id"]
+            bw, bh = 1 + d % 3, 1 + d % 2
+            want = 192 * sum(
+                128 + 2 * ((d + bx + 3 * by) % 64 - 32)
+                for by in range(bh)
+                for bx in range(bw)
+            )
+            assert (r["width"], r["height"], r["pixel_sum"]) == (8 * bw, 8 * bh, want)
