@@ -1,0 +1,234 @@
+"""Arrow Flight wire surface: the reference's query-RPC endpoint
+re-expressed over pyarrow.flight against the Spark engine.
+
+Reference parity (fusequery api/rpc):
+- flight_service.rs:38  FuseQueryFlightService — do_get serves stream
+  tickets, do_action runs stage actions, everything else answers
+  "does not implement" (handshake/list_flights/get_flight_info/
+  get_schema/do_put/do_exchange), list_actions advertises
+  PrepareShuffleAction.
+- flight_tickets.rs:13  StreamTicket {query_id, stage_id, stream},
+  JSON in the ticket bytes.
+- flight_actions.rs:15  ShuffleAction {query_id, stage_id, plan,
+  sinks, scatters_expression} / BroadcastAction {.. minus scatter},
+  JSON in the action body.
+- flight_dispatcher.rs:38  executes the stage plan once and routes
+  the result into named one-shot sink streams: hash-scatter
+  (flight_scatter_hash.rs — the mod-N bucket contract implemented in
+  cluster.scatter_bucket and pinned cross-process by the two-session
+  test in test_engine_sql.py) or broadcast
+  (flight_scatter_broadcast.rs); get_stream MOVES the receiver out of
+  the registry, so a stream is consumable exactly once; an aborted
+  dispatcher rejects new stage actions.
+
+Spark-first mapping: the reference ships a serialized PlanNode and
+rebuilds a pipeline per stage; our plan wire format is the SQL text
+itself — the engine's Catalyst session rebuilds the (optimized) plan
+from it, which is the same contract at the semantic level without
+inventing a parallel plan serialization. The stage executes ONCE
+(one Catalyst job computes every sink's bucket), then FlightData
+record batches stream zero-copy from Arrow memory; result blocks
+never transit the Python driver row-by-row.
+
+Scale note: this endpoint is the *coordination* surface. Big
+shuffles stay inside Spark's exchange (SURVEY §3.3); Flight carries
+final-stage results between engine front-ends, which are bounded by
+the stage's output — the same division of labor the reference uses
+its dispatcher channels for.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pyarrow as pa
+import pyarrow.flight as flight
+
+
+class FlightDispatcher:
+    """In-memory stage/stream registry (flight_dispatcher.rs:38).
+
+    streams: "query_id/stage_id/stream" -> pyarrow.Table, REMOVED on
+    fetch (the reference moves the mpsc receiver out: get_stream →
+    streams.write().remove). abort() makes subsequent stage actions
+    fail, mirroring the dispatcher's AtomicBool gate on new sessions.
+    """
+
+    def __init__(self):
+        self._streams: dict[str, pa.Table] = {}
+        self._lock = threading.Lock()
+        self._aborted = False
+
+    def abort(self) -> None:
+        self._aborted = True
+
+    def is_aborted(self) -> bool:
+        return self._aborted
+
+    def _require_live(self) -> None:
+        if self._aborted:
+            raise flight.FlightUnavailableError("dispatcher is aborted")
+
+    def shuffle_action(self, engine, action: dict) -> None:
+        """PrepareShuffleAction: run the plan once, route every row to
+        the sink whose index equals the reference's scatter bucket
+        (modulo(cast(expr AS UInt64), num_sinks) —
+        flight_scatter_hash.rs:80-91 via cluster.scatter_bucket)."""
+        from pyspark.sql import functions as F
+
+        from fuse_query_spark.cluster import scatter_bucket
+
+        self._require_live()
+        sinks = list(action["sinks"])
+        if not sinks:
+            raise flight.FlightServerError("ShuffleAction with no sinks")
+        df = engine.sql(action["plan"])
+        if df is None:
+            raise flight.FlightServerError("plan produced no result set")
+        expr = F.expr(action["scatters_expression"])
+        # one execution computes every sink's rows: materialize to
+        # Arrow WITH the bucket column, split by bucket in Arrow memory
+        tagged = df.withColumn("__fq_bucket", scatter_bucket(expr, len(sinks)))
+        table = tagged.toArrow()
+        buckets = table.column("__fq_bucket")
+        out_cols = [c for c in table.column_names if c != "__fq_bucket"]
+        with self._lock:
+            for i, sink in enumerate(sinks):
+                mask = pa.compute.equal(buckets, pa.scalar(i, buckets.type))
+                part = table.filter(mask).select(out_cols)
+                self._set_stream(action["query_id"], action["stage_id"], sink, part)
+
+    def broadcast_action(self, engine, action: dict) -> None:
+        """BroadcastAction: every sink receives the full result
+        (flight_scatter_broadcast.rs)."""
+        self._require_live()
+        sinks = list(action["sinks"])
+        if not sinks:
+            raise flight.FlightServerError("BroadcastAction with no sinks")
+        df = engine.sql(action["plan"])
+        if df is None:
+            raise flight.FlightServerError("plan produced no result set")
+        table = df.toArrow()
+        with self._lock:
+            for sink in sinks:
+                self._set_stream(action["query_id"], action["stage_id"], sink, table)
+
+    def _set_stream(self, query_id: str, stage_id: str, stream: str, table) -> None:
+        key = f"{query_id}/{stage_id}/{stream}"
+        if key in self._streams:
+            # the reference's tx/rx pair is created once per stage
+            # prepare; re-preparing the same stream is a logic error
+            raise flight.FlightServerError(f"stream already prepared: {key}")
+        self._streams[key] = table
+
+    def get_stream(self, query_id: str, stage_id: str, stream: str):
+        """One-shot fetch (flight_dispatcher.rs get_stream removes the
+        entry — a Flight stream is consumed exactly once)."""
+        key = f"{query_id}/{stage_id}/{stream}"
+        with self._lock:
+            table = self._streams.pop(key, None)
+        if table is None:
+            raise flight.FlightServerError("Stream is not found")
+        return table
+
+
+class FuseQueryFlightService(flight.FlightServerBase):
+    """pyarrow.flight server speaking the reference's ticket/action
+    JSON protocol (flight_service.rs:38). Construct with an Engine;
+    `location` "grpc://0.0.0.0:0" picks an ephemeral port (read
+    `.port` after construction)."""
+
+    def __init__(self, engine, location: str = "grpc://0.0.0.0:0", **kw):
+        super().__init__(location, **kw)
+        self.engine = engine
+        self.dispatcher = FlightDispatcher()
+
+    # --- do_get: StreamTicket -> record-batch stream -------------------
+    def do_get(self, context, ticket: flight.Ticket):
+        try:
+            body = json.loads(ticket.ticket.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise flight.FlightServerError(f"invalid ticket: {e}") from None
+        # accept both the reference's enum-wrapped serde form
+        # {"StreamTicket": {...}} and the bare object
+        body = body.get("StreamTicket", body)
+        for k in ("query_id", "stage_id", "stream"):
+            if k not in body:
+                raise flight.FlightServerError(f"ticket missing field {k!r}")
+        table = self.dispatcher.get_stream(
+            body["query_id"], body["stage_id"], body["stream"]
+        )
+        return flight.RecordBatchStream(table)
+
+    # --- do_action: stage preparation ---------------------------------
+    def do_action(self, context, action: flight.Action):
+        kind = action.type
+        if kind not in ("PrepareShuffleAction", "BroadcastAction"):
+            raise NotImplementedError(f"UnImplement action {kind}")
+        try:
+            body = json.loads(action.body.to_pybytes().decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise flight.FlightServerError(f"invalid action body: {e}") from None
+        if kind == "PrepareShuffleAction":
+            self.dispatcher.shuffle_action(self.engine, body)
+        else:
+            self.dispatcher.broadcast_action(self.engine, body)
+        # reference returns a single empty FlightResult (body: vec![])
+        return iter([flight.Result(b"")])
+
+    def list_actions(self, context):
+        # flight_service.rs:157-169 advertises only PrepareShuffleAction
+        return [
+            flight.ActionType(
+                "PrepareShuffleAction",
+                "Prepare a query stage that can be sent to the remote "
+                "after receiving data from remote",
+            )
+        ]
+
+    # --- everything else: "does not implement" (flight_service.rs) ----
+    def _unimplemented(self, what: str):
+        raise NotImplementedError(f"FuseQuery does not implement {what}.")
+
+    def list_flights(self, context, criteria):
+        self._unimplemented("list_flights")
+
+    def get_flight_info(self, context, descriptor):
+        self._unimplemented("get_flight_info")
+
+    def get_schema(self, context, descriptor):
+        self._unimplemented("get_schema")
+
+    def do_put(self, context, descriptor, reader, writer):
+        self._unimplemented("do_put")
+
+    def do_exchange(self, context, descriptor, reader, writer):
+        self._unimplemented("do_exchange")
+
+
+def stream_ticket(query_id: str, stage_id: str, stream: str) -> flight.Ticket:
+    """Client-side helper: the reference's serde enum JSON form
+    (flight_tickets.rs TryInto<Ticket>)."""
+    body = {"StreamTicket": {"query_id": query_id, "stage_id": stage_id, "stream": stream}}
+    return flight.Ticket(json.dumps(body).encode("utf-8"))
+
+
+def shuffle_action(
+    query_id: str, stage_id: str, plan: str, sinks: list[str], scatters_expression: str
+) -> flight.Action:
+    body = {
+        "query_id": query_id,
+        "stage_id": stage_id,
+        "plan": plan,
+        "sinks": sinks,
+        "scatters_expression": scatters_expression,
+    }
+    return flight.Action("PrepareShuffleAction", json.dumps(body).encode("utf-8"))
+
+
+def broadcast_action(
+    query_id: str, stage_id: str, plan: str, sinks: list[str]
+) -> flight.Action:
+    body = {"query_id": query_id, "stage_id": stage_id, "plan": plan, "sinks": sinks}
+    return flight.Action("BroadcastAction", json.dumps(body).encode("utf-8"))

@@ -1,0 +1,164 @@
+"""Arrow Flight endpoint end-to-end: a real pyarrow.flight client
+against FuseQueryFlightService — stage actions execute engine SQL,
+stream tickets fetch the scattered/broadcast record batches.
+
+Parity targets: flight_service.rs:38 (do_get/do_action surface,
+everything else unimplemented), flight_tickets.rs:13 (JSON
+StreamTicket), flight_actions.rs:15 (Shuffle/Broadcast action bodies),
+flight_dispatcher.rs:38 (one-shot streams, hash scatter, abort gate),
+flight_scatter_hash.rs:80-91 (mod-N bucket over the UInt64
+reinterpretation — the same contract the two-process scatter test
+pins for Spark exchanges)."""
+
+from __future__ import annotations
+
+import threading
+
+import pyarrow.flight as flight
+import pytest
+
+from fuse_query_spark.engine import Engine
+from fuse_query_spark.servers.flight_server import (
+    FlightDispatcher,
+    FuseQueryFlightService,
+    broadcast_action,
+    shuffle_action,
+    stream_ticket,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = FuseQueryFlightService(engine, "grpc://0.0.0.0:0")
+    t = threading.Thread(target=srv.serve, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def client(server):
+    c = flight.connect(f"grpc://localhost:{server.port}")
+    c.wait_for_available(timeout=10)
+    yield c
+    c.close()
+
+
+def _fetch(client, query_id, stage_id, stream):
+    return client.do_get(stream_ticket(query_id, stage_id, stream)).read_all()
+
+
+class TestShuffle:
+    def test_hash_scatter_partitions_and_reassembles(self, client):
+        plan = "SELECT number, number % 7 AS v FROM numbers(100)"
+        list(client.do_action(shuffle_action("q1", "s1", plan, ["n0", "n1", "n2"], "number")))
+        seen = {}
+        for i, sink in enumerate(["n0", "n1", "n2"]):
+            t = _fetch(client, "q1", "s1", sink)
+            nums = t.column("number").to_pylist()
+            # the reference's bucket rule: modulo(cast(expr AS UInt64), 3)
+            assert all(n % 3 == i for n in nums), (i, nums[:5])
+            for n, v in zip(nums, t.column("v").to_pylist()):
+                seen[n] = v
+        assert sorted(seen) == list(range(100))
+        assert all(seen[n] == n % 7 for n in seen)
+
+    def test_negative_keys_use_uint64_reinterpretation(self, client):
+        """flight_scatter_hash.rs casts to UInt64 before the modulo, so
+        a negative BIGINT buckets as (v + 2^64) % N, not Python's
+        sign-preserving %."""
+        plan = "SELECT CAST(number AS BIGINT) - 50 AS x FROM numbers(100)"
+        list(client.do_action(shuffle_action("q2", "s1", plan, ["a", "b", "c"], "x")))
+        got = {}
+        for i, sink in enumerate(["a", "b", "c"]):
+            for x in _fetch(client, "q2", "s1", sink).column("x").to_pylist():
+                got[x] = i
+        assert sorted(got) == list(range(-50, 50))
+        for x, bucket in got.items():
+            assert bucket == (x % 2**64) % 3, (x, bucket)
+
+    def test_streams_are_one_shot(self, client):
+        plan = "SELECT number FROM numbers(10)"
+        list(client.do_action(shuffle_action("q3", "s1", plan, ["only"], "number")))
+        assert _fetch(client, "q3", "s1", "only").num_rows == 10
+        with pytest.raises(flight.FlightServerError, match="Stream is not found"):
+            _fetch(client, "q3", "s1", "only")
+
+    def test_unknown_stream_not_found(self, client):
+        with pytest.raises(flight.FlightServerError, match="Stream is not found"):
+            _fetch(client, "nope", "nope", "nope")
+
+    def test_bare_ticket_form_accepted(self, client):
+        """The serde enum wrapper {"StreamTicket": {...}} is the
+        reference's wire form; the bare object also resolves."""
+        import json as _json
+
+        plan = "SELECT 1 AS one"
+        list(client.do_action(shuffle_action("q4", "s1", plan, ["s"], "one")))
+        bare = flight.Ticket(
+            _json.dumps({"query_id": "q4", "stage_id": "s1", "stream": "s"}).encode()
+        )
+        assert client.do_get(bare).read_all().num_rows == 1
+
+
+class TestBroadcast:
+    def test_every_sink_gets_full_result(self, client):
+        plan = "SELECT number AS n FROM numbers(25)"
+        list(client.do_action(broadcast_action("qb", "s1", plan, ["x", "y"])))
+        for sink in ("x", "y"):
+            t = _fetch(client, "qb", "s1", sink)
+            assert sorted(t.column("n").to_pylist()) == list(range(25))
+
+
+class TestSurface:
+    def test_list_actions_advertises_prepare_shuffle(self, client):
+        kinds = {a.type for a in client.list_actions()}
+        assert kinds == {"PrepareShuffleAction"}
+
+    def test_unknown_action_unimplemented(self, client):
+        import pyarrow as pa
+
+        with pytest.raises(pa.ArrowNotImplementedError, match="UnImplement action"):
+            list(client.do_action(flight.Action("FooAction", b"{}")))
+
+    def test_get_flight_info_unimplemented(self, client):
+        import pyarrow as pa
+
+        desc = flight.FlightDescriptor.for_path(b"x")
+        with pytest.raises(
+            (flight.FlightServerError, NotImplementedError, pa.ArrowNotImplementedError)
+        ):
+            client.get_flight_info(desc)
+
+    def test_invalid_ticket_json_rejected(self, client):
+        with pytest.raises(flight.FlightServerError, match="invalid ticket"):
+            client.do_get(flight.Ticket(b"\xff not json")).read_all()
+
+    def test_duplicate_stream_prepare_rejected(self, client):
+        plan = "SELECT 1 AS one"
+        list(client.do_action(shuffle_action("qd", "s1", plan, ["s"], "one")))
+        with pytest.raises(flight.FlightServerError, match="already prepared"):
+            list(client.do_action(shuffle_action("qd", "s1", plan, ["s"], "one")))
+
+
+class TestDispatcherAbort:
+    def test_aborted_dispatcher_rejects_new_actions(self, engine):
+        d = FlightDispatcher()
+        d.abort()
+        assert d.is_aborted()
+        action = {
+            "query_id": "q",
+            "stage_id": "s",
+            "plan": "SELECT 1",
+            "sinks": ["a"],
+            "scatters_expression": "1",
+        }
+        with pytest.raises(flight.FlightUnavailableError):
+            d.shuffle_action(engine, action)
+        with pytest.raises(flight.FlightUnavailableError):
+            d.broadcast_action(engine, action)
