@@ -281,3 +281,126 @@ def leakage_safe_split(
         "split",
         F.when(b < train, "train").when(b < train + val, "val").otherwise("test"),
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    n_buckets: int = 512,
+    alpha: float = 1.0,
+    select_frac: float = 0.1,
+    stop_frac: float = 0.07,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by how much more likely its hashed n-gram
+    features are under a TARGET distribution than under the RAW corpus
+    distribution, then keep the top `select_frac` — the published recipe
+    for "select web data that looks like my target domain" at corpus
+    scale, using hashed bag-of-ngrams generative models instead of a
+    trained classifier.
+
+    Features: unigrams AND bigrams, md5-hashed into `n_buckets` shared
+    buckets (the paper's hashing trick — no vocabulary to build or
+    broadcast). The target here is intrinsic — documents whose
+    English-stopword density is >= `stop_frac` (a deterministic stand-in
+    for "a sample of the target domain"; real pipelines pass a target
+    corpus) — so the whole path is engine-portable and hash-verified.
+    Per-feature log-ratio: ln((c_tgt+a)/(T_tgt+a*B)) -
+    ln((c_raw+a)/(T_raw+a*B)) (Laplace-smoothed, so buckets unseen in
+    the target stay finite). Per-doc log-weight: sum of tf * log-ratio.
+
+    Scale shape: feature counts are two map-side-combinable hash aggs;
+    the log-ratio table is AT MOST `n_buckets` rows — broadcast to the
+    per-doc tf table, so scoring is join-free at the shuffle level; the
+    selection cut is a single window over DOC-level rows (billions,
+    not trillions — one shuffle of (doc_id, score) pairs; at 100 TB
+    replace with a quantile threshold from approx_percentile to avoid
+    the global sort, same semantics minus tie-exactness). No driver
+    state, no RNG: resampling noise is omitted in favor of the
+    deterministic top-k cut so the output is reproducible and
+    oracle-checkable.
+
+    Returns (id_col, n_feat, logw_r, selected)."""
+    from fuse_query_spark.operators.dedup import md5_int32
+    from fuse_query_spark.operators.text import STOPWORDS, ngrams_from_tokens, tokens
+
+    from pyspark.sql import Window
+
+    t = tokens(text_col)
+    tok = df.select(id_col, F.explode(t).alias("_w"))
+    uni_f = tok.select(id_col, (md5_int32(F.col("_w")) % n_buckets).alias("_f"))
+    bg_f = df.select(
+        id_col, F.explode(ngrams_from_tokens(t, 2)).alias("_bg")
+    ).select(id_col, (md5_int32(F.col("_bg")) % n_buckets).alias("_f"))
+    dtf = (
+        uni_f.unionAll(bg_f)
+        .groupBy(id_col, "_f")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    # intrinsic target predicate: English-stopword density
+    target_ids = (
+        tok.groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.col("_w").isin(STOPWORDS["en"]).cast("int"))
+                / F.count(F.lit(1))
+            ).alias("_dens")
+        )
+        .where(F.col("_dens") >= stop_frac)
+        .select(id_col)
+    )
+    raw = dtf.groupBy("_f").agg(F.sum("_tf").alias("_c_raw"))
+    tgt = (
+        dtf.join(target_ids, id_col)
+        .groupBy("_f")
+        .agg(F.sum("_tf").alias("_c_tgt"))
+    )
+    # log-ratio table: <= n_buckets rows; outer join keeps raw-only
+    # buckets (c_tgt -> 0 via Laplace smoothing)
+    totals = (
+        raw.agg(F.sum("_c_raw").alias("_t_raw"))
+        .crossJoin(tgt.agg(F.sum("_c_tgt").alias("_t_tgt")))
+    )
+    lr = (
+        raw.join(tgt, "_f", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_f",
+            (
+                F.log(
+                    (F.coalesce(F.col("_c_tgt"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("_t_tgt") + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.col("_c_raw") + F.lit(alpha))
+                    / (F.col("_t_raw") + F.lit(alpha * n_buckets))
+                )
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        dtf.join(F.broadcast(lr), "_f")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").alias("n_feat"),
+            F.round(F.sum(F.col("_tf") * F.col("_lr")), ndigits).alias("logw_r"),
+        )
+    )
+    # deterministic top-frac cut on the ROUNDED score (ties by id) so
+    # the boundary is engine-portable
+    n_docs = scored.agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy(F.col("logw_r").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "n_feat",
+            "logw_r",
+            (F.col("_rk") <= F.ceil(F.lit(select_frac) * F.col("_n")))
+            .cast("int")
+            .alias("selected"),
+        )
+    )

@@ -170,8 +170,10 @@ DRIVER_PRIORITY = [
     # (dedup_minhash_lsh_md5 rotated out r5-late for the leakage-safe
     # split: 2-round green, and its shingle->band->verify pipeline
     # stays prefix-covered via dedup_cluster_canonical + cross_corpus)
+    # (sample_temperature_mix rotated out r6-late for DSIR: r5 green,
+    # family keeps split_leakage_safe + pack_sequences)
     "sample_split_leakage_safe",  # r5: group-integrity split over CC
-    "sample_temperature_mix",
+    "sample_dsir_importance",  # r6: DSIR hashed-ngram importance selection
     "numbers_sum_triple_1b",  # r6: closed-form oracle (3n(n-1)/2)
     "numbers_groupby3_1b",  # r6: CRT closed-form oracle (60 progressions)
     "pack_sequences",

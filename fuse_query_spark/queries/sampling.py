@@ -620,3 +620,82 @@ def sample_split_leakage_safe(spark, sf_dir):
 
     d, pairs = _leakage_inputs(spark, sf_dir)
     return leakage_safe_split(d, pairs).select("doc_id", "group_key", "split")
+
+
+def _md5i(expr: str) -> str:
+    """DuckDB mirror of operators.dedup.md5_int32 over an arbitrary
+    expression: integer of the first 8 md5 hex chars."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1)) - 1)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+        + ")"
+    )
+
+
+def _dsir_oracle(n_buckets: int = 512, select_frac: float = 0.1, stop_frac: float = 0.07) -> str:
+    from fuse_query_spark.queries.text import _SW_EN
+
+    b = n_buckets
+    return f"""
+    WITH t AS (SELECT doc_id, {_Q_TOKS} AS toks FROM documents),
+    pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM t),
+    feat AS (
+        SELECT doc_id, {_md5i('w')} % {b} AS f FROM pos
+        UNION ALL
+        SELECT a.doc_id, {_md5i("a.w || ' ' || b.w")} % {b} AS f
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    dtf AS (SELECT doc_id, f, COUNT(*) AS tf FROM feat GROUP BY doc_id, f),
+    tgt_ids AS (
+        SELECT doc_id FROM pos GROUP BY doc_id
+        HAVING SUM(CASE WHEN w IN ({_SW_EN}) THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+               >= {stop_frac!r}
+    ),
+    raw AS (SELECT f, SUM(tf) AS c_raw FROM dtf GROUP BY f),
+    tgt AS (SELECT f, SUM(tf) AS c_tgt FROM dtf JOIN tgt_ids USING (doc_id) GROUP BY f),
+    tot AS (SELECT (SELECT SUM(c_raw) FROM raw) AS t_raw,
+                   (SELECT SUM(c_tgt) FROM tgt) AS t_tgt),
+    lr AS (
+        SELECT raw.f,
+               ln((COALESCE(c_tgt, 0) + 1.0) / (t_tgt + {float(b)!r}))
+             - ln((c_raw + 1.0) / (t_raw + {float(b)!r})) AS lr
+        FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_feat,
+               round(SUM(tf * lr), 4) AS logw_r
+        FROM dtf JOIN lr USING (f) GROUP BY doc_id
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM scored)
+    SELECT doc_id, n_feat, logw_r,
+           CAST(CASE WHEN row_number() OVER (ORDER BY logw_r DESC, doc_id)
+                          <= CEIL({select_frac!r} * n_docs)
+                THEN 1 ELSE 0 END AS INT) AS selected
+    FROM scored CROSS JOIN n
+    """
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=_dsir_oracle(),
+    tags=("sampling", "pipeline", "dsir", "importance", "selection"),
+)
+def sample_dsir_importance(spark, sf_dir):
+    """DSIR data selection (r6; Xie et al. 2023 "Data Selection for
+    Language Models via Importance Resampling"): hashed unigram+bigram
+    bag-of-ngrams models for a target distribution (here: documents
+    with >= 7% English-stopword density, a deterministic intrinsic
+    stand-in for a target-domain sample) and the raw corpus; each doc
+    scored by its Laplace-smoothed log importance weight; top 10% kept
+    via a deterministic rounded-score cut. The log-ratio table is
+    <= 512 rows — broadcast, so scoring adds no shuffle beyond the
+    feature-count aggs. See operators/sampling.py:dsir_select for the
+    100 TB posture (quantile-threshold cut instead of the global
+    window)."""
+    from fuse_query_spark.operators.sampling import dsir_select
+
+    return dsir_select(table(spark, sf_dir, "documents"))

@@ -1,0 +1,54 @@
+
+
+class TestDsirSelect:
+    """DSIR importance selection (operators/sampling.py:dsir_select):
+    the oracle query pins hashes/scores bit-exact; these pin the
+    SEMANTICS — cut size and direction of the importance weights."""
+
+    def test_cut_size_and_direction(self, spark, sf_dir):
+        import math
+
+        from fuse_query_spark.operators.sampling import dsir_select
+        from fuse_query_spark.sources.tables import table
+
+        rows = dsir_select(table(spark, sf_dir, "documents")).collect()
+        n = len(rows)
+        assert n > 0
+        k = sum(r["selected"] for r in rows)
+        assert k == math.ceil(0.1 * n)
+        # every selected doc outranks (rounded score, id) every
+        # unselected doc — the deterministic top-frac contract
+        sel = sorted(
+            ((-r["logw_r"], r["doc_id"]) for r in rows if r["selected"])
+        )
+        uns = sorted(
+            ((-r["logw_r"], r["doc_id"]) for r in rows if not r["selected"])
+        )
+        assert not uns or sel[-1] < uns[0]
+
+    def test_selected_docs_look_like_target(self, spark, sf_dir):
+        """Selection must pull toward the target distribution: mean
+        English-stopword density of the selected decile exceeds the
+        corpus mean (the entire point of DSIR)."""
+        from pyspark.sql import functions as F
+
+        from fuse_query_spark.operators.sampling import dsir_select
+        from fuse_query_spark.operators.text import STOPWORDS, tokens
+        from fuse_query_spark.sources.tables import table
+
+        docs = table(spark, sf_dir, "documents")
+        dens = docs.select(
+            "doc_id",
+            (
+                F.size(
+                    F.filter(
+                        tokens("text"), lambda w: w.isin(STOPWORDS["en"])
+                    )
+                )
+                / F.size(tokens("text"))
+            ).alias("dens"),
+        )
+        j = dsir_select(docs).join(dens, "doc_id")
+        m = j.groupBy("selected").agg(F.avg("dens").alias("d")).collect()
+        by = {r["selected"]: r["d"] for r in m}
+        assert by[1] > by[0]
