@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "similarity_knn_pq_rerank",
     "events_heavy_hitters_rollup",
     "events_topk_sketch_rollup",
+    # r6 additions: progressive JPEG decode + DSIR selection
+    "multimodal_jpeg_progressive_decode",
+    "sample_dsir_importance",
 ]
 
 

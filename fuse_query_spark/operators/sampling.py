@@ -334,10 +334,16 @@ def dsir_select(
     bg_f = df.select(
         id_col, F.explode(ngrams_from_tokens(t, 2)).alias("_bg")
     ).select(id_col, (md5_int32(F.col("_bg")) % n_buckets).alias("_f"))
+    # dtf feeds THREE consumers (raw counts, target counts, scoring);
+    # without a persist Catalyst re-runs the tokenize+md5 explode per
+    # consumer — the recompute class the scaling probe caught here at
+    # 4x (131 s -> see SCALE.md r6) and previously in
+    # minhash_containment_pairs (r5 probe catch #3)
     dtf = (
         uni_f.unionAll(bg_f)
         .groupBy(id_col, "_f")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        .persist()
     )
     # intrinsic target predicate: English-stopword density
     target_ids = (
@@ -351,11 +357,15 @@ def dsir_select(
         .where(F.col("_dens") >= stop_frac)
         .select(id_col)
     )
-    raw = dtf.groupBy("_f").agg(F.sum("_tf").alias("_c_raw"))
+    # raw/tgt each feed two consumers (totals + the log-ratio join);
+    # they are <= n_buckets rows, so the persist is cheap insurance
+    # against re-aggregating dtf
+    raw = dtf.groupBy("_f").agg(F.sum("_tf").alias("_c_raw")).persist()
     tgt = (
         dtf.join(target_ids, id_col)
         .groupBy("_f")
         .agg(F.sum("_tf").alias("_c_tgt"))
+        .persist()
     )
     # log-ratio table: <= n_buckets rows; outer join keeps raw-only
     # buckets (c_tgt -> 0 via Laplace smoothing)

@@ -164,7 +164,9 @@ DRIVER_PRIORITY = [
     "dedup_semantic_kmeans",  # r5-late: SemDeDup k-means-cell blocking
     "similarity_knn_pq_adc",  # r5-late: ADC over PQ codes
     "embedding_pq_encode",  # r5-late: product quantization
-    "dedup_cluster_canonical",  # r5: CC clustering over LSH pairs
+    # (dedup_cluster_canonical rotated out r6-late for SoftDeDup,
+    # which subsumes its pairs->CC pipeline and adds the reweight)
+    "dedup_soft_reweight",  # r6: SoftDeDup cluster-size reweighting
     "dedup_chunk_fraction",  # r5: paragraph-analog chunk dedup
     # sampling / pipeline ops — never driver-checked before r5
     # (dedup_minhash_lsh_md5 rotated out r5-late for the leakage-safe

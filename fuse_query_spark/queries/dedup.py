@@ -474,3 +474,91 @@ def dedup_containment_md5(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return minhash_containment_pairs(d, k=8, bands=4, threshold=0.5)
+
+
+def _soft_dedup_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
+    """_cc_oracle's pipeline (md5 minhash -> bands -> verified pairs ->
+    recursive-CTE components) extended with cluster sizes, the
+    1/sqrt(size) weight, and the integer acceptance rule."""
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(s || '|{i}')), 'min') AS mh{i}"
+        for i in range(k)
+    )
+    r = k // bands
+    band_cols = ", ".join(
+        "md5({}) AS b{}".format(" || '|' || ".join(f"mh{b * r + j}" for j in range(r)), b)
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    u_expr = (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), {j + 1}, 1)) - 1)"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+        + ") % 1000000"
+    )
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    mh AS (SELECT doc_id, {mh_cols} FROM t),
+    bands AS (SELECT doc_id, {band_cols} FROM mh),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_match})),
+    p AS (SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN t ta ON ta.doc_id = c.id_a
+          JOIN t tb ON tb.doc_id = c.id_b
+          WHERE len(list_intersect(ta.sh, tb.sh))
+                  / greatest(len(list_distinct(list_concat(ta.sh, tb.sh))), 1) >= {threshold}),
+    edges AS (SELECT id_a AS x, id_b AS y FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+        SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+        UNION
+        SELECT r.a, e.y FROM reach r JOIN edges e ON e.x = r.b
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+    sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component),
+    sized AS (
+        SELECT d.doc_id AS doc_id,
+               CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size,
+               CAST({u_expr} AS BIGINT) AS u
+        FROM documents d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+        LEFT JOIN sizes s ON s.component = c.component)
+    SELECT doc_id, cluster_size,
+           round(1.0 / sqrt(cluster_size), 6) AS weight_r6,
+           CAST(CASE WHEN u * u * cluster_size < 1000000000000
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM sized
+    """
+
+
+@register(
+    "dedup_soft_reweight",
+    oracle=_soft_dedup_oracle(),
+    tags=("dedup", "minhash", "graph", "reweight", "pipeline", "portable"),
+)
+def dedup_soft_reweight(spark, sf_dir):
+    """SoftDeDup reweighting (r6; Xue et al. 2024): the md5-minhash
+    LSH pair pipeline -> connected components -> per-doc sampling
+    weight cluster_size^-1/2 and a deterministic integer-exact keep
+    flag (u^2 * size < 1e12). Down-weights duplicate families instead
+    of dropping them — the published middle ground between hard dedup
+    and no dedup. The oracle recomputes the ENTIRE path in DuckDB,
+    recursive-CTE components included. See
+    operators/dedup.py:soft_dedup_weights."""
+    from fuse_query_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+        soft_dedup_weights,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_md5(d, k=8)
+    cands = lsh_candidate_pairs_md5(sigs, k=8, bands=4)
+    pairs = jaccard_verify(d, cands, threshold=0.2)
+    return soft_dedup_weights(d, pairs)

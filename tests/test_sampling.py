@@ -52,3 +52,39 @@ class TestDsirSelect:
         m = j.groupBy("selected").agg(F.avg("dens").alias("d")).collect()
         by = {r["selected"]: r["d"] for r in m}
         assert by[1] > by[0]
+
+
+class TestSoftDedup:
+    """SoftDeDup reweighting (operators/dedup.py:soft_dedup_weights):
+    the oracle pins the full pipeline bit-exact; these pin semantics."""
+
+    def test_weights_and_keep_rule(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from fuse_query_spark.operators.dedup import (
+            jaccard_verify,
+            lsh_candidate_pairs_md5,
+            minhash_signatures_md5,
+            soft_dedup_weights,
+        )
+        from fuse_query_spark.sources.tables import table
+
+        d = table(spark, sf_dir, "documents")
+        sigs = minhash_signatures_md5(d, k=8)
+        pairs = jaccard_verify(d, lsh_candidate_pairs_md5(sigs, k=8, bands=4), threshold=0.2)
+        rows = soft_dedup_weights(d, pairs).collect()
+        assert len(rows) == d.count()  # every doc gets a weight
+        import math
+
+        for r in rows:
+            assert r["weight_r6"] == round(1.0 / math.sqrt(r["cluster_size"]), 6)
+        # singletons are always kept: u/1e6 < 1 holds for every bucket
+        for r in rows:
+            if r["cluster_size"] == 1:
+                assert r["kept"] == 1
+        # expected survivors of a cluster of size s is ~s * s^-1/2:
+        # duplicate-family mass is compressed, i.e. keep-rate of
+        # clustered docs < 1 whenever any cluster is nontrivial
+        clustered = [r for r in rows if r["cluster_size"] > 1]
+        if clustered:
+            assert sum(r["kept"] for r in clustered) < len(clustered)

@@ -170,7 +170,17 @@ def probe_ops(spark, docs):
             minhash_dedup_pairs(docs, k=16, bands=4, threshold=0.2)
         ),
         "bigram_logprob": lambda: bigram_logprob(docs),
+        # r6: DSIR — two feature-count aggs + broadcast log-ratio join
+        # + one doc-level window; the window's global sort is the part
+        # whose slope matters (docs grow with R, features per doc don't)
+        "dsir_select": lambda: _dsir(docs),
     }
+
+
+def _dsir(docs):
+    from fuse_query_spark.operators.sampling import dsir_select
+
+    return dsir_select(docs)
 
 
 def _heap_pools(spark):
