@@ -162,3 +162,32 @@ class TestDispatcherAbort:
             d.shuffle_action(engine, action)
         with pytest.raises(flight.FlightUnavailableError):
             d.broadcast_action(engine, action)
+
+
+class TestConcurrency:
+    def test_parallel_stage_actions_and_fetches(self, client):
+        """gRPC serves handlers from a thread pool; the dispatcher's
+        registry must survive concurrent prepares and fetches."""
+        import concurrent.futures as cf
+
+        def prepare(i):
+            plan = f"SELECT number + {i} AS n FROM numbers(50)"
+            list(
+                client.do_action(
+                    shuffle_action(f"qc{i}", "s1", plan, ["a", "b"], "n")
+                )
+            )
+            return i
+
+        with cf.ThreadPoolExecutor(max_workers=4) as ex:
+            assert sorted(ex.map(prepare, range(4))) == [0, 1, 2, 3]
+
+            def fetch(i):
+                rows = []
+                for sink in ("a", "b"):
+                    t = _fetch(client, f"qc{i}", "s1", sink)
+                    rows += t.column("n").to_pylist()
+                return sorted(rows)
+
+            for i, rows in zip(range(4), ex.map(fetch, range(4))):
+                assert rows == list(range(i, i + 50))
