@@ -583,3 +583,92 @@ def hashed_linear_score(
             F.round(F.sum("_w") / F.count(F.lit(1)), 6).alias("mean_weight_r6"),
         )
     )
+
+
+# Stand-in BPE merge table (r6). The table is the tokenizer's
+# PARAMETER — production pipelines broadcast a learned one (tiktoken/
+# sentencepiece export); this deterministic table over the corpus
+# vocabulary keeps the APPLY path engine-portable and hash-verified.
+# Rank order respects the BPE invariant: a rule's constituent symbols
+# exist before the rule (single-character symbols or earlier merges),
+# which is exactly what makes one left-to-right replace pass per rank
+# equal to the reference merge loop (see bpe_token_stats).
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"),             # the
+    ("a", "n"), ("i", "n"),              # an/in prefixes
+    ("e", "r"), ("o", "r"),              # -er/-or suffixes
+    ("s", "t"), ("a", "r"),              # st/ar clusters
+    ("o", "w"), ("r", "ow"),             # row
+    ("a", "ta"), ("t", "a"),             # data (ta first in text order: see note)
+    ("s", "c"), ("sc", "an"),            # scan (uses an from rank 3)
+    ("j", "o"), ("jo", "in"),            # join (uses in from rank 4)
+]
+# note: ("a","ta") ranks BEFORE ("t","a") builds "ta", so it can never
+# fire on a fresh corpus — kept deliberately as a dead rule to pin the
+# rank-order semantics in the oracle (a wrong application order would
+# produce different tokens and move the digest).
+
+
+def bpe_token_stats(
+    df,
+    merges=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """REAL BPE segmentation (apply path): every word is split to
+    characters and the merge table is applied in rank order, exactly
+    like the reference BPE loop (GPT-2 bpe(): repeatedly merge the
+    lowest-rank adjacent pair). The trick that keeps this a pure
+    Column expression on BOTH engines: encode the symbol sequence as
+    |s1||s2||s3| — each symbol wrapped in its own delimiters — so a
+    single left-to-right replace of '|a||b|' -> '|ab|' merges every
+    occurrence of the pair at true symbol boundaries only (a bare
+    'a b' -> 'ab' replace on space-separated symbols is WRONG twice
+    over: it can match inside a longer symbol, and consecutive
+    occurrences share the delimiter so 'a b a b' only merges once).
+    One pass per rank equals the reference loop because BPE rank order
+    guarantees a rule's constituents exist before the rule fires; '|'
+    is pre-stripped from input so the delimiter cannot collide.
+
+    Pure codegen — ~2+len(merges) string ops per word, no UDFs, no
+    joins, no shuffle beyond the final per-doc projection; linear at
+    any scale.
+
+    Returns (id_col, n_words, n_bpe_tokens, chars_per_bpe_token,
+    seg_digest)."""
+    if merges is None:
+        merges = BPE_MERGES
+
+    def segment(w):
+        # strip delimiter collisions, wrap every char: "the" -> "|t||h||e|"
+        seq = F.regexp_replace(F.regexp_replace(w, r"[|]", ""), r"(.)", r"|$1|")
+        for a, b in merges:
+            seq = F.replace(seq, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+        return seq
+
+    t = tokens(text_col)
+    segs = F.transform(t, segment)
+    # token count per word = (#'|' chars) / 2
+    per_word = F.transform(
+        segs, lambda s: (F.length(s) - F.length(F.replace(s, F.lit("|"), F.lit("")))) / 2
+    )
+    n_tokens = F.aggregate(
+        per_word, F.lit(0.0), lambda acc, x: acc + x
+    ).cast("long")
+    readable = F.transform(
+        segs,
+        lambda s: F.regexp_replace(
+            F.regexp_replace(s, r"\|\|", " "), r"^\||\|$", ""
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_words"),
+        n_tokens.alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.array_join(t, "")).cast("double")
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ).alias("chars_per_bpe_token"),
+        F.md5(F.array_join(readable, " / ")).alias("seg_digest"),
+    )

@@ -151,7 +151,9 @@ DRIVER_PRIORITY = [
     "text_hashed_linear_score",  # r5-late: fastText-shaped classifier
     # text analysis
     "multimodal_png_decode",  # r5-late: real zlib PNG decode, closed-form oracle
-    "text_pii_redact",  # r5: PII scrub stage
+    # (text_pii_redact rotated out r6-late for real BPE: r5 green,
+    # text family keeps 6 prefix rows)
+    "text_bpe_segment",  # r6: rank-ordered BPE merge application
     "text_unigram_logprob",  # r5: CCNet-style unigram-LM quality
     "text_winnow_fingerprint",  # r6: winnowing doc fingerprints
     "corpus_vocab_stats",  # r6: corpus-level vocabulary stats

@@ -637,3 +637,49 @@ def text_hashed_linear_score(spark, sf_dir):
     from fuse_query_spark.operators.text import hashed_linear_score
 
     return hashed_linear_score(table(spark, sf_dir, "documents"), n_buckets=1024)
+
+
+def _bpe_oracle() -> str:
+    from fuse_query_spark.operators.text import BPE_MERGES
+
+    chain = "regexp_replace(regexp_replace(w, '[|]', '', 'g'), '(.)', '|\\1|', 'g')"
+    for a, b in BPE_MERGES:
+        chain = f"replace({chain}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, list_transform(toks, w -> {chain}) AS segs FROM t),
+    c AS (SELECT doc_id, toks, segs,
+                 CAST(list_aggregate(list_transform(segs,
+                     x -> (length(x) - length(replace(x, '|', ''))) / 2),
+                     'sum') AS BIGINT) AS n_bpe
+          FROM s)
+    SELECT doc_id,
+           len(toks) AS n_words,
+           n_bpe AS n_bpe_tokens,
+           round(CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                 / greatest(n_bpe, 1), 6) AS chars_per_bpe_token,
+           md5(array_to_string(list_transform(segs,
+               x -> regexp_replace(replace(x, '||', ' '), '^\\||\\|$', '', 'g')),
+               ' / ')) AS seg_digest
+    FROM c
+    """
+
+
+@register(
+    "text_bpe_segment",
+    oracle=_bpe_oracle(),
+    tags=("text", "tokenize", "bpe", "pipeline"),
+)
+def text_bpe_segment(spark, sf_dir):
+    """REAL BPE segmentation (r6): rank-ordered merge-table
+    application per word via the delimiter-wrapped symbol encoding
+    (operators/text.py:bpe_token_stats) — the apply path of a
+    production tokenizer, as pure Column codegen on both engines. The
+    digest covers every segmented word of every document, so a single
+    mis-merged pair anywhere (wrong order, boundary bleed, overlap
+    handling) moves the hash; the deliberately-dead rank-11 rule pins
+    that rules fire in rank order, not best-fit. The earlier
+    regex-pre-token estimator remains as text_bpe_token_count."""
+    from fuse_query_spark.operators.text import bpe_token_stats
+
+    return bpe_token_stats(table(spark, sf_dir, "documents"))

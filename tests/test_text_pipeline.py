@@ -289,3 +289,51 @@ class TestHashedLinearScore:
         # a repeated token contributes its weight exactly k times
         assert a[2]["score_raw"] % 3 == 0
         assert abs(a[1]["mean_weight_r6"]) <= 100
+
+
+class TestBpeSegment:
+    """Rank-ordered BPE application (operators/text.py:bpe_token_stats).
+    The oracle query pins the whole corpus bit-exact; these pin the
+    merge semantics on hand-checked words."""
+
+    def test_hand_checked_merges(self, spark):
+        from fuse_query_spark.operators.text import bpe_token_stats
+
+        df = spark.createDataFrame(
+            [(1, "the scan join data narrow")], "doc_id long, text string"
+        )
+        r = bpe_token_stats(df).collect()[0]
+        # the->1, scan->1, join->1 (multi-rank chains), data->[d,a,ta],
+        # narrow->[n,ar,row] (hand-derived; the rank-11 (a,'ta') rule is
+        # dead because 'ta' does not exist until rank 12)
+        assert (r["n_words"], r["n_bpe_tokens"]) == (5, 9)
+
+    def test_consecutive_pair_occurrences_all_merge(self, spark):
+        """'a b a b' must merge to [ab, ab] — the case a naive
+        space-separated replace gets wrong (shared delimiter)."""
+        from fuse_query_spark.operators.text import bpe_token_stats
+
+        df = spark.createDataFrame([(1, "ananan")], "doc_id long, text string")
+        # merges (a,n) -> an: a n a n a n => an an an (3 tokens)
+        r = bpe_token_stats(df).collect()[0]
+        assert r["n_bpe_tokens"] == 3
+
+    def test_no_boundary_bleed_into_longer_symbols(self, spark):
+        """(t,h) must not fire inside a word where 't' is the tail of
+        a longer symbol: 'sth' -> [st, h] via (s,t), and the 'th' rule
+        (rank 1 < (s,t) rank 7) fires first on the raw chars: s,t,h ->
+        s,th. Verifies rank order wins, not pattern greed."""
+        from fuse_query_spark.operators.text import bpe_token_stats
+
+        df = spark.createDataFrame([(1, "sth")], "doc_id long, text string")
+        r = bpe_token_stats(df).collect()[0]
+        # rank 1 (t,h) fires before rank 7 (s,t): s,th -> 2 tokens
+        assert r["n_bpe_tokens"] == 2
+
+    def test_delimiter_collision_stripped(self, spark):
+        from fuse_query_spark.operators.text import bpe_token_stats
+
+        df = spark.createDataFrame([(1, "t|he")], "doc_id long, text string")
+        r = bpe_token_stats(df).collect()[0]
+        # '|' stripped -> 'the' -> 1 token
+        assert r["n_bpe_tokens"] == 1
