@@ -917,7 +917,8 @@ class Engine:
 
     _OPTIMIZE = re.compile(
         r"(?is)^OPTIMIZE\s+TABLE\s+([\w.]+)"
-        r"(?:\s+PARTITION\s*\(([^)]*)\))?(\s+FINAL)?\s*$"
+        r"(?:\s+PARTITION\s*\(([^)]*)\))?(\s+FINAL)?"
+        r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$"
     )
 
     def _optimize(self, s: str) -> DataFrame:
@@ -944,12 +945,40 @@ class Engine:
         m = self._OPTIMIZE.match(s)
         if not m:
             raise UnsupportedStatement(f"Cannot parse OPTIMIZE: {s[:80]}")
-        name, spec, _final = m.groups()
+        name, spec, _final, zorder = m.groups()
         db, table = self._qualify(name)
         tables = self.catalog.db(db)
         if table not in tables:
             raise UnknownTable(f"Unknown table: '{db}.{table}'")
         tdef = tables[table]
+        if tdef.engine == "Snapshot":
+            # Snapshot tables compact forward-written (a new version;
+            # time travel to the fragmented history is untouched) and
+            # support ZORDER BY for multi-dimensional file skipping
+            from fuse_query_spark.sources.snapshots import (
+                read_manifest,
+                latest_version,
+                snapshot_optimize,
+            )
+
+            if spec:
+                raise UnsupportedStatement(
+                    "OPTIMIZE PARTITION applies to Parquet-engine tables; "
+                    "Snapshot tables compact whole versions"
+                )
+            cols = [c.strip() for c in zorder.split(",")] if zorder else None
+            before = len(read_manifest(tdef.location, latest_version(tdef.location))["files"])
+            v = snapshot_optimize(self.spark, tdef.location, zorder_by=cols)
+            after = read_manifest(tdef.location, v)
+            return self.spark.createDataFrame(
+                [(v, before, len(after["files"]), after["operation"])],
+                "version INT, files_before INT, files_after INT, operation STRING",
+            )
+        if zorder:
+            raise UnsupportedStatement(
+                "ZORDER BY needs ENGINE = Snapshot (manifest min/max "
+                "skipping); Parquet-engine OPTIMIZE compacts only"
+            )
         if tdef.engine != "Parquet" or tdef.location is None:
             raise UnsupportedStatement(
                 f"OPTIMIZE TABLE supports Parquet-engine tables with a "

@@ -292,6 +292,7 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     ndigits: int = 4,
+    cut: str = "exact",
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
     score every document by how much more likely its hashed n-gram
@@ -315,9 +316,11 @@ def dsir_select(
     the log-ratio table is AT MOST `n_buckets` rows — broadcast to the
     per-doc tf table, so scoring is join-free at the shuffle level; the
     selection cut is a single window over DOC-level rows (billions,
-    not trillions — one shuffle of (doc_id, score) pairs; at 100 TB
-    replace with a quantile threshold from approx_percentile to avoid
-    the global sort, same semantics minus tie-exactness). No driver
+    not trillions — one shuffle of (doc_id, score) pairs); at 100 TB
+    pass cut="approx" — one approx_percentile pass picks the score
+    threshold, no global sort, same semantics minus tie-exactness
+    (tested to agree with the exact cut within sketch accuracy). No
+    driver
     state, no RNG: resampling noise is omitted in favor of the
     deterministic top-k cut so the output is reproducible and
     oracle-checkable.
@@ -398,8 +401,25 @@ def dsir_select(
             F.round(F.sum(F.col("_tf") * F.col("_lr")), ndigits).alias("logw_r"),
         )
     )
-    # deterministic top-frac cut on the ROUNDED score (ties by id) so
-    # the boundary is engine-portable
+    if cut == "approx":
+        # the 100 TB path: one approx_percentile pass picks the score
+        # threshold (no global sort of doc rows); the cut lands within
+        # quantile-sketch accuracy of select_frac instead of exactly
+        # ceil(frac*n) — the trade every production selection makes
+        thresh = scored.agg(
+            F.percentile_approx(
+                "logw_r", F.lit(1.0 - select_frac), F.lit(10000)
+            ).alias("_thr")
+        )
+        return scored.crossJoin(F.broadcast(thresh)).select(
+            id_col,
+            "n_feat",
+            "logw_r",
+            (F.col("logw_r") >= F.col("_thr")).cast("int").alias("selected"),
+        )
+    # exact cut: deterministic top-frac on the ROUNDED score (ties by
+    # id) so the boundary is engine-portable — one global window over
+    # doc-level rows
     n_docs = scored.agg(F.count(F.lit(1)).alias("_n"))
     w = Window.orderBy(F.col("logw_r").desc(), F.col(id_col))
     return (

@@ -99,6 +99,7 @@ def snapshot_commit(
     location: str,
     mode: str = "append",
     batch_id: int | None = None,
+    operation: str | None = None,
 ) -> int:
     """Write df's rows as new immutable files under data/<uuid>/ and
     commit manifest v(latest+1). mode='append' keeps the parent's file
@@ -134,7 +135,9 @@ def snapshot_commit(
     manifest = {
         "version": (parent + 1) if parent is not None else 0,
         "parent": parent,
-        "operation": mode,
+        # `operation` is the HISTORY label (e.g. "optimize"); `mode`
+        # stays the file-list semantic (append vs overwrite)
+        "operation": operation or mode,
         "files": files,
         "stats": stats,
         "schema_ddl": df.schema.simpleString()[7:-1],  # struct<...> → ...
@@ -417,3 +420,88 @@ def stream_into_snapshot(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- Compaction + clustering (r6): OPTIMIZE [ZORDER BY] ------------------
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key over numeric columns as a pure Column
+    expression: each column is affinely mapped onto a `bits`-bit grid
+    using its CURRENT min/max (one tiny agg — 2*len(cols) scalars to
+    the driver, like every Delta/Iceberg OPTIMIZE implementation),
+    then the grid coordinates' bits are interleaved. Rows close in the
+    key are close in EVERY clustered dimension, so files cut from a
+    range-partition of the key get tight footer min/max on all of
+    them — the property multi-dimensional file skipping needs (a sort
+    by (a, b) gives tight ranges on `a` only).
+
+    Returns (key Column, stats row) — stats exposed for tests."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    for ci, c in enumerate(cols):
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        span = (mx - mn) or 1
+        # grid coordinate in [0, 2^bits)
+        coord = F.least(
+            F.lit((1 << bits) - 1),
+            ((F.col(c) - F.lit(mn)).cast("double") * ((1 << bits) - 1) / span)
+            .cast("long"),
+        )
+        coord = F.greatest(F.lit(0).cast("long"), coord)
+        for b in range(bits):
+            bit = F.shiftright(coord, b).bitwiseAND(F.lit(1).cast("long"))
+            key = key + bit * F.lit(1 << (b * n + ci)).cast("long")
+    return key, stats
+
+
+def snapshot_optimize(
+    spark: SparkSession,
+    location: str,
+    target_file_mb: int = 128,
+    zorder_by: list[str] | None = None,
+    n_files: int | None = None,
+) -> int:
+    """OPTIMIZE: rewrite the current version's files into ~target-size
+    files as a NEW version with identical rows — the small-files
+    compaction every streaming/batch-mixed table needs (a year of
+    micro-batch commits leaves thousands of KB-scale files whose
+    open/footer cost dominates the scan; at 100 TB the scan's task
+    count is the file count). Optionally Z-ORDER the rewrite:
+    range-partition + sort on the interleaved-bit key so every output
+    file covers a tight box in all clustered dimensions, multiplying
+    what manifest min/max skipping (snapshot_read_pruned) can prune
+    for conjunctive box predicates.
+
+    Forward-written like every other snapshot operation: the previous
+    version (and time travel to it) is untouched until vacuum; a
+    crash mid-rewrite leaves at worst orphan data files, never a torn
+    table. Returns the committed version."""
+    m = read_manifest(location, latest_version(location))
+    df = snapshot_read(spark, location)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(location, f)) for f in m["files"]
+    )
+    # explicit n_files overrides the byte-based sizing (operational
+    # knob; also the only way to get >1 clustered file from a corpus
+    # smaller than one target file)
+    n_out = n_files or max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    if zorder_by:
+        key, _ = zorder_key(df, zorder_by)
+        out = (
+            df.withColumn("_zkey", key)
+            .repartitionByRange(n_out, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+        label = f"optimize_zorder({','.join(zorder_by)})"
+    else:
+        out = df.repartition(n_out)
+        label = "optimize"
+    return snapshot_commit(df=out, location=location, mode="overwrite", operation=label)

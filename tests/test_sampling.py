@@ -88,3 +88,28 @@ class TestSoftDedup:
         clustered = [r for r in rows if r["cluster_size"] > 1]
         if clustered:
             assert sum(r["kept"] for r in clustered) < len(clustered)
+
+
+class TestDsirApproxCut:
+    def test_approx_threshold_agrees_with_exact(self, spark, sf_dir):
+        """cut='approx' (the 100 TB lever: percentile threshold, no
+        global sort) must agree with the exact window cut up to
+        quantile-sketch accuracy and rounded-score ties."""
+        from fuse_query_spark.operators.sampling import dsir_select
+        from fuse_query_spark.sources.tables import table
+
+        docs = table(spark, sf_dir, "documents")
+        exact = {r["doc_id"]: r["selected"] for r in dsir_select(docs).collect()}
+        approx = {
+            r["doc_id"]: r["selected"]
+            for r in dsir_select(docs, cut="approx").collect()
+        }
+        assert set(exact) == set(approx)
+        n = len(exact)
+        agree = sum(exact[d] == approx[d] for d in exact)
+        # sketch accuracy 1e-4 at n=500 -> the cut moves by at most a
+        # handful of tie-adjacent docs
+        assert agree >= n - max(3, n // 100)
+        # and the approx keep-rate is within a point of the target
+        k = sum(approx.values())
+        assert abs(k / n - 0.1) < 0.02

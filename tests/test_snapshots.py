@@ -5,6 +5,7 @@ MVCC DML, vacuum — the lakehouse table-format surface
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from fuse_query_spark.engine import Engine
 from fuse_query_spark.sources.snapshots import (
@@ -12,9 +13,12 @@ from fuse_query_spark.sources.snapshots import (
     read_manifest,
     snapshot_commit,
     snapshot_history,
+    snapshot_optimize,
     snapshot_read,
+    snapshot_read_pruned,
     snapshot_rollback,
     snapshot_vacuum,
+    zorder_key,
 )
 
 
@@ -365,3 +369,113 @@ class TestAdviceRegressions:
         engine.sql("DELETE FROM pesc WHERE k IS NULL")
         rows = sorted(r["id"] for r in engine.sql("SELECT id FROM pesc").collect())
         assert rows == [2], f"NULL-partition delete left {rows}"
+
+
+class TestOptimize:
+    """OPTIMIZE compaction + Z-ORDER clustering (r6)."""
+
+    def _make_fragmented(self, spark, tmp_path, n_commits=6):
+        loc = str(tmp_path / "opt_table")
+        for i in range(n_commits):
+            df = spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id"),
+                (F.col("id") % 17).alias("x"),
+                (F.col("id") % 23).alias("y"),
+            ).repartition(4)
+            snapshot_commit(df, loc, mode="append")
+        return loc
+
+    def test_compaction_preserves_rows_and_shrinks_files(self, spark, tmp_path):
+        loc = self._make_fragmented(spark, tmp_path)
+        before = read_manifest(loc, latest_version(loc))
+        pre_rows = sorted(r["id"] for r in snapshot_read(spark, loc).collect())
+        v = snapshot_optimize(spark, loc)
+        after = read_manifest(loc, v)
+        assert len(after["files"]) < len(before["files"])
+        post_rows = sorted(r["id"] for r in snapshot_read(spark, loc).collect())
+        assert post_rows == pre_rows == list(range(600))
+        # forward-written: the pre-optimize version is still readable
+        pre = snapshot_read(spark, loc, version=v - 1)
+        assert pre.count() == 600
+        # and the history labels the rewrite
+        ops = {r["version"]: r["operation"] for r in snapshot_history(spark, loc).collect()}
+        assert ops[v] == "optimize"
+
+    def test_zorder_multiplies_box_pruning(self, spark, tmp_path):
+        """Z-ordered rewrite must let manifest min/max skipping prune
+        files for a 2-D box predicate that an unclustered layout
+        cannot prune at all (every random file spans the full x/y
+        range)."""
+        loc = str(tmp_path / "z_table")
+        import random
+
+        random.seed(5)
+        rows = [(i, random.randint(0, 1000), random.randint(0, 1000)) for i in range(20000)]
+        df = spark.createDataFrame(rows, "id LONG, x LONG, y LONG").repartition(8)
+        snapshot_commit(df, loc, mode="append")
+        preds = [("x", "<", 200), ("y", "<", 200)]
+        _, before = snapshot_read_pruned(spark, loc, preds)
+        assert before["pruned"] == 0  # random layout: nothing prunable
+        v = snapshot_optimize(spark, loc, zorder_by=["x", "y"], n_files=16)
+        m = read_manifest(loc, v)
+        dfp, after = snapshot_read_pruned(spark, loc, preds)
+        assert after["kept"] + after["pruned"] == len(m["files"])
+        assert after["pruned"] > 0  # tight boxes: most files skipped
+        # pruning is an optimization, never a filter: exact answer
+        want = sorted(i for i, x, y in rows if x < 200 and y < 200)
+        got = sorted(r["id"] for r in dfp.collect())
+        assert got == want
+        assert ("optimize_zorder(x,y)" ==
+                read_manifest(loc, v)["operation"])
+
+    def test_zorder_key_locality(self, spark):
+        """Morton-key ordering groups spatial neighbors: the key of
+        (0,0)-corner points must all sort below the key of the
+        opposite corner."""
+        df = spark.createDataFrame(
+            [(i, i % 100, (i * 7) % 100) for i in range(1000)],
+            "id LONG, x LONG, y LONG",
+        )
+        key, stats = zorder_key(df, ["x", "y"], bits=8)
+        rows = df.withColumn("k", key).collect()
+        lo = [r["k"] for r in rows if r["x"] < 10 and r["y"] < 10]
+        hi = [r["k"] for r in rows if r["x"] > 90 and r["y"] > 90]
+        assert lo and hi and max(lo) < min(hi)
+
+
+class TestOptimizeSql:
+    def test_optimize_table_snapshot_sql(self, engine, tmp_path, spark):
+        loc = str(tmp_path / "sql_opt")
+        engine.sql("CREATE DATABASE IF NOT EXISTS optdb")
+        engine.sql(
+            f"CREATE TABLE optdb.snap (id BIGINT, x BIGINT, y BIGINT) "
+            f"ENGINE = Snapshot location = '{loc}'"
+        )
+        for i in range(4):
+            engine.sql(
+                f"INSERT INTO optdb.snap SELECT number + {i * 50} AS id, "
+                f"number % 11 AS x, number % 13 AS y FROM numbers(50)"
+            )
+        row = engine.sql("OPTIMIZE TABLE optdb.snap ZORDER BY (x, y)").collect()[0]
+        assert row["files_after"] <= row["files_before"]
+        assert row["operation"] == "optimize_zorder(x,y)"
+        assert engine.sql("SELECT count(*) FROM optdb.snap").collect()[0][0] == 200
+        engine.sql("DROP TABLE optdb.snap")
+        engine.sql("DROP DATABASE optdb")
+
+    def test_zorder_on_parquet_engine_rejected(self, engine, tmp_path):
+        import pytest as _pytest
+
+        from fuse_query_spark.errors import UnsupportedStatement
+
+        loc = str(tmp_path / "plain_parquet")
+        engine.sql("CREATE DATABASE IF NOT EXISTS optdb2")
+        engine.sql(
+            f"CREATE TABLE optdb2.plain (id BIGINT) ENGINE = Parquet "
+            f"location = '{loc}'"
+        )
+        engine.sql("INSERT INTO optdb2.plain SELECT number AS id FROM numbers(10)")
+        with _pytest.raises(UnsupportedStatement, match="ZORDER"):
+            engine.sql("OPTIMIZE TABLE optdb2.plain ZORDER BY (id)")
+        engine.sql("DROP TABLE optdb2.plain")
+        engine.sql("DROP DATABASE optdb2")
