@@ -107,9 +107,12 @@ BENCH_QUERIES = [
     "similarity_knn_pq_rerank",
     "events_heavy_hitters_rollup",
     "events_topk_sketch_rollup",
-    # r6 additions: progressive JPEG decode + DSIR selection
+    # r6 additions: progressive JPEG decode + DSIR selection + BPE +
+    # SoftDeDup reweighting
     "multimodal_jpeg_progressive_decode",
     "sample_dsir_importance",
+    "text_bpe_segment",
+    "dedup_soft_reweight",
 ]
 
 
