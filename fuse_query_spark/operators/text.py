@@ -672,3 +672,39 @@ def bpe_token_stats(
         ).alias("chars_per_bpe_token"),
         F.md5(F.array_join(readable, " / ")).alias("seg_digest"),
     )
+
+
+def perplexity_bands(
+    df,
+    n_bands: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 4,
+):
+    """CCNet's head/middle/tail banding (Wenzek et al. 2020): rank
+    every document by its LM perplexity proxy (unigram_logprob's
+    avg_nll) and cut the corpus into equal-count bands — CCNet trains
+    on head+middle and drops (or down-samples) the tail, and dataset
+    cards report the band composition. ntile over the ROUNDED score
+    with id tiebreak keeps the band boundary engine-portable, the same
+    device as dsir_select's exact cut.
+
+    Scale shape: everything up to the per-doc score is
+    unigram_logprob's shape (pre-aggregated tf, one skew-aware vocab
+    join, 1-row broadcast total); the banding itself is one window
+    over DOC-level rows. At 100 TB use two approx_percentile
+    thresholds instead of the global ntile sort (the dsir_select
+    cut="approx" pattern).
+
+    Returns (id_col, n_tokens, avg_nll, band, band_name)."""
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, text_col, id_col, ndigits)
+    w = Window.orderBy(F.col("avg_nll"), F.col(id_col))
+    names = F.when(F.col("band") == 1, "head").when(
+        F.col("band") == n_bands, "tail"
+    ).otherwise("middle")
+    return (
+        scored.withColumn("band", F.ntile(n_bands).over(w))
+        .withColumn("band_name", names)
+    )

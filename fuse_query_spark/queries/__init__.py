@@ -154,7 +154,9 @@ DRIVER_PRIORITY = [
     # (text_pii_redact rotated out r6-late for real BPE: r5 green,
     # text family keeps 6 prefix rows)
     "text_bpe_segment",  # r6: rank-ordered BPE merge application
-    "text_unigram_logprob",  # r5: CCNet-style unigram-LM quality
+    # (text_unigram_logprob rotated out r6-late for the banding query,
+    # which computes its score and adds the CCNet tercile cut)
+    "text_perplexity_bands",  # r6: CCNet head/middle/tail banding
     "text_winnow_fingerprint",  # r6: winnowing doc fingerprints
     "corpus_vocab_stats",  # r6: corpus-level vocabulary stats
     "text_bigram_logprob",  # r5: word-order-aware LM quality

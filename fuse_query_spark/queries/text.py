@@ -683,3 +683,38 @@ def text_bpe_segment(spark, sf_dir):
     from fuse_query_spark.operators.text import bpe_token_stats
 
     return bpe_token_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_perplexity_bands",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+    vocab AS (SELECT w, SUM(tf) AS c FROM tf GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM vocab),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               round(SUM(tf * -ln(c / t)) / SUM(tf), 4) AS avg_nll
+        FROM tf JOIN vocab USING (w) CROSS JOIN tot GROUP BY doc_id)
+    SELECT doc_id, n_tokens, avg_nll,
+           CAST(ntile(3) OVER (ORDER BY avg_nll, doc_id) AS INT) AS band,
+           CASE ntile(3) OVER (ORDER BY avg_nll, doc_id)
+                WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle'
+           END AS band_name
+    FROM scored
+    """,
+    tags=("text", "quality", "language_model", "ccnet", "pipeline"),
+)
+def text_perplexity_bands(spark, sf_dir):
+    """CCNet head/middle/tail perplexity banding (r6; Wenzek et al.
+    2020): the corpus cut every CommonCrawl-derived dataset documents
+    — equal-count bands over the unigram-LM quality score, tail
+    dropped or down-sampled downstream. Banding on the rounded score
+    with id tiebreak keeps the tercile boundary engine-portable. See
+    operators/text.py:perplexity_bands for the approx-threshold
+    variant at scale."""
+    from fuse_query_spark.operators.text import perplexity_bands
+
+    return perplexity_bands(table(spark, sf_dir, "documents"))

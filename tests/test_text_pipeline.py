@@ -337,3 +337,21 @@ class TestBpeSegment:
         r = bpe_token_stats(df).collect()[0]
         # '|' stripped -> 'the' -> 1 token
         assert r["n_bpe_tokens"] == 1
+
+
+class TestPerplexityBands:
+    def test_equal_count_bands_and_ordering(self, spark, sf_dir):
+        from fuse_query_spark.operators.text import perplexity_bands
+        from fuse_query_spark.sources.tables import table
+
+        rows = perplexity_bands(table(spark, sf_dir, "documents")).collect()
+        n = len(rows)
+        counts = {}
+        for r in rows:
+            counts[r["band_name"]] = counts.get(r["band_name"], 0) + 1
+        assert set(counts) == {"head", "middle", "tail"}
+        assert max(counts.values()) - min(counts.values()) <= 1  # equal cut
+        # ordering contract: every head score <= every tail score
+        head_max = max(r["avg_nll"] for r in rows if r["band_name"] == "head")
+        tail_min = min(r["avg_nll"] for r in rows if r["band_name"] == "tail")
+        assert head_max <= tail_min
