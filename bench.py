@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "sample_dsir_importance",
     "text_bpe_segment",
     "dedup_soft_reweight",
+    "text_perplexity_bands",
 ]
 
 
