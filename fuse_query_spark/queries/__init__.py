@@ -146,7 +146,10 @@ DRIVER_PRIORITY = [
     "text_boilerplate_scrub",  # r5-late: chunk-level boilerplate removal
     "setop_except_intersect_all",
     "events_heavy_hitters_rollup",  # r5-late: mergeable top-k rollup
-    "events_value_histogram",
+    # (events_value_histogram rotated out r6-late: r5 green, family
+    # keeps heavy_hitters; in: the bounded-sketch gate that ends
+    # agg_approx's rows-only-forever status)
+    "agg_approx_bounded",  # r6: sketch-contract gate, value-hashed exacts
     "snapshot_time_travel",  # r5-late: versioned tables / MVCC / time travel
     "text_hashed_linear_score",  # r5-late: fastText-shaped classifier
     # text analysis

@@ -371,3 +371,57 @@ def snapshot_time_travel(spark, sf_dir):
         GROUP BY v0.source ORDER BY v0.source
         """
     )
+
+
+@register(
+    "agg_approx_bounded",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) AS p50_low_bound_src,
+           CAST(1 AS INT) AS approx_count_ok,
+           CAST(1 AS INT) AS p25_ok,
+           CAST(1 AS INT) AS p50_ok,
+           CAST(1 AS INT) AS p75_ok
+    FROM lineitem
+    """,
+    tags=("aggregate", "approximate", "bounded"),
+)
+def agg_approx_bounded(spark, sf_dir):
+    """The driver-checkable form of agg_approx (r6): approximate
+    sketches cannot hash-match a foreign engine, but their CONTRACT
+    can. Emits (a) the EXACT distinct count and discrete median —
+    value-hashed against DuckDB, proving the scan/agg really ran — and
+    (b) one flag per sketch asserting it landed within its documented
+    bound (HLL++ rsd 0.02 -> 5%-relative-error gate with headroom;
+    percentile_approx at accuracy 10000 -> between the exact
+    neighboring percentiles +-2.5%-rank). The oracle's constant-1
+    flags only match if every sketch holds its bound, so a sketch
+    regression (e.g. an accuracy-parameter typo) flips the hash. This
+    closes the 'rows-only forever' status agg_approx carried since r2;
+    agg_approx itself stays for the raw-sketch API surface."""
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50_exact"),
+        F.expr("percentile_disc(0.475) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50_lo"),
+        F.expr("percentile_disc(0.525) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50_hi"),
+        F.expr("percentile_disc(0.225) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25_lo"),
+        F.expr("percentile_disc(0.275) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25_hi"),
+        F.expr("percentile_disc(0.725) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p75_lo"),
+        F.expr("percentile_disc(0.775) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p75_hi"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("p25_a"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_a"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("p75_a"),
+    )
+    return row.select(
+        F.col("exact_orders").cast("long").alias("exact_orders"),
+        F.col("p50_exact").cast("double").alias("p50_low_bound_src"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).cast("int").alias("approx_count_ok"),
+        F.col("p25_a").between(F.col("p25_lo"), F.col("p25_hi")).cast("int").alias("p25_ok"),
+        F.col("p50_a").between(F.col("p50_lo"), F.col("p50_hi")).cast("int").alias("p50_ok"),
+        F.col("p75_a").between(F.col("p75_lo"), F.col("p75_hi")).cast("int").alias("p75_ok"),
+    )
