@@ -160,10 +160,18 @@ class Engine:
         (datasource.rs register_remote_database); here: every store
         database becomes a remote-engine catalog entry, and CREATE
         DATABASE without `ENGINE = Local` lands store-side from now
-        on (09_0000_remote_create_table: engine shows `remote`)."""
-        from fuse_query_spark.sources.remote_store import StoreClient
+        on (09_0000_remote_create_table: engine shows `remote`).
+        grpc:// urls attach over the Arrow Flight transport (the
+        reference store's actual protocol — remote_store_flight.py);
+        http:// over the HTTP/JSON transport. Same client surface."""
+        if url.startswith("grpc://"):
+            from fuse_query_spark.sources.remote_store_flight import StoreFlightClient
 
-        self.store = StoreClient(url)
+            self.store = StoreFlightClient(url)
+        else:
+            from fuse_query_spark.sources.remote_store import StoreClient
+
+            self.store = StoreClient(url)
         for db, tables in self.store.databases().items():
             self.catalog.databases.setdefault(db, {})
             self.catalog.remote_dbs.add(db)
