@@ -129,6 +129,18 @@ MIRROR_QUERIES = {
 }
 MIRROR_WARM_RUNS = 5
 
+# The top-5 heaviest non-mirror rows get the same median-of-5 treatment
+# (judge r6 ask #2: dedup_cluster_canonical drifted 1.47x with untouched
+# code on a 3-sample median; more samples + spread in the artifact so a
+# single noisy sample can't flip the gate).
+HEAVY_QUERIES = {
+    "dedup_cluster_canonical",
+    "multimodal_jpeg_progressive_decode",
+    "sample_split_leakage_safe",
+    "dedup_soft_reweight",
+    "dedup_semantic_kmeans",
+}
+
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 
 
@@ -180,7 +192,7 @@ def main() -> None:
         spec = registry.get(name)
         if spec is None:
             continue
-        n_warm = MIRROR_WARM_RUNS if name in MIRROR_QUERIES else 3
+        n_warm = MIRROR_WARM_RUNS if name in (MIRROR_QUERIES | HEAVY_QUERIES) else 3
         runs: list[float] = []  # chronological: runs[0] is the COLD run
         loads: list[float] = []  # 1-min load sampled just before each run
         cpu_eff: list[float] = []  # JVM-cpu/wall/cpus parallel efficiency
@@ -217,6 +229,7 @@ def main() -> None:
                 "best": round(min(runs), 3),
                 "cold": round(runs[0], 3),
                 "median": round(kept_sorted[len(kept_sorted) // 2], 3),
+                "kept_spread": [round(kept_sorted[0], 3), round(kept_sorted[-1], 3)],
                 "worst": round(max(runs), 3),
                 "samples": [round(t, 3) for t in runs],
                 "discarded": len(warm) - len(kept),
@@ -265,6 +278,15 @@ def main() -> None:
     # timings in registry order until the budget is hit, then say how
     # many were elided (they're all in BENCH_DETAIL.json).
     budget = 1800
+    # The BASELINE-mapped mirror rows' MEDIAN + warm spread go in the
+    # stdout artifact itself (judge r6 ask #2: the r6 gate flipped on a
+    # single best-run sample; the adjudicable number must be a median
+    # with variance shown, in BENCH_r{N}.json, not only in the sidecar).
+    mirrors = {
+        n: {"median": stats[n]["median"], "spread": stats[n]["kept_spread"]}
+        for n in sorted(MIRROR_QUERIES | HEAVY_QUERIES)
+        if n in stats
+    }
 
     def _line(qdict, omitted):
         return json.dumps(
@@ -274,6 +296,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": qdict,
                 "queries_elided_see_detail": omitted,
+                "mirrors_median": mirrors,
                 "sf": sf,
             }
         )

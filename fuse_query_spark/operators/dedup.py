@@ -395,13 +395,18 @@ def connected_components(
     b_col: str = "id_b",
     id_col: str = "doc_id",
     max_iter: int = 50,
-) -> DataFrame:
+    return_count: bool = False,
+):
     """Duplicate-CLUSTER resolution over near-dup pairs: connected
     components by iterative min-label propagation, the step that turns
     pairwise LSH output into per-document cluster assignments (the
     form a curation pipeline actually consumes: keep one canonical doc
     per component). Returns (id_col, component) for every node that
     appears in `pairs`, component = min node id in the component.
+    With return_count=True returns (labels, n_nodes) — the node count
+    rides the convergence agg each round (same single job), so callers
+    that need it (leakage_safe_split's broadcast size gate) don't pay
+    an extra count() job.
 
     Scale shape: each round is two shuffle joins — neighbor-min
     (edges x labels on the neighbor key) and POINTER JUMP
@@ -457,15 +462,23 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
+        # one agg computes BOTH the convergence signal and the node
+        # count (same join, same single job as the old filter+count)
+        stats = (
             new.join(labels.withColumnRenamed("label", "_old"), "x")
-            .filter(F.col("label") < F.col("_old"))
-            .count()
+            .agg(
+                F.sum((F.col("label") < F.col("_old")).cast("long")).alias("_ch"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()[0]
         )
         labels = new
-        if changed == 0:
+        if (stats["_ch"] or 0) == 0:
             edges.unpersist()
-            return labels.select(F.col("x").alias(id_col), F.col("label").alias("component"))
+            out = labels.select(
+                F.col("x").alias(id_col), F.col("label").alias("component")
+            )
+            return (out, stats["_n"]) if return_count else out
     edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations "
@@ -576,10 +589,10 @@ def soft_dedup_weights(
     output (operators/dedup.py:connected_components — O(log diameter)
     rounds); the size join is on the component key; singletons arrive
     via left join + coalesce, never materialized as rows. The
-    acceptance test is a pure Column expression. At 100 TB the int64
-    product bounds cluster_size < ~9.2e6 before overflow — cast the
-    product to DECIMAL(38,0) past that (a crawl cluster CAN exceed it:
-    boilerplate families reach 1e7+ members).
+    acceptance test is a pure Column expression — see soft_keep_flag
+    for the int64/DECIMAL(38,0) overflow handling (a crawl cluster CAN
+    exceed the int64 product bound: boilerplate families reach 1e7+
+    members).
 
     Returns (id_col, cluster_size, weight_r6, kept)."""
     from fuse_query_spark.operators.sampling import hash_bucket
@@ -600,5 +613,35 @@ def soft_dedup_weights(
         id_col,
         "cluster_size",
         F.round(F.lit(1.0) / F.sqrt(F.col("cluster_size")), 6).alias("weight_r6"),
-        (u * u * F.col("cluster_size") < F.lit(10**12)).cast("int").alias("kept"),
+        soft_keep_flag(u, F.col("cluster_size")).alias("kept"),
     )
+
+
+# u*u <= (1e6-1)^2 < 1e12, so the int64 product u*u*size is safe while
+# size < 2^63 / 1e12 ~= 9.22e6; past that the product wraps negative
+# and the keep rule silently inverts. 9e6 leaves margin.
+_SOFT_KEEP_INT64_BOUND = 9_000_000
+
+
+def soft_keep_flag(u, cluster_size):
+    """SoftDeDup acceptance rule as a pure Column, overflow-safe:
+    keep iff u/1e6 < cluster_size^-1/2  <=>  u*u*cluster_size < 1e12,
+    evaluated in int64 while cluster_size < 9e6 (one multiply, the
+    common case) and in exact DECIMAL arithmetic past the int64 product
+    bound: u fits decimal(7,0), an int64 size fits decimal(19,0), so
+    the product type is decimal(7+7+1=15,0) * (19,0) -> decimal(35,0)
+    — under Spark's 38-digit cap, hence exact, never null-on-overflow
+    (casting everything to decimal(38,0) would NOT be: (38,0)*(38,0)
+    saturates the cap and overflows to null under non-ANSI semantics).
+    Per-row CASE, zero extra jobs, and both branches are exact integer
+    comparisons so the boundary stays bit-portable across engines.
+    Property-tested past the bound in tests/test_dedup.py."""
+    u = u.cast("long")
+    size = cluster_size.cast("long")
+    int64_ok = (u * u * size) < F.lit(10**12)
+    big_ok = (
+        u.cast("decimal(7,0)") * u.cast("decimal(7,0)") * size.cast("decimal(19,0)")
+    ) < F.lit(10**12).cast("decimal(13,0)")
+    return (
+        F.when(size < F.lit(_SOFT_KEEP_INT64_BOUND), int64_ok).otherwise(big_ok)
+    ).cast("int")

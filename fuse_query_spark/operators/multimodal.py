@@ -619,29 +619,39 @@ def synthesize_png_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
 
 
-def image_pixel_stats(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def image_pixel_stats(
+    blobs: DataFrame, id_col: str = "doc_id", weighted: bool = False
+) -> DataFrame:
     """Decode pixels (PPM/BMP/PNG — whatever decode_image_pixels
     handles) and emit closed-form-verifiable per-image statistics:
     (doc_id, width, height, pixel_sum). The sum over every decoded
     byte is the cheapest whole-content check an engine-independent
     oracle can recompute — one wrong byte anywhere in chunk walking,
-    inflate, or unfiltering moves it."""
+    inflate, or unfiltering moves it. With weighted=True a
+    POSITION-weighted sum (sum of i*byte_i) is added: the plain sum is
+    invariant under row permutation, so it cannot catch a wrong
+    de-interlace row mapping — the weighted sum moves under ANY
+    reordering of the decoded bytes."""
     decoded = decode_image_pixels(blobs, id_col)
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "pixel_sum": [sum(bytes(p)) for p in pdf["pixels"]],
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "pixel_sum": [sum(bytes(p)) for p in pdf["pixels"]],
+            }
+            if weighted:
+                cols["pixel_wsum"] = [
+                    sum(i * v for i, v in enumerate(bytes(p))) for p in pdf["pixels"]
+                ]
+            yield pd.DataFrame(cols)
 
-    return decoded.mapInPandas(
-        _stats, "doc_id LONG, width INT, height INT, pixel_sum LONG"
-    )
+    schema = "doc_id LONG, width INT, height INT, pixel_sum LONG"
+    if weighted:
+        schema += ", pixel_wsum LONG"
+    return decoded.mapInPandas(_stats, schema)
 
 
 # --- Real GIF decode (r5, late) -------------------------------------------
@@ -749,26 +759,40 @@ def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
     return bytes(buf)
 
 
+def _gif_interlace_rows(h: int) -> list[int]:
+    """GIF89a appendix E interlace row schedule: the stored stream's
+    k-th row belongs at natural row schedule[k] — pass 1 rows 0,8,16…,
+    pass 2 rows 4,12…, pass 3 rows 2,6,10…, pass 4 odd rows."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
 def _gif_pixels(data: bytes) -> tuple[int, int, bytes]:
-    """REAL GIF pixel decode for the common case: global color table,
-    single non-interlaced image, no local palette. Walks the container
-    (header, logical screen descriptor, extension blocks skipped by
-    their sub-block lengths), LZW-decodes the index stream
-    (_lzw_decode), maps indices through the palette to RGB bytes.
-    Interlace/local-palette raise NotImplementedError (scope bounds);
-    structural damage raises ValueError."""
+    """REAL GIF pixel decode: global OR local color table, interlaced
+    or sequential (r7 closed both r6 scope bounds — older crawl
+    content interlaces routinely). Walks the container (header,
+    logical screen descriptor, extension blocks skipped by their
+    sub-block lengths), LZW-decodes the index stream (_lzw_decode),
+    de-interlaces the row order if the descriptor flags it
+    (_gif_interlace_rows), maps indices through the active palette
+    (local overrides global, per spec) to RGB bytes. Structural
+    damage raises ValueError."""
     if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
         raise ValueError("not a GIF or truncated header")
     sw, sh = struct.unpack("<HH", data[6:10])
     packed = data[10]
-    if not packed & 0x80:
-        raise NotImplementedError("GIF decode needs a global color table")
-    gct_n = 2 << (packed & 0x07)
     pos = 13
-    palette = data[pos : pos + 3 * gct_n]
-    if len(palette) < 3 * gct_n:
-        raise ValueError("truncated GIF palette")
-    pos += 3 * gct_n
+    palette, pal_n = None, 0
+    if packed & 0x80:
+        pal_n = 2 << (packed & 0x07)
+        palette = data[pos : pos + 3 * pal_n]
+        if len(palette) < 3 * pal_n:
+            raise ValueError("truncated GIF palette")
+        pos += 3 * pal_n
     while pos < len(data):
         b0 = data[pos]
         if b0 == 0x21:  # extension: label + sub-blocks
@@ -781,11 +805,16 @@ def _gif_pixels(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("truncated GIF image descriptor")
             x, y, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
             ipacked = data[pos + 9]
-            if ipacked & 0x80:
-                raise NotImplementedError("GIF local color tables unsupported")
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF unsupported")
             pos += 10
+            if ipacked & 0x80:  # local color table overrides global
+                pal_n = 2 << (ipacked & 0x07)
+                palette = data[pos : pos + 3 * pal_n]
+                if len(palette) < 3 * pal_n:
+                    raise ValueError("truncated GIF local palette")
+                pos += 3 * pal_n
+            if palette is None:
+                raise ValueError("GIF has neither global nor local color table")
+            interlaced = bool(ipacked & 0x40)
             if pos >= len(data):
                 raise ValueError("truncated GIF before LZW data")
             min_code = data[pos]
@@ -803,9 +832,15 @@ def _gif_pixels(data: bytes) -> tuple[int, int, bytes]:
             idx = _lzw_decode(min_code, bytes(stream))
             if len(idx) < w * h:
                 raise ValueError(f"GIF index stream short: {len(idx)} < {w * h}")
+            idx = idx[: w * h]
+            if interlaced:
+                natural = bytearray(w * h)
+                for k, row in enumerate(_gif_interlace_rows(h)):
+                    natural[row * w : (row + 1) * w] = idx[k * w : (k + 1) * w]
+                idx = bytes(natural)
             out = bytearray(3 * w * h)
-            for i, c in enumerate(idx[: w * h]):
-                if c >= gct_n:
+            for i, c in enumerate(idx):
+                if c >= pal_n:
                     raise ValueError("GIF pixel index beyond palette")
                 out[3 * i : 3 * i + 3] = palette[3 * c : 3 * c + 3]
             return w, h, bytes(out)
@@ -854,6 +889,55 @@ def synthesize_gif_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col],
                     "content": [_gif_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+
+
+def _gif_bytes_interlaced(doc_id: int) -> bytes:
+    """Deterministic GIF89a per doc exercising BOTH r7 decoder paths at
+    once: NO global color table (the 4-entry palette travels as a LOCAL
+    color table on the image descriptor) and the index rows stored in
+    Appendix-E INTERLACE order. Pixel/palette closed forms are
+    identical to _gif_bytes, so a correct decode of this file and of
+    the sequential file produce the same RGB bytes — any interlace or
+    palette-routing bug shows up as a closed-form mismatch."""
+    w, h = 4 + doc_id % 8, 4 + doc_id % 6
+    palette = bytes(
+        (doc_id + 17 * c + 5 * ch) % 256 for c in range(4) for ch in range(3)
+    )
+    natural = bytes((doc_id + i) % 4 for i in range(w * h))
+    stored = b"".join(
+        natural[r * w : (r + 1) * w] for r in _gif_interlace_rows(h)
+    )
+    lzw = _lzw_encode(2, stored)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out += b"\x00\x00\x00"  # no GCT; bg color, aspect
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x80 | 0x40 | 0x01)  # LCT present + interlaced + 4 entries
+    out += palette
+    out.append(2)  # LZW min code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def synthesize_gif_interlaced_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content): interlaced, local-palette GIF89a files
+    (_gif_bytes_interlaced)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": [_gif_bytes_interlaced(int(i)) for i in pdf[id_col]],
                 }
             )
 

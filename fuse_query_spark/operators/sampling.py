@@ -253,14 +253,14 @@ def leakage_safe_split(
     narrow md5-bucket projection as deterministic_split. The label join
     is SIZE-GATED: at crawl scale near-dup pairs routinely cover 30-50%
     of documents, so the label table can be billions of rows — a forced
-    broadcast there is a driver/executor OOM. We count the (already
-    materialized-by-CC) labels once; below the broadcast threshold we
-    hint broadcast, above it we take the plain shuffle join on the
-    uniform doc-id key (no skew — ids are unique on the docs side and
-    near-unique on the label side)."""
+    broadcast there is a driver/executor OOM. The label count rides
+    CC's own convergence agg (return_count=True — zero extra jobs);
+    below the broadcast threshold we hint broadcast, above it we take
+    the plain shuffle join on the uniform doc-id key (no skew — ids
+    are unique on the docs side and near-unique on the label side)."""
     from fuse_query_spark.operators.dedup import connected_components
 
-    cc = connected_components(pairs, id_col=id_col)
+    cc, n_labels = connected_components(pairs, id_col=id_col, return_count=True)
     labels = cc.select(id_col, "component")
     spark = docs.sparkSession
     raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
@@ -269,9 +269,8 @@ def leakage_safe_split(
     except Exception:
         threshold = -1 if raw.strip().startswith("-") else 10 * 1024 * 1024
     # ~16 bytes/row (two longs) + row overhead; stay inside the same
-    # budget AQE would use. count() is cheap: CC already materialized
-    # the labels via its per-round localCheckpoint.
-    if threshold > 0 and labels.count() * 32 <= threshold:
+    # budget AQE would use
+    if threshold > 0 and n_labels * 32 <= threshold:
         labels = F.broadcast(labels)
     d = docs.join(labels, id_col, "left").withColumn(
         "group_key", F.coalesce("component", F.col(id_col))
@@ -338,15 +337,20 @@ def dsir_select(
         id_col, F.explode(ngrams_from_tokens(t, 2)).alias("_bg")
     ).select(id_col, (md5_int32(F.col("_bg")) % n_buckets).alias("_f"))
     # dtf feeds THREE consumers (raw counts, target counts, scoring);
-    # without a persist Catalyst re-runs the tokenize+md5 explode per
-    # consumer — the recompute class the scaling probe caught here at
-    # 4x (131 s -> see SCALE.md r6) and previously in
-    # minhash_containment_pairs (r5 probe catch #3)
+    # without materialization Catalyst re-runs the tokenize+md5 explode
+    # per consumer — the recompute class the scaling probe caught here
+    # at 4x (131 s -> see SCALE.md r6) and previously in
+    # minhash_containment_pairs (r5 probe catch #3). localCheckpoint,
+    # not persist: checkpoint blocks are released by the ContextCleaner
+    # when the returned DataFrame is GC'd, whereas a persist() pins the
+    # plan in the CacheManager until someone calls unpersist — and this
+    # function hands the caller no handle to do so (long-lived sessions
+    # were accumulating cached blocks across calls).
     dtf = (
         uni_f.unionAll(bg_f)
         .groupBy(id_col, "_f")
         .agg(F.count(F.lit(1)).alias("_tf"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # intrinsic target predicate: English-stopword density
     target_ids = (
@@ -376,7 +380,7 @@ def dsir_select(
         raw.agg(F.sum("_c_raw").alias("_t_raw"))
         .crossJoin(tgt.agg(F.sum("_c_tgt").alias("_t_tgt")))
     )
-    lr = (
+    lr_lazy = (
         raw.join(tgt, "_f", "left")
         .crossJoin(F.broadcast(totals))
         .select(
@@ -393,6 +397,13 @@ def dsir_select(
             ).alias("_lr"),
         )
     )
+    # the log-ratio table is <= n_buckets rows — materialize it NOW so
+    # raw/tgt can be unpersisted before returning (the caller gets a
+    # DataFrame whose only upstream dependency is the checkpointed dtf,
+    # and no persisted blocks outlive this call)
+    lr = df.sparkSession.createDataFrame(lr_lazy.collect(), schema=lr_lazy.schema)
+    raw.unpersist()
+    tgt.unpersist()
     scored = (
         dtf.join(F.broadcast(lr), "_f")
         .groupBy(id_col)

@@ -680,6 +680,7 @@ def perplexity_bands(
     text_col: str = "text",
     id_col: str = "doc_id",
     ndigits: int = 4,
+    bands: str = "exact",
 ):
     """CCNet's head/middle/tail banding (Wenzek et al. 2020): rank
     every document by its LM perplexity proxy (unigram_logprob's
@@ -691,20 +692,36 @@ def perplexity_bands(
 
     Scale shape: everything up to the per-doc score is
     unigram_logprob's shape (pre-aggregated tf, one skew-aware vocab
-    join, 1-row broadcast total); the banding itself is one window
-    over DOC-level rows. At 100 TB use two approx_percentile
-    thresholds instead of the global ntile sort (the dsir_select
-    cut="approx" pattern).
+    join, 1-row broadcast total). bands="exact" (the oracle row) ranks
+    with a GLOBAL ntile window — a single-partition sort, fine at test
+    scale, an executor OOM on billions of rows. bands="approx" is the
+    100 TB path: n_bands-1 percentile_approx boundaries (one mergeable
+    sketch agg, no global sort) + a CASE assignment — the dsir_select
+    cut="approx" pattern. Band POPULATIONS then match the exact cut
+    within sketch accuracy; documents whose rounded score ties a
+    boundary may land one band over (ntile splits ties by id, a
+    threshold cannot), which is the standard approximate-banding
+    trade every production CCNet implementation makes.
 
     Returns (id_col, n_tokens, avg_nll, band, band_name)."""
     from pyspark.sql import Window
 
     scored = unigram_logprob(df, text_col, id_col, ndigits)
-    w = Window.orderBy(F.col("avg_nll"), F.col(id_col))
+    if n_bands < 2:
+        out = scored.withColumn("band", F.lit(1))
+    elif bands == "approx":
+        qs = [i / n_bands for i in range(1, n_bands)]
+        thr = scored.agg(
+            F.percentile_approx("avg_nll", qs, 10000).alias("_thr")
+        )
+        band = F.lit(1)
+        for i in range(n_bands - 1):
+            band = F.when(F.col("avg_nll") > F.col("_thr")[i], i + 2).otherwise(band)
+        out = scored.crossJoin(F.broadcast(thr)).withColumn("band", band).drop("_thr")
+    else:
+        w = Window.orderBy(F.col("avg_nll"), F.col(id_col))
+        out = scored.withColumn("band", F.ntile(n_bands).over(w))
     names = F.when(F.col("band") == 1, "head").when(
         F.col("band") == n_bands, "tail"
     ).otherwise("middle")
-    return (
-        scored.withColumn("band", F.ntile(n_bands).over(w))
-        .withColumn("band_name", names)
-    )
+    return out.withColumn("band_name", names)

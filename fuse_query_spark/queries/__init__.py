@@ -97,12 +97,10 @@ DRIVER_HIDDEN = {
 # queries outrank a repeat round of a green row; a displaced row stays
 # locally oracle-checked past slot 50; every query family keeps at
 # least one prefix row or a past driver-green round (enforced by
-# tests/test_queries_misc.py). Rows-only entries (oracle=None — the
-# two mergeable-sketch rollups, whose outputs are approximate by
-# design) are EXEMPT from prefix rotation: the 50 slots are reserved
-# for hash-checkable queries (judge r3); their exact twins
-# events_heavy_hitters_rollup / events_value_histogram are the
-# driver-checked stand-ins.
+# tests/test_queries_misc.py). As of r7 there are NO rows-only
+# (oracle=None) entries left: the two mergeable-sketch rollups were
+# rewritten in the agg_approx_bounded contract form (exact twin
+# value-hashed + in-bound flags) and entered the prefix.
 # r6 rotation: the last 9 never-checked oracle-backed queries enter
 # (text_winnow_fingerprint, corpus_vocab_stats, pipeline_filter_funnel,
 # similarity_knn_projected, multimodal_gif_decode,
@@ -113,6 +111,11 @@ DRIVER_HIDDEN = {
 # pipeline_curation_end_to_end, q13/q15/q17, text_tfidf_keywords,
 # text_chunk_windows, sample_stratified_rates, embedding_quantize_int8
 # (all r5-green, families keep coverage — see ROTATION.md).
+# r7 rotation: events_uniq_sketch_rollup + events_topk_sketch_rollup
+# enter (newly oracle-backed via the bounded contract, never
+# driver-checked); out: pack_sequences + embedding_random_projection
+# (both r5+r6 green; sampling keeps split_leakage_safe + dsir,
+# similarity keeps 4 prefix rows).
 DRIVER_PRIORITY = [
     # flagship + core operators (SURVEY §2.2/2.4/2.6)
     # (agg_global_stats rotated out r5-late for text_bigram_logprob:
@@ -129,7 +132,10 @@ DRIVER_PRIORITY = [
     "numbers_topk_sort_10b",
     # engines (§2.1)
     "remote_engine_scan",  # r5: the fusestore-analog path end-to-end
-    "multimodal_gif_decode",  # r6: LZW GIF decode, closed-form oracle
+    # (multimodal_gif_decode rotated out r7 for the interlaced+local-
+    # palette variant: r6 green, same LZW machinery plus the two new
+    # decoder paths and a position-weighted oracle)
+    "multimodal_gif_interlaced_decode",  # r7: Adam-E interlace + LCT
     "multimodal_jpeg_color_decode",  # r6: 4:2:0 color JPEG decode
     # TPC-H — the eight shapes never driver-checked before r5
     "q19_discounted_revenue",
@@ -185,7 +191,9 @@ DRIVER_PRIORITY = [
     "sample_dsir_importance",  # r6: DSIR hashed-ngram importance selection
     "numbers_sum_triple_1b",  # r6: closed-form oracle (3n(n-1)/2)
     "numbers_groupby3_1b",  # r6: CRT closed-form oracle (60 progressions)
-    "pack_sequences",
+    # (pack_sequences rotated out r7 for the uniq-sketch bounded gate:
+    # r5+r6 green, sampling family keeps split_leakage_safe + dsir)
+    "events_uniq_sketch_rollup",  # r7: HLL rollup, bounded-contract gate
     # multimodal
     # (multimodal_jpeg_decode rotated out r6 for the progressive path:
     # r5 driver-green, same closed form, stays locally oracle-checked)
@@ -196,7 +204,9 @@ DRIVER_PRIORITY = [
     "similarity_knn_pq_rerank",  # r5-late: ADC shortlist + exact re-rank
     "similarity_knn_projected",  # r6: ANN in JL-projected space
     "similarity_knn_ivf_lloyd",  # r6: Lloyd rounds unrolled in the oracle
-    "embedding_random_projection",  # r5: JL sign projection
+    # (embedding_random_projection rotated out r7 for the topk-sketch
+    # bounded gate: r5+r6 green, similarity family keeps 4 prefix rows)
+    "events_topk_sketch_rollup",  # r7: frequent-items rollup, bounded gate
 ]
 
 

@@ -310,24 +310,59 @@ def events_value_histogram(spark, sf_dir):
 
 @register(
     "events_uniq_sketch_rollup",
-    oracle=None,  # HLL estimates are sketch-implementation-specific;
-    # DuckDB's approx_count_distinct uses a different sketch, so there
-    # is no cross-engine hash to match. Accuracy (<5% vs exact) and
-    # merge-consistency are pinned in tests/test_sketches.py.
-    tags=("events", "sketch", "hll", "approximate", "rollup"),
+    oracle="""
+    SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uniq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 AS INT) AS uniq_ok
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("events", "sketch", "hll", "approximate", "rollup", "bounded"),
 )
 def events_uniq_sketch_rollup(spark, sf_dir):
-    """Mergeable HLL rollup (r5): per-day user sketches merged to
-    weekly distinct estimates — the 100 TB pattern where the rollup
-    table (one ~4 KB sketch per day) answers any range-distinct query
-    without rescanning raw events. See operators/sketches.py."""
+    """Mergeable HLL rollup (r5) in bounded-contract form (r7): per-day
+    user sketches merged to weekly distinct estimates — the 100 TB
+    pattern where the rollup table (one ~4 KB sketch per day) answers
+    any range-distinct query without rescanning raw events. See
+    operators/sketches.py.
+
+    HLL estimates are sketch-implementation-specific (DuckDB's
+    approx_count_distinct uses a different sketch), so the estimate
+    itself can never hash-match a foreign engine — but its CONTRACT
+    can: emit the EXACT weekly distinct count and event count
+    (value-hashed against DuckDB, proving the same scan really ran)
+    plus one flag per week asserting the merged-sketch estimate landed
+    within 5% of exact (lgConfigK=12 gives ~1.6% rse — wide headroom).
+    The oracle's constant-1 flags only match if every week's sketch
+    holds its bound, so a sketch or merge regression flips the hash —
+    the agg_approx_bounded device (r6), applied here to end the
+    rows-only exemption this query carried since r5. Raw estimates
+    stay available via operators/sketches.py directly."""
     from fuse_query_spark.operators.sketches import (
         daily_uniq_sketches,
         rollup_uniq_estimate,
     )
 
     ev = table(spark, sf_dir, "events")
-    return rollup_uniq_estimate(daily_uniq_sketches(ev), "week")
+    sk = rollup_uniq_estimate(daily_uniq_sketches(ev), "week").withColumnRenamed(
+        "bucket", "week"
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_uniq"))
+    return (
+        exact.join(sk, "week")
+        .select(
+            "week",
+            F.col("exact_uniq").cast("long").alias("exact_uniq"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (
+                F.abs(F.col("uniq_estimate") - F.col("exact_uniq"))
+                <= 0.05 * F.col("exact_uniq")
+            ).cast("int").alias("uniq_ok"),
+        )
+        .orderBy("week")
+    )
 
 
 @register(
@@ -377,23 +412,72 @@ def events_heavy_hitters_rollup(spark, sf_dir):
 
 @register(
     "events_topk_sketch_rollup",
-    oracle=None,  # sketch binary layout is implementation-specific;
-    # in the low-cardinality regime the counts are EXACT and equality
-    # with the exact rollup is pinned in tests/test_sketches.py.
-    tags=("events", "sketch", "topk", "heavy-hitters", "rollup"),
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), weekly AS (
+        SELECT CAST(date_trunc('week', day) AS DATE) AS week, event_type,
+               CAST(SUM(cnt) AS BIGINT) AS n
+        FROM daily GROUP BY 1, 2
+    ), ranked AS (
+        SELECT week, event_type, n,
+               row_number() OVER (PARTITION BY week ORDER BY n DESC, event_type) AS rk
+        FROM weekly
+    )
+    SELECT week, event_type, n, CAST(rk AS INT) AS rk, CAST(1 AS INT) AS topk_ok
+    FROM ranked WHERE rk <= 3 ORDER BY week, rk
+    """,
+    tags=("events", "sketch", "topk", "heavy-hitters", "rollup", "bounded"),
 )
 def events_topk_sketch_rollup(spark, sf_dir):
-    """Mergeable frequent-items rollup (r5, late): per-day
-    approx_top_k sketches (Spark 4 native DataSketches) merged to
-    weekly top-3 — the bounded-state twin of
+    """Mergeable frequent-items rollup (r5, late) in bounded-contract
+    form (r7): per-day approx_top_k sketches (Spark 4 native
+    DataSketches) merged to weekly top-3 — the bounded-state twin of
     events_heavy_hitters_rollup for key cardinalities where even the
     (day, key) exact rollup is too wide. State per day is fixed by
-    max_items_tracked, never by distinct keys. See
-    operators/sketches.py."""
+    max_items_tracked, never by distinct keys. See operators/sketches.py.
+
+    The sketch binary layout is implementation-specific, so the sketch
+    itself can't hash-match DuckDB — its CONTRACT can: emit the EXACT
+    weekly top-3 (value-hashed against the oracle's rollup) plus one
+    flag per week asserting the merged sketch's top-3 count multiset
+    equals the exact one (multiset, not item list, so legitimate ties
+    can't flip it; in this cardinality regime — distinct keys ≪
+    max_items_tracked — DataSketches frequent-items counts are exact,
+    so the bound is equality). A sketch/merge regression zeroes the
+    flag and flips the hash — the agg_approx_bounded device (r6),
+    ending this query's rows-only exemption."""
     from fuse_query_spark.operators.sketches import (
         daily_topk_sketches,
         rollup_topk_estimate,
     )
 
     ev = table(spark, sf_dir, "events")
-    return rollup_topk_estimate(daily_topk_sketches(ev), k=3, grain="week")
+    sk = rollup_topk_estimate(daily_topk_sketches(ev), k=3, grain="week")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week"),
+        "event_type",
+    ).agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy("week").orderBy(F.desc("n"), F.asc("event_type"))
+    top3 = weekly.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    ex_sig = top3.groupBy("week").agg(
+        F.sort_array(F.collect_list("n"), asc=False).alias("_e")
+    )
+    sk_sig = sk.groupBy(F.col("bucket").alias("week")).agg(
+        F.sort_array(F.collect_list("cnt"), asc=False).alias("_s")
+    )
+    flags = ex_sig.join(sk_sig, "week", "left").select(
+        "week",
+        F.coalesce((F.col("_e") == F.col("_s")).cast("int"), F.lit(0)).alias(
+            "topk_ok"
+        ),
+    )
+    return (
+        top3.join(flags, "week")
+        .select("week", "event_type", "n", F.col("rk").cast("int").alias("rk"), "topk_ok")
+        .orderBy("week", "rk")
+    )

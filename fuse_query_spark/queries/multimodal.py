@@ -177,6 +177,46 @@ def multimodal_gif_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_gif_interlaced_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 8 AS INT) AS width,
+           CAST(4 + doc_id % 6 AS INT) AS height,
+           CAST(list_sum(list_transform(
+               range(0, 3 * (4 + doc_id % 8) * (4 + doc_id % 6)),
+               i -> (doc_id + 17 * ((doc_id + i // 3) % 4) + 5 * (i % 3)) % 256
+           )) AS BIGINT) AS pixel_sum,
+           CAST(list_sum(list_transform(
+               range(0, 3 * (4 + doc_id % 8) * (4 + doc_id % 6)),
+               i -> i * ((doc_id + 17 * ((doc_id + i // 3) % 4) + 5 * (i % 3)) % 256)
+           )) AS BIGINT) AS pixel_wsum
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal", "decode", "gif", "lzw", "interlace"),
+)
+def multimodal_gif_interlaced_decode(spark, sf_dir):
+    """INTERLACED, LOCAL-PALETTE GIF decode end-to-end (r7 — closed
+    the two r6 scope bounds; interlacing is common in older crawl
+    content): synthesize GIF89a files whose palette travels as a local
+    color table and whose index rows are stored in Appendix-E
+    interlace order (operators/multimodal._gif_bytes_interlaced), then
+    decode via the container walk + LZW + de-interlace row mapping
+    (_gif_pixels / _gif_interlace_rows). The pixel closed form is the
+    SAME as multimodal_gif_decode's — the oracle computes it in
+    NATURAL row order, so a wrong (or missing) de-interlace permutes
+    the decoded bytes and moves the POSITION-WEIGHTED pixel_wsum
+    column (the plain sum is permutation-invariant — insufficient
+    alone); palette mis-routing moves both."""
+    from fuse_query_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_gif_interlaced_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_pixel_stats(synthesize_gif_interlaced_blobs(docs), weighted=True)
+
+
+@register(
     "multimodal_jpeg_decode",
     oracle="""
     SELECT doc_id,

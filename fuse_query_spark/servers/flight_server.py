@@ -81,6 +81,8 @@ class FlightDispatcher:
 
         self._require_live()
         sinks = list(action["sinks"])
+        if len(set(sinks)) != len(sinks):
+            raise flight.FlightServerError("duplicate sink names in one action")
         if not sinks:
             raise flight.FlightServerError("ShuffleAction with no sinks")
         df = engine.sql(action["plan"])
@@ -93,34 +95,42 @@ class FlightDispatcher:
         table = tagged.toArrow()
         buckets = table.column("__fq_bucket")
         out_cols = [c for c in table.column_names if c != "__fq_bucket"]
-        with self._lock:
-            for i, sink in enumerate(sinks):
-                mask = pa.compute.equal(buckets, pa.scalar(i, buckets.type))
-                part = table.filter(mask).select(out_cols)
-                self._set_stream(action["query_id"], action["stage_id"], sink, part)
+        parts = {}
+        for i, sink in enumerate(sinks):
+            mask = pa.compute.equal(buckets, pa.scalar(i, buckets.type))
+            parts[sink] = table.filter(mask).select(out_cols)
+        self._set_streams(action["query_id"], action["stage_id"], parts)
 
     def broadcast_action(self, engine, action: dict) -> None:
         """BroadcastAction: every sink receives the full result
         (flight_scatter_broadcast.rs)."""
         self._require_live()
         sinks = list(action["sinks"])
+        if len(set(sinks)) != len(sinks):
+            raise flight.FlightServerError("duplicate sink names in one action")
         if not sinks:
             raise flight.FlightServerError("BroadcastAction with no sinks")
         df = engine.sql(action["plan"])
         if df is None:
             raise flight.FlightServerError("plan produced no result set")
         table = df.toArrow()
-        with self._lock:
-            for sink in sinks:
-                self._set_stream(action["query_id"], action["stage_id"], sink, table)
+        self._set_streams(
+            action["query_id"], action["stage_id"], {s: table for s in sinks}
+        )
 
-    def _set_stream(self, query_id: str, stage_id: str, stream: str, table) -> None:
-        key = f"{query_id}/{stage_id}/{stream}"
-        if key in self._streams:
-            # the reference's tx/rx pair is created once per stage
-            # prepare; re-preparing the same stream is a logic error
-            raise flight.FlightServerError(f"stream already prepared: {key}")
-        self._streams[key] = table
+    def _set_streams(self, query_id: str, stage_id: str, parts: dict) -> None:
+        """Commit a stage's sink streams ATOMICALLY: pre-check every key
+        for collisions under the lock, then insert all-or-nothing — a
+        duplicate sink must not leave a partially-prepared stage whose
+        earlier streams are still consumable (the reference's tx/rx pair
+        is created once per stage prepare; re-preparing is a logic
+        error)."""
+        staged = {f"{query_id}/{stage_id}/{s}": t for s, t in parts.items()}
+        with self._lock:
+            for key in staged:
+                if key in self._streams:
+                    raise flight.FlightServerError(f"stream already prepared: {key}")
+            self._streams.update(staged)
 
     def get_stream(self, query_id: str, stage_id: str, stream: str):
         """One-shot fetch (flight_dispatcher.rs get_stream removes the

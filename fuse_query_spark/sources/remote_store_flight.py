@@ -173,7 +173,7 @@ class FuseStoreFlight(flight.FlightServerBase):
                     data = f.read()
             except FileNotFoundError:
                 raise _wire_err(UnknownTable(f"no such file: {key}")) from None
-            chunks = [data[i : i + 1 << 20] for i in range(0, len(data), 1 << 20)] or [b""]
+            chunks = [data[i : i + (1 << 20)] for i in range(0, len(data), 1 << 20)] or [b""]
             table = pa.table({"data": pa.array(chunks, pa.binary())})
             return flight.RecordBatchStream(table)
         raise flight.FlightServerError("ticket must be a Read or Pull StoreDoGet")
@@ -208,9 +208,8 @@ def _map_client_error(e: flight.FlightError):
     msg = str(e)
     start = msg.find('{"code"')
     if start >= 0:
-        end = msg.find("}", start)
         try:
-            payload = json.loads(msg[start : end + 1])
+            payload, _ = json.JSONDecoder().raw_decode(msg[start:])
         except json.JSONDecodeError:
             raise ConnectionError(msg) from None
         code, text = payload.get("code", 1000), payload.get("error", "store error")

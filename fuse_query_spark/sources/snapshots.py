@@ -436,9 +436,20 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     them — the property multi-dimensional file skipping needs (a sort
     by (a, b) gives tight ranges on `a` only).
 
+    Per-column bits are clamped to `63 // len(cols)` so the interleaved
+    key always fits signed int64 (the same clamp Delta's Z-cube applies)
+    — with the default bits=16, 4+ columns would otherwise shift past
+    bit 63 and flip the key's sign, breaking the range partitioning.
+    An all-null / empty column contributes a constant 0 coordinate.
+
     Returns (key Column, stats row) — stats exposed for tests."""
     from pyspark.sql import functions as F
 
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many ZORDER columns ({len(cols)}): need >=1 bit each")
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
@@ -447,6 +458,8 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     n = len(cols)
     for ci, c in enumerate(cols):
         mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        if mn is None or mx is None:
+            continue  # all-null/empty column: constant 0 coordinate
         span = (mx - mn) or 1
         # grid coordinate in [0, 2^bits)
         coord = F.least(

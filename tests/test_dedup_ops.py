@@ -58,3 +58,50 @@ class TestConnectedComponents:
         df = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a BIGINT, id_b BIGINT")
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(df, max_iter=2)
+
+    def test_return_count_matches_node_count(self, spark):
+        """return_count=True rides the convergence agg — no extra job —
+        and must equal the number of labeled nodes."""
+        from fuse_query_spark.operators.dedup import connected_components
+
+        edges = [(1, 2), (2, 3), (10, 11), (20, 21)]
+        df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+        labels, n = connected_components(df, return_count=True)
+        assert n == labels.count() == 7
+
+
+class TestSoftKeepFlag:
+    def test_exact_past_int64_bound(self, spark):
+        """The keep rule u*u*size < 1e12 must stay EXACT past the int64
+        product bound (size >= ~9.2e6, where the plain long multiply
+        wraps negative and silently inverts the decision). Property:
+        for sizes straddling the bound and u values straddling each
+        size's keep boundary, the Column result equals Python's
+        arbitrary-precision arithmetic."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from fuse_query_spark.operators.dedup import soft_keep_flag
+
+        sizes = [1, 2, 100, 8_999_999, 9_000_000, 9_300_000, 2 * 10**7, 10**9, 10**12]
+        rows = []
+        for s in sizes:
+            # u* = boundary: keep iff u*u*s < 1e12  <=>  u < 1e6/sqrt(s)
+            ustar = int(math.isqrt(10**12 // s))
+            for u in {0, max(0, ustar - 1), ustar, min(999_999, ustar + 1), 999_999}:
+                rows.append((u, s))
+        df = spark.createDataFrame(rows, "u LONG, size LONG")
+        got = df.select(
+            "u", "size", soft_keep_flag(F.col("u"), F.col("size")).alias("kept")
+        ).collect()
+        for r in got:
+            want = int(r.u * r.u * r.size < 10**12)  # Python ints don't overflow
+            assert r.kept == want, (r.u, r.size, r.kept, want)
+        # sanity: the naive int64 multiply WOULD be wrong for some case
+        # above (i.e. the test has teeth)
+        assert any(
+            ((r.u * r.u * r.size) & ((1 << 64) - 1)) >= (1 << 63)  # wraps negative
+            for r in got
+            if r.size >= 9_000_000
+        )

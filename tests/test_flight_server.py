@@ -145,6 +145,27 @@ class TestSurface:
         with pytest.raises(flight.FlightServerError, match="already prepared"):
             list(client.do_action(shuffle_action("qd", "s1", plan, ["s"], "one")))
 
+    def test_failed_prepare_registers_nothing(self, client):
+        """Stage prepare is ATOMIC: a collision on ANY sink key must
+        leave NO sink of the failing action registered — a partially
+        prepared stage whose earlier streams are still consumable is
+        the bug class ADVICE r6 flagged."""
+        plan = "SELECT number AS n FROM numbers(10)"
+        # 'b' collides with a pre-existing stream; 'a' must NOT appear
+        list(client.do_action(shuffle_action("qa", "s1", plan, ["b"], "n")))
+        with pytest.raises(flight.FlightServerError, match="already prepared"):
+            list(client.do_action(shuffle_action("qa", "s1", plan, ["a", "b"], "n")))
+        with pytest.raises(flight.FlightServerError, match="not found"):
+            _fetch(client, "qa", "s1", "a")
+        # the original 'b' stream is intact and consumable exactly once
+        assert _fetch(client, "qa", "s1", "b").num_rows == 10
+
+    def test_duplicate_sink_names_in_one_action_rejected(self, client):
+        with pytest.raises(flight.FlightServerError, match="duplicate sink"):
+            list(client.do_action(
+                shuffle_action("qdup", "s1", "SELECT 1 AS one", ["x", "x"], "one")
+            ))
+
 
 class TestDispatcherAbort:
     def test_aborted_dispatcher_rejects_new_actions(self, engine):
@@ -191,3 +212,76 @@ class TestConcurrency:
 
             for i, rows in zip(range(4), ex.map(fetch, range(4))):
                 assert rows == list(range(i, i + 50))
+
+
+class TestDistributedStageTwoProcesses:
+    def test_coordinator_peer_reassembly_over_flight(self):
+        """The reference's distributed dispatch loop (§3.3,
+        flight_dispatcher.rs:38 / plan_scheduler.rs) ACROSS PROCESS
+        BOUNDARIES: a peer engine in a SEPARATE JVM serves
+        PrepareShuffleAction; this process plays coordinator —
+        dispatches the stage plan, fetches every sink stream over
+        Flight do_get, and assembles the final result EXCLUSIVELY from
+        those streams (no shared memory, no filesystem handoff, no
+        local recompute of the stage). Complements the two-session
+        scatter-write test (test_engine_sql.py), which pins the bucket
+        contract but hands rows over through parquet files."""
+        import os
+        import subprocess
+        import sys
+        import threading
+
+        peer_src = """
+import sys
+sys.path.insert(0, ".")
+from fuse_query_spark.engine import Engine
+from fuse_query_spark.servers.flight_server import FuseQueryFlightService
+from fuse_query_spark.session import get_spark
+
+spark = get_spark("flight-peer", cpus=4)
+srv = FuseQueryFlightService(Engine(spark), "grpc://0.0.0.0:0")
+print(f"PORT={srv.port}", flush=True)
+srv.serve()
+"""
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.Popen(
+            [sys.executable, "-c", peer_src],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            cwd=root,
+            text=True,
+        )
+        try:
+            port_box: list = []
+
+            def _read_port():
+                for line in proc.stdout:
+                    if line.startswith("PORT="):
+                        port_box.append(int(line.strip().split("=", 1)[1]))
+                        return
+
+            t = threading.Thread(target=_read_port, daemon=True)
+            t.start()
+            t.join(timeout=180)  # JVM + session startup
+            assert port_box, "peer process never reported its port"
+            con = flight.connect(f"grpc://localhost:{port_box[0]}")
+            con.wait_for_available(timeout=30)
+
+            plan = "SELECT number AS n, number % 7 AS v FROM numbers(1000)"
+            sinks = ["node0", "node1", "node2"]
+            list(con.do_action(shuffle_action("qx", "stage0", plan, sinks, "n")))
+
+            rows: list = []
+            for i, sink in enumerate(sinks):
+                tab = con.do_get(stream_ticket("qx", "stage0", sink)).read_all()
+                ns = tab.column("n").to_pylist()
+                # scatter contract held across the process boundary
+                assert ns and all(n % 3 == i for n in ns), sink
+                rows += zip(ns, tab.column("v").to_pylist())
+            # final result assembled ONLY from the Flight streams
+            assert sorted(rows) == [(n, n % 7) for n in range(1000)]
+            assert sum(v for _, v in rows) == sum(n % 7 for n in range(1000))
+            con.close()
+        finally:
+            proc.terminate()
+            proc.wait(timeout=30)

@@ -246,8 +246,13 @@ def test_bmp_truncated_and_unsupported_raise(spark):
     )
     with pytest.raises(Exception, match="truncated"):
         decode_image_pixels(df_trunc).collect()
-    # a GCT-less GIF is a scope bound of the real GIF decoder
-    gif = b"GIF89a" + b"\x10\x00\x10\x00" + b"\x00" * 20
+    # a GIF with NEITHER global nor local color table has no legal
+    # pixel mapping (GCT-less alone is fine since r7 — the local color
+    # table path covers it — but palette-less is structural damage)
+    gif = (
+        b"GIF89a" + b"\x10\x00\x10\x00" + b"\x00\x00\x00"
+        + b"\x2c" + b"\x00\x00\x00\x00\x10\x00\x10\x00" + b"\x00"
+    )
     df_gif = spark.createDataFrame([(2, gif)], "doc_id LONG, content BINARY")
     with pytest.raises(Exception, match="color table"):
         decode_image_pixels(df_gif).collect()
@@ -390,6 +395,56 @@ class TestGifDecode:
         ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
         w, h, px = _gif_pixels(g[:head_end] + ext + g[head_end:])
         assert (w, h) == (4 + 9 % 8, 4 + 9 % 6)
+
+    def test_gif_interlaced_local_palette_matches_sequential(self):
+        """The interlaced, local-palette file must decode to byte-exact
+        the SAME RGB stream as the sequential global-palette twin —
+        pinning the de-interlace ROW PLACEMENT (a pixel-sum oracle
+        alone is permutation-invariant). Heights 4..9 cover every
+        Appendix-E pass-boundary case including heights with empty
+        passes (h=4 has no pass-2 rows; h<=4 odd rows only in pass 4)."""
+        from fuse_query_spark.operators.multimodal import (
+            _gif_bytes,
+            _gif_bytes_interlaced,
+            _gif_pixels,
+        )
+
+        for doc_id in range(12):  # h cycles 4..9, w cycles 4..11
+            seq = _gif_pixels(_gif_bytes(doc_id))
+            inter = _gif_pixels(_gif_bytes_interlaced(doc_id))
+            assert inter == seq, doc_id
+
+    def test_gif_interlace_schedule_is_a_permutation(self):
+        from fuse_query_spark.operators.multimodal import _gif_interlace_rows
+
+        for h in range(1, 40):
+            sched = _gif_interlace_rows(h)
+            assert sorted(sched) == list(range(h)), h
+
+    def test_gif_local_palette_overrides_global(self):
+        """Per spec an image with a local color table ignores the
+        global one: a file carrying BOTH must map through the local."""
+        import struct as _struct
+
+        from fuse_query_spark.operators.multimodal import _gif_pixels, _lzw_encode
+
+        w = h = 4
+        global_pal = bytes([10, 20, 30] * 4)
+        local_pal = bytes([200, 100, 50, 1, 2, 3, 4, 5, 6, 7, 8, 9])
+        idx = bytes(i % 4 for i in range(w * h))
+        lzw = _lzw_encode(2, idx)
+        out = bytearray(b"GIF89a")
+        out += _struct.pack("<HH", w, h)
+        out += bytes([0x80 | 0x01, 0, 0])  # GCT present, 4 entries
+        out += global_pal
+        out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0x80 | 0x01)  # LCT present, 4 entries, sequential
+        out += local_pal
+        out.append(2)
+        out += bytes([len(lzw)]) + lzw + b"\x00\x3b"
+        _, _, px = _gif_pixels(bytes(out))
+        want = b"".join(local_pal[3 * (i % 4) : 3 * (i % 4) + 3] for i in range(w * h))
+        assert px == want
 
     def test_gif_corruption_raises(self):
         import pytest as _pytest

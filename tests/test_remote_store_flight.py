@@ -100,6 +100,43 @@ class TestDataPlane:
         with pytest.raises(Exception, match="outside the store root|no such"):
             client.read_partition("/etc/passwd")
 
+    def test_pull_file_multi_chunk_exact(self, client, server):
+        """Files past the 1 MiB chunk size must round-trip byte-exact.
+        Regression: the chunker read `i : i + 1 << 20` which parses as
+        `i : (i+1) << 20` — overlapping chunks silently duplicated
+        bytes for every file > 2 MiB (a 3 MiB file came back as 4 MiB).
+        3.5 MiB of non-repeating bytes catches both length and content
+        corruption at every chunk boundary."""
+        import os
+
+        import numpy as np
+
+        size = 3 * (1 << 20) + (1 << 19)  # 3.5 MiB — 4 chunks, last partial
+        data = np.random.default_rng(7).integers(0, 256, size, dtype=np.uint8).tobytes()
+        path = os.path.join(server.state.root, "bigblob.bin")
+        with open(path, "wb") as f:
+            f.write(data)
+        got = client.pull_file(path)
+        assert len(got) == size
+        assert got == data
+
+
+class TestWireErrorMapping:
+    def test_error_payload_with_braces_stays_typed(self):
+        """The wire-error JSON may itself contain braces (e.g. a schema
+        string in the message). Regression: find("}") truncated at the
+        first one, degrading a typed UnknownTable into ConnectionError."""
+        import json
+
+        from fuse_query_spark.sources.remote_store_flight import _map_client_error
+
+        inner = json.dumps(
+            {"code": 25, "error": 'no table with schema {"fields": {"a": 1}}'}
+        )
+        err = flight.FlightServerError(f"gRPC status detail: {inner} (extra tail)")
+        with pytest.raises(UnknownTable, match="fields"):
+            _map_client_error(err)
+
 
 class TestEngineOverFlight:
     def test_remote_engine_end_to_end(self, spark, server):

@@ -442,6 +442,39 @@ class TestOptimize:
         hi = [r["k"] for r in rows if r["x"] > 90 and r["y"] > 90]
         assert lo and hi and max(lo) < min(hi)
 
+    def test_zorder_key_bits_clamped_to_int64(self, spark):
+        """4+ columns at the default bits=16 would interleave past bit
+        63 and flip the key's sign (breaking the range partitioning);
+        per-column bits must clamp to 63 // len(cols) and every key
+        stay non-negative."""
+        df = spark.createDataFrame(
+            [(i, i % 7, (i * 3) % 11, (i * 5) % 13, (i * 9) % 17) for i in range(500)],
+            "id LONG, a LONG, b LONG, c LONG, d LONG",
+        )
+        key, _ = zorder_key(df, ["a", "b", "c", "d"])  # default bits=16 -> clamp 15
+        ks = [r["k"] for r in df.withColumn("k", key).collect()]
+        assert min(ks) >= 0
+        assert max(ks) < 1 << 63
+
+    def test_zorder_key_all_null_column_is_constant(self, spark):
+        """An all-null (min/max None) column must not crash the key
+        build — it contributes a constant coordinate and the other
+        columns still order the key."""
+        df = spark.createDataFrame(
+            [(i, i % 100, None) for i in range(200)],
+            "id LONG, x LONG, y LONG",
+        )
+        key, _ = zorder_key(df, ["x", "y"], bits=8)
+        rows = df.withColumn("k", key).collect()
+        lo = [r["k"] for r in rows if r["x"] < 10]
+        hi = [r["k"] for r in rows if r["x"] > 90]
+        assert lo and hi and max(lo) < min(hi)
+
+    def test_zorder_too_many_columns_raises(self, spark):
+        df = spark.createDataFrame([(1,) * 64], ", ".join(f"c{i} LONG" for i in range(64)))
+        with pytest.raises(ValueError, match="too many ZORDER columns"):
+            zorder_key(df, [f"c{i}" for i in range(64)])
+
 
 class TestOptimizeSql:
     def test_optimize_table_snapshot_sql(self, engine, tmp_path, spark):

@@ -355,3 +355,51 @@ class TestPerplexityBands:
         head_max = max(r["avg_nll"] for r in rows if r["band_name"] == "head")
         tail_min = min(r["avg_nll"] for r in rows if r["band_name"] == "tail")
         assert head_max <= tail_min
+
+    def test_approx_bands_agree_with_exact(self, spark, sf_dir):
+        """The 100 TB path (bands='approx': percentile_approx
+        thresholds + CASE, no global sort) must agree with the exact
+        ntile cut on every document whose score is not ON a threshold
+        — only boundary ties may land one band over, and band
+        populations stay within sketch accuracy of the exact thirds."""
+        from fuse_query_spark.operators.text import perplexity_bands
+        from fuse_query_spark.sources.tables import table
+
+        docs = table(spark, sf_dir, "documents")
+        exact = {
+            r["doc_id"]: (r["band"], r["avg_nll"])
+            for r in perplexity_bands(docs).collect()
+        }
+        approx_rows = perplexity_bands(docs, bands="approx").collect()
+        approx = {r["doc_id"]: r["band"] for r in approx_rows}
+        assert set(approx) == set(exact)
+        # scores sitting exactly on a band boundary may legitimately
+        # differ; everything else must match
+        boundary_scores = set()
+        for b in (1, 2):
+            hi = max(s for (bb, s) in exact.values() if bb == b)
+            lo = min(s for (bb, s) in exact.values() if bb == b + 1)
+            boundary_scores.update({hi, lo})
+        mismatch = [
+            d for d, b in approx.items()
+            if b != exact[d][0] and exact[d][1] not in boundary_scores
+        ]
+        assert mismatch == []
+        # populations within 5%-of-corpus of the exact thirds
+        n = len(approx)
+        for b in (1, 2, 3):
+            got = sum(1 for v in approx.values() if v == b)
+            want = sum(1 for v in exact.values() if v[0] == b)
+            assert abs(got - want) <= max(2, 0.05 * n)
+
+    def test_approx_bands_plan_has_no_global_window(self, spark, sf_dir):
+        """The scale path must not contain a partition-less WindowExec
+        (the single-partition global sort the exact ntile cut pays)."""
+        from fuse_query_spark.operators.text import perplexity_bands
+        from fuse_query_spark.sources.tables import table
+
+        docs = table(spark, sf_dir, "documents")
+        plan = perplexity_bands(docs, bands="approx")._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        exact_plan = perplexity_bands(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in exact_plan  # the lint has teeth

@@ -176,7 +176,13 @@ def write_rotation_table(path: str = "ROTATION.md") -> str:
     queued, exempt, backlog = [], [], []
     for name in sorted(reg):
         h = history.get(name, {})
-        s = "hidden" if name in DRIVER_HIDDEN else str(slot.get(name, "-"))
+        if name in DRIVER_HIDDEN:
+            # every hidden entry is an xxhash64 fast-path twin whose
+            # byte-portable _md5 variant carries the driver claim —
+            # name the superseding row so the bucket is self-explaining
+            s = f"hidden (superseded by `{name}_md5`)"
+        else:
+            s = str(slot.get(name, "-"))
         rounds = ", ".join(f"r{r}:{st}" for r, st in sorted(h.items())) or "never"
         greens = [r for r, st in h.items() if st == "green"]
         last = f"r{max(greens)}" if greens else "-"
