@@ -114,6 +114,11 @@ BENCH_QUERIES = [
     "text_bpe_segment",
     "dedup_soft_reweight",
     "text_perplexity_bands",
+    # r7 additions: QM-coder arithmetic JPEG + interlaced GIF + the
+    # bounded-contract HLL rollup (its topk twin was already here)
+    "multimodal_jpeg_arith_decode",
+    "multimodal_gif_interlaced_decode",
+    "events_uniq_sketch_rollup",
 ]
 
 

@@ -14,11 +14,14 @@ _lzw_decode), and BASELINE JPEG — grayscale AND 4:4:4 color (marker
 walk, DHT-driven canonical Huffman entropy decode with byte
 unstuffing, interleaved MCUs with per-component DC predictors at ANY
 integer sampling layout incl. 4:2:0, dequant, 8x8 IDCT, chroma
-upsample, JFIF YCbCr→RGB — _jpeg_pixels), and PROGRESSIVE (SOF2)
+upsample, JFIF YCbCr→RGB — _jpeg_pixels), PROGRESSIVE (SOF2)
 JPEG (multi-scan spectral selection + successive approximation with
-EOB runs and refinement bits — _jpeg_pixels_progressive, r6); only
-arithmetic-coded JPEG (SOF9/10/11, patent-era rarity) still needs a
-library and raises NotImplementedError. Frame
+EOB runs and refinement bits — _jpeg_pixels_progressive, r6), and
+ARITHMETIC-coded (SOF9) JPEG (T.81 Annex E QM coder + section F.2
+conditioning models, validated byte-exact against libjpeg —
+_jpeg_pixels_arith, r7); only progressive-arithmetic (SOF10) and
+lossless (SOF3/11) JPEG still need a library and raise
+NotImplementedError. Frame
 sampling is REAL over the concatenated-P6 toy video container
 synthesized here (parse frame boundaries, emit every Nth).
 
@@ -334,10 +337,12 @@ def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if fmt != "image/ppm":
                     raise NotImplementedError(
                         "pixel decode implemented for raw PPM, uncompressed "
-                        "24-bit BMP, 8-bit truecolor PNG, GCT GIF, and "
-                        "baseline + progressive JPEG; got "
-                        f"{fmt or 'unknown bytes'} — arithmetic-coded JPEG "
-                        "is the remaining library boundary (PIL/libvips)"
+                        "24-bit BMP, 8-bit truecolor PNG, GIF (incl. "
+                        "interlaced/local-palette), and baseline + "
+                        "progressive + sequential-arithmetic JPEG; got "
+                        f"{fmt or 'unknown bytes'} — progressive-arithmetic "
+                        "(SOF10) and lossless JPEG are the remaining "
+                        "library boundary (PIL/libvips)"
                     )
                 # _ppm_frame re-derives dims + bytes-per-sample and
                 # REJECTS truncated bodies (a silent short buffer would
@@ -951,8 +956,10 @@ def synthesize_gif_interlaced_blobs(df: DataFrame, id_col: str = "doc_id") -> Da
 # coefficient dequant, 8x8 IDCT (numpy), level shift — is implemented
 # here for real. The synthesized corpus carries its own DHT tables, so
 # nothing depends on the spec's example tables. Color (any integer
-# sampling layout) landed in r5 and progressive (SOF2) in r6; what
-# still needs a library: arithmetic entropy coding only.
+# sampling layout) landed in r5, progressive (SOF2) in r6, and
+# arithmetic entropy coding (SOF9, QM coder) in r7 — see the
+# arithmetic section below; what still needs a library:
+# progressive-arithmetic and lossless modes only.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -1188,10 +1195,13 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
                 comps.append({"cid": cid, "tq": tq, "hi": hi, "vi": vi})
         elif marker == 0xC2:  # SOF2: progressive has its own scan loop
             return _jpeg_pixels_progressive(data)
-        elif marker in (0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC9:  # SOF9: arithmetic has its own entropy coder (r7)
+            return _jpeg_pixels_arith(data)
+        elif marker in (0xC1, 0xC3, 0xCA, 0xCB):
             raise NotImplementedError(
-                "extended-sequential/lossless/arithmetic JPEG unsupported "
-                "(baseline SOF0 and progressive SOF2 decode are real)"
+                "extended-sequential-Huffman/lossless/progressive-arithmetic "
+                "JPEG unsupported (baseline SOF0, progressive SOF2, and "
+                "sequential-arithmetic SOF9 decode are real)"
             )
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -1486,9 +1496,10 @@ def _jpeg_encode_420(
 # with zero-history runs and correction bits. Coefficients accumulate
 # across scans in per-component block grids; dequant/IDCT/upsample/
 # color conversion reuse the baseline path's machinery (_jpeg_finish).
-# The remaining boundary is arithmetic entropy coding (SOF9/10/11,
-# patent-era rarity) — Huffman progressive, which is what cjpeg/libjpeg
-# -progressive emits, decodes for real here.
+# Huffman progressive, which is what cjpeg/libjpeg -progressive
+# emits, decodes for real here; sequential-arithmetic (SOF9) decodes
+# via the QM coder section below (r7). The remaining boundary is
+# progressive-arithmetic (SOF10) and lossless modes.
 
 def _jpeg_pixels_progressive(data: bytes) -> tuple[int, int, bytes]:
     """REAL progressive JPEG decode: multi-scan marker walk (DHT/DRI
@@ -2001,6 +2012,562 @@ def synthesize_jpeg_progressive_blobs(
                     "content": [
                         _jpeg_progressive_bytes(int(i)) for i in pdf[id_col]
                     ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+
+
+# --- Arithmetic-coded (SOF9) JPEG decode + encode (r7) --------------------
+# The last compressed-image class that raised NotImplementedError: the
+# QM-coder (ITU-T T.81 Annex E probability-estimation state machine +
+# section F.2 DCT-coefficient conditioning models) implemented for
+# real, both directions. Validated two independent ways in
+# tests/test_multimodal.py: self roundtrip at the coefficient level,
+# and — when a C toolchain + libjpeg headers are present — BYTE-EXACT
+# coefficient equality against libjpeg's own arithmetic codec in both
+# directions (our decoder on libjpeg files, libjpeg's decoder on
+# ours), across grayscale/4:4:4/4:2:0/odd-dims/restart-interval gold
+# files. The remaining library boundary is now progressive-arithmetic
+# (SOF10) and lossless (SOF3/SOF11) only.
+
+# ITU-T T.81 Table D.3: (Qe, NMPS, NLPS, SWITCH) for the 113 states,
+# plus the non-adapting equiprobable bin (index 113) used for AC sign
+# decisions (F.1.4.3.1: the sign is coded with a fixed 0.5 estimate).
+_QM_TAB = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0), (0x080B, 4, 18, 0),
+    (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0), (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0),
+    (0x0036, 9, 30, 0), (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1), (0x3F25, 16, 36, 0),
+    (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0), (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0),
+    (0x0CEF, 21, 43, 0), (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0), (0x01B1, 28, 54, 0),
+    (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0), (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0),
+    (0x0068, 33, 62, 0), (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0), (0x2EF1, 40, 67, 0),
+    (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0), (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0),
+    (0x1177, 45, 73, 0), (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0), (0x04DE, 52, 50, 0),
+    (0x040F, 53, 50, 0), (0x0363, 54, 51, 0), (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0),
+    (0x01F8, 57, 54, 0), (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0), (0x008F, 32, 61, 0),
+    (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0), (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0),
+    (0x2FE8, 69, 83, 0), (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0), (0x119C, 76, 74, 0),
+    (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0), (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0),
+    (0x5832, 81, 80, 1), (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0), (0x2516, 71, 86, 0),
+    (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0), (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0),
+    (0x3824, 93, 99, 0), (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0), (0x3C3D, 100, 104, 0),
+    (0x375E, 93, 99, 0), (0x5231, 102, 105, 0), (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0),
+    (0x415E, 99, 103, 0), (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1), (0x5522, 109, 112, 0),
+    (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+]
+_QM_FIXED_BIN = 113
+
+
+class _QMDecoder:
+    """QM arithmetic decoder (T.81 F.2.2) over a JPEG entropy-coded
+    segment. JPEG arithmetic data is BYTE-stuffed like Huffman data
+    (an 0xFF data byte travels as 0xFF 0x00; a real marker ends the
+    segment, after which zero bytes are fed) — NOT the bit-stuffing
+    JBIG/JPEG2000 use. Renormalization is lazy (performed at the top
+    of the next decision) with `ct` counting surplus low bits in the
+    code register, so the interval register A aligns against C via one
+    shift per comparison. Statistics bins travel as one byte per
+    context: (MPS << 7) | state-index."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.marker = None
+        self.c = (self._byte() << 8) | self._byte()
+        self.ct = 0
+        self.a = 0x10000
+
+    def _byte(self) -> int:
+        if self.marker is not None or self.pos >= len(self.data):
+            return 0  # zero-feed past a marker / end of data
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            while self.pos < len(self.data) and self.data[self.pos] == 0xFF:
+                self.pos += 1  # fill bytes before a marker
+            if self.pos >= len(self.data):
+                self.marker = 0xD9
+                return 0
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed zero: 0xFF is data
+                return 0xFF
+            self.marker = nxt
+            return 0
+        return b
+
+    def decode(self, st: bytearray, k: int) -> int:
+        while self.a < 0x8000:  # pending renormalization
+            self.ct -= 1
+            if self.ct < 0:
+                self.c = ((self.c << 8) | self._byte()) & 0xFFFFFFFF
+                self.ct += 8
+            self.a <<= 1
+        sv = st[k]
+        mps = sv >> 7
+        qe, nmps, nlps, sw = _QM_TAB[sv & 0x7F]
+        self.a -= qe
+        t = self.a << self.ct
+        if self.c < t:
+            # lower subinterval (size a-qe): nominally the MPS
+            if self.a & 0x8000:
+                return mps  # no renorm pending: no adaptation (F.1.4.3)
+            if self.a < qe:  # conditional exchange
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                st[k] = (mps << 7) | nlps
+            else:
+                d = mps
+                st[k] = (mps << 7) | nmps
+        else:
+            # upper subinterval (size qe): nominally the LPS
+            self.c -= t
+            if self.a < qe:  # conditional exchange
+                d = mps
+                st[k] = (mps << 7) | nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    mps = 1 - mps
+                st[k] = (mps << 7) | nlps
+            self.a = qe
+        return d
+
+
+class _QMEncoder:
+    """QM arithmetic encoder matched to _QMDecoder, with an UNBOUNDED
+    code register: interval offsets accumulate in a Python big int, so
+    carry propagation is plain arithmetic and none of Annex E's
+    stacked-0xFF/carry-resolution machinery (BYTEOUT figures E.8/E.9)
+    is needed — the invariant c + a <= 2^(16 + nbits) holds throughout,
+    flush picks the in-interval value with maximal trailing zeros
+    (the D.1.8 idea), and serialization packs it MSB-first then applies
+    JPEG byte stuffing. libjpeg decodes the output byte-exactly (the
+    cross-codec test), which pins equivalence to the spec encoder."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.nbits = 0
+
+    def encode(self, st: bytearray, k: int, bit: int) -> None:
+        sv = st[k]
+        mps = sv >> 7
+        qe, nmps, nlps, sw = _QM_TAB[sv & 0x7F]
+        a1 = self.a - qe
+        if bit == mps:
+            if a1 & 0x8000:
+                self.a = a1
+                return  # no renormalization: no adaptation
+            if a1 < qe:  # conditional exchange: MPS takes the upper part
+                self.c += a1
+                self.a = qe
+            else:
+                self.a = a1
+            st[k] = (mps << 7) | nmps
+        else:
+            if a1 < qe:  # conditional exchange: LPS takes the lower part
+                self.a = a1
+            else:
+                self.c += a1
+                self.a = qe
+            if sw:
+                mps = 1 - mps
+            st[k] = (mps << 7) | nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.nbits += 1
+
+    def flush(self) -> bytes:
+        t = (self.c + self.a - 1) & ~0xFFFF
+        if t < self.c:
+            t += 0x8000
+        total = 16 + self.nbits
+        pad = (-total) % 8
+        t <<= pad
+        raw = t.to_bytes((total + pad) // 8, "big")
+        out = bytearray()
+        for b in raw:
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _qm_decode_dc(dec, st, ctx, cond):
+    """One DC difference (T.81 F.2.4.1, figures F.19-F.24). `ctx` is
+    the per-component conditioning context (0/4/8/12/16 by previous
+    diff class); returns (diff, new_ctx)."""
+    L, U = cond
+    base = ctx
+    if dec.decode(st, base) == 0:
+        return 0, 0
+    sign = dec.decode(st, base + 1)
+    stx = base + 2 + sign
+    m = dec.decode(st, stx)
+    if m:
+        stx = 20  # X1 (Table F.4)
+        while dec.decode(st, stx):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic JPEG: DC magnitude overflow")
+            stx += 1
+    if m < (1 << L) >> 1:
+        ctx = 0
+    elif m > (1 << U) >> 1:
+        ctx = 12 + 4 * sign
+    else:
+        ctx = 4 + 4 * sign
+    v = m
+    stx += 14  # magnitude-bit bins (M1.. at X+14, Table F.4)
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, stx):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return (-v if sign else v), ctx
+
+
+def _qm_decode_ac(dec, st, fixed, zz, kx):
+    """All AC coefficients of one block (T.81 F.2.4.2) into zz[1..63]."""
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):
+            return  # EOB
+        while dec.decode(st, base + 1) == 0:
+            k += 1
+            base += 3
+            if k > 63:
+                raise ValueError("arithmetic JPEG: AC run past k=63")
+        sign = dec.decode(fixed, 0)
+        stx = base + 2
+        m = dec.decode(st, stx)
+        if m:
+            if dec.decode(st, stx):
+                m = 2
+                stx = 189 if k <= kx else 217  # X2 low/high bands (Table F.5)
+                while dec.decode(st, stx):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arithmetic JPEG: AC magnitude overflow")
+                    stx += 1
+        v = m
+        stx += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(st, stx):
+                v |= mm
+            mm >>= 1
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
+def _jpeg_pixels_arith(data: bytes) -> tuple[int, int, bytes]:
+    """REAL arithmetic-coded JPEG decode (SOF9, extended sequential):
+    marker walk (DQT/DAC/DRI/SOF9/SOS), QM entropy decode of the DCT
+    coefficients with the spec's DC/AC conditioning models, then the
+    same dequant → IDCT → upsample → color-convert tail as baseline
+    (_jpeg_finish). Grayscale and color at any integer sampling layout,
+    restart markers included (restart resets the coder, the statistics
+    areas, and the DC predictors, per F.1.4.correspondence). Validated
+    byte-exact against libjpeg's arithmetic codec in
+    tests/test_multimodal.py."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_cond = {t: (0, 1) for t in range(4)}  # DAC defaults: L=0, U=1
+    ac_cond = {t: 5 for t in range(4)}  # Kx = 5
+    w = h = None
+    restart_interval = 0
+    comps: list[dict] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("JPEG has no scan data")
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtables[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC9:  # SOF9
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG unsupported")
+            for ci in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {hi}x{vi}")
+                comps.append({"cid": cid, "tq": tq, "hi": hi, "vi": vi})
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0x0F
+                cs = seg[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)
+                else:
+                    ac_cond[tb] = cs
+                p += 2
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError("non-interleaved scans unsupported")
+            by_cid = {c["cid"]: c for c in comps}
+            for si in range(ns):
+                cid, tids = seg[1 + 2 * si], seg[2 + 2 * si]
+                if cid not in by_cid:
+                    raise ValueError("SOS names unknown component")
+                by_cid[cid]["dc"], by_cid[cid]["ac"] = tids >> 4, tids & 0x0F
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    else:
+        raise ValueError("JPEG missing SOS")
+    if w is None or not comps:
+        raise ValueError("JPEG missing SOF9")
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError("JPEG missing DQT for a component")
+        c["q"] = qtables[c["tq"]]
+    a = _idct_matrix()
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    if any(hmax % c["hi"] or vmax % c["vi"] for c in comps):
+        raise NotImplementedError("non-integer chroma sampling ratios")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_y * 8 * c["vi"], mcus_x * 8 * c["hi"])) for c in comps
+    ]
+
+    def fresh():
+        return (
+            {t: bytearray(64) for t in range(4)},
+            {t: bytearray(256) for t in range(4)},
+            bytearray([_QM_FIXED_BIN]),
+        )
+
+    dc_stats, ac_stats, fixed = fresh()
+    dec = _QMDecoder(data, pos)
+    dc_ctx = [0] * len(comps)
+    last_dc = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # RSTn: the coder, the statistics areas, and the DC
+                # predictors all reset. The decoder either stopped AT
+                # the marker (it consumed the 0xFF and holds Dn) or
+                # unconsumed flush bytes remain before it — scan.
+                if dec.marker is not None and 0xD0 <= dec.marker <= 0xD7:
+                    p2 = dec.pos + 1
+                else:
+                    p = dec.pos
+                    while p + 1 < len(data) and not (
+                        data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
+                    ):
+                        p += 1
+                    if p + 1 >= len(data):
+                        raise ValueError("expected JPEG restart marker")
+                    p2 = p + 2
+                dec = _QMDecoder(data, p2)
+                dc_stats, ac_stats, fixed = fresh()
+                dc_ctx = [0] * len(comps)
+                last_dc = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                for byi in range(c["vi"]):
+                    for bxi in range(c["hi"]):
+                        zz = [0] * 64
+                        diff, dc_ctx[ci] = _qm_decode_dc(
+                            dec, dc_stats[c["dc"]], dc_ctx[ci], dc_cond[c["dc"]]
+                        )
+                        last_dc[ci] += diff
+                        zz[0] = last_dc[ci]
+                        _qm_decode_ac(
+                            dec, ac_stats[c["ac"]], fixed, zz, ac_cond[c["ac"]]
+                        )
+                        f = np.zeros((8, 8))
+                        for i in range(64):
+                            f[_ZIGZAG[i] // 8, _ZIGZAG[i] % 8] = zz[i] * c["q"][i]
+                        y0 = (my * c["vi"] + byi) * 8
+                        x0 = (mx * c["hi"] + bxi) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = a.T @ f @ a + 128.0
+    return _jpeg_finish(planes, comps, w, h, hmax, vmax)
+
+
+def _qm_encode_dc(enc, st, ctx, diff, cond):
+    """Encode one DC difference (mirror of _qm_decode_dc)."""
+    L, U = cond
+    base = ctx
+    if diff == 0:
+        enc.encode(st, base, 0)
+        return 0
+    enc.encode(st, base, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, base + 1, sign)
+    szv = (-diff if sign else diff) - 1
+    stx = base + 2 + sign
+    if szv == 0:
+        enc.encode(st, stx, 0)
+        m = 0
+    else:
+        enc.encode(st, stx, 1)
+        m = 1
+        stx = 20
+        while (m << 1) <= szv:
+            enc.encode(st, stx, 1)
+            m <<= 1
+            stx += 1
+        enc.encode(st, stx, 0)
+    if m < (1 << L) >> 1:
+        new_ctx = 0
+    elif m > (1 << U) >> 1:
+        new_ctx = 12 + 4 * sign
+    else:
+        new_ctx = 4 + 4 * sign
+    stx += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(st, stx, 1 if (szv & mm) else 0)
+        mm >>= 1
+    return new_ctx
+
+
+def _qm_encode_ac(enc, st, fixed, zz, kx):
+    """Encode one block's AC coefficients (mirror of _qm_decode_ac)."""
+    ke = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            ke = k
+            break
+    k = 1
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB
+        while zz[k] == 0:
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base += 3
+        enc.encode(st, base + 1, 1)
+        v = zz[k]
+        sign = 1 if v < 0 else 0
+        enc.encode(fixed, 0, sign)
+        szv = (-v if sign else v) - 1
+        stx = base + 2
+        if szv == 0:
+            enc.encode(st, stx, 0)
+            m = 0
+        elif szv == 1:
+            enc.encode(st, stx, 1)
+            enc.encode(st, stx, 0)
+            m = 1
+        else:
+            enc.encode(st, stx, 1)
+            enc.encode(st, stx, 1)
+            m = 2
+            stx = 189 if k <= kx else 217
+            while (m << 1) <= szv:
+                enc.encode(st, stx, 1)
+                m <<= 1
+                stx += 1
+            enc.encode(st, stx, 0)
+        stx += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(st, stx, 1 if (szv & mm) else 0)
+            mm >>= 1
+        k += 1
+    if ke < 63:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _jpeg_encode_arith_gray(
+    blocks_zz: list[list[int]], w: int, h: int, q: list[int]
+) -> bytes:
+    """Assemble a valid extended-sequential ARITHMETIC (SOF9) grayscale
+    JPEG from quantized zigzag blocks (raster order): DQT + SOF9 + DAC
+    (default conditioning, spelled explicitly) + SOS + QM-coded entropy
+    data. libjpeg decodes the output byte-exactly (cross-codec test)."""
+    enc = _QMEncoder()
+    dc_stats = bytearray(64)
+    ac_stats = bytearray(256)
+    fixed = bytearray([_QM_FIXED_BIN])
+    ctx, last = 0, 0
+    for zz in blocks_zz:
+        ctx = _qm_encode_dc(enc, dc_stats, ctx, zz[0] - last, (0, 1))
+        last = zz[0]
+        _qm_encode_ac(enc, ac_stats, fixed, zz, 5)
+    entropy = enc.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(q))
+    out += seg(0xC9, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))  # DC: L=0,U=1; AC: Kx=5
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_arith_bytes(doc_id: int) -> bytes:
+    """Deterministic valid ARITHMETIC-coded grayscale JPEG per doc:
+    the same flat-DC-block closed form as _jpeg_bytes (quant 16 makes
+    the decode byte-exact), entropy-coded by the QM coder instead of
+    Huffman — so the existing baseline oracle verifies this decoder's
+    whole pipeline too."""
+    bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+    q = [16] * 64
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            zz[0] = (doc_id + bx + 3 * by) % 64 - 32
+            blocks.append(zz)
+    return _jpeg_encode_arith_gray(blocks, bw * 8, bh * 8, q)
+
+
+def synthesize_jpeg_arith_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content): deterministic valid arithmetic-coded JPEGs."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": [_jpeg_arith_bytes(int(i)) for i in pdf[id_col]],
                 }
             )
 

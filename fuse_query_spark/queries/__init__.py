@@ -199,7 +199,9 @@ DRIVER_PRIORITY = [
     # r5 driver-green, same closed form, stays locally oracle-checked)
     "multimodal_jpeg_progressive_decode",  # r6: multi-scan SOF2 decode
     "multimodal_blob_meta",
-    "multimodal_wav_decode",  # r5: real RIFF/PCM16 audio decode
+    # (multimodal_wav_decode rotated out r7 for the arithmetic-JPEG
+    # decode: r5+r6 green, multimodal family keeps 6 prefix rows)
+    "multimodal_jpeg_arith_decode",  # r7: T.81 QM-coder SOF9 decode
     # similarity family
     "similarity_knn_pq_rerank",  # r5-late: ADC shortlist + exact re-rank
     "similarity_knn_projected",  # r6: ANN in JL-projected space

@@ -290,6 +290,44 @@ def multimodal_jpeg_color_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_arith_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(192 * list_sum(list_transform(
+               range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+               k -> 128 + 2 * ((doc_id + (k % (1 + doc_id % 3))
+                                + 3 * (k // (1 + doc_id % 3))) % 64 - 32)
+           )) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal", "decode", "jpeg", "arithmetic", "qm-coder"),
+)
+def multimodal_jpeg_arith_decode(spark, sf_dir):
+    """ARITHMETIC-coded (SOF9) JPEG decode end-to-end (r7 — the last
+    compressed-image class that raised NotImplementedError): synthesize
+    valid arithmetic JPEGs with the same flat-DC closed form as the
+    baseline twin, entropy-coded by the T.81 Annex E QM coder
+    (operators/multimodal._jpeg_encode_arith_gray), and run the full
+    decoder — marker walk with DAC conditioning, QM probability-
+    estimation state machine, DC/AC statistical models, dequant, IDCT
+    (_jpeg_pixels_arith). Same oracle as multimodal_jpeg_decode, so a
+    hash match proves the arithmetic entropy path reproduces exactly
+    what the Huffman path encodes. The codec is additionally validated
+    byte-exact against libjpeg's own arithmetic coder in BOTH
+    directions (tests/test_multimodal.py, gcc+libjpeg gold files:
+    grayscale/4:4:4/4:2:0/odd dims/restart markers)."""
+    from fuse_query_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_jpeg_arith_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_pixel_stats(synthesize_jpeg_arith_blobs(docs))
+
+
+@register(
     "multimodal_jpeg_progressive_decode",
     oracle="""
     SELECT doc_id,

@@ -865,3 +865,318 @@ class TestJpegProgressiveDecode:
                 for bx in range(bw)
             )
             assert (r["width"], r["height"], r["pixel_sum"]) == (8 * bw, 8 * bh, want)
+
+
+class TestJpegArithmeticDecode:
+    """The T.81 Annex E QM coder + F.2 conditioning models (r7) —
+    self-consistency, Huffman-twin equality, and (when a C toolchain
+    plus libjpeg headers exist) BYTE-EXACT differential gold tests
+    against libjpeg's own arithmetic codec in both directions."""
+
+    def test_qm_core_roundtrip_property(self):
+        """Random symbol streams over many adapting contexts round-trip
+        through the matched encoder/decoder pair — exercises every
+        Table D.3 transition class (fast path, MPS/LPS renorm,
+        conditional exchange) statistically."""
+        import random
+
+        from fuse_query_spark.operators.multimodal import (
+            _QM_FIXED_BIN,
+            _QMDecoder,
+            _QMEncoder,
+        )
+
+        rng = random.Random(3)
+        for trial in range(8):
+            n_ctx = rng.randint(1, 16)
+            bias = [rng.random() for _ in range(n_ctx)]
+            syms = []
+            for _ in range(rng.randint(200, 4000)):
+                k = rng.randrange(n_ctx)
+                syms.append((k, 1 if rng.random() < bias[k] else 0))
+            enc = _QMEncoder()
+            st_e = bytearray(n_ctx + 1)
+            st_e[n_ctx] = _QM_FIXED_BIN  # one fixed bin in the mix
+            for k, b in syms:
+                enc.encode(st_e, k, b)
+                enc.encode(st_e, n_ctx, b ^ 1)
+            data = enc.flush()
+            dec = _QMDecoder(data, 0)
+            st_d = bytearray(n_ctx + 1)
+            st_d[n_ctx] = _QM_FIXED_BIN
+            for i, (k, b) in enumerate(syms):
+                assert dec.decode(st_d, k) == b, (trial, i)
+                assert dec.decode(st_d, n_ctx) == b ^ 1, (trial, i)
+
+    def test_arith_file_decodes_like_huffman_twin(self):
+        """Same coefficients, two entropy codings: the arithmetic file
+        must decode to byte-identical pixels as the baseline twin."""
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_arith_bytes,
+            _jpeg_bytes,
+            _jpeg_pixels,
+        )
+
+        for doc_id in range(12):
+            assert _jpeg_pixels(_jpeg_arith_bytes(doc_id)) == _jpeg_pixels(
+                _jpeg_bytes(doc_id)
+            ), doc_id
+
+    def test_arith_roundtrip_random_coefficients(self):
+        """Arbitrary AC runs/magnitudes (not just flat blocks) encode
+        and decode losslessly at the pixel level: compare against the
+        Huffman encoder fed the SAME coefficient blocks — both decode
+        paths share dequant/IDCT, so equality pins the entropy layer."""
+        import random
+
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_encode_arith_gray,
+            _jpeg_encode_gray,
+            _jpeg_pixels,
+        )
+
+        rng = random.Random(7)
+        w, h = 40, 24
+        blocks = []
+        for _ in range((w // 8) * (h // 8)):
+            zz = [0] * 64
+            zz[0] = rng.randint(-500, 500)
+            for _ in range(rng.randint(0, 20)):
+                zz[rng.randint(1, 63)] = rng.randint(-255, 255)
+            blocks.append(zz)
+        q = [16] * 64
+        assert _jpeg_pixels(_jpeg_encode_arith_gray(blocks, w, h, q)) == _jpeg_pixels(
+            _jpeg_encode_gray(blocks, w, h, q)
+        )
+
+    # ---- external differential oracle: libjpeg itself -------------------
+
+    @pytest.fixture(scope="class")
+    def harness(self, tmp_path_factory):
+        """Compile tools/jpeg_ref_harness.c against the system libjpeg;
+        skip the gold tests when the toolchain or headers are absent."""
+        import os
+        import shutil
+        import subprocess
+
+        if shutil.which("gcc") is None or not os.path.exists("/usr/include/jpeglib.h"):
+            pytest.skip("no gcc/libjpeg-dev: external JPEG oracle unavailable")
+        src = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "jpeg_ref_harness.c",
+        )
+        exe = str(tmp_path_factory.mktemp("jh") / "jpeg_ref_harness")
+        r = subprocess.run(
+            ["gcc", "-O2", "-o", exe, src, "-ljpeg"], capture_output=True
+        )
+        if r.returncode != 0:
+            pytest.skip(f"harness build failed: {r.stderr.decode()[:200]}")
+        return exe
+
+    def _gold(self, harness, w, h, ncomp, sub=False, restart=None):
+        import os
+        import subprocess
+
+        pix = bytes(
+            (x * 7 + y * 13 + c * 31 + (x * y) % 29) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(ncomp)
+        )
+        env = dict(os.environ)
+        if restart:
+            env["HARNESS_RESTART"] = str(restart)
+        args = [harness, "encode", str(w), str(h), str(ncomp)]
+        if sub:
+            args.append("h2v2")
+        return subprocess.run(
+            args, input=pix, capture_output=True, env=env, check=True
+        ).stdout
+
+    def _ref_coefs(self, harness, jpg):
+        import subprocess
+
+        lines = (
+            subprocess.run([harness, "coefs"], input=jpg, capture_output=True, check=True)
+            .stdout.decode()
+            .split("\n")
+        )
+        ncomp = int(lines[0])
+        li = 1
+        out = []
+        for _ in range(ncomp):
+            bh, bw = map(int, lines[li].split())
+            li += 1
+            grid = {}
+            for br in range(bh):
+                for bc in range(bw):
+                    grid[(br, bc)] = [int(x) for x in lines[li].split()]
+                    li += 1
+            out.append(grid)
+        return out
+
+    def _my_coefs(self, jpg):
+        """Walk a SOF9 file with the production QM primitives and
+        return per-component {(block_row, block_col): natural-order
+        coefficients} — the same representation libjpeg dumps."""
+        import struct as _struct
+
+        from fuse_query_spark.operators.multimodal import (
+            _QM_FIXED_BIN,
+            _QMDecoder,
+            _ZIGZAG,
+            _qm_decode_ac,
+            _qm_decode_dc,
+        )
+
+        pos = 2
+        comps, dc_cond, ac_cond, ri = [], {t: (0, 1) for t in range(4)}, {t: 5 for t in range(4)}, 0
+        w = h = None
+        while True:
+            marker = jpg[pos + 1]
+            seglen = _struct.unpack(">H", jpg[pos + 2 : pos + 4])[0]
+            seg = jpg[pos + 4 : pos + 2 + seglen]
+            if marker == 0xC9:
+                h, w = _struct.unpack(">HH", seg[1:5])
+                for ci in range(seg[5]):
+                    cid, sampling, _tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                    comps.append({"cid": cid, "hi": sampling >> 4, "vi": sampling & 15})
+            elif marker == 0xCC:
+                p = 0
+                while p < len(seg):
+                    tc, tb, cs = seg[p] >> 4, seg[p] & 15, seg[p + 1]
+                    if tc == 0:
+                        dc_cond[tb] = (cs & 15, cs >> 4)
+                    else:
+                        ac_cond[tb] = cs
+                    p += 2
+            elif marker == 0xDD:
+                ri = _struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:
+                by_cid = {c["cid"]: c for c in comps}
+                for si in range(seg[0]):
+                    cid, tids = seg[1 + 2 * si], seg[2 + 2 * si]
+                    by_cid[cid]["dc"], by_cid[cid]["ac"] = tids >> 4, tids & 15
+                pos += 2 + seglen
+                break
+            pos += 2 + seglen
+        hmax = max(c["hi"] for c in comps)
+        vmax = max(c["vi"] for c in comps)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+        def fresh():
+            return (
+                {t: bytearray(64) for t in range(4)},
+                {t: bytearray(256) for t in range(4)},
+                bytearray([_QM_FIXED_BIN]),
+            )
+
+        dc_stats, ac_stats, fixed = fresh()
+        dec = _QMDecoder(jpg, pos)
+        dc_ctx = [0] * len(comps)
+        last_dc = [0] * len(comps)
+        grids = [dict() for _ in comps]
+        n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if ri and n and n % ri == 0:
+                    if dec.marker is not None and 0xD0 <= dec.marker <= 0xD7:
+                        p2 = dec.pos + 1
+                    else:
+                        p = dec.pos
+                        while not (jpg[p] == 0xFF and 0xD0 <= jpg[p + 1] <= 0xD7):
+                            p += 1
+                        p2 = p + 2
+                    dec = _QMDecoder(jpg, p2)
+                    dc_stats, ac_stats, fixed = fresh()
+                    dc_ctx = [0] * len(comps)
+                    last_dc = [0] * len(comps)
+                n += 1
+                for ci, c in enumerate(comps):
+                    for byi in range(c["vi"]):
+                        for bxi in range(c["hi"]):
+                            zz = [0] * 64
+                            diff, dc_ctx[ci] = _qm_decode_dc(
+                                dec, dc_stats[c["dc"]], dc_ctx[ci], dc_cond[c["dc"]]
+                            )
+                            last_dc[ci] += diff
+                            zz[0] = last_dc[ci]
+                            _qm_decode_ac(
+                                dec, ac_stats[c["ac"]], fixed, zz, ac_cond[c["ac"]]
+                            )
+                            nat = [0] * 64
+                            for k in range(64):
+                                nat[_ZIGZAG[k]] = zz[k]
+                            grids[ci][(my * c["vi"] + byi, mx * c["hi"] + bxi)] = nat
+        return grids
+
+    @pytest.mark.parametrize(
+        "w,h,ncomp,sub,restart",
+        [
+            (16, 16, 1, False, None),
+            (70, 50, 1, False, None),
+            (48, 32, 3, False, None),
+            (70, 50, 3, True, None),
+            (64, 64, 1, False, 3),
+        ],
+        ids=["gray16", "gray-odd", "color444", "color420", "gray-restart3"],
+    )
+    def test_decoder_matches_libjpeg_gold(self, harness, w, h, ncomp, sub, restart):
+        """Our QM decode of LIBJPEG-ENCODED arithmetic files equals
+        libjpeg's own coefficient dump byte-for-byte — spec fidelity,
+        not just self-consistency."""
+        jpg = self._gold(harness, w, h, ncomp, sub, restart)
+        ref = self._ref_coefs(harness, jpg)
+        mine = self._my_coefs(jpg)
+        for ci, grid in enumerate(ref):
+            for key, blk in grid.items():
+                assert mine[ci].get(key) == blk, (ci, key)
+
+    def test_libjpeg_decodes_our_encoder(self, harness):
+        """The reverse direction: libjpeg's arithmetic decoder must
+        reproduce the exact coefficients our QM encoder coded."""
+        import random
+
+        from fuse_query_spark.operators.multimodal import (
+            _ZIGZAG,
+            _jpeg_encode_arith_gray,
+        )
+
+        rng = random.Random(11)
+        w, h = 40, 24
+        blocks = []
+        for _ in range((w // 8) * (h // 8)):
+            zz = [0] * 64
+            zz[0] = rng.randint(-600, 600)
+            for _ in range(rng.randint(0, 12)):
+                zz[rng.randint(1, 63)] = rng.randint(-255, 255)
+            blocks.append(zz)
+        jpg = _jpeg_encode_arith_gray(blocks, w, h, [16] * 64)
+        ref = self._ref_coefs(harness, jpg)[0]
+        bw = w // 8
+        for bi, zz in enumerate(blocks):
+            nat = [0] * 64
+            for k in range(64):
+                nat[_ZIGZAG[k]] = zz[k]
+            assert ref[(bi // bw, bi % bw)] == nat, bi
+
+    def test_distributed_arith_pixel_stats(self, spark, sf_dir):
+        from fuse_query_spark.operators.multimodal import (
+            image_pixel_stats,
+            synthesize_jpeg_arith_blobs,
+        )
+
+        docs = table(spark, sf_dir, "documents").limit(12)
+        rows = image_pixel_stats(synthesize_jpeg_arith_blobs(docs)).collect()
+        assert len(rows) == 12
+        for r in rows:
+            d = r["doc_id"]
+            bw, bh = 1 + d % 3, 1 + d % 2
+            want = 192 * sum(
+                128 + 2 * ((d + bx + 3 * by) % 64 - 32)
+                for by in range(bh)
+                for bx in range(bw)
+            )
+            assert (r["width"], r["height"], r["pixel_sum"]) == (8 * bw, 8 * bh, want)
