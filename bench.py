@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     # r7 additions: QM-coder arithmetic JPEG + interlaced GIF + the
     # bounded-contract HLL rollup (its topk twin was already here)
     "multimodal_jpeg_arith_decode",
+    "multimodal_jpeg_arith_progressive_decode",
     "multimodal_gif_interlaced_decode",
     "events_uniq_sketch_rollup",
 ]

@@ -17,11 +17,11 @@ integer sampling layout incl. 4:2:0, dequant, 8x8 IDCT, chroma
 upsample, JFIF YCbCr→RGB — _jpeg_pixels), PROGRESSIVE (SOF2)
 JPEG (multi-scan spectral selection + successive approximation with
 EOB runs and refinement bits — _jpeg_pixels_progressive, r6), and
-ARITHMETIC-coded (SOF9) JPEG (T.81 Annex E QM coder + section F.2
-conditioning models, validated byte-exact against libjpeg —
-_jpeg_pixels_arith, r7); only progressive-arithmetic (SOF10) and
-lossless (SOF3/11) JPEG still need a library and raise
-NotImplementedError. Frame
+ARITHMETIC-coded JPEG, both sequential SOF9 AND progressive SOF10
+(T.81 Annex E QM coder + section F.2/G.2 conditioning models,
+validated byte-exact against libjpeg — _jpeg_pixels_arith /
+_jpeg_pixels_arith_prog, r7); only lossless (SOF3/11) JPEG still
+needs a library and raises NotImplementedError. Frame
 sampling is REAL over the concatenated-P6 toy video container
 synthesized here (parse frame boundaries, emit every Nth).
 
@@ -339,10 +339,9 @@ def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "pixel decode implemented for raw PPM, uncompressed "
                         "24-bit BMP, 8-bit truecolor PNG, GIF (incl. "
                         "interlaced/local-palette), and baseline + "
-                        "progressive + sequential-arithmetic JPEG; got "
-                        f"{fmt or 'unknown bytes'} — progressive-arithmetic "
-                        "(SOF10) and lossless JPEG are the remaining "
-                        "library boundary (PIL/libvips)"
+                        "progressive + arithmetic (SOF9/SOF10) JPEG; got "
+                        f"{fmt or 'unknown bytes'} — lossless JPEG is the "
+                        "remaining library boundary (PIL/libvips)"
                     )
                 # _ppm_frame re-derives dims + bytes-per-sample and
                 # REJECTS truncated bodies (a silent short buffer would
@@ -1197,11 +1196,13 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
             return _jpeg_pixels_progressive(data)
         elif marker == 0xC9:  # SOF9: arithmetic has its own entropy coder (r7)
             return _jpeg_pixels_arith(data)
-        elif marker in (0xC1, 0xC3, 0xCA, 0xCB):
+        elif marker == 0xCA:  # SOF10: progressive-arithmetic (r7, late)
+            return _jpeg_pixels_arith_prog(data)
+        elif marker in (0xC1, 0xC3, 0xCB):
             raise NotImplementedError(
-                "extended-sequential-Huffman/lossless/progressive-arithmetic "
-                "JPEG unsupported (baseline SOF0, progressive SOF2, and "
-                "sequential-arithmetic SOF9 decode are real)"
+                "extended-sequential-Huffman/lossless JPEG unsupported "
+                "(baseline SOF0, progressive SOF2, sequential-arithmetic "
+                "SOF9, and progressive-arithmetic SOF10 decode are real)"
             )
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -2568,6 +2569,402 @@ def synthesize_jpeg_arith_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 {
                     "doc_id": pdf[id_col],
                     "content": [_jpeg_arith_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+
+
+# --- Progressive-arithmetic (SOF10) JPEG decode + encode (r7, late) -------
+# The QM coder above + the progressive scan structure of SOF2: per-scan
+# spectral band [Ss,Se] and successive approximation [Ah,Al] with the
+# arithmetic conditioning models of T.81 section G.2 (DC-first reuses
+# the sequential DC model on the scaled-down domain; DC-refinement is
+# one fixed-bin bit per block; AC-first is the sequential AC model
+# band-bounded; AC-refinement codes per-k EOB decisions past the
+# previous pass's end-of-block index, correction bits for history-
+# nonzero coefficients, significance+fixed-bin sign for newly-nonzero
+# ones). Statistics areas and the coder reset at every scan and at
+# every restart marker. Validated byte-exact against libjpeg
+# (jpeg_simple_progression + arith_code) across gray/4:4:4/4:2:0/
+# odd-dims/restart gold files in tests/test_multimodal.py. With this,
+# the only JPEG classes left out of scope are the lossless modes
+# (SOF3/SOF11).
+
+
+def _qm_prog_scan(
+    data, pos, comps, scomps, coefs, ss, se, ah, al,
+    dc_cond, ac_cond, restart_interval, mcus_x, mcus_y,
+):
+    """Decode one progressive-arithmetic scan into the zigzag-indexed
+    coefficient grids; returns the stream position of the next marker."""
+    def fresh():
+        return (
+            {t: bytearray(64) for t in range(4)},
+            {t: bytearray(256) for t in range(4)},
+            bytearray([_QM_FIXED_BIN]),
+        )
+
+    dc_stats, ac_stats, fixed = fresh()
+    dec = _QMDecoder(data, pos)
+    dc_ctx = {ci: 0 for ci, *_ in scomps}
+    last_dc = {ci: 0 for ci, *_ in scomps}
+
+    def dc_first(ci, dtbl, blk):
+        diff, dc_ctx[ci] = _qm_decode_dc(
+            dec, dc_stats[dtbl], dc_ctx[ci], dc_cond[dtbl]
+        )
+        last_dc[ci] += diff
+        blk[0] = last_dc[ci] << al
+
+    def dc_refine(blk):
+        if dec.decode(fixed, 0):
+            blk[0] |= 1 << al
+
+    def ac_first(atbl, blk):
+        st = ac_stats[atbl]
+        kx = ac_cond[atbl]
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if dec.decode(st, base):
+                return  # EOB
+            while dec.decode(st, base + 1) == 0:
+                k += 1
+                base += 3
+                if k > se:
+                    raise ValueError("arithmetic JPEG: AC run past Se")
+            sign = dec.decode(fixed, 0)
+            stx = base + 2
+            m = dec.decode(st, stx)
+            if m:
+                if dec.decode(st, stx):
+                    m = 2
+                    stx = 189 if k <= kx else 217
+                    while dec.decode(st, stx):
+                        m <<= 1
+                        if m == 0x8000:
+                            raise ValueError("arithmetic JPEG: AC overflow")
+                        stx += 1
+            v = m
+            stx += 14
+            mm = m >> 1
+            while mm:
+                if dec.decode(st, stx):
+                    v |= mm
+                mm >>= 1
+            v += 1
+            blk[k] = (-v if sign else v) << al
+            k += 1
+
+    def ac_refine(atbl, blk):
+        st = ac_stats[atbl]
+        p1 = 1 << al
+        m1 = -1 << al
+        kex = 0
+        for kk in range(se, 0, -1):
+            if blk[kk]:
+                kex = kk
+                break
+        k = ss
+        while k <= se:
+            base = 3 * (k - 1)
+            if k > kex and dec.decode(st, base):
+                return  # EOB past the previous pass's end-of-block
+            while True:
+                cur = int(blk[k])
+                if cur:
+                    if dec.decode(st, base + 2):
+                        blk[k] = cur + (m1 if cur < 0 else p1)
+                    break
+                if dec.decode(st, base + 1):
+                    blk[k] = m1 if dec.decode(fixed, 0) else p1
+                    break
+                base += 3
+                k += 1
+                if k > se:
+                    raise ValueError("arithmetic JPEG: refine run past Se")
+            k += 1
+
+    n = 0
+
+    def maybe_restart():
+        nonlocal dec, dc_stats, ac_stats, fixed
+        if not (restart_interval and n and n % restart_interval == 0):
+            return
+        if dec.marker is not None and 0xD0 <= dec.marker <= 0xD7:
+            p2 = dec.pos + 1
+        else:
+            p = dec.pos
+            while p + 1 < len(data) and not (
+                data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
+            ):
+                p += 1
+            if p + 1 >= len(data):
+                raise ValueError("expected JPEG restart marker")
+            p2 = p + 2
+        dec = _QMDecoder(data, p2)
+        dc_stats, ac_stats, fixed = fresh()
+        for ci in dc_ctx:
+            dc_ctx[ci] = 0
+            last_dc[ci] = 0
+
+    if ss == 0:  # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if len(scomps) > 1:  # interleaved over the MCU grid
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    n += 1
+                    for ci, c, dtbl, _atbl in scomps:
+                        for byi in range(c["vi"]):
+                            for bxi in range(c["hi"]):
+                                blk = coefs[ci][my * c["vi"] + byi, mx * c["hi"] + bxi]
+                                if ah == 0:
+                                    dc_first(ci, dtbl, blk)
+                                else:
+                                    dc_refine(blk)
+        else:
+            ci, c, dtbl, _atbl = scomps[0]
+            for br in range(c["bh"]):
+                for bc in range(c["bw"]):
+                    maybe_restart()
+                    n += 1
+                    if ah == 0:
+                        dc_first(ci, dtbl, coefs[ci][br, bc])
+                    else:
+                        dc_refine(coefs[ci][br, bc])
+    else:  # AC scan: single-component by spec
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci, c, _dtbl, atbl = scomps[0]
+        for br in range(c["bh"]):
+            for bc in range(c["bw"]):
+                maybe_restart()
+                n += 1
+                if ah == 0:
+                    ac_first(atbl, coefs[ci][br, bc])
+                else:
+                    ac_refine(atbl, coefs[ci][br, bc])
+    # next true marker after this scan's entropy data
+    if dec.marker is not None and dec.marker != 0xD9:
+        return dec.pos - 1 if data[dec.pos - 1] == 0xFF else dec.pos
+    p = dec.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF)
+    ):
+        p += 1
+    return p
+
+
+def _jpeg_arith_prog_coefs(data: bytes):
+    """The SOF10 marker walk + QM scan decode, stopping at the
+    coefficient level: returns (coefs, comps, w, h, qtables, hmax,
+    vmax) with coefs[ci] an int32[bh, bw, 64] zigzag-indexed grid —
+    exposed separately so tests can compare coefficients byte-exact
+    against libjpeg's dump (pixel space would blur the comparison
+    through two different IDCT roundings)."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_cond = {t: (0, 1) for t in range(4)}
+    ac_cond = {t: 5 for t in range(4)}
+    w = h = None
+    restart_interval = 0
+    comps: list[dict] = []
+    coefs: list = []
+    mcus_x = mcus_y = hmax = vmax = 0
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment")
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qtables[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xCA:  # SOF10
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG unsupported")
+            for ci in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {hi}x{vi}")
+                comps.append({"cid": cid, "tq": tq, "hi": hi, "vi": vi})
+            hmax = max(c["hi"] for c in comps)
+            vmax = max(c["vi"] for c in comps)
+            if any(hmax % c["hi"] or vmax % c["vi"] for c in comps):
+                raise NotImplementedError("non-integer chroma sampling ratios")
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                cw = (w * c["hi"] + hmax - 1) // hmax
+                ch = (h * c["vi"] + vmax - 1) // vmax
+                c["bw"], c["bh"] = (cw + 7) // 8, (ch + 7) // 8
+                coefs.append(
+                    np.zeros((mcus_y * c["vi"], mcus_x * c["hi"], 64), np.int32)
+                )
+        elif marker == 0xCC:
+            p = 0
+            while p < len(seg):
+                tc, tb, cs = seg[p] >> 4, seg[p] & 0x0F, seg[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)
+                else:
+                    ac_cond[tb] = cs
+                p += 2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCB):
+            raise ValueError("mixed/unsupported SOF in progressive-arithmetic decode")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("JPEG SOS before SOF10")
+            ns = seg[0]
+            scomps = []
+            by_cid = {c["cid"]: (i, c) for i, c in enumerate(comps)}
+            for si in range(ns):
+                cid, tids = seg[1 + 2 * si], seg[2 + 2 * si]
+                if cid not in by_cid:
+                    raise ValueError("SOS names unknown component")
+                ci, c = by_cid[cid]
+                scomps.append((ci, c, tids >> 4, tids & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _qm_prog_scan(
+                data, pos + 2 + seglen, comps, scomps, coefs, ss, se,
+                ahal >> 4, ahal & 0x0F, dc_cond, ac_cond,
+                restart_interval, mcus_x, mcus_y,
+            )
+            continue
+        pos += 2 + seglen
+    if w is None or not comps:
+        raise ValueError("JPEG missing SOF10")
+    return coefs, comps, w, h, qtables, hmax, vmax
+
+
+def _jpeg_pixels_arith_prog(data: bytes) -> tuple[int, int, bytes]:
+    """REAL progressive-arithmetic (SOF10) JPEG decode: the SOF2 scan
+    walk with QM-coded scan bodies (see the section comment above for
+    the G.2 model mapping), then the shared batched dequant/IDCT/
+    upsample/YCbCr tail."""
+    import numpy as np
+
+    coefs, comps, w, h, qtables, hmax, vmax = _jpeg_arith_prog_coefs(data)
+    a = _idct_matrix()
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qtables:
+            raise ValueError("JPEG missing DQT for a component")
+        q = np.array(qtables[c["tq"]], np.float64)
+        grid = coefs[ci].astype(np.float64) * q
+        bh_full, bw_full = grid.shape[:2]
+        f = np.zeros((bh_full, bw_full, 8, 8))
+        zz_rows = [z // 8 for z in _ZIGZAG]
+        zz_cols = [z % 8 for z in _ZIGZAG]
+        f[:, :, zz_rows, zz_cols] = grid
+        px = np.einsum("ui,bcuv,vj->bcij", a, f, a, optimize=True)
+        planes.append(
+            px.transpose(0, 2, 1, 3).reshape(bh_full * 8, bw_full * 8) + 128.0
+        )
+    return _jpeg_finish(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_encode_arith_prog_gray(
+    blocks_zz: list[list[int]], w: int, h: int, q: list[int]
+) -> bytes:
+    """Assemble a valid PROGRESSIVE-ARITHMETIC (SOF10) grayscale JPEG:
+    three scans — DC first (Al=1), DC refinement (Al=0), AC first
+    (1..63, Al=0) — each an independent QM segment, which is enough to
+    exercise the DC successive-approximation machinery and the banded
+    AC model. (An AC-refinement ENCODER is deliberately out of scope:
+    the decode path for it is pinned by the libjpeg gold files, whose
+    jpeg_simple_progression script emits AC refinement scans.)"""
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(q))
+    out += seg(0xCA, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
+
+    # scan 1: DC first, Al=1 (codes diffs of DC>>1)
+    enc = _QMEncoder()
+    dc_stats = bytearray(64)
+    ctx, last = 0, 0
+    for zz in blocks_zz:
+        v = zz[0] >> 1  # arithmetic shift matches the decoder's <<1 + refine bit
+        ctx = _qm_encode_dc(enc, dc_stats, ctx, v - last, (0, 1))
+        last = v
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    out += enc.flush()
+
+    # scan 2: DC refinement, Ah=1 Al=0 (one fixed-bin bit per block)
+    enc = _QMEncoder()
+    fixed = bytearray([_QM_FIXED_BIN])
+    for zz in blocks_zz:
+        enc.encode(fixed, 0, zz[0] & 1)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    out += enc.flush()
+
+    # scan 3: AC first, band 1..63, Al=0
+    enc = _QMEncoder()
+    ac_stats = bytearray(256)
+    fixed = bytearray([_QM_FIXED_BIN])
+    for zz in blocks_zz:
+        _qm_encode_ac(enc, ac_stats, fixed, zz, 5)
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    out += enc.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_arith_prog_bytes(doc_id: int) -> bytes:
+    """Deterministic valid PROGRESSIVE-ARITHMETIC (SOF10) grayscale
+    JPEG per doc: the same flat-DC closed form as _jpeg_bytes, coded
+    across three QM scans (DC first Al=1, DC refinement, AC first) —
+    the DC arrives over two successive-approximation scans, so the
+    oracle hash pins the refinement reassembly too."""
+    bw, bh = 1 + doc_id % 3, 1 + doc_id % 2
+    q = [16] * 64
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            zz[0] = (doc_id + bx + 3 * by) % 64 - 32
+            blocks.append(zz)
+    return _jpeg_encode_arith_prog_gray(blocks, bw * 8, bh * 8, q)
+
+
+def synthesize_jpeg_arith_prog_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content): deterministic valid SOF10 JPEGs."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": [_jpeg_arith_prog_bytes(int(i)) for i in pdf[id_col]],
                 }
             )
 

@@ -180,7 +180,9 @@ DRIVER_PRIORITY = [
     # (dedup_cluster_canonical rotated out r6-late for SoftDeDup,
     # which subsumes its pairs->CC pipeline and adds the reweight)
     "dedup_soft_reweight",  # r6: SoftDeDup cluster-size reweighting
-    "dedup_chunk_fraction",  # r5: paragraph-analog chunk dedup
+    # (dedup_chunk_fraction rotated out r7-late for the SOF10 decode:
+    # r5+r6 green, dedup family keeps 3 prefix rows)
+    "multimodal_jpeg_arith_progressive_decode",  # r7: SOF10 QM decode
     # sampling / pipeline ops — never driver-checked before r5
     # (dedup_minhash_lsh_md5 rotated out r5-late for the leakage-safe
     # split: 2-round green, and its shingle->band->verify pipeline

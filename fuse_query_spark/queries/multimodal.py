@@ -328,6 +328,43 @@ def multimodal_jpeg_arith_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_arith_progressive_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(192 * list_sum(list_transform(
+               range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+               k -> 128 + 2 * ((doc_id + (k % (1 + doc_id % 3))
+                                + 3 * (k // (1 + doc_id % 3))) % 64 - 32)
+           )) AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal", "decode", "jpeg", "arithmetic", "progressive"),
+)
+def multimodal_jpeg_arith_progressive_decode(spark, sf_dir):
+    """PROGRESSIVE-ARITHMETIC (SOF10) JPEG decode end-to-end (r7,
+    late — with SOF9 landed the same round, the remaining codec
+    boundary is lossless JPEG only): synthesize SOF10 files whose DC
+    arrives across two successive-approximation QM scans plus a banded
+    AC scan (operators/multimodal._jpeg_encode_arith_prog_gray), decode
+    via the progressive scan walk with arithmetic scan bodies
+    (_jpeg_pixels_arith_prog: per-scan coder + statistics reset, G.2
+    DC/AC models, AC-refinement correction bits). Flat-DC closed form
+    — same oracle as the baseline/progressive/arithmetic twins. The
+    decode path is additionally pinned byte-exact against libjpeg's
+    jpeg_simple_progression + arith_code output in
+    tests/test_multimodal.py."""
+    from fuse_query_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_jpeg_arith_prog_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return image_pixel_stats(synthesize_jpeg_arith_prog_blobs(docs))
+
+
+@register(
     "multimodal_jpeg_progressive_decode",
     oracle="""
     SELECT doc_id,

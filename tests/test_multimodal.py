@@ -1180,3 +1180,147 @@ class TestJpegArithmeticDecode:
                 for bx in range(bw)
             )
             assert (r["width"], r["height"], r["pixel_sum"]) == (8 * bw, 8 * bh, want)
+
+
+class TestJpegProgressiveArithmeticDecode:
+    """SOF10 (r7, late): the QM coder under the progressive scan
+    structure. Reuses TestJpegArithmeticDecode's harness pattern."""
+
+    harness = TestJpegArithmeticDecode.__dict__["harness"]
+
+    def _gold_prog(self, harness, w, h, ncomp, sub=False, restart=None):
+        import os
+        import subprocess
+
+        pix = bytes(
+            (x * 7 + y * 13 + c * 31 + (x * y) % 29) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(ncomp)
+        )
+        env = dict(os.environ)
+        env["HARNESS_PROGRESSIVE"] = "1"
+        if restart:
+            env["HARNESS_RESTART"] = str(restart)
+        args = [harness, "encode", str(w), str(h), str(ncomp)]
+        if sub:
+            args.append("h2v2")
+        return subprocess.run(
+            args, input=pix, capture_output=True, env=env, check=True
+        ).stdout
+
+    @pytest.mark.parametrize(
+        "w,h,ncomp,sub,restart",
+        [
+            (16, 16, 1, False, None),
+            (70, 50, 1, False, None),
+            (48, 32, 3, False, None),
+            (70, 50, 3, True, None),
+            (64, 64, 1, False, 2),
+        ],
+        ids=["gray16", "gray-odd", "color444", "color420", "gray-restart2"],
+    )
+    def test_decoder_matches_libjpeg_gold(self, harness, w, h, ncomp, sub, restart):
+        """Production SOF10 coefficient decode of libjpeg-encoded
+        progressive-arithmetic files (jpeg_simple_progression script:
+        DC successive approximation, banded AC-first scans, AC
+        refinement scans) equals libjpeg's own dump byte-for-byte."""
+        from fuse_query_spark.operators.multimodal import (
+            _ZIGZAG,
+            _jpeg_arith_prog_coefs,
+        )
+
+        jpg = self._gold_prog(harness, w, h, ncomp, sub, restart)
+        coefs, comps, ww, hh, _q, _hm, _vm = _jpeg_arith_prog_coefs(jpg)
+        assert (ww, hh) == (w, h)
+        ref = TestJpegArithmeticDecode._ref_coefs(self, harness, jpg)
+        for ci, grid in enumerate(ref):
+            for (br, bc), refblk in grid.items():
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = int(coefs[ci][br, bc, k])
+                assert nat == refblk, (ci, br, bc)
+
+    def test_prog_arith_file_decodes_like_huffman_twin(self):
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_arith_prog_bytes,
+            _jpeg_bytes,
+            _jpeg_pixels,
+        )
+
+        for doc_id in range(12):
+            assert _jpeg_pixels(_jpeg_arith_prog_bytes(doc_id)) == _jpeg_pixels(
+                _jpeg_bytes(doc_id)
+            ), doc_id
+
+    def test_prog_arith_roundtrip_random_coefficients(self):
+        """Random blocks through the 3-scan SOF10 encoder decode to the
+        same pixels as the baseline Huffman encoder — including negative
+        DCs whose value is reassembled from a floor-shifted first scan
+        plus a refinement bit."""
+        import random
+
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_encode_arith_prog_gray,
+            _jpeg_encode_gray,
+            _jpeg_pixels,
+        )
+
+        rng = random.Random(5)
+        w, h = 40, 24
+        blocks = []
+        for _ in range((w // 8) * (h // 8)):
+            zz = [0] * 64
+            zz[0] = rng.randint(-500, 500)
+            for _ in range(rng.randint(0, 15)):
+                zz[rng.randint(1, 63)] = rng.randint(-255, 255)
+            blocks.append(zz)
+        q = [16] * 64
+        assert _jpeg_pixels(
+            _jpeg_encode_arith_prog_gray(blocks, w, h, q)
+        ) == _jpeg_pixels(_jpeg_encode_gray(blocks, w, h, q))
+
+    def test_libjpeg_decodes_our_prog_encoder(self, harness):
+        import random
+
+        from fuse_query_spark.operators.multimodal import (
+            _ZIGZAG,
+            _jpeg_encode_arith_prog_gray,
+        )
+
+        rng = random.Random(13)
+        w, h = 32, 16
+        blocks = []
+        for _ in range((w // 8) * (h // 8)):
+            zz = [0] * 64
+            zz[0] = rng.randint(-400, 400)
+            for _ in range(rng.randint(0, 10)):
+                zz[rng.randint(1, 63)] = rng.randint(-127, 127)
+            blocks.append(zz)
+        jpg = _jpeg_encode_arith_prog_gray(blocks, w, h, [16] * 64)
+        ref = TestJpegArithmeticDecode._ref_coefs(self, harness, jpg)[0]
+        bw = w // 8
+        for bi, zz in enumerate(blocks):
+            nat = [0] * 64
+            for k in range(64):
+                nat[_ZIGZAG[k]] = zz[k]
+            assert ref[(bi // bw, bi % bw)] == nat, bi
+
+    def test_distributed_prog_arith_pixel_stats(self, spark, sf_dir):
+        from fuse_query_spark.operators.multimodal import (
+            image_pixel_stats,
+            synthesize_jpeg_arith_prog_blobs,
+        )
+
+        docs = table(spark, sf_dir, "documents").limit(10)
+        rows = image_pixel_stats(synthesize_jpeg_arith_prog_blobs(docs)).collect()
+        assert len(rows) == 10
+        for r in rows:
+            d = r["doc_id"]
+            bw, bh = 1 + d % 3, 1 + d % 2
+            want = 192 * sum(
+                128 + 2 * ((d + bx + 3 * by) % 64 - 32)
+                for by in range(bh)
+                for bx in range(bw)
+            )
+            assert (r["width"], r["height"], r["pixel_sum"]) == (8 * bw, 8 * bh, want)

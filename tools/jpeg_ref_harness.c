@@ -31,6 +31,7 @@ static int enc(int w, int h, int ncomp, int subsample) {
   jpeg_set_quality(&c, 95, TRUE);
   c.arith_code = TRUE;
   { const char *ri = getenv("HARNESS_RESTART"); if (ri) c.restart_interval = atoi(ri); }
+  if (getenv("HARNESS_PROGRESSIVE")) jpeg_simple_progression(&c);
   c.optimize_coding = FALSE;
   if (ncomp == 3 && !subsample) {   /* force 4:4:4 unless asked */
     c.comp_info[0].h_samp_factor = c.comp_info[0].v_samp_factor = 1;
