@@ -242,3 +242,111 @@ def broadcast_action(
 ) -> flight.Action:
     body = {"query_id": query_id, "stage_id": stage_id, "plan": plan, "sinks": sinks}
     return flight.Action("BroadcastAction", json.dumps(body).encode("utf-8"))
+
+
+class StageError(Exception):
+    """Typed coordinator-side stage failure (the analog of the
+    reference dispatcher's error channel, flight_dispatcher.rs:54-61:
+    when a stage's sender errors, the stage is aborted and its
+    receivers torn down rather than left half-consumable). Carries the
+    failing peer address and the underlying Flight error."""
+
+    def __init__(self, peer: str, cause: Exception):
+        super().__init__(f"stage failed at peer {peer}: {cause}")
+        self.peer = peer
+        self.cause = cause
+
+
+class StageCoordinator:
+    """Coordinator side of the reference's distributed dispatch loop
+    (plan_scheduler.rs + flight_dispatcher.rs): send peer i its slice
+    of the stage (`plans[i]`) as a PrepareShuffleAction scattering into
+    `sinks`, then gather every (sink x peer) one-shot stream and
+    concatenate per sink — the final result is assembled EXCLUSIVELY
+    from Flight do_get streams.
+
+    Failure semantics (flight_dispatcher.rs:54-61): if any peer dies
+    or errors mid-gather, the whole stage ABORTS — a typed StageError
+    naming the peer surfaces to the caller, and every still-unconsumed
+    stream of this stage on the SURVIVING peers is drained first.
+    Streams are one-shot (get_stream MOVES the entry out of the peer's
+    registry), so draining is the wire-level way to tear the stage
+    down remotely; without it the dead stage's streams would sit in
+    the survivors' registries forever (and poison a retried stage_id:
+    _set_streams rejects re-preparing an existing key)."""
+
+    def __init__(self, peers: list[str], timeout: float = 30.0):
+        self.peers = list(peers)
+        self.cons = []
+        for addr in self.peers:
+            con = flight.connect(addr)
+            con.wait_for_available(timeout=timeout)
+            self.cons.append(con)
+
+    def close(self) -> None:
+        for con in self.cons:
+            try:
+                con.close()
+            except Exception:
+                pass
+
+    def dispatch(
+        self,
+        query_id: str,
+        stage_id: str,
+        plans: list[str],
+        sinks: list[str],
+        scatters_expression: str,
+    ) -> None:
+        if len(plans) != len(self.cons):
+            raise ValueError("need exactly one plan slice per peer")
+        for con, plan in zip(self.cons, plans):
+            list(
+                con.do_action(
+                    shuffle_action(query_id, stage_id, plan, sinks, scatters_expression)
+                )
+            )
+
+    def gather(self, query_id: str, stage_id: str, sinks: list[str]) -> dict:
+        """{sink: concatenated pa.Table}. Gather order is sink-major so
+        a mid-stage peer death leaves a genuinely partial stage (some
+        sinks consumed, some not) — the case the cleanup exists for."""
+        fetched: set = set()
+        parts: dict = {s: [] for s in sinks}
+        pi = -1
+        try:
+            for sink in sinks:
+                for pi, con in enumerate(self.cons):
+                    parts[sink].append(
+                        con.do_get(stream_ticket(query_id, stage_id, sink)).read_all()
+                    )
+                    fetched.add((pi, sink))
+        except flight.FlightError as e:
+            dead = pi
+            for sink2 in sinks:  # tear the stage down on the survivors
+                for pj, con2 in enumerate(self.cons):
+                    if pj == dead or (pj, sink2) in fetched:
+                        continue
+                    try:
+                        con2.do_get(stream_ticket(query_id, stage_id, sink2)).read_all()
+                    except flight.FlightError:
+                        pass  # already gone or also dying — drain is best-effort
+            raise StageError(self.peers[dead], e) from e
+        return {s: pa.concat_tables(t) for s, t in parts.items()}
+
+
+def dispatch_and_gather(
+    peers: list[str],
+    query_id: str,
+    stage_id: str,
+    plans: list[str],
+    sinks: list[str],
+    scatters_expression: str,
+) -> dict:
+    """One-call convenience over StageCoordinator."""
+    coord = StageCoordinator(peers)
+    try:
+        coord.dispatch(query_id, stage_id, plans, sinks, scatters_expression)
+        return coord.gather(query_id, stage_id, sinks)
+    finally:
+        coord.close()
