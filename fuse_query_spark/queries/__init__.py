@@ -124,12 +124,16 @@ DRIVER_PRIORITY = [
     # enters the prefix, all 48 re-verified green by
     # tools/check_oracle.py at sf0.01 before pinning. The r5-r7-green
     # rows they displace keep their driver-green history past slot 50
-    # (ROTATION.md). window_running_total (r3) is the one deferment —
-    # first in line for r9, still <6 rounds old there.
+    # (ROTATION.md). window_running_total and text_fingerprint (both
+    # r3) are the two deferments — first in line for r9, still <6
+    # rounds old there (they made room for the mp4 demux row).
     # flagship (7 rounds green, stays slot 1 — entry()'s smoke query)
     "q01_pricing_summary",
-    # the one NEW row this round: codec family's closing entry
+    # the two NEW rows this round: codec family's closing entry and
+    # the real-container demux that closes the r7 verdict's "largest
+    # remaining gap"
     "multimodal_jpeg_quarantine_lossless",  # r8: lossless SOF3 typed routing
+    "multimodal_mp4_demux",  # r8: ISO-BMFF sample-table demux + kf sampling
     # --- last green r1/r2 ---
     # aggregation / grouping
     "agg_combinator_distinct",
@@ -187,7 +191,6 @@ DRIVER_PRIORITY = [
     "similarity_bucket_histogram",
     "similarity_knn_lsh",
     "text_bpe_token_count",
-    "text_fingerprint",
 ]
 
 

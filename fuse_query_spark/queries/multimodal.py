@@ -451,3 +451,53 @@ def multimodal_jpeg_quarantine_lossless(spark, sf_dir):
     # driver's pandas compare as float64 ('164736.0' vs '164736') —
     # the exact HUGEINT bug class tools/check_oracle.py documents
     return out.withColumn("pixel_sum", F.col("pixel_sum").cast("double"))
+
+
+@register(
+    "multimodal_mp4_demux",
+    oracle="""
+    WITH v AS (SELECT doc_id, unnest(range(0, 3 + doc_id % 5)) AS i FROM documents),
+         a AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS i FROM documents)
+    SELECT doc_id, CAST(1 AS INT) AS track_id, 'vide' AS handler,
+           CAST(i AS INT) AS sample_idx,
+           CAST(CASE WHEN i < 2 THEN i * 512 ELSE 1024 + (i - 2) * 768 END AS BIGINT) AS dts,
+           CAST((CASE WHEN i < 2 THEN i * 512 ELSE 1024 + (i - 2) * 768 END)
+                + 256 * (i % 3) AS BIGINT) AS pts,
+           CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS INT) AS is_sync,
+           CAST(16 + (doc_id + i) % 7 AS INT) AS size,
+           CAST(list_sum(list_transform(range(0, 16 + (doc_id + i) % 7),
+                j -> (doc_id * 31 + i * 17 + j) % 251)) AS BIGINT) AS byte_sum,
+           CAST(CASE WHEN i % 3 = 0 AND (i // 3) % 2 = 0 THEN 1 ELSE 0 END AS INT) AS kf_pick
+    FROM v
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INT) AS track_id, 'soun' AS handler,
+           CAST(i AS INT) AS sample_idx,
+           CAST(i * 1024 AS BIGINT) AS dts,
+           CAST(i * 1024 AS BIGINT) AS pts,
+           CAST(1 AS INT) AS is_sync,
+           CAST(8 + (doc_id + i) % 5 AS INT) AS size,
+           CAST(list_sum(list_transform(range(0, 8 + (doc_id + i) % 5),
+                j -> (doc_id * 13 + i * 7 + j) % 199)) AS BIGINT) AS byte_sum,
+           CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS INT) AS kf_pick
+    FROM a
+    """,
+    tags=("pipeline", "multimodal", "video", "mp4", "demux"),
+)
+def multimodal_mp4_demux(spark, sf_dir):
+    """REAL ISO-BMFF (MP4) demux end-to-end (r8 — the r7 verdict's
+    'largest remaining gap'): synthesize deterministic TWO-track MP4s
+    (video: two-run stts, per-sample ctts pts offsets, stss keyframes
+    every 3rd sample, 2-samples-per-chunk stsc with the audio chunk
+    INTERLEAVED between video chunks in mdat, moov after mdat; audio:
+    no stss ⇒ all-sync per §8.6.2) and run the full demuxer — box
+    walk, sample-table expansion, absolute byte-range resolution. The
+    oracle recomputes every output closed-form, and byte_sum sums the
+    sample's actual mdat bytes at the RESOLVED offset, so a wrong
+    stsc run / chunk offset / size cannot hash-match. kf_pick is the
+    every-2nd-keyframe sampling policy a curation pass feeds to the
+    (library-boundary) codec decoder — demux and sampling verify in
+    one row. See operators/mp4.py for the scale posture."""
+    from fuse_query_spark.operators.mp4 import mp4_demux, synthesize_mp4_blobs
+
+    docs = table(spark, sf_dir, "documents")
+    return mp4_demux(synthesize_mp4_blobs(docs))
