@@ -1,0 +1,400 @@
+"""Real Matroska/WebM (EBML, RFC 8794 + the public Matroska spec)
+demux — the second container of the r7 verdict's "MP4/MKV" gap
+(operators/mp4.py covers ISO-BMFF). WebM is Matroska with a
+constrained codec set, so this one walker covers both.
+
+What is implemented for real:
+
+- EBML element walk: 1-4 byte IDs (leading-1 marker retained), 1-8
+  byte sizes (marker stripped), unknown-size elements (all-VINT_DATA
+  ones — legal for Segment/Cluster in live streams) scoped to the
+  parent's end;
+- Segment → Info (TimestampScale) → Tracks → TrackEntry
+  (TrackNumber/TrackType/CodecID) → Cluster* → SimpleBlock /
+  BlockGroup(Block + ReferenceBlock);
+- block header decode: track-number varint, signed 16-bit relative
+  timestamp (cluster timestamp + rel = absolute, in TimestampScale
+  units), keyframe flag (SimpleBlock bit 0x80; for BlockGroup,
+  keyframe ⇔ NO ReferenceBlock, per spec §6.3);
+- ALL THREE lacing modes (Xiph 255-run sizes, fixed-size, EBML
+  signed-delta sizes) — the frame-packing quirk that distinguishes a
+  real Matroska demuxer from a toy one.
+
+Spark-side: the same Arrow-batched mapInPandas contract as mp4/image
+decoders — one blob flat-maps to n_frames rows, blobs never on the
+driver, no shuffle. Codec payloads (VP9/AV1/Opus…) stay the library
+boundary.
+
+The reference engine has no container surface (SURVEY §2);
+capability extension for the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+EBML_HEADER = 0x1A45DFA3
+SEGMENT = 0x18538067
+INFO = 0x1549A966
+TIMESTAMP_SCALE = 0x2AD7B1
+TRACKS = 0x1654AE6B
+TRACK_ENTRY = 0xAE
+TRACK_NUMBER = 0xD7
+TRACK_TYPE = 0x83
+CODEC_ID = 0x86
+CLUSTER = 0x1F43B675
+CLUSTER_TS = 0xE7
+SIMPLE_BLOCK = 0xA3
+BLOCK_GROUP = 0xA0
+BLOCK = 0xA1
+REFERENCE_BLOCK = 0xFB
+
+
+def _read_id(data: bytes, pos: int) -> tuple[int, int]:
+    """EBML ID: length from leading zero bits, marker bit KEPT."""
+    if pos >= len(data):
+        raise ValueError("ebml: truncated element id")
+    b0 = data[pos]
+    for ln in range(1, 5):
+        if b0 & (0x80 >> (ln - 1)):
+            if pos + ln > len(data):
+                raise ValueError("ebml: truncated element id")
+            return int.from_bytes(data[pos : pos + ln], "big"), pos + ln
+    raise ValueError(f"ebml: invalid id byte 0x{b0:02x} at {pos}")
+
+
+def _read_size(data: bytes, pos: int) -> tuple[int | None, int]:
+    """EBML size: marker bit STRIPPED; all-ones payload = unknown."""
+    if pos >= len(data):
+        raise ValueError("ebml: truncated element size")
+    b0 = data[pos]
+    for ln in range(1, 9):
+        if b0 & (0x80 >> (ln - 1)):
+            if pos + ln > len(data):
+                raise ValueError("ebml: truncated element size")
+            raw = int.from_bytes(data[pos : pos + ln], "big")
+            val = raw - ((0x80 >> (ln - 1)) << (8 * (ln - 1)))
+            if val == (1 << (7 * ln)) - 1:  # VINT_DATA all ones
+                return None, pos + ln
+            return val, pos + ln
+    raise ValueError(f"ebml: invalid size byte 0x{b0:02x} at {pos}")
+
+
+def _elements(data: bytes, start: int, end: int):
+    """Yield (id, payload_start, payload_end). Unknown-size elements
+    extend to the parent's end (legal only for master elements;
+    adequate for Segment/Cluster tails in live-muxed files)."""
+    pos = start
+    while pos < end:
+        eid, p = _read_id(data, pos)
+        size, p = _read_size(data, p)
+        pe = end if size is None else p + size
+        if pe > end:
+            raise ValueError(f"ebml: element 0x{eid:x} overruns parent at {pos}")
+        yield eid, p, pe
+        pos = pe
+
+
+def _uint(data: bytes, s: int, e: int) -> int:
+    return int.from_bytes(data[s:e], "big")
+
+
+def _block_frames(data: bytes, s: int, e: int) -> tuple[int, int, int, list[bytes]]:
+    """Decode a (Simple)Block payload: (track_number, rel_ts, flags,
+    frames) with all three lacing modes expanded (Matroska §6.2.3)."""
+    tn, p = _read_size(data, s)  # track number is a plain varint
+    if tn is None:
+        raise ValueError("mkv: block with unknown track number")
+    rel = int.from_bytes(data[p : p + 2], "big", signed=True)
+    flags = data[p + 2]
+    p += 3
+    lacing = (flags >> 1) & 0x3
+    if lacing == 0:
+        return tn, rel, flags, [data[p:e]]
+    n_frames = data[p] + 1
+    p += 1
+    sizes: list[int] = []
+    if lacing == 0b01:  # Xiph: 255-run coded sizes for all but last
+        for _ in range(n_frames - 1):
+            sz = 0
+            while data[p] == 255:
+                sz += 255
+                p += 1
+            sz += data[p]
+            p += 1
+            sizes.append(sz)
+    elif lacing == 0b10:  # fixed: equal split of the remainder
+        total = e - p
+        if total % n_frames:
+            raise ValueError("mkv: fixed lacing with non-divisible payload")
+        sizes = [total // n_frames] * (n_frames - 1)
+    else:  # 0b11 EBML: first absolute varint, then signed deltas
+        first, p = _read_size(data, p)
+        sizes.append(first)
+        for _ in range(n_frames - 2):
+            raw_start = p
+            v, p = _read_size(data, raw_start)
+            ln = p - raw_start
+            # signed VINT: subtract the mid-range bias 2^(7*len-1)-1
+            delta = v - ((1 << (7 * ln - 1)) - 1)
+            sizes.append(sizes[-1] + delta)
+    frames = []
+    for sz in sizes:
+        if p + sz > e:
+            raise ValueError("mkv: laced frame overruns block")
+        frames.append(data[p : p + sz])
+        p += sz
+    frames.append(data[p:e])  # last frame: remainder
+    return tn, rel, flags, frames
+
+
+def parse_mkv(data: bytes) -> dict:
+    """Parse one Matroska/WebM stream: doc type, timestamp scale,
+    tracks, and every block expanded to per-frame records
+    (track, abs_ts, keyframe, lace_idx, payload bytes)."""
+    top = list(_elements(data, 0, len(data)))
+    if not top or top[0][0] != EBML_HEADER:
+        raise ValueError("mkv: missing EBML header")
+    seg = next(((s, e) for i, s, e in top if i == SEGMENT), None)
+    if seg is None:
+        raise ValueError("mkv: missing Segment")
+    ts_scale = 1_000_000
+    tracks: dict[int, dict] = {}
+    frames: list[dict] = []
+    for eid, s, e in _elements(data, *seg):
+        if eid == INFO:
+            for i2, s2, e2 in _elements(data, s, e):
+                if i2 == TIMESTAMP_SCALE:
+                    ts_scale = _uint(data, s2, e2)
+        elif eid == TRACKS:
+            for i2, s2, e2 in _elements(data, s, e):
+                if i2 != TRACK_ENTRY:
+                    continue
+                tr: dict = {"codec": None}
+                for i3, s3, e3 in _elements(data, s2, e2):
+                    if i3 == TRACK_NUMBER:
+                        tr["track_id"] = _uint(data, s3, e3)
+                    elif i3 == TRACK_TYPE:
+                        tr["type"] = {1: "video", 2: "audio"}.get(
+                            _uint(data, s3, e3), "other"
+                        )
+                    elif i3 == CODEC_ID:
+                        tr["codec"] = data[s3:e3].decode("latin-1")
+                tracks[tr["track_id"]] = tr
+        elif eid == CLUSTER:
+            cluster_ts = 0
+            for i2, s2, e2 in _elements(data, s, e):
+                if i2 == CLUSTER_TS:
+                    cluster_ts = _uint(data, s2, e2)
+                elif i2 == SIMPLE_BLOCK:
+                    tn, rel, flags, fr = _block_frames(data, s2, e2)
+                    for li, payload in enumerate(fr):
+                        frames.append(
+                            {
+                                "track_id": tn,
+                                "ts": cluster_ts + rel,
+                                "keyframe": bool(flags & 0x80),
+                                "lace_idx": li,
+                                "payload": payload,
+                            }
+                        )
+                elif i2 == BLOCK_GROUP:
+                    blk = None
+                    has_ref = False
+                    for i3, s3, e3 in _elements(data, s2, e2):
+                        if i3 == BLOCK:
+                            blk = (s3, e3)
+                        elif i3 == REFERENCE_BLOCK:
+                            has_ref = True
+                    if blk is None:
+                        raise ValueError("mkv: BlockGroup without Block")
+                    tn, rel, flags, fr = _block_frames(data, *blk)
+                    for li, payload in enumerate(fr):
+                        frames.append(
+                            {
+                                "track_id": tn,
+                                "ts": cluster_ts + rel,
+                                # §6.3: keyframe ⇔ no ReferenceBlock
+                                "keyframe": not has_ref,
+                                "lace_idx": li,
+                                "payload": payload,
+                            }
+                        )
+    for f in frames:
+        if f["track_id"] not in tracks:
+            raise ValueError(f"mkv: block for undeclared track {f['track_id']}")
+    return {"timestamp_scale": ts_scale, "tracks": tracks, "frames": frames}
+
+
+def mkv_demux(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-frame demux table: (doc_id, track_id, ttype, codec,
+    frame_idx, ts, keyframe, lace_idx, size, byte_sum). frame_idx is
+    the per-track emission ordinal; byte_sum sums the frame's actual
+    payload bytes, so a lacing-size or block-offset bug moves it."""
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "track_id", "ttype", "codec", "frame_idx",
+                    "ts", "keyframe", "lace_idx", "size", "byte_sum",
+                )
+            }
+            for doc_id, b in zip(pdf[id_col], pdf["content"]):
+                data = bytes(b)
+                try:
+                    parsed = parse_mkv(data)
+                except ValueError as e:
+                    raise ValueError(f"doc {doc_id}: {e}") from None
+                per_track: dict[int, int] = {}
+                for f in parsed["frames"]:
+                    tr = parsed["tracks"][f["track_id"]]
+                    idx = per_track.get(f["track_id"], 0)
+                    per_track[f["track_id"]] = idx + 1
+                    cols["doc_id"].append(doc_id)
+                    cols["track_id"].append(f["track_id"])
+                    cols["ttype"].append(tr["type"])
+                    cols["codec"].append(tr["codec"])
+                    cols["frame_idx"].append(idx)
+                    cols["ts"].append(f["ts"])
+                    cols["keyframe"].append(1 if f["keyframe"] else 0)
+                    cols["lace_idx"].append(f["lace_idx"])
+                    cols["size"].append(len(f["payload"]))
+                    cols["byte_sum"].append(
+                        int(
+                            np.frombuffer(f["payload"], np.uint8).sum(dtype=np.int64)
+                        )
+                        if f["payload"]
+                        else 0
+                    )
+            yield pd.DataFrame(cols)
+
+    return blobs.mapInPandas(
+        _rows,
+        "doc_id LONG, track_id INT, ttype STRING, codec STRING, frame_idx INT, "
+        "ts LONG, keyframe INT, lace_idx INT, size INT, byte_sum LONG",
+    )
+
+
+# --- deterministic synthesizer ---------------------------------------------
+
+
+def _vint_size(val: int) -> bytes:
+    """Encode an EBML size with the shortest marker form."""
+    for ln in range(1, 9):
+        if val < (1 << (7 * ln)) - 1:  # all-ones is reserved (unknown)
+            return (val | (0x80 >> (ln - 1)) << (8 * (ln - 1))).to_bytes(ln, "big")
+    raise ValueError("vint too large")
+
+
+def _elem(eid: int, payload: bytes) -> bytes:
+    nid = max(1, (eid.bit_length() + 7) // 8)
+    return eid.to_bytes(nid, "big") + _vint_size(len(payload)) + payload
+
+
+def _mkv_bytes(doc_id: int) -> bytes:
+    """Deterministic two-track Matroska per doc, every field a closed
+    form of doc_id (SAME content forms as the MP4 synthesizer, so the
+    two demuxers cross-check each other's oracles). Video track 1
+    (V_RAW): n_v = 3 + doc_id%5 frames in clusters of TWO SimpleBlocks
+    (cluster k at ts k*1000, in-cluster rel ts 0/40), keyframe flag on
+    every 3rd frame. Audio track 2 (A_RAW): n_a = 2 + doc_id%3 frames
+    packed into ONE Xiph-LACED SimpleBlock at ts 5000 (all-keyframe),
+    exercising the 255-run size coding; docs with doc_id%4==0 use EBML
+    lacing instead (signed-delta sizes), %4==2 use fixed lacing when
+    frame sizes allow (they don't here — sizes differ — so those stay
+    Xiph; the fixed path is pinned in unit tests)."""
+    n_v = 3 + doc_id % 5
+    v_frames = [
+        bytes((doc_id * 31 + i * 17 + j) % 251 for j in range(16 + (doc_id + i) % 7))
+        for i in range(n_v)
+    ]
+    n_a = 2 + doc_id % 3
+    a_frames = [
+        bytes((doc_id * 13 + i * 7 + j) % 199 for j in range(8 + (doc_id + i) % 5))
+        for i in range(n_a)
+    ]
+
+    ebml = _elem(
+        EBML_HEADER,
+        _elem(0x4282, b"matroska") + _elem(0x4287, bytes([4])),
+    )
+    info = _elem(INFO, _elem(TIMESTAMP_SCALE, (1_000_000).to_bytes(3, "big")))
+    tracks = _elem(
+        TRACKS,
+        _elem(
+            TRACK_ENTRY,
+            _elem(TRACK_NUMBER, bytes([1]))
+            + _elem(TRACK_TYPE, bytes([1]))
+            + _elem(CODEC_ID, b"V_RAW"),
+        )
+        + _elem(
+            TRACK_ENTRY,
+            _elem(TRACK_NUMBER, bytes([2]))
+            + _elem(TRACK_TYPE, bytes([2]))
+            + _elem(CODEC_ID, b"A_RAW"),
+        ),
+    )
+
+    def simple_block(track: int, rel: int, key: bool, payload: bytes, lac: int = 0, n_l: int = 0) -> bytes:
+        hdr = _vint_size(track) + rel.to_bytes(2, "big", signed=True)
+        flags = (0x80 if key else 0) | (lac << 1)
+        body = hdr + bytes([flags])
+        if lac:
+            body += bytes([n_l - 1])
+        return _elem(SIMPLE_BLOCK, body + payload)
+
+    clusters = b""
+    for k in range(0, n_v, 2):
+        blocks = b""
+        for i in range(k, min(k + 2, n_v)):
+            blocks += simple_block(1, (i - k) * 40, i % 3 == 0, v_frames[i])
+        clusters += _elem(
+            CLUSTER,
+            _elem(CLUSTER_TS, ((k // 2) * 1000).to_bytes(2, "big")) + blocks,
+        )
+
+    # audio: ONE laced SimpleBlock (Xiph, or EBML for doc_id%4==0)
+    if doc_id % 4 == 0 and n_a >= 2:
+        lace_mode = 0b11
+        sizes = bytearray(_vint_size(len(a_frames[0])))
+        for i in range(1, n_a - 1):
+            delta = len(a_frames[i]) - len(a_frames[i - 1])
+            ln = 1  # deltas here are tiny; 1-byte signed vint suffices
+            sizes += (delta + ((1 << (7 * ln - 1)) - 1) | 0x80).to_bytes(1, "big")
+        lace_payload = bytes(sizes) + b"".join(a_frames)
+    else:
+        lace_mode = 0b01
+        sizes = bytearray()
+        for i in range(n_a - 1):
+            sz = len(a_frames[i])
+            sizes += b"\xff" * (sz // 255) + bytes([sz % 255])
+        lace_payload = bytes(sizes) + b"".join(a_frames)
+    audio_cluster = _elem(
+        CLUSTER,
+        _elem(CLUSTER_TS, (5000).to_bytes(2, "big"))
+        + simple_block(2, 0, True, lace_payload, lac=lace_mode, n_l=n_a),
+    )
+
+    segment = _elem(SEGMENT, info + tracks + clusters + audio_cluster)
+    return ebml + segment
+
+
+def synthesize_mkv_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content): deterministic valid two-track Matroska."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": [_mkv_bytes(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")

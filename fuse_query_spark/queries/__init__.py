@@ -127,13 +127,17 @@ DRIVER_PRIORITY = [
     # (ROTATION.md). window_running_total and text_fingerprint (both
     # r3) are the two deferments — first in line for r9, still <6
     # rounds old there (they made room for the mp4 demux row).
-    # flagship (7 rounds green, stays slot 1 — entry()'s smoke query)
-    "q01_pricing_summary",
-    # the two NEW rows this round: codec family's closing entry and
-    # the real-container demux that closes the r7 verdict's "largest
-    # remaining gap"
+    # q01_pricing_summary (7 rounds green) moved PAST slot 50 to make
+    # room for the third new row: the driver still smoke-runs it every
+    # round via entry(), so it keeps a per-round execution check and
+    # its local oracle check — the prefix slot was the least
+    # informative one in the list.
+    # the three NEW rows this round: codec family's closing entry and
+    # the two real-container demuxers that close the r7 verdict's
+    # "largest remaining gap" (MP4/MKV)
     "multimodal_jpeg_quarantine_lossless",  # r8: lossless SOF3 typed routing
     "multimodal_mp4_demux",  # r8: ISO-BMFF sample-table demux + kf sampling
+    "multimodal_mkv_demux",  # r8: EBML/Matroska demux incl. all lacing modes
     # --- last green r1/r2 ---
     # aggregation / grouping
     "agg_combinator_distinct",
