@@ -184,3 +184,115 @@ class TestDistributed:
                 assert r.byte_sum == sum(
                     (d * 13 + i * 7 + j) % 199 for j in range(8 + (d + i) % 5)
                 )
+
+
+def _svint(delta: int) -> bytes:
+    """Encode an EBML-lacing SIGNED vint: value = delta + (2^(7*ln-1)-1)
+    with the shortest length whose range covers it."""
+    for ln in range(1, 5):
+        bias = (1 << (7 * ln - 1)) - 1
+        if -bias <= delta <= bias:
+            val = delta + bias
+            return (val | (0x80 >> (ln - 1)) << (8 * (ln - 1))).to_bytes(ln, "big")
+    raise ValueError("delta out of range")
+
+
+class TestPropertyFuzz:
+    """Generator-independent hardening: random cluster/block/lacing
+    geometry through a writer parameterized beyond the driver
+    synthesizer, demuxer must recover the intent exactly."""
+
+    def _build(self, blocks):
+        """blocks = list of (cluster_ts, rel_ts, keyframe, lacing,
+        frames). Fixed lacing requires equal frame sizes; caller
+        guarantees it."""
+        from fuse_query_spark.operators.mkv import (
+            CLUSTER,
+            CLUSTER_TS,
+            EBML_HEADER,
+            INFO,
+            SEGMENT,
+            SIMPLE_BLOCK,
+            TIMESTAMP_SCALE,
+            TRACK_ENTRY,
+            TRACK_NUMBER,
+            TRACK_TYPE,
+            TRACKS,
+            CODEC_ID,
+            _elem,
+            _vint_size,
+        )
+
+        ebml = _elem(EBML_HEADER, _elem(0x4282, b"matroska"))
+        info = _elem(INFO, _elem(TIMESTAMP_SCALE, (1_000_000).to_bytes(3, "big")))
+        tracks = _elem(
+            TRACKS,
+            _elem(
+                TRACK_ENTRY,
+                _elem(TRACK_NUMBER, bytes([1]))
+                + _elem(TRACK_TYPE, bytes([1]))
+                + _elem(CODEC_ID, b"V_RAW"),
+            ),
+        )
+        clusters = b""
+        for cts, rel, key, lacing, frames in blocks:
+            hdr = _vint_size(1) + rel.to_bytes(2, "big", signed=True)
+            flags = (0x80 if key else 0) | (lacing << 1)
+            body = bytearray(hdr + bytes([flags]))
+            if lacing:
+                body += bytes([len(frames) - 1])
+                if lacing == 0b01:
+                    for f in frames[:-1]:
+                        sz = len(f)
+                        body += b"\xff" * (sz // 255) + bytes([sz % 255])
+                elif lacing == 0b11:
+                    body += _vint_size(len(frames[0]))
+                    for a, b in zip(frames, frames[1:-1]):
+                        body += _svint(len(b) - len(a))
+            payload = bytes(body) + b"".join(frames)
+            clusters += _elem(
+                CLUSTER,
+                _elem(CLUSTER_TS, cts.to_bytes(3, "big"))
+                + _elem(SIMPLE_BLOCK, payload),
+            )
+        return ebml + _elem(SEGMENT, info + tracks + clusters)
+
+    def test_random_blocks_round_trip(self):
+        import random
+
+        from fuse_query_spark.operators.mkv import parse_mkv
+
+        rng = random.Random(99)
+        for trial in range(60):
+            blocks, want = [], []
+            for _ in range(rng.randint(1, 8)):
+                cts = rng.randint(0, 60000)
+                rel = rng.randint(-5000, 5000)
+                key = rng.random() < 0.5
+                lacing = rng.choice((0, 0b01, 0b10, 0b11))
+                if lacing == 0:
+                    n_f = 1
+                elif lacing == 0b11:
+                    n_f = rng.randint(2, 5)  # EBML lacing needs >= 2
+                else:
+                    n_f = rng.randint(1, 5)
+                if lacing == 0b10:  # fixed: equal sizes
+                    sz = rng.randint(1, 50)
+                    frames = [
+                        bytes(rng.randrange(256) for _ in range(sz))
+                        for _ in range(n_f)
+                    ]
+                else:
+                    frames = [
+                        bytes(rng.randrange(256) for _ in range(rng.randint(1, 300)))
+                        for _ in range(n_f)
+                    ]
+                blocks.append((cts, rel, key, lacing, frames))
+                for li, f in enumerate(frames):
+                    want.append((cts + rel, key, li, f))
+            data = self._build(blocks)
+            got = [
+                (f["ts"], f["keyframe"], f["lace_idx"], bytes(f["payload"]))
+                for f in parse_mkv(data)["frames"]
+            ]
+            assert got == want, trial

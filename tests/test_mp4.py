@@ -160,3 +160,106 @@ class TestDistributed:
             for d in range(12)
         )
         assert len(frames) == want_frames
+
+
+class TestPropertyFuzz:
+    """Generator-independent hardening: build files with RANDOM track
+    geometry through an mp4 writer parameterized beyond the driver
+    synthesizer's closed forms, and assert the demuxer recovers the
+    generator's intent exactly."""
+
+    def _build(self, chunks, deltas, ctts_offs, sync, version1_ctts=False):
+        """One video track from explicit per-sample structure:
+        chunks = list of lists of frame bytes; deltas = per-sample
+        stts deltas; ctts_offs = per-sample pts offsets (may be
+        negative => version 1); sync = set of 0-based keyframes."""
+        import struct as s
+
+        from fuse_query_spark.operators.mp4 import _box
+
+        frames = [f for c in chunks for f in c]
+        n = len(frames)
+
+        def full(typ, body, version=0):
+            return _box(typ, bytes([version, 0, 0, 0]) + body)
+
+        ftyp = _box(b"ftyp", b"isom" + s.pack(">I", 512) + b"isomiso2")
+        mdat_payload = b"".join(frames)
+        mdat_off = len(ftyp) + 8
+        offs, run = [], mdat_off
+        for c in chunks:
+            offs.append(run)
+            run += sum(len(f) for f in c)
+        # stts: run-length compress the deltas
+        runs = []
+        for d in deltas:
+            if runs and runs[-1][1] == d:
+                runs[-1][0] += 1
+            else:
+                runs.append([1, d])
+        stts = full(b"stts", s.pack(">I", len(runs)) + b"".join(s.pack(">II", c, d) for c, d in runs))
+        ver = 1 if version1_ctts else 0
+        ctts = full(
+            b"ctts",
+            s.pack(">I", n)
+            + b"".join(
+                s.pack(">I", 1) + s.pack(">i" if ver else ">I", o) for o in ctts_offs
+            ),
+            version=ver,
+        )
+        stss = full(
+            b"stss",
+            s.pack(">I", len(sync)) + b"".join(s.pack(">I", i + 1) for i in sorted(sync)),
+        )
+        stsz = full(b"stsz", s.pack(">II", 0, n) + b"".join(s.pack(">I", len(f)) for f in frames))
+        # stsc: run-length by samples-per-chunk
+        sruns = []
+        for ci, c in enumerate(chunks):
+            if sruns and sruns[-1][1] == len(c):
+                continue
+            sruns.append([ci + 1, len(c)])
+        stsc = full(b"stsc", s.pack(">I", len(sruns)) + b"".join(s.pack(">III", f, spc, 1) for f, spc in sruns))
+        stco = full(b"stco", s.pack(">I", len(offs)) + b"".join(s.pack(">I", o) for o in offs))
+        stsd = full(b"stsd", s.pack(">I", 1) + _box(b"raw ", bytes(6) + s.pack(">H", 1) + bytes(70)))
+        stbl = _box(b"stbl", stsd + stts + ctts + stss + stsz + stsc + stco)
+        tkhd = full(b"tkhd", s.pack(">IIII", 0, 0, 1, 0) + bytes(64))
+        mdhd = full(b"mdhd", s.pack(">IIII", 0, 0, 1000, 0) + bytes(4))
+        hdlr = full(b"hdlr", s.pack(">I", 0) + b"vide" + bytes(13))
+        trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+        moov = _box(b"moov", full(b"mvhd", s.pack(">IIII", 0, 0, 1000, 0) + bytes(80)) + trak)
+        return ftyp + _box(b"mdat", mdat_payload) + moov
+
+    def test_random_geometry_round_trips(self):
+        import random
+
+        from fuse_query_spark.operators.mp4 import parse_mp4
+
+        rng = random.Random(1234)
+        for trial in range(60):
+            n = rng.randint(1, 24)
+            sizes = [rng.randint(1, 40) for _ in range(n)]
+            frames = [bytes(rng.randrange(256) for _ in range(sz)) for sz in sizes]
+            chunks, i = [], 0
+            while i < n:
+                take = rng.randint(1, min(4, n - i))
+                chunks.append(frames[i : i + take])
+                i += take
+            deltas = [rng.choice((256, 512, 512, 1024)) for _ in range(n)]
+            use_v1 = rng.random() < 0.5
+            ctts_offs = [
+                rng.randint(-512, 512) if use_v1 else rng.randint(0, 512)
+                for _ in range(n)
+            ]
+            sync = {i for i in range(n) if rng.random() < 0.4} | {0}
+            data = self._build(chunks, deltas, ctts_offs, sync, version1_ctts=use_v1)
+            tr = parse_mp4(data)["tracks"][0]
+            assert len(tr["samples"]) == n, trial
+            clock = 0
+            for i, sm in enumerate(tr["samples"]):
+                assert sm["dts"] == clock, (trial, i)
+                assert sm["pts"] == clock + ctts_offs[i], (trial, i, "ctts")
+                assert sm["is_sync"] == (i in sync), (trial, i)
+                assert data[sm["offset"] : sm["offset"] + sm["size"]] == frames[i], (
+                    trial, i, "bytes",
+                )
+                clock += deltas[i]
