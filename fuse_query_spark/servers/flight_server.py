@@ -350,3 +350,97 @@ def dispatch_and_gather(
         return coord.gather(query_id, stage_id, sinks)
     finally:
         coord.close()
+
+
+def dispatch_with_retry(
+    peers: list[str],
+    query_id: str,
+    stage_id: str,
+    plans: list[str],
+    sinks: list[str],
+    scatters_expression: str,
+    max_attempts: int = 3,
+    _after_dispatch=None,
+) -> dict:
+    """Fault-tolerant scatter-gather over StageCoordinator: if a peer
+    dies mid-stage, retry the WHOLE stage on the surviving peers under
+    an attempt-scoped stage_id, with the dead peer's plan slices
+    reassigned round-robin. The scatter is a pure function of the row
+    (mod-N bucket over the same sink list), so re-running a slice on a
+    different peer yields identical bucket contents — the retried
+    result equals the no-failure result. Safe because each attempt
+    uses FRESH stage ids (no collision with the aborted attempt's
+    still-registered streams) and the abort path drains what it can.
+
+    The reference's dispatcher only aborts (flight_dispatcher.rs:
+    54-61); recovery is the Spark-side extension, same spirit as
+    speculative re-execution of a lost task. Raises the last
+    StageError when no survivor set can complete the stage.
+
+    `_after_dispatch(attempt)` is a test seam invoked between an
+    attempt's dispatch and its gather — the only way a test can kill a
+    peer at the exact point the reference's dispatcher error channel
+    fires (stage live, streams registered, receiver not yet drained)."""
+    assignment = list(zip(peers, plans))  # [(peer, plan)] — slices
+    last_err: Exception | None = None
+    for attempt in range(max_attempts):
+        # probe which peers are reachable right now
+        alive: list[str] = []
+        for p in dict.fromkeys(pr for pr, _ in assignment):
+            try:
+                c = flight.connect(p)
+                c.wait_for_available(timeout=10)
+                c.close()
+                alive.append(p)
+            except Exception:
+                pass
+        if not alive:
+            raise last_err or StageError("<all peers>", RuntimeError("no peers reachable"))
+        # reassign: keep a slice on its peer if alive, else round-robin
+        orphans = [pl for pr, pl in assignment if pr not in alive]
+        assignment = [(pr, pl) for pr, pl in assignment if pr in alive]
+        for i, pl in enumerate(orphans):
+            assignment.append((alive[i % len(alive)], pl))
+        stage = stage_id if attempt == 0 else f"{stage_id}~retry{attempt}"
+        coord = StageCoordinator(alive)
+        try:
+            # one sub-stage per slice (a peer may carry several after
+            # reassignment; sub-stage ids keep their streams disjoint)
+            subs = [
+                (alive.index(pr), f"{stage}/{si}", pl)
+                for si, (pr, pl) in enumerate(assignment)
+            ]
+            for pi, sid, pl in subs:
+                list(
+                    coord.cons[pi].do_action(
+                        shuffle_action(query_id, sid, pl, sinks, scatters_expression)
+                    )
+                )
+            if _after_dispatch is not None:
+                _after_dispatch(attempt)
+            parts: dict[str, list] = {s: [] for s in sinks}
+            for pi, sid, _pl in subs:
+                for sink in sinks:
+                    parts[sink].append(
+                        coord.cons[pi]
+                        .do_get(stream_ticket(query_id, sid, sink))
+                        .read_all()
+                    )
+            return {s: pa.concat_tables(t) for s, t in parts.items()}
+        except flight.FlightError as e:
+            last_err = StageError("<mid-stage>", e)
+            # drain whatever this attempt left behind on reachable peers
+            for pi, sid, _pl in subs:
+                try:
+                    for sink in sinks:
+                        try:
+                            coord.cons[pi].do_get(
+                                stream_ticket(query_id, sid, sink)
+                            ).read_all()
+                        except flight.FlightError:
+                            pass
+                except Exception:
+                    pass  # that peer is the dead one
+        finally:
+            coord.close()
+    raise last_err

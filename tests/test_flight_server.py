@@ -425,3 +425,102 @@ class TestDistributedStageMultiPeer:
                 if p.poll() is None:
                     p.terminate()
                 p.wait(timeout=30)
+
+
+class TestStageRetry:
+    def test_peer_death_recovers_on_survivor(self):
+        """Fault-tolerant scatter-gather (r8, the recovery layer over
+        the abort semantics): kill one of two peers after the first
+        attempt's stage is prepared; dispatch_with_retry must complete
+        the stage on the survivor — the dead peer's plan slice
+        reassigned — and the final result must equal the no-failure
+        result exactly."""
+        from fuse_query_spark.servers.flight_server import (
+            StageCoordinator,
+            dispatch_with_retry,
+        )
+
+        p0, port0 = _spawn_peer()
+        p1, port1 = _spawn_peer()
+        peers = [f"grpc://localhost:{port0}", f"grpc://localhost:{port1}"]
+        sinks = ["b0", "b1", "b2"]
+        plans = [
+            "SELECT number AS n, number % 7 AS v FROM numbers(400)",
+            "SELECT number + 400 AS n, (number + 400) % 7 AS v FROM numbers(400)",
+        ]
+        try:
+            # prepare attempt 0's streams on both peers, then kill peer1
+            # BEFORE any gather — dispatch_with_retry's first attempt
+            # will fail against the dead peer and must recover
+            pre = StageCoordinator(peers)
+            pre.dispatch("qr", "stage0/0", [plans[0], "SELECT 1 AS n"], sinks, "n")
+            pre.close()
+            p1.kill()
+            p1.wait(timeout=30)
+            parts = dispatch_with_retry(
+                peers, "qr2", "stage0", plans, sinks, "n", max_attempts=3
+            )
+            rows = []
+            for i, sink in enumerate(sinks):
+                ns = parts[sink].column("n").to_pylist()
+                assert ns and all(n % 3 == i for n in ns), sink
+                rows += zip(ns, parts[sink].column("v").to_pylist())
+            assert sorted(rows) == [(n, n % 7) for n in range(800)]
+        finally:
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.terminate()
+                p.wait(timeout=30)
+
+    def test_mid_stage_death_retries_and_completes(self):
+        """The full recovery path: attempt 0 dispatches to BOTH peers
+        successfully, peer1 is killed between dispatch and gather (the
+        test seam), the gather fails mid-stream, the attempt's leftover
+        streams are drained, and attempt 1 completes the whole stage on
+        the survivor with the dead peer's slice reassigned."""
+        from fuse_query_spark.servers.flight_server import dispatch_with_retry
+
+        p0, port0 = _spawn_peer()
+        p1, port1 = _spawn_peer()
+        peers = [f"grpc://localhost:{port0}", f"grpc://localhost:{port1}"]
+        sinks = ["b0", "b1", "b2"]
+        plans = [
+            "SELECT number AS n FROM numbers(300)",
+            "SELECT number + 300 AS n FROM numbers(300)",
+        ]
+
+        def kill_peer1(attempt):
+            if attempt == 0:
+                p1.kill()
+                p1.wait(timeout=30)
+
+        try:
+            parts = dispatch_with_retry(
+                peers, "qm2", "stage0", plans, sinks, "n",
+                max_attempts=3, _after_dispatch=kill_peer1,
+            )
+            ns = sorted(
+                n for sink in sinks for n in parts[sink].column("n").to_pylist()
+            )
+            assert ns == list(range(600))
+            for i, sink in enumerate(sinks):
+                assert all(n % 3 == i for n in parts[sink].column("n").to_pylist())
+        finally:
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.terminate()
+                p.wait(timeout=30)
+
+    def test_all_peers_dead_raises_stage_error(self):
+        from fuse_query_spark.servers.flight_server import (
+            StageError,
+            dispatch_with_retry,
+        )
+
+        with pytest.raises(StageError):
+            dispatch_with_retry(
+                ["grpc://localhost:1", "grpc://localhost:2"],
+                "qx", "s0",
+                ["SELECT 1 AS n", "SELECT 2 AS n"],
+                ["b0"], "n", max_attempts=2,
+            )
