@@ -296,3 +296,50 @@ class TestPropertyFuzz:
                 for f in parse_mkv(data)["frames"]
             ]
             assert got == want, trial
+
+
+def test_unknown_size_segment_and_final_cluster():
+    """Live-muxed Matroska commonly ships an unknown-size Segment and
+    an unknown-size final Cluster (the muxer can't seek back to patch
+    lengths). Both must parse, scoped to the enclosing end."""
+    from fuse_query_spark.operators.mkv import (
+        CLUSTER_TS,
+        EBML_HEADER,
+        INFO,
+        SIMPLE_BLOCK,
+        TIMESTAMP_SCALE,
+        TRACK_ENTRY,
+        TRACK_NUMBER,
+        TRACK_TYPE,
+        TRACKS,
+        CODEC_ID,
+        _elem,
+        _vint_size,
+        parse_mkv,
+    )
+
+    ebml = _elem(EBML_HEADER, _elem(0x4282, b"matroska"))
+    info = _elem(INFO, _elem(TIMESTAMP_SCALE, (1_000_000).to_bytes(3, "big")))
+    tracks = _elem(
+        TRACKS,
+        _elem(
+            TRACK_ENTRY,
+            _elem(TRACK_NUMBER, bytes([1]))
+            + _elem(TRACK_TYPE, bytes([1]))
+            + _elem(CODEC_ID, b"V_RAW"),
+        ),
+    )
+    block = _elem(
+        SIMPLE_BLOCK,
+        _vint_size(1) + (7).to_bytes(2, "big", signed=True) + b"\x80" + b"LIVE",
+    )
+    # unknown-size cluster: id + 0xFF size, children to EOF
+    cluster = (0x1F43B675).to_bytes(4, "big") + b"\xff" + _elem(
+        CLUSTER_TS, (400).to_bytes(2, "big")
+    ) + block
+    # unknown-size segment: id + 0xFF size, children to EOF
+    segment = (0x18538067).to_bytes(4, "big") + b"\xff" + info + tracks + cluster
+    p = parse_mkv(ebml + segment)
+    assert len(p["frames"]) == 1
+    f = p["frames"][0]
+    assert f["ts"] == 407 and f["keyframe"] and bytes(f["payload"]) == b"LIVE"
