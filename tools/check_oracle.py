@@ -213,10 +213,52 @@ def write_rotation_table(path: str = "ROTATION.md") -> str:
     return out
 
 
+def staleness_plan(current_round: int | None = None) -> str:
+    """r8 tooling: print every driver-visible query ordered by
+    last-green age (never-checked first, then oldest green), with the
+    age in rounds — the mechanical input for building the next round's
+    prefix so the "no row's last green ≥6 rounds old" recency bar
+    (judge r7 ask #3) never rots silently again."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    from fuse_query_spark.queries import DRIVER_HIDDEN
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    last_green: dict[str, int] = {}
+    max_round = 0
+    for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(_re.search(r"_r(\d+)", p).group(1))
+        max_round = max(max_round, rnd)
+        for name, rec in _json.load(open(p)).items():
+            if rec.get("hash_match"):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    nxt = (current_round or max_round) + 1
+    reg = load_registry()
+    rows = [
+        (last_green.get(n, 0), n)
+        for n in reg
+        if n not in DRIVER_HIDDEN
+    ]
+    rows.sort()
+    lines = [f"# staleness plan for r{nxt} (oldest first; age = r{nxt} - last green)"]
+    for lg, n in rows:
+        age = nxt - lg if lg else None
+        tag = "NEVER" if not lg else f"r{lg} (age {age})"
+        flag = "  <-- MUST ENTER PREFIX" if (not lg or age >= 6) else ""
+        lines.append(f"{n:45s} {tag}{flag}")
+    return "\n".join(lines)
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     if "--rotation" in args:
         print(write_rotation_table())
+        return
+    if "--stale" in args:
+        print(staleness_plan())
         return
     jobs = 1
     if "--jobs" in args:
