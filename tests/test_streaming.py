@@ -351,3 +351,64 @@ def test_ann_index_compaction_folds_delta(spark, sf_dir, tmp_path):
     qv = [float(x) for x in late.filter(F.col("vec_id") == probe_id).first()["embedding"]]
     hits = ivf_index_search_fresh(spark, idx, qv, k=3, n_probe=4).collect()
     assert hits[0]["vec_id"] == probe_id
+
+
+@pytest.fixture(scope="module")
+def video_blobs_dir(spark, sf_dir, tmp_path_factory):
+    from fuse_query_spark.operators.mp4 import synthesize_mp4_blobs
+
+    out = str(tmp_path_factory.mktemp("video_blobs"))
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    synthesize_mp4_blobs(docs).repartition(3).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_streaming_mp4_demux_matches_batch(spark, video_blobs_dir):
+    """The container demux is a stateless Arrow flat-map: the SAME
+    operator runs on a readStream DataFrame and must produce exactly
+    the batch rows (append mode, no state, no watermark)."""
+    from fuse_query_spark.streaming.video import demux_mp4_stream, read_blob_stream
+
+    stream = read_blob_stream(spark, video_blobs_dir)
+    assert stream.isStreaming
+    run_to_memory_sink(demux_mp4_stream(stream), "mp4_stream", output_mode="append")
+    got = {tuple(r) for r in spark.table("mp4_stream").collect()}
+    batch = {
+        tuple(r)
+        for r in demux_mp4_stream(spark.read.parquet(video_blobs_dir)).collect()
+    }
+    assert got == batch and len(got) == len(batch) > 0
+
+
+def test_streaming_keyframe_density_matches_batch(spark, video_blobs_dir):
+    """Media-time windowing makes the rollup arrival-order-independent:
+    the streaming aggregation (complete mode) equals the batch rollup
+    row-for-row, and the per-doc totals obey the synthesizer's closed
+    form (keyframes at every 3rd sample)."""
+    from fuse_query_spark.streaming.video import (
+        demux_mp4_stream,
+        keyframe_density,
+        read_blob_stream,
+    )
+
+    stream = keyframe_density(demux_mp4_stream(read_blob_stream(spark, video_blobs_dir)))
+    run_to_memory_sink(stream, "kf_density", output_mode="complete")
+    got = {tuple(r) for r in spark.table("kf_density").collect()}
+    batch = {
+        tuple(r)
+        for r in keyframe_density(
+            demux_mp4_stream(spark.read.parquet(video_blobs_dir))
+        ).collect()
+    }
+    assert got == batch and got
+    # closed form: doc d has n_v = 3 + d%5 video samples, keyframes at
+    # i % 3 == 0
+    per_doc = {}
+    for doc_id, _w, kf, n, _sf in got:
+        a, b, c = per_doc.get(doc_id, (0, 0, 0))
+        per_doc[doc_id] = (a + kf, b + n, 0)
+    for d in range(60):
+        n_v = 3 + d % 5
+        want_kf = len([i for i in range(n_v) if i % 3 == 0])
+        assert per_doc[d][:2] == (want_kf, n_v), d
