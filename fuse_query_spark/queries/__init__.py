@@ -126,7 +126,9 @@ DRIVER_PRIORITY = [
     # rows they displace keep their driver-green history past slot 50
     # (ROTATION.md). window_running_total and text_fingerprint (both
     # r3) are the two deferments — first in line for r9, still <6
-    # rounds old there (they made room for the mp4 demux row).
+    # rounds old there (they made room for the mp4 demux row), joined by
+    # dedup_ngram_jaccard (r3; family keeps 2 prefix rows) which made
+    # room for the container-quarantine row.
     # q01_pricing_summary (7 rounds green) moved PAST slot 50 to make
     # room for the third new row: the driver still smoke-runs it every
     # round via entry(), so it keeps a per-round execution check and
@@ -138,6 +140,7 @@ DRIVER_PRIORITY = [
     "multimodal_jpeg_quarantine_lossless",  # r8: lossless SOF3 typed routing
     "multimodal_mp4_demux",  # r8: ISO-BMFF sample-table demux + kf sampling
     "multimodal_mkv_demux",  # r8: EBML/Matroska demux incl. all lacing modes
+    "multimodal_container_quarantine",  # r8: sniff/route/typed-quarantine
     # --- last green r1/r2 ---
     # aggregation / grouping
     "agg_combinator_distinct",
@@ -183,7 +186,6 @@ DRIVER_PRIORITY = [
     "agg_argminmax",
     "dedup_exact_retention",
     "dedup_near_prefix_groups",
-    "dedup_ngram_jaccard",
     "dialect_combinators",
     "dialect_limit_by",
     "join_asof",

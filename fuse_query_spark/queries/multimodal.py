@@ -548,3 +548,80 @@ def multimodal_mkv_demux(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return mkv_demux(synthesize_mkv_blobs(docs))
+
+
+@register(
+    "multimodal_container_quarantine",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, doc_id % 7 AS m,
+               3 + doc_id % 5 AS n_v, 2 + doc_id % 3 AS n_a
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN m = 1 THEN CAST(NULL AS VARCHAR)
+                WHEN m = 0 THEN 'mp4'
+                WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+           CASE WHEN m <= 1 THEN 'quarantined' ELSE 'demuxed' END AS status,
+           CASE WHEN m = 0 THEN 'corrupt-mp4'
+                WHEN m = 1 THEN 'unknown-container'
+                ELSE CAST(NULL AS VARCHAR) END AS reason_class,
+           CASE WHEN m <= 1 THEN CAST(NULL AS DOUBLE) ELSE CAST(2 AS DOUBLE) END AS n_tracks,
+           CASE WHEN m <= 1 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(n_v + n_a AS DOUBLE) END AS n_samples,
+           CASE WHEN m <= 1 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST((n_v + 2) // 3 + n_a AS DOUBLE) END AS n_keyframes,
+           CASE WHEN m <= 1 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(
+                  list_sum(list_transform(range(0, n_v), i ->
+                      list_sum(list_transform(range(0, 16 + (doc_id + i) % 7),
+                          j -> (doc_id * 31 + i * 17 + j) % 251))))
+                + list_sum(list_transform(range(0, n_a), i ->
+                      list_sum(list_transform(range(0, 8 + (doc_id + i) % 5),
+                          j -> (doc_id * 13 + i * 7 + j) % 199))))
+                AS DOUBLE) END AS byte_sum
+    FROM base
+    """,
+    tags=("pipeline", "multimodal", "video", "quarantine", "demux"),
+)
+def multimodal_container_quarantine(spark, sf_dir):
+    """Container-level DETERMINISTIC DEGRADATION (r8): a crawl-shaped
+    mixed corpus — every 7th blob a TRUNCATED MP4, the next a
+    non-container byte string, the rest valid MP4s and Matroska files
+    alternating — runs through sniff→dispatch→demux routing
+    (operators/containers.demux_quarantine). Corrupt/unknown blobs
+    land in a typed quarantine (reason normalized to a stable class
+    for the oracle; the raw demuxer error text stays in the operator
+    output for humans); parseable blobs carry per-file aggregates
+    whose byte_sum covers every sample payload, so a wrong sample
+    boundary OR a misrouted blob flips the hash. MP4 and Matroska
+    synthesize IDENTICAL content closed forms, so one arithmetic
+    covers both containers — the routing itself is what this row
+    pins. Complements multimodal_jpeg_quarantine_lossless (codec
+    boundary) with the container boundary a real pipeline hits far
+    more often: truncated downloads."""
+    from pyspark.sql import functions as F
+
+    from fuse_query_spark.operators.containers import (
+        demux_quarantine,
+        synthesize_mixed_container_blobs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = demux_quarantine(synthesize_mixed_container_blobs(docs))
+    reason_class = (
+        F.when(F.col("reason").isNull(), F.lit(None).cast("string"))
+        .when(F.col("reason") == "unknown-container", F.lit("unknown-container"))
+        .when(F.col("reason").startswith("mp4:"), F.lit("corrupt-mp4"))
+        .otherwise(F.lit("corrupt-mkv"))
+    )
+    return out.select(
+        "doc_id",
+        "container",
+        "status",
+        reason_class.alias("reason_class"),
+        F.col("n_tracks").cast("double").alias("n_tracks"),
+        F.col("n_samples").cast("double").alias("n_samples"),
+        F.col("n_keyframes").cast("double").alias("n_keyframes"),
+        F.col("byte_sum").cast("double").alias("byte_sum"),
+    )
