@@ -263,3 +263,74 @@ class TestPropertyFuzz:
                     trial, i, "bytes",
                 )
                 clock += deltas[i]
+
+
+def test_container_plus_codec_composition(spark):
+    """End-to-end video curation shape: the mdat samples ARE valid P6
+    images (the codec-free format), so demux → keyframe selection →
+    frame extraction → image decode compose into the full pipeline a
+    crawl pass runs — container logic and codec logic verified
+    TOGETHER, not just separately."""
+    import pandas as pd
+
+    from fuse_query_spark.operators.mp4 import mp4_keyframe_bytes
+    from fuse_query_spark.operators.multimodal import _ppm_bytes, _ppm_frame
+
+    # build MP4s whose video samples are PPM frames of doc d:
+    # frame i = _ppm_bytes(d*1000 + i), 4 frames, all keyframes
+    def build(d: int) -> bytes:
+        import struct as s
+
+        from fuse_query_spark.operators.mp4 import _box
+
+        frames = [_ppm_bytes(d * 1000 + i) for i in range(4)]
+
+        def full(typ, body):
+            return _box(typ, bytes(4) + body)
+
+        ftyp = _box(b"ftyp", b"isom" + s.pack(">I", 512) + b"isomiso2")
+        mdat = _box(b"mdat", b"".join(frames))
+        off = len(ftyp) + 8
+        offs = []
+        for f in frames:
+            offs.append(off)
+            off += len(f)
+        stbl = _box(
+            b"stbl",
+            full(b"stsd", s.pack(">I", 1) + _box(b"ppm ", bytes(6) + s.pack(">H", 1)))
+            + full(b"stts", s.pack(">III", 1, 4, 512))
+            + full(b"stsz", s.pack(">II", 0, 4) + b"".join(s.pack(">I", len(f)) for f in frames))
+            + full(b"stsc", s.pack(">IIII", 1, 1, 1, 1))
+            + full(b"stco", s.pack(">I", 4) + b"".join(s.pack(">I", o) for o in offs)),
+        )
+        trak = _box(
+            b"trak",
+            full(b"tkhd", s.pack(">IIII", 0, 0, 1, 0) + bytes(64))
+            + _box(
+                b"mdia",
+                full(b"mdhd", s.pack(">IIII", 0, 0, 12800, 0) + bytes(4))
+                + full(b"hdlr", s.pack(">I", 0) + b"vide" + bytes(13))
+                + _box(b"minf", stbl),
+            ),
+        )
+        return ftyp + mdat + _box(b"moov", full(b"mvhd", s.pack(">IIII", 0, 0, 1000, 0) + bytes(80)) + trak)
+
+    def _gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": [build(int(i)) for i in pdf["doc_id"]]}
+            )
+
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    blobs = docs.select("doc_id").mapInPandas(_gen, "doc_id LONG, content BINARY")
+    # no stss => ALL samples sync; every 2nd keyframe => samples 0, 2
+    frames = mp4_keyframe_bytes(blobs, every_n_sync=2).collect()
+    assert len(frames) == 16  # 8 docs x 2 kept frames
+    for f in frames:
+        assert f.sample_idx in (0, 2)
+        # the extracted frame is a VALID PPM whose dims follow
+        # _ppm_bytes' closed form for id = doc_id*1000 + sample_idx
+        pid = f.doc_id * 1000 + f.sample_idx
+        w, h, bps, start, end = _ppm_frame(bytes(f.frame), 0)
+        assert (w, h) == (4 + pid % 13, 4 + pid % 11)
+        assert end == len(bytes(f.frame))
