@@ -134,10 +134,14 @@ def _block_frames(data: bytes, s: int, e: int) -> tuple[int, int, int, list[byte
         sizes = [total // n_frames] * (n_frames - 1)
     else:  # 0b11 EBML: first absolute varint, then signed deltas
         first, p = _read_size(data, p)
+        if first is None:
+            raise ValueError("mkv: reserved (all-ones) lace size")
         sizes.append(first)
         for _ in range(n_frames - 2):
             raw_start = p
             v, p = _read_size(data, raw_start)
+            if v is None:  # all-ones vint is reserved, not a delta
+                raise ValueError("mkv: reserved (all-ones) lace delta")
             ln = p - raw_start
             # signed VINT: subtract the mid-range bias 2^(7*len-1)-1
             delta = v - ((1 << (7 * ln - 1)) - 1)

@@ -90,7 +90,6 @@ def _parse_stbl(data: bytes, s: int, e: int) -> dict:
             (n,) = struct.unpack(">I", data[p : p + 4])
             counts = _u32s(data, p + 4, 2 * n)[0::2]
             # v1 offsets are SIGNED (negative composition shift)
-            fmt = ">" + ("iI" if ver else "II") * 0  # doc only
             offs = []
             for i in range(n):
                 raw = data[p + 8 + 8 * i : p + 12 + 8 * i]

@@ -402,7 +402,13 @@ def dispatch_with_retry(
         for i, pl in enumerate(orphans):
             assignment.append((alive[i % len(alive)], pl))
         stage = stage_id if attempt == 0 else f"{stage_id}~retry{attempt}"
-        coord = StageCoordinator(alive)
+        try:
+            coord = StageCoordinator(alive)
+        except Exception as e:
+            # a peer died between the probe and the connect — count it
+            # as a failed attempt and let the next probe drop it
+            last_err = StageError("<connect>", e)
+            continue
         try:
             # one sub-stage per slice (a peer may carry several after
             # reassignment; sub-stage ids keep their streams disjoint)
