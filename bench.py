@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -232,9 +233,12 @@ def main() -> None:
             if len(kept) < 2:
                 kept = warm
             kept_sorted = sorted(kept)
-            # headline number per query = the kept-warm MEDIAN (r7
-            # judge ask #2); best/cold/worst stay in the stats entry
-            timings[name] = round(kept_sorted[len(kept_sorted) // 2], 3)
+            # headline number per query = the kept-warm MEDIAN (r7 judge
+            # ask #2) — a TRUE median (even counts average the middle
+            # pair; code-review r8: upper-middle indexing made a
+            # 2-sample kept set report its WORSE sample)
+            med = statistics.median(kept_sorted)
+            timings[name] = round(med, 3)
             # cold/warm split (r3 judge ask #4): a persist-warming or
             # codegen-compiling first run must not masquerade as a
             # median regression; `median` is the median KEPT-WARM run,
@@ -243,7 +247,7 @@ def main() -> None:
             stats[name] = {
                 "best": round(min(runs), 3),
                 "cold": round(runs[0], 3),
-                "median": round(kept_sorted[len(kept_sorted) // 2], 3),
+                "median": round(med, 3),
                 "kept_spread": [round(kept_sorted[0], 3), round(kept_sorted[-1], 3)],
                 "worst": round(max(runs), 3),
                 "samples": [round(t, 3) for t in runs],

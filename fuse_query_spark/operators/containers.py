@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -97,7 +98,12 @@ def demux_quarantine(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     continue
                 emit(
                     doc_id, kind, "demuxed", None,
-                    nt, len(bodies), nk, sum(sum(body) for body in bodies),
+                    nt, len(bodies), nk,
+                    sum(
+                        int(np.frombuffer(body, np.uint8).sum(dtype=np.int64))
+                        for body in bodies
+                        if body
+                    ),
                 )
             yield pd.DataFrame(cols)
 

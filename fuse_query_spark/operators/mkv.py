@@ -109,21 +109,27 @@ def _block_frames(data: bytes, s: int, e: int) -> tuple[int, int, int, list[byte
     tn, p = _read_size(data, s)  # track number is a plain varint
     if tn is None:
         raise ValueError("mkv: block with unknown track number")
+    if p + 3 > e:
+        raise ValueError("mkv: block header truncated")
     rel = int.from_bytes(data[p : p + 2], "big", signed=True)
     flags = data[p + 2]
     p += 3
     lacing = (flags >> 1) & 0x3
     if lacing == 0:
         return tn, rel, flags, [data[p:e]]
+    if p >= e:
+        raise ValueError("mkv: laced block missing frame count")
     n_frames = data[p] + 1
     p += 1
     sizes: list[int] = []
     if lacing == 0b01:  # Xiph: 255-run coded sizes for all but last
         for _ in range(n_frames - 1):
             sz = 0
-            while data[p] == 255:
+            while p < e and data[p] == 255:
                 sz += 255
                 p += 1
+            if p >= e:
+                raise ValueError("mkv: Xiph lace sizes truncated")
             sz += data[p]
             p += 1
             sizes.append(sz)
@@ -159,7 +165,17 @@ def _block_frames(data: bytes, s: int, e: int) -> tuple[int, int, int, list[byte
 def parse_mkv(data: bytes) -> dict:
     """Parse one Matroska/WebM stream: doc type, timestamp scale,
     tracks, and every block expanded to per-frame records
-    (track, abs_ts, keyframe, lace_idx, payload bytes)."""
+    (track, abs_ts, keyframe, lace_idx, payload bytes). Raises
+    ValueError for ANY malformed input (short reads / bad counts are
+    normalized, same contract as parse_mp4) so quarantine routing can
+    catch one exception type."""
+    try:
+        return _parse_mkv_inner(data)
+    except (IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"mkv: malformed structure ({type(e).__name__}: {e})") from e
+
+
+def _parse_mkv_inner(data: bytes) -> dict:
     top = list(_elements(data, 0, len(data)))
     if not top or top[0][0] != EBML_HEADER:
         raise ValueError("mkv: missing EBML header")

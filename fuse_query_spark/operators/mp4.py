@@ -117,7 +117,8 @@ def _parse_stbl(data: bytes, s: int, e: int) -> dict:
             )
         elif typ == b"stsd":
             (n,) = struct.unpack(">I", data[p : p + 4])
-            t["codec"] = data[p + 12 : p + 16].decode("latin-1") if n else None
+            # first sample entry: size at p+4, format fourcc at p+8
+            t["codec"] = data[p + 8 : p + 12].decode("latin-1") if n else None
     for req in ("stts", "stsz", "stsc", "chunk_offsets"):
         if req not in t:
             raise ValueError(f"mp4: stbl missing required table {req}")
@@ -188,7 +189,18 @@ def _resolve_samples(t: dict) -> list[dict]:
 
 def parse_mp4(data: bytes) -> dict:
     """Parse one ISO-BMFF file: brand + every track's handler,
-    timescale, and fully resolved sample list."""
+    timescale, and fully resolved sample list. Raises ValueError for
+    ANY malformed input — short reads, bad counts, and table
+    inconsistencies are all normalized so quarantine routing can catch
+    one exception type (code-review r8: struct.error/IndexError were
+    escaping demux_quarantine and killing the partition)."""
+    try:
+        return _parse_mp4_inner(data)
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"mp4: malformed structure ({type(e).__name__}: {e})") from e
+
+
+def _parse_mp4_inner(data: bytes) -> dict:
     brand = None
     moov = None
     for typ, s, e in _boxes(data, 0, len(data)):

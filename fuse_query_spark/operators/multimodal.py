@@ -746,7 +746,11 @@ def image_pixel_stats_quarantine(blobs: DataFrame, id_col: str = "doc_id") -> Da
                         rgb = data[start:end]
                     else:
                         raise NotImplementedError(f"no decoder for {fmt or 'unknown bytes'}")
-                except NotImplementedError as e:
+                except (NotImplementedError, ValueError, struct.error, IndexError) as e:
+                    # corrupt/truncated files of SUPPORTED formats also
+                    # quarantine (code-review r8): a crawl's torn PNG
+                    # must degrade per-row exactly like an out-of-scope
+                    # SOF — only the strict decode path keeps raising
                     rows["doc_id"].append(doc_id)
                     rows["status"].append("quarantined")
                     rows["reason"].append(str(e)[:80])

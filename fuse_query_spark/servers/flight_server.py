@@ -278,10 +278,14 @@ class StageCoordinator:
     def __init__(self, peers: list[str], timeout: float = 30.0):
         self.peers = list(peers)
         self.cons = []
-        for addr in self.peers:
-            con = flight.connect(addr)
-            con.wait_for_available(timeout=timeout)
-            self.cons.append(con)
+        try:
+            for addr in self.peers:
+                con = flight.connect(addr)
+                con.wait_for_available(timeout=timeout)
+                self.cons.append(con)
+        except Exception:
+            self.close()  # don't leak the already-opened clients
+            raise
 
     def close(self) -> None:
         for con in self.cons:
@@ -323,14 +327,20 @@ class StageCoordinator:
                     fetched.add((pi, sink))
         except flight.FlightError as e:
             dead = pi
-            for sink2 in sinks:  # tear the stage down on the survivors
+            # drain EVERY peer's unfetched streams, including the one
+            # that raised (code-review r8): a stream-LEVEL error — e.g.
+            # one sink raced its prepare — comes from a peer that is
+            # still alive and still holds its other one-shot streams;
+            # skipping it would leave the stage_id poisoned there. A
+            # truly dead peer just fails these drains fast.
+            for sink2 in sinks:
                 for pj, con2 in enumerate(self.cons):
-                    if pj == dead or (pj, sink2) in fetched:
+                    if (pj, sink2) in fetched:
                         continue
                     try:
                         con2.do_get(stream_ticket(query_id, stage_id, sink2)).read_all()
                     except flight.FlightError:
-                        pass  # already gone or also dying — drain is best-effort
+                        pass  # already gone or peer dying — drain is best-effort
             raise StageError(self.peers[dead], e) from e
         return {s: pa.concat_tables(t) for s, t in parts.items()}
 

@@ -79,3 +79,89 @@ class TestRouting:
             for r in demux_quarantine(synthesize_mkv_blobs(docs)).collect()
         }
         assert a == b and len(a) == 12
+
+
+class TestMalformedNeverKillsPartition:
+    """code-review r8: the parsers raised struct.error / IndexError /
+    KeyError on specific malformed shapes, which escaped the
+    quarantine's `except ValueError` and failed the whole stage. All
+    parser escapes are now normalized to ValueError; these corpus
+    shapes must come back as quarantined ROWS."""
+
+    def _quarantine(self, spark, payloads):
+        import pandas as pd
+
+        def _gen(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "content": [payloads[int(i)] for i in pdf["doc_id"]],
+                    }
+                )
+
+        docs = spark.range(0, len(payloads)).withColumnRenamed("id", "doc_id")
+        blobs = docs.select("doc_id").mapInPandas(_gen, "doc_id LONG, content BINARY")
+        return {r.doc_id: r for r in demux_quarantine(blobs).collect()}
+
+    def test_review_repro_corpus(self, spark):
+        import struct
+
+        from fuse_query_spark.operators.mkv import (
+            CLUSTER,
+            CLUSTER_TS,
+            EBML_HEADER,
+            SEGMENT,
+            SIMPLE_BLOCK,
+            TRACK_ENTRY,
+            TRACK_TYPE,
+            TRACKS,
+            _elem,
+            _vint_size,
+        )
+
+        # (1) mp4 with a corrupted stts entry count -> was struct.error
+        mp4 = bytearray(_mp4_bytes(4))
+        j = bytes(mp4).find(b"stts")
+        mp4[j + 8 : j + 12] = struct.pack(">I", 100000)
+        # (2) mkv whose Xiph lace-size run hits EOF -> was IndexError
+        ebml = _elem(EBML_HEADER, _elem(0x4282, b"matroska"))
+        lace_block = _elem(
+            SIMPLE_BLOCK,
+            _vint_size(1) + (0).to_bytes(2, "big", signed=True) + bytes([0x82, 3])
+            + b"\xff\xff",  # runs past the block end
+        )
+        mkv_trk = _elem(
+            TRACKS,
+            _elem(TRACK_ENTRY, _elem(0xD7, bytes([1])) + _elem(TRACK_TYPE, bytes([1]))),
+        )
+        mkv2 = ebml + _elem(
+            SEGMENT,
+            mkv_trk
+            + _elem(CLUSTER, _elem(CLUSTER_TS, b"\x00") + lace_block),
+        )
+        # (3) mkv SimpleBlock shorter than its header -> was IndexError
+        short_block = _elem(SIMPLE_BLOCK, _vint_size(1) + b"\x00")
+        mkv3 = ebml + _elem(
+            SEGMENT,
+            mkv_trk + _elem(CLUSTER, _elem(CLUSTER_TS, b"\x00") + short_block),
+        )
+        # (4) mkv TrackEntry missing TrackNumber -> was KeyError
+        mkv4 = ebml + _elem(
+            SEGMENT,
+            _elem(TRACKS, _elem(TRACK_ENTRY, _elem(TRACK_TYPE, bytes([1])))),
+        )
+        rows = self._quarantine(spark, [bytes(mp4), mkv2, mkv3, mkv4])
+        assert len(rows) == 4
+        for d, r in rows.items():
+            assert r.status == "quarantined", (d, r)
+            assert r.reason, d
+
+
+def test_stsd_codec_fourcc(spark):
+    """code-review r8: the stsd fourcc was read 4 bytes deep into the
+    sample-entry body; it must be the entry's format field."""
+    from fuse_query_spark.operators.mp4 import parse_mp4
+
+    p = parse_mp4(_mp4_bytes(6))
+    assert [t["codec"] for t in p["tracks"]] == ["raw ", "raw "]

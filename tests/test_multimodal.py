@@ -1435,3 +1435,38 @@ def test_jpeg_restart_out_of_sequence_raises():
     )
     with _pytest.raises(ValueError, match="out of sequence"):
         _jpeg_pixels(data)
+
+
+def test_quarantine_catches_corrupt_supported_formats(spark):
+    """code-review r8: a truncated file of a SUPPORTED format (torn
+    download of a PNG/JPEG) must quarantine per-row, not fail the
+    stage — only the strict decode path keeps raising."""
+    import pandas as pd
+
+    from fuse_query_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _png_bytes,
+        image_pixel_stats_quarantine,
+    )
+
+    payloads = [
+        _png_bytes(3)[:-11],   # torn PNG: IDAT truncated
+        _jpeg_bytes(4)[:-3],   # torn JPEG: entropy data cut
+        _jpeg_bytes(5),        # intact control
+    ]
+
+    def _gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [payloads[int(i)] for i in pdf["doc_id"]],
+                }
+            )
+
+    docs = spark.range(0, 3).withColumnRenamed("id", "doc_id")
+    blobs = docs.select("doc_id").mapInPandas(_gen, "doc_id LONG, content BINARY")
+    rows = {r.doc_id: r for r in image_pixel_stats_quarantine(blobs).collect()}
+    assert rows[0].status == "quarantined" and rows[0].reason
+    assert rows[1].status == "quarantined" and rows[1].reason
+    assert rows[2].status == "decoded" and rows[2].pixel_sum > 0
