@@ -6,41 +6,33 @@ Spark's durable equivalent is BUCKETED storage: write both fact
 tables bucketed by the join key with the same bucket count, and every
 subsequent join/aggregate on that key reads co-located buckets with
 NO exchange at all — the shuffle is paid once at write time and
-amortized over every downstream query. This is the single biggest
-lever for a recurring fact-fact join (orders ⋈ lineitem at 100 TB:
-the daily pipeline joins them dozens of times; bucketing removes the
-dominant shuffle from all of them).
+amortized over every downstream query.
 
-Caveats encoded here:
-- both sides must agree on bucket count (or be integer multiples with
-  spark.sql.bucketing.coalesceBucketsInJoin.enabled);
-- bucket pruning applies to equality filters on the bucket key;
-- writes must go through saveAsTable (bucket metadata lives in the
-  catalog, not the parquet files).
+This module is a thin compatibility facade over the single
+implementation in sources/bucketed.py (code-review r8: the two copies
+had drifted — divergent defaults, one missing the `how` param — and a
+fix to one silently missed the twin). Caveats live with the
+implementation; the 32-bucket default here matches the plan-gate
+tests' historical call shape.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fuse_query_spark.sources.bucketed import (
+    colocated_join as _colocated_join,
+    write_bucketed as _write_bucketed,
+)
+
 
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, buckets: int = 32, sort: bool = True
 ) -> None:
-    """Persist df as a bucketed (and optionally sort-within-bucket)
-    catalog table. Sorting within buckets upgrades downstream
-    sort-merge joins to zero-sort merges."""
-    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
-    if sort:
-        w = w.sortBy(key)
-    w.saveAsTable(table_name)
+    _write_bucketed(df, table_name, key, n_buckets=buckets, sort=sort)
 
 
 def colocated_join(
-    spark: SparkSession, left_table: str, right_table: str, key: str
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
 ) -> DataFrame:
-    """Join two same-bucketed catalog tables on their bucket key —
-    plans with ZERO Exchange (verified in tests/test_plans.py): each
-    task reads bucket i of both sides. At 1000 executors this is the
-    difference between a full 2-sided 100 TB shuffle and none."""
-    return spark.table(left_table).join(spark.table(right_table), key)
+    return _colocated_join(spark, left_table, right_table, key, how)

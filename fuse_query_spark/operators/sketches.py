@@ -45,25 +45,37 @@ def daily_uniq_sketches(
 def rollup_uniq_estimate(
     sketches: DataFrame,
     grain: str = "week",
+    allow_different_lgk: bool = False,
 ) -> DataFrame:
     """Answer a coarser-grained distinct-count query from the rollup
     table alone: merge the per-day sketches with hll_union_agg, then
-    estimate. Input is |days| rows — the raw 100 TB is never touched."""
+    estimate. Input is |days| rows — the raw 100 TB is never touched.
+
+    allow_different_lgk: a long-lived rollup table appended across
+    config changes can hold MIXED lgConfigK sketches; Spark's union
+    rejects that by default (the estimate degrades to the smaller k).
+    Pass True to union anyway — without this escape hatch a mixed
+    table is unqueryable (code-review r8)."""
     bucket = F.date_trunc(grain, F.col("day")).cast("date").alias("bucket")
+    union = F.hll_union_agg("sketch", F.lit(allow_different_lgk))
     return (
         sketches.groupBy(bucket)
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("uniq_estimate"),
+            F.hll_sketch_estimate(union).alias("uniq_estimate"),
             F.sum("n_events").alias("n_events"),
         )
         .orderBy("bucket")
     )
 
 
-def global_uniq_estimate(sketches: DataFrame) -> DataFrame:
-    """All-time distinct estimate from the rollup table (1 output row)."""
+def global_uniq_estimate(
+    sketches: DataFrame, allow_different_lgk: bool = False
+) -> DataFrame:
+    """All-time distinct estimate from the rollup table (1 output row).
+    allow_different_lgk: see rollup_uniq_estimate."""
+    union = F.hll_union_agg("sketch", F.lit(allow_different_lgk))
     return sketches.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("uniq_estimate"),
+        F.hll_sketch_estimate(union).alias("uniq_estimate"),
         F.sum("n_events").alias("n_events"),
     )
 
@@ -86,9 +98,12 @@ def daily_topk_sketches(
     lossless; this sketch form is for key cardinalities where even the
     (day, key) rollup is too wide to store — state is bounded by
     max_items_tracked regardless of distinct keys."""
+    # backtick-quote the column: the HLL twin goes through the typed
+    # API, this one through the SQL parser — a bare "event-type" or
+    # "user id" would parse as arithmetic (code-review r8)
     return events.groupBy(F.to_date(ts_col).alias("day")).agg(
         F.expr(
-            f"approx_top_k_accumulate({key_col}, {max_items_tracked})"
+            f"approx_top_k_accumulate(`{key_col}`, {max_items_tracked})"
         ).alias("sketch"),
         F.count(F.lit(1)).alias("n_events"),
     )

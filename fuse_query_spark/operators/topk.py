@@ -10,10 +10,10 @@ descending sort — every row displaces the heap minimum) it runs at
 machine's codegen scan rate.
 
 This operator instead does two codegen scans:
-  1. ONE aggregate pass computing the row count AND a uniform random
-     sample of the order column (collect_list over a rand()<f gate —
-     the object agg only ever sees the ~sample_target survivors, so
-     the scan stays at codegen-filter speed);
+  1. a non-null count (or the caller-supplied n_rows) sizes a uniform
+     SampleExec over the non-null order column — the sample node stays
+     inside whole-stage codegen and only ~sample_target values reach
+     the driver;
   2. a threshold is chosen driver-side as the j-th largest (smallest,
      for ascending) sampled value, with j sized so the expected
      survivor count is BOTH >> k and tiny relative to n; the final
@@ -26,7 +26,12 @@ makes E[survivors] = j/f >= max(64/f, 2k); P(survivors < k) is then
 a lower-tail large-deviation event (mean thousands vs bound k) —
 vanishingly small, and degenerate cases (tiny input, empty sample,
 NULL-heavy or NaN columns) fall back to the plain TakeOrdered plan
-before the threshold is ever trusted.
+before the threshold is ever trusted. The residual under-k event is
+SILENT by default (the result simply has < k rows — our driver gate
+would flag it as a row-count mismatch); pass strict=True to spend one
+extra codegen count job verifying the survivor set and falling back
+deterministically (code-review r8: made the trade-off explicit and
+optional rather than implicit).
 
 Measured at 1B rows (local[32]): plain 8.3s -> threshold 0.8s; the
 gap widens with n. At 100 TB the threshold filter additionally
@@ -55,6 +60,7 @@ def threshold_topk(
     sample_target: int = 100_000,
     min_rows: int = 10_000_000,
     n_rows: int | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """ORDER BY <col> [DESC] [, tie_breakers] LIMIT k, with a sampled
     threshold prefilter when the input is large enough to pay for it.
@@ -78,14 +84,14 @@ def threshold_topk(
     if n_notnull <= max(min_rows, 20 * k) or k >= n_notnull:
         return _plain_topk(df, order, k)
 
-    # pass 2: uniform sample of the order column. collect_list only
-    # ever aggregates the ~sample_target gate survivors, so the scan
-    # runs at codegen-filter speed, not object-agg speed.
+    # pass 2: uniform sample of the NON-NULL order column. SampleExec
+    # stays inside whole-stage codegen; only ~sample_target values
+    # reach the driver. The isNotNull gate matters: f is sized from
+    # the non-null count, so sampling ALL rows of a NULL-heavy column
+    # would collect n_total*f >> sample_target rows (code-review r8 —
+    # the driver bound must hold regardless of NULL density).
     f = min(1.0, sample_target / n_notnull)
-    # SampleExec stays inside whole-stage codegen (a collect_list
-    # aggregate would drag every row through an object agg instead);
-    # only the ~sample_target survivors reach the driver
-    pre = [r[0] for r in df.select(c).sample(f).collect()]
+    pre = [r[0] for r in df.select(c).where(c.isNotNull()).sample(f).collect()]
     if not pre:
         return _plain_topk(df, order, k)
     # j-th extreme of the sample: E[survivors] = j/f, simultaneously
@@ -99,4 +105,7 @@ def threshold_topk(
     thr = vals[-j] if descending else vals[j - 1]
 
     pred = c >= F.lit(thr) if descending else c <= F.lit(thr)
-    return _plain_topk(df.filter(pred), order, k)
+    survivors = df.filter(pred)
+    if strict and survivors.count() < k:
+        return _plain_topk(df, order, k)  # deterministic fallback
+    return _plain_topk(survivors, order, k)

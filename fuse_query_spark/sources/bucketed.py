@@ -18,18 +18,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 8
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 8,
+    sort: bool = True,
 ) -> None:
-    """Persist df as a bucketed+sorted managed table (parquet under
-    spark-warehouse). Bucket count is a layout contract: both join
-    sides must match it."""
-    (
-        df.write.mode("overwrite")
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
-        .format("parquet")
-        .saveAsTable(table_name)
-    )
+    """Persist df as a bucketed (and by default sort-within-bucket)
+    managed table (parquet under spark-warehouse). Bucket count is a
+    layout contract: both join sides must match it; sorting within
+    buckets upgrades downstream sort-merge joins to zero-sort
+    merges."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table_name)
 
 
 def colocated_join(

@@ -156,3 +156,39 @@ class TestTopKSketch:
             ).collect()
         }
         assert merged == direct and merged
+
+
+def test_mixed_lgk_rollup_escape_hatch(spark):
+    """code-review r8: a rollup table appended across lgk config
+    changes holds mixed sketches; the default union rejects them and
+    the functions now expose allow_different_lgk to recover."""
+    import pytest as _pytest
+
+    from fuse_query_spark.operators.sketches import (
+        daily_uniq_sketches,
+        global_uniq_estimate,
+    )
+
+    ev = spark.range(0, 2000).selectExpr(
+        "cast(id % 500 as string) AS user_id",
+        "timestamp_seconds(1700000000 + id * 3600) AS ts",
+    )
+    mixed = daily_uniq_sketches(ev, lgk=12).union(daily_uniq_sketches(ev, lgk=14))
+    with _pytest.raises(Exception):
+        global_uniq_estimate(mixed).collect()
+    row = global_uniq_estimate(mixed, allow_different_lgk=True).collect()[0]
+    assert abs(row.uniq_estimate - 500) / 500 < 0.05
+
+
+def test_topk_sketch_quoted_key_col(spark):
+    """code-review r8: key_col goes through the SQL parser; names the
+    parser can't take bare (hyphens, spaces) must work like the typed
+    HLL twin."""
+    from fuse_query_spark.operators.sketches import daily_topk_sketches
+
+    ev = spark.range(0, 300).selectExpr(
+        "concat('t', cast(id % 3 as string)) AS `event-type`",
+        "timestamp_seconds(1700000000 + id * 60) AS ts",
+    )
+    out = daily_topk_sketches(ev, key_col="event-type").collect()
+    assert out and all(r.n_events > 0 for r in out)

@@ -85,3 +85,35 @@ def test_tie_breaker_columns_respected(spark):
     ).collect()
     b = df.orderBy(F.col("g").desc_nulls_last(), F.col("k").asc()).limit(20).collect()
     assert [(r.g, r.k) for r in a] == [(r.g, r.k) for r in b]
+
+
+def test_null_heavy_column_sample_stays_bounded(spark):
+    """code-review r8: the sample fraction is sized from the NON-NULL
+    count; sampling must therefore also exclude NULLs or a NULL-heavy
+    column collects n_total*f >> sample_target driver rows. Correctness
+    check at small scale (forcing the threshold path): 90% NULLs, the
+    result must equal the plain plan exactly."""
+    from fuse_query_spark.operators.topk import threshold_topk
+
+    df = spark.range(0, 50_000).selectExpr(
+        "CASE WHEN id % 10 = 0 THEN cast(id as double) ELSE NULL END AS v", "id"
+    )
+    n_notnull = 5_000
+    got = threshold_topk(
+        df, "v", 20, min_rows=0, n_rows=n_notnull, sample_target=1_000
+    ).collect()
+    want = df.orderBy(F.col("v").desc_nulls_last()).limit(20).collect()
+    assert [r.v for r in got] == [r.v for r in want]
+
+
+def test_strict_mode_falls_back_when_under_k(spark):
+    """strict=True verifies the survivor set and falls back to the
+    plain plan deterministically; with a sane threshold it returns the
+    same exact top-k."""
+    from fuse_query_spark.operators.topk import threshold_topk
+
+    df = spark.range(0, 100_000).selectExpr("cast(id as double) AS v", "id")
+    got = threshold_topk(
+        df, "v", 50, min_rows=0, n_rows=100_000, sample_target=2_000, strict=True
+    ).collect()
+    assert [r.v for r in got] == [float(99_999 - i) for i in range(50)]
