@@ -79,28 +79,34 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16, shingle_n: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16, shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash over word-shingle sets.
 
     Implementation: explode distinct shingles, take min(xxhash64(s,
     seed_i)) per doc per seed — one explode + one hash-agg, all
-    JVM-side. Output: id_col, mh0..mh{k-1}.
-    """
-    sh_df = _shingle_table(df, text_col, id_col, shingle_n)
+    JVM-side. Output: id_col, mh0..mh{k-1}. `shingle_df`: optionally
+    reuse a materialized _shingle_table — the SINGLE definition of the
+    signature agg serves both the standalone and fused pipelines
+    (code-review r8: the agg body was copy-pasted into the fused ops
+    and could drift)."""
+    sh_df = shingle_df if shingle_df is not None else _shingle_table(df, text_col, id_col, shingle_n)
     ex = sh_df.select(F.col("_id").alias(id_col), F.explode("_sh").alias("_s"))
     aggs = [F.min(F.xxhash64("_s", F.lit(i))).alias(f"mh{i}") for i in range(k)]
     return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures_md5(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, shingle_n: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Engine-portable MinHash: permutation i = md5(shingle || '|i'),
     signature = lexicographic MIN of the hex strings. Slower than the
     xxhash64 form (hex strings vs longs) but expressible in any SQL
-    engine — used by the fully oracle-checked dedup variant."""
-    sh_df = _shingle_table(df, text_col, id_col, shingle_n)
+    engine — used by the fully oracle-checked dedup variant.
+    `shingle_df`: see minhash_signatures."""
+    sh_df = shingle_df if shingle_df is not None else _shingle_table(df, text_col, id_col, shingle_n)
     ex = sh_df.select(F.col("_id").alias(id_col), F.explode("_sh").alias("_s"))
     aggs = [
         F.min(F.md5(F.concat(F.col("_s"), F.lit(f"|{i}")))).alias(f"mh{i}") for i in range(k)
@@ -115,8 +121,13 @@ def lsh_candidate_pairs(
     sharing any band hash become a candidate pair. Self-join is on the
     (band_idx, band_hash) bucket key — never all-pairs.
 
-    Returns distinct (id_a, id_b) with id_a < id_b.
+    Returns distinct (id_a, id_b) with id_a < id_b. k must divide
+    evenly into bands — trailing signature rows would otherwise be
+    silently ignored, changing the similarity threshold curve the
+    caller asked for (code-review r8).
     """
+    if k % bands:
+        raise ValueError(f"k={k} must be a multiple of bands={bands}")
     r = k // bands
     band_rows = []
     for b in range(bands):
@@ -142,6 +153,8 @@ def lsh_candidate_pairs_md5(
     """Banding for md5-string signatures: band hash = md5 of the
     concatenated band rows. Same bucket-join shape as the xxhash64
     form."""
+    if k % bands:
+        raise ValueError(f"k={k} must be a multiple of bands={bands}")
     r = k // bands
     band_rows = []
     for b in range(bands):
@@ -217,19 +230,21 @@ def minhash_dedup_pairs(
     """End-to-end MinHash-LSH near-dup detection: signatures → banded
     candidates → exact-Jaccard verification.
 
-    The shingle table and the signature table are persisted: each is
-    consumed by more than one downstream subtree (signatures feed both
-    sides of the bucket self-join; shingles feed both sides of the
-    verify join), and without persistence Spark re-runs the full
-    shingle+hash explode per consumer — measured 3x the runtime at
-    sf0.1. Both intermediates are tiny relative to the corpus
-    (ids + hashes + shingle arrays), so this holds at scale; they are
-    unpersisted by the context cleaner when the DataFrames fall out of
-    scope."""
-    sh_df = _shingle_table(df, text_col, id_col, shingle_n).persist()
-    ex = sh_df.select(F.col("_id").alias(id_col), F.explode("_sh").alias("_s"))
-    aggs = [F.min(F.xxhash64("_s", F.lit(i))).alias(f"mh{i}") for i in range(k)]
-    sigs = ex.groupBy(id_col).agg(*aggs).persist()
+    The shingle table and the signature table are MATERIALIZED: each
+    is consumed by more than one downstream subtree (signatures feed
+    both sides of the bucket self-join; shingles feed both sides of
+    the verify join), and without materialization Spark re-runs the
+    full shingle+hash explode per consumer — measured 3x the runtime
+    at sf0.1. localCheckpoint, NOT persist (code-review r8): persist
+    pins the plan in the CacheManager until someone calls unpersist,
+    and this function hands the caller no handle to do so — the same
+    long-session block-accumulation class fixed in dsir_select and
+    connected_components; checkpoint blocks are freed by the
+    ContextCleaner when the result falls out of scope."""
+    sh_df = _shingle_table(df, text_col, id_col, shingle_n).localCheckpoint(eager=True)
+    sigs = minhash_signatures(
+        df, text_col, id_col, k, shingle_n, shingle_df=sh_df
+    ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, id_col, k, bands)
     return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold, shingle_df=sh_df)
 
@@ -253,7 +268,13 @@ def simhash(
     packs into a `bits`-wide integer. Computed as one explode + one
     aggregation of raw bit sums plus a row count (sum(+-1) > 0 is
     equivalent to 2*ones > n, ties -> 0 either way) — the branchless
-    sums are ~2.5x faster than per-bit conditional +-1 sums."""
+    sums are ~2.5x faster than per-bit conditional +-1 sums.
+
+    bits must be in [1, 63]: the sign vector packs as a SUM of 2^i
+    LongType literals, and 2^63 overflows the JVM long (code-review
+    r8 — bits=64 crashed at plan build with an opaque lit() error)."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"simhash bits must be in [1, 63], got {bits}")
     ex = _spread(df, id_col).select(id_col, F.explode(tokens(text_col)).alias("_t")).withColumn(
         "_h", hasher(F.col("_t"))
     )
@@ -281,12 +302,19 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash Hamming distance, blocked on bit-bands
     (pigeonhole: pairs within `max_hamming` share at least one of
     max_hamming+1 bands) so the join is on band buckets, not all pairs."""
-    # persist: both sides of the band self-join consume the signature
-    # table; without it the token explode + vote aggregation runs twice.
-    # 1 row per doc (id + 64-bit hash) — negligible memory at any scale.
-    sh = simhash(df, text_col, id_col, bits, hasher).persist()
     nb = max_hamming + 1
     width = bits // nb
+    if width < 1:
+        # zero-width bands would bucket EVERYTHING together — an
+        # accidental all-pairs join at scale (code-review r8)
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bits >= {nb}, got bits={bits}"
+        )
+    # localCheckpoint, not persist (code-review r8 — see
+    # minhash_dedup_pairs): both sides of the band self-join consume
+    # the signature table; without materialization the token explode +
+    # vote aggregation runs twice. 1 row per doc — negligible.
+    sh = simhash(df, text_col, id_col, bits, hasher).localCheckpoint(eager=True)
     bands = [
         F.struct(
             F.lit(i).alias("band"),
@@ -349,7 +377,14 @@ def duplicated_spans(
     positions. Callers needing exactness at that scale can group on
     the gram string itself (wider shuffle, same plan shape); the
     test-scale oracle cross-check on raw strings verifies the logic
-    is exact whenever the hash is collision-free."""
+    is exact whenever the hash is collision-free.
+
+    Contract note (code-review r8): documents with fewer than k tokens
+    produce NO output row (they have no k-grams) — a caller joining
+    these stats back to the corpus must left-join and coalesce
+    dup_fraction to 0, or short docs silently vanish from a
+    dup_fraction < t filter.
+    """
     from fuse_query_spark.operators.text import ngrams_from_tokens
 
     tok = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
@@ -387,6 +422,8 @@ def lsh_cross_candidate_pairs_md5(
     rows and the join key is the bucket, never all-pairs; the base
     side's banded form is exactly what a standing corpus would keep
     materialized between crawls. Returns distinct (id_new, id_base)."""
+    if k % bands:
+        raise ValueError(f"k={k} must be a multiple of bands={bands}")
     r = k // bands
 
     def banded(sigs: DataFrame, out: str) -> DataFrame:
@@ -465,6 +502,22 @@ def connected_components(
         .select("x", F.least(F.col("x"), F.col("_ny")).alias("label"))
         .localCheckpoint(eager=True)
     )
+    live = {"labels": labels}  # the handle a failure path must free
+    try:
+        return _cc_loop(edges, live, id_col, max_iter, return_count)
+    except BaseException:
+        # a failed round (executor loss, cancellation) must not leave
+        # the edges cache or the current round's checkpoint pinned in
+        # a long-lived session (code-review r8); the success path
+        # releases superseded rounds inside the loop and hands the
+        # final checkpoint to the caller
+        edges.unpersist()
+        _release_local_checkpoint(live["labels"])
+        raise
+
+
+def _cc_loop(edges, live, id_col, max_iter, return_count):
+    labels = live["labels"]
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.select(F.col("x").alias("y"), "label"), "y")
@@ -505,6 +558,7 @@ def connected_components(
         # (r7 judge finding: block accumulation across warm runs).
         _release_local_checkpoint(labels)
         labels = new
+        live["labels"] = new
         if (stats["_ch"] or 0) == 0:
             edges.unpersist()
             out = labels.select(
@@ -580,20 +634,19 @@ def minhash_containment_pairs(
     signatures; candidates here inherit the standard banding, which is
     exactly what the oracle mirrors.
 
-    The shingle and signature tables are persisted for the same
+    The shingle and signature tables are MATERIALIZED for the same
     measured reason as minhash_dedup_pairs: shingles feed the
     signature build AND both sides of the verify join (3 consumers),
-    and without persistence Spark re-runs the shingle explode per
+    and without materialization Spark re-runs the shingle explode per
     consumer — the scaling probe caught this as a 6.7x super-linear
-    step at 64x replication (321 s, 40 GB peak heap); with the persist
-    the op rejoins the linear family (re-measured in SCALE.md)."""
-    sh_df = _shingle_table(df, text_col, id_col, shingle_n).persist()
-    ex = sh_df.select(F.col("_id").alias(id_col), F.explode("_sh").alias("_s"))
-    aggs = [
-        F.min(F.md5(F.concat(F.col("_s"), F.lit(f"|{i}")))).alias(f"mh{i}")
-        for i in range(k)
-    ]
-    sigs = ex.groupBy(id_col).agg(*aggs).persist()
+    step at 64x replication (321 s, 40 GB peak heap); materialized,
+    the op rejoins the linear family (re-measured in SCALE.md).
+    localCheckpoint, not persist — code-review r8, see
+    minhash_dedup_pairs."""
+    sh_df = _shingle_table(df, text_col, id_col, shingle_n).localCheckpoint(eager=True)
+    sigs = minhash_signatures_md5(
+        df, text_col, id_col, k, shingle_n, shingle_df=sh_df
+    ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs_md5(sigs, id_col, k, bands)
     return containment_verify(
         df, cands, text_col, id_col, shingle_n, threshold, shingle_df=sh_df
@@ -604,6 +657,7 @@ def soft_dedup_weights(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """SoftDeDup (Xue et al., ACL 2024): instead of DROPPING near
     duplicates, DOWN-WEIGHT them — every member of a duplicate cluster
@@ -626,10 +680,16 @@ def soft_dedup_weights(
     exceed the int64 product bound: boilerplate families reach 1e7+
     members).
 
-    Returns (id_col, cluster_size, weight_r6, kept)."""
+    Returns (id_col, cluster_size, weight_r6, kept).
+
+    `labels`: optionally pass a precomputed connected_components
+    result (id_col, component) — composed pipelines that also run
+    leakage_safe_split or cluster queries over the SAME pairs
+    otherwise pay the iterative CC job once per operator
+    (code-review r8; the shingle_df pattern from jaccard_verify)."""
     from fuse_query_spark.operators.sampling import hash_bucket
 
-    cc = connected_components(pairs, id_col=id_col)
+    cc = labels if labels is not None else connected_components(pairs, id_col=id_col)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("_csize"))
     doc_sz = (
         df.select(id_col)

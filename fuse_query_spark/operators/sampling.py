@@ -194,6 +194,7 @@ def temperature_quotas(
     alpha: float = 0.5,
     total_out: int = 200,
     id_col: str = "doc_id",
+    cut: str = "exact",
 ) -> DataFrame:
     """Temperature-weighted source mixing (the standard training-data
     recipe: sample source s proportional to weight_s^alpha, alpha<1
@@ -204,10 +205,20 @@ def temperature_quotas(
     so the same doc set is chosen at any partition count or corpus
     shard order. Scale: one partial/final aggregate for the weights
     (tiny — #sources rows), a broadcast of the quota table back onto
-    the corpus, and ONE window rank per source partition; no all-corpus
-    sort."""
+    the corpus, and — with the default cut="exact" — ONE window rank
+    per source partition. source_col is LOW-cardinality by
+    construction, so that per-source window is a HOT-PARTITION sort at
+    crawl scale (one task sorts an entire multi-TB source —
+    code-review r8): pass cut="approx" for the 100 TB path, which
+    replaces the rank with a per-source CLOSED-FORM hash threshold
+    (quota/n of the uniform 32-bit md5 range — a pure filter, fully
+    distributed; quota counts then hold within ~sqrt(quota) Binomial
+    noise instead of exactly — the same exact/approx twin contract as
+    dsir_select and perplexity_bands)."""
     from pyspark.sql.window import Window
 
+    if cut not in ("exact", "approx"):
+        raise ValueError(f"cut must be 'exact' or 'approx', got {cut!r}")
     weights = (
         df.groupBy(source_col)
         .agg(F.sum(weight_col).cast("double").alias("_w"))
@@ -218,6 +229,31 @@ def temperature_quotas(
         source_col,
         F.floor(F.lit(float(total_out)) * F.col("_wa") / F.col("_t")).cast("bigint").alias("quota"),
     )
+    if cut == "approx":
+        # the 32-bit md5 prefix (hash_bucket's projection) is uniform
+        # on [0, 2^32), so the quota-th smallest hash of a source with
+        # n docs sits at ~(quota/n)*2^32 — the threshold is CLOSED
+        # FORM, no percentile sketch and no per-source sort; selection
+        # is a pure filter and n_sampled concentrates at quota with
+        # sd ~ sqrt(quota) (Binomial thinning). One tiny counts agg +
+        # one broadcast join replaces the hot-partition window.
+        counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+        thr = quotas.join(counts, source_col).select(
+            source_col,
+            "quota",
+            (F.least(F.col("quota") / F.col("_n"), F.lit(1.0)) * F.lit(float(2**32)))
+            .cast("bigint")
+            .alias("_thr"),
+        )
+        hnum = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        picked = df.join(F.broadcast(thr), source_col).filter(hnum <= F.col("_thr"))
+        return picked.groupBy(source_col, "quota").agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(weight_col).cast("bigint").alias("sum_chars"),
+            F.min(id_col).alias("first_doc"),
+        )
     w = Window.partitionBy(source_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
     ranked = df.withColumn("_rk", F.row_number().over(w))
     return (
@@ -238,6 +274,8 @@ def leakage_safe_split(
     id_col: str = "doc_id",
     train: int = 90,
     val: int = 5,
+    labels: DataFrame | None = None,
+    n_labels: int | None = None,
 ) -> DataFrame:
     """Train/val/test split with GROUP integrity: documents connected
     by near-dup pairs (any pair source — MinHash/LSH, SimHash,
@@ -257,11 +295,21 @@ def leakage_safe_split(
     CC's own convergence agg (return_count=True — zero extra jobs);
     below the broadcast threshold we hint broadcast, above it we take
     the plain shuffle join on the uniform doc-id key (no skew — ids
-    are unique on the docs side and near-unique on the label side)."""
+    are unique on the docs side and near-unique on the label side).
+
+    `labels`/`n_labels`: optionally pass a precomputed
+    connected_components result (+ its node count for the broadcast
+    gate) so composed pipelines don't rerun the iterative CC job per
+    operator (code-review r8)."""
     from fuse_query_spark.operators.dedup import connected_components
 
-    cc, n_labels = connected_components(pairs, id_col=id_col, return_count=True)
-    labels = cc.select(id_col, "component")
+    if labels is None:
+        cc, n_labels = connected_components(pairs, id_col=id_col, return_count=True)
+        labels = cc.select(id_col, "component")
+    else:
+        labels = labels.select(id_col, "component")
+        if n_labels is None:
+            n_labels = labels.count()
     spark = docs.sparkSession
     raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
     try:  # handles '10MB'/'10485760b'/'-1' uniformly
@@ -353,11 +401,14 @@ def dsir_select(
         .localCheckpoint(eager=True)
     )
     # intrinsic target predicate: English-stopword density
+    # lower() matches text.py's stopword_hits — the target definition
+    # must agree with every other stopword-based operator (code-review
+    # r8: the case-sensitive form missed sentence-initial 'The'/'A')
     target_ids = (
         tok.groupBy(id_col)
         .agg(
             (
-                F.sum(F.col("_w").isin(STOPWORDS["en"]).cast("int"))
+                F.sum(F.lower(F.col("_w")).isin(STOPWORDS["en"]).cast("int"))
                 / F.count(F.lit(1))
             ).alias("_dens")
         )
@@ -401,9 +452,19 @@ def dsir_select(
     # raw/tgt can be unpersisted before returning (the caller gets a
     # DataFrame whose only upstream dependency is the checkpointed dtf,
     # and no persisted blocks outlive this call)
-    lr = df.sparkSession.createDataFrame(lr_lazy.collect(), schema=lr_lazy.schema)
+    lr_rows = lr_lazy.collect()
     raw.unpersist()
     tgt.unpersist()
+    if not lr_rows or all(r["_lr"] is None for r in lr_rows):
+        # empty target set (no doc meets stop_frac): every log-ratio is
+        # NULL and the downstream cut would present an ARBITRARY
+        # id-ordered selection as DSIR output (code-review r8) — fail
+        # loudly instead
+        raise ValueError(
+            "dsir_select: target set is empty (no document meets "
+            f"stop_frac={stop_frac}); lower stop_frac or check the corpus language"
+        )
+    lr = df.sparkSession.createDataFrame(lr_rows, schema=lr_lazy.schema)
     scored = (
         dtf.join(F.broadcast(lr), "_f")
         .groupBy(id_col)

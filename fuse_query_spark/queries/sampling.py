@@ -652,7 +652,7 @@ def _dsir_oracle(n_buckets: int = 512, select_frac: float = 0.1, stop_frac: floa
     dtf AS (SELECT doc_id, f, COUNT(*) AS tf FROM feat GROUP BY doc_id, f),
     tgt_ids AS (
         SELECT doc_id FROM pos GROUP BY doc_id
-        HAVING SUM(CASE WHEN w IN ({_SW_EN}) THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+        HAVING SUM(CASE WHEN lower(w) IN ({_SW_EN}) THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
                >= {stop_frac!r}
     ),
     raw AS (SELECT f, SUM(tf) AS c_raw FROM dtf GROUP BY f),

@@ -165,3 +165,36 @@ class TestSoftKeepFlag:
             for r in got
             if r.size >= 9_000_000
         )
+
+
+class TestParameterValidation:
+    """code-review r8: silent parameter-misuse traps now raise."""
+
+    def test_lsh_k_must_divide_bands(self, spark):
+        import pytest as _pytest
+
+        from fuse_query_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            lsh_candidate_pairs_md5,
+            minhash_signatures,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d f")], "doc_id LONG, text STRING"
+        )
+        sigs = minhash_signatures(df, k=16)
+        with _pytest.raises(ValueError, match="multiple of bands"):
+            lsh_candidate_pairs(sigs, k=16, bands=5)  # mh15 was silently dropped
+        with _pytest.raises(ValueError, match="multiple of bands"):
+            lsh_candidate_pairs_md5(sigs, k=16, bands=7)
+
+    def test_simhash_bits_bounds(self, spark):
+        import pytest as _pytest
+
+        from fuse_query_spark.operators.dedup import simhash, simhash_near_pairs
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+        with _pytest.raises(ValueError, match=r"\[1, 63\]"):
+            simhash(df, bits=64)  # 2^63 literal overflows LongType
+        with _pytest.raises(ValueError, match="needs bits"):
+            simhash_near_pairs(df, bits=4, max_hamming=7)  # zero-width bands

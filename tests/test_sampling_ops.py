@@ -136,3 +136,44 @@ def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
     n = len(safe)
     assert 0.8 < frac["train"] / n < 0.97
     assert frac["val"] > 0 and frac["test"] > 0
+
+
+def test_dsir_empty_target_raises(spark):
+    """code-review r8: an empty target set (no doc meets stop_frac)
+    previously produced an arbitrary id-ordered selection presented as
+    DSIR output; it must fail loudly."""
+    import pytest as _pytest
+
+    from fuse_query_spark.operators.sampling import dsir_select
+
+    df = spark.createDataFrame(
+        [(i, "zqx wvu tsr qpo nml") for i in range(30)], "doc_id LONG, text STRING"
+    )
+    with _pytest.raises(ValueError, match="target set is empty"):
+        dsir_select(df, stop_frac=0.9).collect()
+
+
+def test_temperature_quotas_approx_cut(spark, sf_dir):
+    """cut='approx' replaces the per-source hot-partition window with a
+    closed-form uniform-hash threshold: quotas identical, sampled
+    counts within Binomial noise, plan WindowExec-free."""
+    from fuse_query_spark.operators.sampling import temperature_quotas
+    from fuse_query_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    exact = {r.source: (r.quota, r.n_sampled) for r in temperature_quotas(docs).collect()}
+    approx = {
+        r.source: (r.quota, r.n_sampled)
+        for r in temperature_quotas(docs, cut="approx").collect()
+    }
+    assert set(approx) == set(exact)
+    for src, (q, n) in exact.items():
+        aq, an = approx[src]
+        assert aq == q
+        assert abs(an - q) <= max(4, 4 * q**0.5), (src, q, an)
+    plan = temperature_quotas(docs, cut="approx")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exact.*approx|approx.*exact"):
+        temperature_quotas(docs, cut="aprox")
