@@ -22,7 +22,13 @@ def norm(a) -> F.Column:
 
 
 def cosine(a, b) -> F.Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Zero-norm-safe: a zero vector's cosine is defined as 0.0, not
+    0/0 = NaN — Spark sorts NaN ABOVE every real value under desc and
+    NaN >= threshold is TRUE, so an unguarded zero embedding would
+    dominate every top-k and pair with everything (code-review r8;
+    the numpy paths already clamp their norms the same way)."""
+    den = norm(a) * norm(b)
+    return F.when(den == 0.0, F.lit(0.0)).otherwise(dot(a, b) / den)
 
 
 def with_double_vec(df: DataFrame, vec_col: str, out_col: str = "_v") -> DataFrame:
@@ -80,12 +86,15 @@ def pairs_above_threshold_blas(
         nm = m / norms[:, None]
         sims = nm @ nm.T
         ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
+        s = sims[ia, ib]  # gather once — the O(pairs) fancy-index is
+        # the per-block hot path; doing it twice doubled a multi-GB
+        # temporary at the documented 100k-vector block size
+        keep = s >= threshold
         a, b = ids[ia[keep]], ids[ib[keep]]
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
-        return pd.DataFrame({"id_a": a2, "id_b": b2, "cos_sim": sims[ia, ib][keep]})
+        return pd.DataFrame({"id_a": a2, "id_b": b2, "cos_sim": s[keep]})
 
     return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
         _block_pairs, "id_a LONG, id_b LONG, cos_sim DOUBLE"
@@ -109,7 +118,10 @@ def pairs_above_threshold(
     a, b = d.alias("a"), d.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        # eqNullSafe: the BLAS twin groups NULL blocks together and
+        # emits their pairs; plain == would silently drop them here
+        # and the two variants would disagree (code-review r8)
+        cond = cond & F.col("a.blk").eqNullSafe(F.col("b.blk"))
     return (
         a.join(b, cond)
         .select(
@@ -142,12 +154,20 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_planes: int = 12, seed: int = 42) -> DataFrame:
+def lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", n_planes: int = 12, seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
     """Sign-LSH bucket id: bit i = sign(v · plane_i). Adds column
     `bucket` (int). Cosine-similar vectors collide with probability
-    (1 - θ/π)^n_planes."""
-    first = df.select(F.size(vec_col).alias("n")).first()
-    dim = first["n"]
+    (1 - θ/π)^n_planes. Pass `dim` when known (knn_lsh does) to skip
+    the dimension-probe job; an empty input returns an empty bucketed
+    frame instead of crashing on first()=None (code-review r8)."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("n")).first()
+        if first is None or first["n"] is None:
+            return df.withColumn("bucket", F.lit(None).cast("long"))
+        dim = first["n"]
     planes = _hyperplanes(dim, n_planes, seed)
     d = with_double_vec(df, vec_col)
     bucket = F.lit(0).cast("long")
@@ -269,11 +289,11 @@ def knn_ivf(
     import numpy as np
 
     assigned, centroids = ivf_assign(df, k_cells, vec_col, id_col)
-    c = np.array(centroids, dtype="float64")
-    c_norm = c / np.maximum(np.sqrt((c * c).sum(axis=1))[:, None], 1e-12)
-    q = np.array(query_vec, dtype="float64")
-    qn = q / max(float(np.sqrt((q * q).sum())), 1e-12)
-    probe_cells = [int(i) for i in (c_norm @ qn).argsort()[::-1][:n_probe]]
+    # shared probe ranking ((-cos, idx) — ties break to the LOWEST
+    # cell, deterministically): the inline argsort()[::-1] this
+    # replaced broke ties to the HIGHEST cell and depended on numpy's
+    # non-stable sort (code-review r8)
+    probe_cells = _rank_probe_cells(centroids, query_vec, n_probe)
     cands = assigned.filter(F.col("cell").isin(probe_cells))
     return brute_force_topk(cands, query_vec, vec_col=vec_col, id_col=id_col, k=k)
 
@@ -379,19 +399,19 @@ def knn_lsh(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    bucketed = lsh_bucket(df, vec_col, n_planes, seed)
+    bucketed = lsh_bucket(df, vec_col, n_planes, seed, dim=len(query_vec))
     cands = bucketed.filter(F.col("bucket").isin(probes))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    d = with_double_vec(cands, vec_col)
-    return (
-        d.select(id_col, cosine(F.col("_v"), q).alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
-        .limit(k)
-    )
+    # exact re-rank within candidates IS brute_force_topk — delegate so
+    # tie-break/NaN fixes live in one place (code-review r8)
+    return brute_force_topk(cands, query_vec, vec_col=vec_col, id_col=id_col, k=k)
 
 
 def quantize_int8(df, vec_col: str = "embedding", id_col: str = "vec_id"):
-    """Symmetric per-vector int8 quantization of an embedding column —
+    """CONTRACT NOTE (code-review r8): all-zero/null vectors have
+    scale=0 and produce NO output row — a caller auditing coverage
+    must anti-join against the input to find them.
+
+    Symmetric per-vector int8 quantization of an embedding column —
     the storage/serving format every large retrieval corpus ends up in
     (4x smaller than float32, SIMD-dot-product-friendly). scale =
     max|x|/127; q_i = floor(x_i/scale + 0.5) in [-127, 127] (explicit

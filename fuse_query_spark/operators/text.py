@@ -20,7 +20,14 @@ STOPWORDS = {
 
 def tokens(text: str | Column) -> Column:
     """Whitespace tokenization (the BPE-ish regex variant is
-    `regexp_tokens`)."""
+    `regexp_tokens`).
+
+    CONTRACT NOTE (code-review r8): split("") yields [""] — an empty
+    or whitespace-only text therefore has token_count 1, not 0. This
+    matches DuckDB's string_split_regex semantics EXACTLY, and every
+    oracle pair in the registry relies on the two engines agreeing on
+    it; a caller that needs blank-doc-aware counts should filter
+    trim(text) != '' upstream rather than change this function."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.trim(c), r"\s+")
 
@@ -116,12 +123,12 @@ def shingles_from_tokens(t: Column, n: int = 3) -> Column:
 
     zip_with pads the shorter side with null and concat_ws skips
     nulls, so the tail entries are short (n-1)-grams — the final slice
-    keeps only the size-n+1 full shingles."""
-    big = 1 << 30  # clamped by slice(); avoids re-evaluating size(t) per shift
-    acc = t
-    for j in range(1, n):
-        acc = F.zip_with(acc, F.slice(t, j + 1, big), lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(F.slice(acc, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))))
+    keeps only the size-n+1 full shingles.
+
+    Exactly array_distinct over ngrams_from_tokens — delegated so the
+    measured 25s→0.7s hot-path construction lives in ONE place
+    (code-review r8: the two copies could drift)."""
+    return F.array_distinct(ngrams_from_tokens(t, n))
 
 
 def ngrams_from_tokens(t: Column, n: int = 2) -> Column:

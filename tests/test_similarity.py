@@ -332,3 +332,67 @@ class TestSemanticDedupAndPQ:
         ]
         assert set(full) == exact10
         assert len(pq_encode(cand, cb3).first()["codes"]) == 8
+
+
+class TestZeroNormAndEdgeCases:
+    """code-review r8: zero-norm NaN domination, empty-input crash,
+    NULL-block drop, probe tie-break divergence."""
+
+    def test_zero_vector_never_dominates_topk(self, spark):
+        from fuse_query_spark.operators.similarity import (
+            brute_force_topk,
+            pairs_above_threshold,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+        top = brute_force_topk(df, [1.0, 0.0], k=2).collect()
+        # pre-fix: NaN sorted FIRST under desc and the zero vector won
+        assert [r.vec_id for r in top] == [1, 2]
+        pairs = pairs_above_threshold(df, threshold=0.5).collect()
+        ids = {(r.id_a, r.id_b) for r in pairs}
+        assert (1, 3) not in ids and (2, 3) not in ids  # NaN >= t was true
+
+    def test_lsh_bucket_empty_input(self, spark):
+        from fuse_query_spark.operators.similarity import lsh_bucket
+
+        df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+        assert lsh_bucket(df).count() == 0
+
+    def test_null_block_pairs_match_blas_variant(self, spark):
+        from fuse_query_spark.operators.similarity import (
+            pairs_above_threshold,
+            pairs_above_threshold_blas,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], None),
+                (2, [0.99, 0.01], None),
+                (3, [1.0, 0.0], "a"),
+                (4, [0.98, 0.02], "a"),
+            ],
+            "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING",
+        )
+        exact = {
+            (r.id_a, r.id_b)
+            for r in pairs_above_threshold(df, 0.9, block_col="label").collect()
+        }
+        blas = {
+            (r.id_a, r.id_b)
+            for r in pairs_above_threshold_blas(df, 0.9, block_col="label").collect()
+        }
+        assert exact == blas == {(1, 2), (3, 4)}  # null block pairs kept
+
+    def test_ivf_probe_ranking_shared(self, spark, sf_dir):
+        """knn_ivf must probe the same cells as the shared ranking
+        ((-cos, idx): ties to the LOWEST index) — it previously
+        inlined argsort()[::-1], which ties to the highest."""
+        from fuse_query_spark.operators.similarity import (
+            _rank_probe_cells,
+        )
+
+        cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]  # 0 and 2 tie
+        assert _rank_probe_cells(cents, [1.0, 0.0], 2) == [0, 2]
