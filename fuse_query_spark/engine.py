@@ -837,7 +837,33 @@ class Engine:
         shutil.rmtree(tdef.location)
         os.rename(tmp, tdef.location)
 
-    _UPDATE = re.compile(r"(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$")
+    _UPDATE = re.compile(r"(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.+)$")
+
+    @staticmethod
+    def _split_top_level_where(rest: str) -> tuple[str, str | None]:
+        """Split \"SET ... [WHERE pred]\" at the first ' WHERE ' OUTSIDE
+        single-quoted literals (code-review r8: the lazy regex bound a
+        'where' inside a SET string literal and mis-split the
+        statement). Doubled '' escapes stay inside the literal."""
+        low = rest.lower()
+        in_q = False
+        i = 0
+        while i < len(low):
+            ch = rest[i]
+            if ch == "'":
+                in_q = not in_q
+                i += 1
+                continue
+            if (
+                not in_q
+                and ch.isspace()
+                and low[i + 1 : i + 6] == "where"
+                and i + 6 < len(low)
+                and low[i + 6].isspace()
+            ):
+                return rest[:i], rest[i + 7 :]
+            i += 1
+        return rest, None
 
     def _update(self, s: str):
         """UPDATE t SET col = expr[, …] [WHERE pred] — extension (the
@@ -861,7 +887,8 @@ class Engine:
         m = self._UPDATE.match(s)
         if not m:
             raise UnsupportedStatement(f"Cannot parse UPDATE: {s[:80]}")
-        name, set_clause, pred = m.groups()
+        name, rest = m.groups()
+        set_clause, pred = self._split_top_level_where(rest)
         db, table = self._qualify(name)
         tables = self.catalog.db(db)
         if table not in tables:
@@ -1142,6 +1169,13 @@ class Engine:
                     raise UnknownTable(first) from e
                 raise UnknownColumn(first) from e
             if "TABLE_OR_VIEW_NOT_FOUND" in msg:
+                # a registration we deferred (broken view / unreachable
+                # source) that analysis now proves was genuinely
+                # referenced: surface the ORIGINAL typed error, not the
+                # generic not-found
+                for name, orig in getattr(self, "_deferred_view_errors", {}).items():
+                    if re.search(rf"`?{re.escape(name)}`?", first):
+                        raise orig from e
                 raise UnknownTable(first) from e
             raise
         finally:
@@ -1155,18 +1189,45 @@ class Engine:
 
     def _register_views(self, s: str) -> None:
         """Register any catalog/system tables the query references as
-        temp views (lazily — DataFrames are lazy, so no data moves)."""
-        for m in re.finditer(r"\bsystem\.(\w+)", s):
+        temp views (lazily — DataFrames are lazy, so no data moves).
+
+        The name scan runs over the statement with string literals and
+        comments STRIPPED (code-review r8: 'system.logs' inside a
+        literal raised UnknownTable for a valid query), and a
+        registration that fails is SKIPPED rather than failing the
+        whole statement — a bare word that merely collides with a
+        broken view's name (SELECT 1 AS v after v's base table was
+        dropped) must not poison unrelated queries; if the query truly
+        references the broken table, Spark's own
+        TABLE_OR_VIEW_NOT_FOUND names it."""
+        scan = re.sub(r"'(?:[^']|'')*'", "''", s)  # literals
+        scan = re.sub(r"/\*.*?\*/", " ", scan, flags=re.S)  # block comments
+        scan = re.sub(r"--[^\n]*", " ", scan)  # line comments
+        self._deferred_view_errors = {}
+        for m in re.finditer(r"\bsystem\.(\w+)", scan):
             name = m.group(1).lower()
             df = self._system_table(name)
             if df is not None:
                 df.createOrReplaceTempView(f"system__{name}")
         for db, tables in self.catalog.databases.items():
             for name, tdef in tables.items():
-                if re.search(rf"\b{re.escape(db)}\.{re.escape(name)}\b", s):
-                    self._table_df(tdef).createOrReplaceTempView(f"{db}__{name}")
-                if db == self.current_db and re.search(rf"\b{re.escape(name)}\b", s):
-                    self._table_df(tdef).createOrReplaceTempView(name)
+                try:
+                    if re.search(rf"\b{re.escape(db)}\.{re.escape(name)}\b", scan):
+                        self._table_df(tdef).createOrReplaceTempView(f"{db}__{name}")
+                    if db == self.current_db and re.search(
+                        rf"\b{re.escape(name)}\b", scan
+                    ):
+                        self._table_df(tdef).createOrReplaceTempView(name)
+                except Exception as e:
+                    # broken/unreachable source (see docstring): defer —
+                    # if analysis then proves the name was genuinely
+                    # referenced, the ORIGINAL error surfaces
+                    self._deferred_view_errors[name] = e
+                    try:
+                        self.spark.catalog.dropTempView(name)
+                    except Exception:
+                        pass  # stale earlier registration, best-effort
+                    continue
 
     def _system_table(self, name: str) -> DataFrame | None:
         if name in ("numbers", "numbers_mt", "numbers_local"):
@@ -1943,6 +2004,14 @@ class Engine:
         tdef = tables[tbl]
         df = self._select(select_sql)
         colnames = [c.strip() for c in cols.split(",")] if cols else [f.name for f in tdef.schema]
+        if len(df.columns) != len(colnames):
+            # standard SQL (and the reference) reject arity mismatch;
+            # zip() previously dropped extras / null-filled silently
+            # (code-review r8)
+            raise UnsupportedStatement(
+                f"INSERT INTO {db}.{tbl}: SELECT produces {len(df.columns)} "
+                f"column(s) but {len(colnames)} target column(s) were specified"
+            )
         from pyspark.sql import functions as F
 
         # alignment is POSITIONAL (SQL INSERT semantics) — rename first

@@ -120,16 +120,20 @@ def snapshot_commit(
         for p in glob.glob(os.path.join(data_dir, "*.parquet"))
     )
     parent = latest_version(location)
+    # ONE parent-manifest read feeds files/stats/batch_ids (it was
+    # parsed three times per commit — at tens of thousands of listed
+    # files that tripled commit latency; code-review r8)
+    parent_manifest = read_manifest(location, parent) if parent is not None else None
     files: list[str] = []
-    if mode == "append" and parent is not None:
-        files += read_manifest(location, parent)["files"]
+    if mode == "append" and parent_manifest is not None:
+        files += parent_manifest["files"]
     files += new_files
     # per-file footer stats ride in the manifest (Iceberg's shape):
     # new files are stat'ed here (footer-only reads); inherited files
     # keep their existing entries — commit cost stays O(added files)
     stats: dict[str, dict] = {}
-    if mode == "append" and parent is not None:
-        stats.update(read_manifest(location, parent).get("stats", {}))
+    if mode == "append" and parent_manifest is not None:
+        stats.update(parent_manifest.get("stats", {}))
     for f in new_files:
         stats[f] = _file_stats(os.path.join(location, f))
     manifest = {
@@ -145,11 +149,11 @@ def snapshot_commit(
         "committed_at": datetime.now(timezone.utc).isoformat(),
     }
     ids: set[int] = set()
-    if parent is not None:
+    if parent_manifest is not None:
         # streamed-batch ids survive EVERY commit (incl. interleaved
         # DML): dropping them would let a checkpoint replay after a
         # mid-stream DELETE double-ingest a batch
-        ids.update(read_manifest(location, parent).get("batch_ids", []))
+        ids.update(parent_manifest.get("batch_ids", []))
     if batch_id is not None:
         ids.add(batch_id)
     if ids:
@@ -238,10 +242,23 @@ def snapshot_vacuum(location: str, keep_last: int = 1) -> list[str]:
     pass. Time travel beyond keep_last is gone after this (that's the
     trade; production schedules it against the retention SLA). Pure
     metadata diff + unlinks; returns the deleted file list."""
+    if keep_last < 1:
+        # KEEP 0 would empty the keep-set and unlink the LIVE version's
+        # data files — irrecoverable (code-review r8); the newest
+        # manifest is never collectible
+        raise ValueError(f"VACUUM keep_last must be >= 1, got {keep_last}")
     v = latest_version(location)
     if v is None:
         return []
-    keep_versions = list(range(max(0, v - keep_last + 1), v + 1))
+    # intersect the numeric window with the manifests that EXIST — an
+    # earlier tighter vacuum already deleted part of the range, and a
+    # later vacuum with a larger keep_last must keep what's there
+    # rather than raise on the gap (code-review r8)
+    keep_versions = [
+        k
+        for k in range(max(0, v - keep_last + 1), v + 1)
+        if os.path.exists(_manifest_path(location, k))
+    ]
     keep: set[str] = set()
     for k in keep_versions:
         keep.update(read_manifest(location, k)["files"])
@@ -274,25 +291,37 @@ def _file_stats(path: str) -> dict:
 
     md = pq.ParquetFile(path).metadata
     stats: dict[str, list] = {}
+    # a column is prunable ONLY if EVERY row group carries usable
+    # stats for it: merging the subset that has them silently narrows
+    # the file range and _prunable would skip files whose stat-less
+    # row groups hold matching rows — silent wrong results
+    # (code-review r8). Track completeness and drop partial columns.
+    incomplete: set[str] = set()
     for rg in range(md.num_row_groups):
         for ci in range(md.num_columns):
             col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
             st = col.statistics
             if st is None or not st.has_min_max:
+                incomplete.add(name)
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
+                    incomplete.add(name)
                     continue
-            name = col.path_in_schema
             if name in stats:
                 cur = stats[name]
                 cur[0], cur[1] = min(cur[0], mn), max(cur[1], mx)
             else:
                 stats[name] = [mn, mx]
-    return {k: {"min": v[0], "max": v[1]} for k, v in stats.items()}
+    return {
+        k: {"min": v[0], "max": v[1]}
+        for k, v in stats.items()
+        if k not in incomplete
+    }
 
 
 def _prunable(stats: dict, predicates) -> bool:
@@ -450,6 +479,19 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     bits = min(bits, 63 // len(cols))
     if bits < 1:
         raise ValueError(f"too many ZORDER columns ({len(cols)}): need >=1 bit each")
+    numeric = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+    for c in cols:
+        dt = dict(df.dtypes).get(c)
+        if dt is None:
+            raise ValueError(f"ZORDER column {c!r} not in schema")
+        if not dt.startswith(numeric):
+            # the affine grid map subtracts min from max driver-side; a
+            # string/date column raised a raw TypeError deep inside
+            # (code-review r8) — fail with the actual constraint
+            raise ValueError(
+                f"ZORDER column {c!r} has type {dt}; only numeric columns "
+                "can be z-ordered (map dates/strings to numeric first)"
+            )
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
@@ -496,7 +538,12 @@ def snapshot_optimize(
     version (and time travel to it) is untouched until vacuum; a
     crash mid-rewrite leaves at worst orphan data files, never a torn
     table. Returns the committed version."""
-    m = read_manifest(location, latest_version(location))
+    v = latest_version(location)
+    if v is None:
+        raise ValueError(
+            f"OPTIMIZE: snapshot table at {location} has no commits yet"
+        )
+    m = read_manifest(location, v)
     df = snapshot_read(spark, location)
     total_bytes = sum(
         os.path.getsize(os.path.join(location, f)) for f in m["files"]

@@ -1557,3 +1557,63 @@ spark.stop()
             files_of_bucket.setdefault(r["bucket"], set()).add(f)
     assert sorted(files_of_bucket) == list(range(n))
     assert all(len(fs) == 1 for fs in files_of_bucket.values()), files_of_bucket
+
+
+def test_update_where_inside_string_literal(engine):
+    """code-review r8: the lazy UPDATE regex bound a ' where ' INSIDE a
+    SET string literal and mis-split the statement."""
+    engine.sql("DROP TABLE IF EXISTS up_lit")
+    engine.sql("CREATE TABLE up_lit (id int, note String) Engine = Memory")
+    engine.sql("INSERT INTO up_lit VALUES (1, 'old'), (2, 'keep')")
+    engine.sql("UPDATE up_lit SET note = 'fix where broken' WHERE id = 1")
+    _, rows = engine.sql_collect("SELECT * FROM up_lit")
+    got = {r["id"]: r["note"] for r in rows}
+    assert got == {1: "fix where broken", 2: "keep"}
+    engine.sql("DROP TABLE up_lit")
+
+
+def test_insert_select_arity_mismatch_rejected(engine):
+    """code-review r8: zip() silently dropped extra SELECT columns /
+    null-filled missing targets; standard SQL rejects the statement."""
+    import pytest as _pytest
+
+    from fuse_query_spark.errors import FuseQueryError
+
+    engine.sql("DROP TABLE IF EXISTS ins_ar")
+    engine.sql("CREATE TABLE ins_ar (a int, b int, c int) Engine = Memory")
+    with _pytest.raises(FuseQueryError, match="3 target column"):
+        engine.sql("INSERT INTO ins_ar (a, b, c) SELECT 1, 2")
+    with _pytest.raises(FuseQueryError, match="1 target column"):
+        engine.sql("INSERT INTO ins_ar (a) SELECT 1, 2")
+    engine.sql("DROP TABLE ins_ar")
+
+
+def test_table_name_in_literal_or_comment_not_registered(engine):
+    """code-review r8: 'system.logs' inside a string literal (or a
+    block comment) raised UnknownTable for an otherwise-valid query."""
+    _, rows = engine.sql_collect("SELECT 'system.logs' AS hint")
+    assert rows[0]["hint"] == "system.logs"
+    _, rows = engine.sql_collect("SELECT /* see system.logs */ 1 AS one")
+    assert rows[0]["one"] == 1
+
+
+def test_broken_view_does_not_poison_unrelated_queries(engine):
+    """code-review r8: a view whose base table was dropped previously
+    made ANY statement containing the view's bare name fail during
+    registration; unrelated queries must pass, and a genuine reference
+    must surface the original error."""
+    import pytest as _pytest
+
+    from fuse_query_spark.errors import FuseQueryError
+
+    engine.sql("DROP TABLE IF EXISTS bv_base")
+    engine.sql("CREATE TABLE bv_base (x int) Engine = Memory")
+    engine.sql("CREATE VIEW bv_view AS SELECT x FROM bv_base")
+    engine.sql("DROP TABLE bv_base")
+    # unrelated query that merely collides with the bare name
+    _, rows = engine.sql_collect("SELECT 1 AS bv_view")
+    assert rows[0]["bv_view"] == 1
+    # a genuine reference surfaces the original typed error
+    with _pytest.raises(FuseQueryError):
+        engine.sql_collect("SELECT * FROM bv_view")
+    engine.sql("DROP VIEW bv_view")

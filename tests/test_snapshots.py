@@ -512,3 +512,69 @@ class TestOptimizeSql:
             engine.sql("OPTIMIZE TABLE optdb2.plain ZORDER BY (id)")
         engine.sql("DROP TABLE optdb2.plain")
         engine.sql("DROP DATABASE optdb2")
+
+
+class TestReviewHardening:
+    """code-review r8: vacuum data-loss and pruning-correctness traps."""
+
+    def _make(self, spark, tmp_path, n_commits=3):
+        from fuse_query_spark.sources.snapshots import snapshot_commit
+
+        loc = str(tmp_path / "tbl")
+        for i in range(n_commits):
+            snapshot_commit(
+                spark.range(i * 10, i * 10 + 10).withColumnRenamed("id", "x"),
+                loc,
+                "append",
+            )
+        return loc
+
+    def test_vacuum_keep_zero_rejected(self, spark, tmp_path):
+        """KEEP 0 would unlink the LIVE version's data files and leave
+        the table unreadable — it must raise before touching disk."""
+        import pytest as _pytest
+
+        from fuse_query_spark.sources.snapshots import snapshot_read, snapshot_vacuum
+
+        loc = self._make(spark, tmp_path)
+        with _pytest.raises(ValueError, match="keep_last"):
+            snapshot_vacuum(loc, keep_last=0)
+        assert snapshot_read(spark, loc).count() == 30  # untouched
+
+    def test_vacuum_after_tighter_vacuum(self, spark, tmp_path):
+        """A later vacuum with a LARGER keep window than an earlier one
+        must keep what exists instead of raising on the gap."""
+        from fuse_query_spark.sources.snapshots import (
+            snapshot_commit,
+            snapshot_read,
+            snapshot_vacuum,
+        )
+
+        loc = self._make(spark, tmp_path, n_commits=4)
+        snapshot_vacuum(loc, keep_last=1)  # drops manifests v0-v2
+        snapshot_commit(
+            spark.range(100, 110).withColumnRenamed("id", "x"), loc, "append"
+        )
+        deleted = snapshot_vacuum(loc, keep_last=3)  # window spans the gap
+        assert isinstance(deleted, list)
+        assert snapshot_read(spark, loc).count() == 50
+
+    def test_optimize_empty_table_clear_error(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fuse_query_spark.sources.snapshots import snapshot_optimize
+
+        loc = str(tmp_path / "empty")
+        with _pytest.raises(ValueError, match="no commits"):
+            snapshot_optimize(spark, loc)
+
+    def test_zorder_rejects_string_column(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fuse_query_spark.sources.snapshots import zorder_key
+
+        df = spark.createDataFrame([(1, "a")], "x LONG, name STRING")
+        with _pytest.raises(ValueError, match="only numeric"):
+            zorder_key(df, ["name"])
+        with _pytest.raises(ValueError, match="not in schema"):
+            zorder_key(df, ["nope"])
