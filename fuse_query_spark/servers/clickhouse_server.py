@@ -458,7 +458,14 @@ class _CHConn:
             raw = self.r.exact(width * n_rows)
             return [unpack(raw[i * width : (i + 1) * width]) for i in range(n_rows)]
         if ch_type == "String":
-            return [self.r.string().decode() for _ in range(n_rows)]
+            # ClickHouse String is RAW BYTES: strict utf-8 raised
+            # UnicodeDecodeError MID-BLOCK (framing lost, both sides
+            # hang; code-review r8) — surrogateescape round-trips any
+            # byte sequence and the block is always fully consumed
+            return [
+                self.r.string().decode("utf-8", errors="surrogateescape")
+                for _ in range(n_rows)
+            ]
         raise ValueError(f"Unsupported column type:{ch_type}")
 
     def _skip_column(self, ch_type: str, n_rows: int) -> None:
@@ -466,13 +473,11 @@ class _CHConn:
             self.r.exact(n_rows)
             self._skip_column(ch_type[len("Nullable(") : -1], n_rows)
             return
-        fixed = {
-            "Int8": 1, "UInt8": 1, "Int16": 2, "UInt16": 2, "Date": 2,
-            "Int32": 4, "UInt32": 4, "Float32": 4, "DateTime": 4,
-            "Int64": 8, "UInt64": 8, "Float64": 8,
-        }
-        if ch_type in fixed:
-            self.r.exact(fixed[ch_type] * n_rows)
+        # widths come from the SAME table the reader uses — a
+        # hand-maintained copy here had already drifted from
+        # _CH_UNPACK once (code-review r8)
+        if ch_type in _CH_UNPACK:
+            self.r.exact(_CH_UNPACK[ch_type][0] * n_rows)
         elif ch_type == "String":
             for _ in range(n_rows):
                 self.r.string()
@@ -631,6 +636,20 @@ class _CHConn:
                     f"INSERT block has {len(cols)} columns, expected {len(colnames)}"
                 )
                 return
+            # align by the block's OWN column names (real ClickHouse
+            # validates against the sample block): a client block in a
+            # different order than the table previously wrote swapped
+            # data with a success response (code-review r8). Unknown
+            # names are a typed error — framing is intact here, the
+            # block is fully consumed.
+            if _names and _names != colnames:
+                if sorted(_names) != sorted(colnames):
+                    self.send_exception(
+                        f"INSERT block columns {_names} do not match table columns {colnames}"
+                    )
+                    return
+                order = [_names.index(c) for c in colnames]
+                cols = [cols[i] for i in order]
             for bi, flag in enumerate(is_bool):
                 if flag:
                     cols[bi] = [None if v is None else bool(v) for v in cols[bi]]

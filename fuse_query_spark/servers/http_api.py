@@ -60,7 +60,13 @@ class HttpApiServer:
                     self._send(404, "not found")
 
             def do_POST(self):
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    # a malformed header previously killed the handler
+                    # thread with no response (code-review r8)
+                    self._send(400, "invalid Content-Length")
+                    return
                 if n > 16 * 1024:  # content_length_limit(1024*16), cluster.rs:70
                     self._send(413, "payload too large")
                     return
@@ -79,7 +85,9 @@ class HttpApiServer:
                     try:
                         api.cluster.add_node(req["name"], int(req["priority"]), req["address"])
                         self._send(200, "")
-                    except (ValueError, KeyError) as e:
+                    except (ValueError, KeyError, TypeError) as e:
+                        # TypeError: int(None) / unhashable JSON values
+                        # killed the thread with no response
                         self._send(400, str(e))
                 elif self.path == "/v1/cluster/remove":
                     api.cluster.remove_node(req.get("name", ""))

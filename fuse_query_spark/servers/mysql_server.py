@@ -130,7 +130,15 @@ def _bin_datetime(v) -> bytes:
 
 
 def _bin_str(v) -> bytes:
-    b = str(v).encode()
+    # render like the TEXT path (code-review r8: str(b'..') put the
+    # Python repr on the wire for binary columns, and arrays diverged
+    # from the text renderer's NULL spelling)
+    if isinstance(v, (bytes, bytearray)):
+        b = bytes(v)
+    elif isinstance(v, (list, tuple)):
+        b = ("[" + ",".join("NULL" if x is None else str(x) for x in v) + "]").encode()
+    else:
+        b = str(v).encode()
     return _lenenc_int(len(b)) + b
 
 
@@ -218,6 +226,16 @@ def _substitute_params(sql: str, values: list) -> str:
                 i += 1
             elif ch == in_str:
                 in_str = None
+        elif ch == "-" and sql[i : i + 2] == "--":
+            nl = sql.find("\n", i)
+            j = len(sql) if nl < 0 else nl
+            out.append(sql[i:j])
+            i = j - 1
+        elif ch == "/" and sql[i : i + 2] == "/*":
+            end = sql.find("*/", i + 2)
+            j = len(sql) if end < 0 else end + 2
+            out.append(sql[i:j])
+            i = j - 1
         elif ch in ("'", '"'):
             in_str = ch
             out.append(ch)
@@ -303,9 +321,10 @@ class _Conn:
         self.send_packet(b"\xfe" + struct.pack("<HH", 0, 2))
 
     def send_err(self, msg: str, errno: int = 1105) -> None:
-        self.send_packet(
-            b"\xff" + struct.pack("<H", errno) + b"#HY000" + msg.encode()[:400]
-        )
+        # truncate WITHOUT splitting a multibyte sequence (code-review
+        # r8: a mid-codepoint cut put invalid utf-8 in the ERR packet)
+        body = msg.encode()[:400].decode("utf-8", errors="ignore").encode()
+        self.send_packet(b"\xff" + struct.pack("<H", errno) + b"#HY000" + body)
 
     def handshake(self) -> None:
         """Protocol-v10 greeting + accept any credentials (parity with
@@ -355,10 +374,15 @@ class _Conn:
                 return
             if cmd == COM_PING:
                 self.send_ok()
+            # errors="replace" on command payloads: a client in a
+            # non-utf8 charset previously killed the connection with an
+            # uncaught UnicodeDecodeError and no ERR packet (code-review
+            # r8) — with replacement the statement fails downstream as a
+            # normal parse error while the connection survives
             elif cmd == COM_INIT_DB:
-                self._run_sql(f"USE {arg.decode()}", init_db=True)
+                self._run_sql(f"USE {arg.decode(errors='replace')}", init_db=True)
             elif cmd == COM_QUERY:
-                self._run_sql(arg.decode())
+                self._run_sql(arg.decode(errors="replace"))
             elif cmd == COM_STMT_PREPARE:
                 # capability extension past the reference (judge r5 ask
                 # #5): the reference rejects with ER_UNKNOWN_ERROR
@@ -369,12 +393,13 @@ class _Conn:
                 # narrower than it looked. Textual execution: params
                 # substitute into the SQL text; results are text
                 # resultsets (the reference's own result encoding).
-                self._stmt_prepare(arg.decode())
+                self._stmt_prepare(arg.decode(errors="replace"))
             elif cmd == COM_STMT_EXECUTE:
                 self._stmt_execute(arg)
             elif cmd == COM_STMT_CLOSE:
-                # no response by protocol
-                self._stmts.pop(struct.unpack("<I", arg[:4])[0], None)
+                # no response by protocol; short payload = ignore
+                if len(arg) >= 4:
+                    self._stmts.pop(struct.unpack("<I", arg[:4])[0], None)
             elif cmd == COM_STMT_RESET:
                 self.send_ok()
             else:
@@ -384,7 +409,9 @@ class _Conn:
 
     @staticmethod
     def _count_params(sql: str) -> int:
-        """`?` placeholders outside string literals."""
+        """`?` placeholders outside string literals AND comments
+        (code-review r8: a '?' inside -- or /* */ was counted and
+        substituted — same lexing rules as Engine._split)."""
         n, in_str = 0, None
         i = 0
         while i < len(sql):
@@ -394,6 +421,12 @@ class _Conn:
                     i += 1  # skip escaped char
                 elif ch == in_str:
                     in_str = None
+            elif ch == "-" and sql[i : i + 2] == "--":
+                nl = sql.find("\n", i)
+                i = len(sql) if nl < 0 else nl
+            elif ch == "/" and sql[i : i + 2] == "/*":
+                end = sql.find("*/", i + 2)
+                i = len(sql) if end < 0 else end + 1
             elif ch in ("'", '"'):
                 in_str = ch
             elif ch == "?":
@@ -434,6 +467,9 @@ class _Conn:
     _PARAM_STR = {0x0F, 0xFD, 0xFE, 0xFC, 0xFB, 0xFA, 0xF9}  # VARCHAR/STRING/BLOBs
 
     def _stmt_execute(self, arg: bytes) -> None:
+        if len(arg) < 9:
+            self.send_err("Malformed COM_STMT_EXECUTE payload", errno=1210)
+            return
         sid = struct.unpack("<I", arg[:4])[0]
         entry = self._stmts.get(sid)
         if entry is None:
@@ -443,15 +479,26 @@ class _Conn:
         pos = 9  # stmt_id(4) + flags(1) + iteration_count(4)
         values: list = []
         if n_params:
-            nb_len = (n_params + 7) // 8
-            null_bitmap = arg[pos : pos + nb_len]
-            pos += nb_len
-            new_bound = arg[pos]
-            pos += 1
-            if new_bound:
-                bound_types = [(arg[pos + 2 * i], arg[pos + 2 * i + 1]) for i in range(n_params)]
-                entry[2] = bound_types
-                pos += 2 * n_params
+            # the WHOLE payload walk sits under one guard: the
+            # new-bound flag / type-pair reads used to index `arg`
+            # before the try, and non-utf8 string params raised
+            # UnicodeDecodeError past it — either killed the connection
+            # instead of answering 1210 (code-review r8)
+            try:
+                nb_len = (n_params + 7) // 8
+                null_bitmap = arg[pos : pos + nb_len]
+                pos += nb_len
+                new_bound = arg[pos]
+                pos += 1
+                if new_bound:
+                    bound_types = [
+                        (arg[pos + 2 * i], arg[pos + 2 * i + 1]) for i in range(n_params)
+                    ]
+                    entry[2] = bound_types
+                    pos += 2 * n_params
+            except (struct.error, IndexError):
+                self.send_err("Malformed COM_STMT_EXECUTE payload", errno=1210)
+                return
             if bound_types is None:
                 self.send_err("Prepared statement executed without bound types", errno=1210)
                 return
@@ -475,7 +522,7 @@ class _Conn:
                             f"Unsupported parameter type {ptype:#x}", errno=1210
                         )
                         return
-            except (struct.error, IndexError):
+            except (struct.error, IndexError, UnicodeDecodeError):
                 self.send_err("Malformed COM_STMT_EXECUTE payload", errno=1210)
                 return
         self._run_sql(_substitute_params(sql, values), binary=True)

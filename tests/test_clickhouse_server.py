@@ -559,3 +559,43 @@ def test_wire_insert_inline_values_stay_on_sql_path(insert_client):
     assert exc is None and rows == []
     _, rows, _, _ = c.query("SELECT a FROM wi4 ORDER BY a")
     assert rows == [(41,), (42,)]
+
+
+def test_wire_insert_reordered_block_aligns_by_name(insert_client):
+    """code-review r8: a block whose column order differs from the
+    table header was zipped positionally and committed SWAPPED with a
+    success response; blocks now align by their own column names."""
+    c = insert_client
+    c.query("DROP TABLE IF EXISTS wi4")
+    c.query("CREATE TABLE wi4(a int, b int) ENGINE = Memory")
+    c.send_query("INSERT INTO wi4 VALUES")
+    kind, payload = c.read_one_packet()
+    assert kind == "data"
+    header = [(n, t) for n, t, _ in payload]
+    # send the columns REVERSED, with honest names in the block header
+    rev = [(header[1][0], header[1][1]), (header[0][0], header[0][1])]
+    c.send_data_block(rev, [[10, 20], [1, 2]])  # b-values first
+    c.send_data_block(header, [[] for _ in header])
+    while True:
+        kind, payload = c.read_one_packet()
+        if kind in ("eos", "exc"):
+            break
+    assert kind == "eos", payload
+    _, rows, _, _ = c.query("SELECT a, b FROM wi4 ORDER BY a")
+    assert rows == [(1, 10), (2, 20)]  # a got the a-values, not b's
+
+
+def test_wire_insert_binary_string_survives(insert_client):
+    """code-review r8: ClickHouse String is raw bytes; strict utf-8
+    decode raised MID-BLOCK and desynced the stream. surrogateescape
+    keeps the block consumable and the insert succeeds."""
+    c = insert_client
+    c.query("DROP TABLE IF EXISTS wi5")
+    c.query("CREATE TABLE wi5(s string) ENGINE = Memory")
+    header, progresses, exc = c.wire_insert(
+        "INSERT INTO wi5 VALUES", [[[b"\xff\xfe raw".decode("latin-1")]]]
+    )
+    assert exc is None and progresses[-1][0] == 1
+    # the connection is still usable (framing intact)
+    _, rows, _, exc2 = c.query("SELECT count(*) AS n FROM wi5")
+    assert exc2 is None and rows == [(1,)]

@@ -365,3 +365,45 @@ def test_stmt_close_then_execute_errors(client):
     client.close_stmt(sid)
     with pytest.raises(RuntimeError, match="1243"):
         client.execute(sid, [1])
+
+
+
+def test_non_utf8_com_query_gets_err_packet(client):
+    """code-review r8: raw non-utf8 COM_QUERY bytes previously killed
+    the connection with no ERR packet; they must now produce a normal
+    response and the connection must survive."""
+    client.send_packet(b"\x03" + b"SELECT '\xff\xfe' AS x", seq=0)
+    try:
+        client._response()  # ERR (RuntimeError) or a result set — both fine
+    except RuntimeError:
+        pass
+    # connection still serves queries
+    cols, rows = client.query("SELECT 1 AS one")
+    assert rows == [["1"]]
+
+
+def test_stmt_execute_truncated_payload_err_not_crash(client):
+    """code-review r8: a COM_STMT_EXECUTE cut right after the null
+    bitmap indexed past the payload OUTSIDE the guard and killed the
+    connection; it must answer errno 1210."""
+    import pytest as _pytest
+
+    sid, _ncols, nparams = client.prepare("SELECT ? AS x")
+    assert nparams == 1
+    payload = struct.pack("<I", sid) + b"\x00" + struct.pack("<I", 1) + b"\x00"
+    client.send_packet(b"\x17" + payload, seq=0)
+    with _pytest.raises(RuntimeError, match="1210"):
+        client._response(binary=True)
+    # connection survives
+    cols, rows = client.query("SELECT 2 AS two")
+    assert rows == [["2"]]
+
+
+def test_question_mark_in_comment_not_a_param(client):
+    """code-review r8: '?' inside -- or block comments was counted and
+    substituted as a placeholder."""
+    sid, _ncols, nparams = client.prepare("SELECT /* really? */ ? AS x -- sure?")
+    assert nparams == 1
+    res = client.execute(sid, params=[7])
+    cols, rows = res
+    assert rows and rows[0][0] in (7, "7", b"7")
