@@ -116,10 +116,17 @@ class TestCheckpointHygiene:
             assert fn(spark, sf_dir).count() > 0
             times.append(time.time() - t0)
             gc.collect()  # drop the Python result wrapper promptly
+            spark._jvm.System.gc()  # let the ContextCleaner see them
             blocks.append(sc.getPersistentRDDs().size())
-        # at most the current run's final labels checkpoint (+1 slack
-        # for an in-flight ContextCleaner on the previous run's final)
-        assert max(blocks) <= base + 2, blocks
+        # BOUNDED, not zero: one run legitimately holds the pipeline's
+        # three GC-cleaned checkpoints (shingles + signatures from
+        # minhash_dedup_pairs — r8's persist→localCheckpoint
+        # conversion — plus CC's final labels); the previous run's
+        # trio may still be in the cleaner's queue. The failure mode
+        # this test guards is O(runs × rounds) ACCUMULATION, i.e.
+        # monotonic growth, not a small constant pool.
+        assert max(blocks) <= base + 7, blocks
+        assert blocks[-1] <= blocks[0] + 3, blocks  # no run-over-run climb
         # wall-time: warm runs (skip run 0 = codegen warm-up) must stay
         # in a band — the pre-fix failure mode was monotonic growth to
         # >10x inside one session
