@@ -123,6 +123,13 @@ BENCH_QUERIES = [
     "multimodal_jpeg_arith_progressive_decode",
     "multimodal_gif_interlaced_decode",
     "events_uniq_sketch_rollup",
+    # r8 additions: container demux family + the persisted-LSH-index
+    # incremental dedup
+    "multimodal_mp4_demux",
+    "multimodal_mkv_demux",
+    "multimodal_container_quarantine",
+    "multimodal_jpeg_quarantine_lossless",
+    "dedup_incremental_index",
 ]
 
 

@@ -147,26 +147,37 @@ def lsh_candidate_pairs(
     )
 
 
+def band_rows_md5(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4, out: str = "id"
+) -> DataFrame:
+    """Explode md5-string signatures into (band, bh, <out>) bucket rows
+    — band hash = md5 of the band's '|'-joined signature rows. The ONE
+    definition of the md5 banding, shared by the self-join form, the
+    cross-corpus form, and the persisted index (dedup_index.py), so the
+    band key can never drift between an index writer and its readers."""
+    if k % bands:
+        raise ValueError(f"k={k} must be a multiple of bands={bands}")
+    r = k // bands
+    rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+        rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bh"),
+                F.col(id_col).alias(out),
+            )
+        )
+    return sigs.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
 def lsh_candidate_pairs_md5(
     sigs: DataFrame, id_col: str = "doc_id", k: int = 8, bands: int = 4
 ) -> DataFrame:
     """Banding for md5-string signatures: band hash = md5 of the
     concatenated band rows. Same bucket-join shape as the xxhash64
     form."""
-    if k % bands:
-        raise ValueError(f"k={k} must be a multiple of bands={bands}")
-    r = k // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
-        band_rows.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bh"),
-                F.col(id_col).alias("id"),
-            )
-        )
-    buckets = sigs.select(F.explode(F.array(*band_rows)).alias("s")).select("s.*")
+    buckets = band_rows_md5(sigs, id_col, k, bands, out="id")
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -188,11 +199,16 @@ def jaccard_verify(
     shingle_n: int = 3,
     threshold: float = 0.5,
     shingle_df: DataFrame | None = None,
+    shingle_df_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs only. The join
     fans each pair out to its two shingle sets. Pass a precomputed
     (persisted) `shingle_df` (_id, _sh) to avoid re-shingling when
-    composing with signature generation.
+    composing with signature generation. `shingle_df_b`: optionally a
+    DIFFERENT shingle table for the id_b side — the cross-corpus /
+    persisted-index flow, where id_a ids resolve against the new batch
+    and id_b ids against the landed corpus (and an id present in both
+    must resolve per-side, not from a pooled union).
 
     The shingle side carries a per-doc shingle ARRAY — heavy rows that
     sit near the broadcast threshold at test scale and far above it at
@@ -205,9 +221,10 @@ def jaccard_verify(
     if sh is None:
         sh = _shingle_table(df, text_col, id_col, shingle_n)
     sh = sh.hint("shuffle_hash")
+    sh_b = sh if shingle_df_b is None else shingle_df_b.hint("shuffle_hash")
     j = (
         pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .join(sh_b.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -421,26 +438,10 @@ def lsh_cross_candidate_pairs_md5(
     bucket-join shape: each side explodes to (band, band_hash, id)
     rows and the join key is the bucket, never all-pairs; the base
     side's banded form is exactly what a standing corpus would keep
-    materialized between crawls. Returns distinct (id_new, id_base)."""
-    if k % bands:
-        raise ValueError(f"k={k} must be a multiple of bands={bands}")
-    r = k // bands
-
-    def banded(sigs: DataFrame, out: str) -> DataFrame:
-        rows = []
-        for b in range(bands):
-            cols = [F.col(f"mh{b * r + j}") for j in range(r)]
-            rows.append(
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("|", *cols)).alias("bh"),
-                    F.col(id_col).alias(out),
-                )
-            )
-        return sigs.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
-
-    a = banded(sigs_new, "id_new")
-    b = banded(sigs_base, "id_base")
+    materialized between crawls (the DISK form of that artifact is
+    operators/dedup_index.py). Returns distinct (id_new, id_base)."""
+    a = band_rows_md5(sigs_new, id_col, k, bands, out="id_new")
+    b = band_rows_md5(sigs_base, id_col, k, bands, out="id_base")
     return (
         a.join(b, ["band", "bh"])
         .select("id_new", "id_base")

@@ -1,0 +1,285 @@
+"""Persisted MinHash-LSH band index — continuous-crawl near-dedup.
+
+dedup.lsh_cross_candidate_pairs_md5 covers the cross-corpus SEMANTICS
+(a new slice deduped against the existing corpus) but recomputes the
+base side's signatures every run. At 100 TB the base side's banded
+signatures are the standing artifact a crawler keeps BETWEEN runs;
+this module makes that artifact a disk table — the dedup twin of the
+ANN base+delta index (streaming/ann_index.py):
+
+    <path>/bands/   (band INT, bh STRING, doc_id LONG), partitionBy(band)
+
+- ``lsh_index_write``: one pass over the landed corpus (build or the
+  periodic rebuild/compaction).
+- ``lsh_index_append``: append a batch's band rows (same layout —
+  parquet append). Duplicate band rows from a replayed append are
+  harmless by construction: candidate pairs are DISTINCT'd, so the
+  append is idempotent-by-semantics.
+- ``lsh_index_candidates``: (id_new, id_base) for a new batch against
+  the index. The NEW side's band rows are broadcast (size-gated on the
+  session's autoBroadcastJoinThreshold, the leakage_safe_split rule)
+  into the index scan, so the per-batch cost is ONE index scan plus a
+  map-side join — the index side is never shuffled. Past the gate it
+  degrades to a shuffled hash join on the uniform (band, bh) key.
+- ``dedup_against_index``: candidates → exact-Jaccard verify that
+  re-shingles ONLY the candidate base docs (left-semi prune on the
+  landed corpus) → ONE decision row per new doc (n_matches /
+  best_jaccard / min_base / is_dup) — the form a curation pass
+  consumes.
+- ``ingest_dedup_stream``: the foreachBatch streaming form — per
+  micro-batch decisions, kept docs' band rows appended to the index
+  and the docs to the corpus, so batch N+1 dedups against batch N too.
+  A replayed batch's docs (fresh checkpoint, source redelivery) match
+  their own landed copies at jaccard 1.0 and drop as dups, so the
+  corpus CONVERGES on replay instead of duplicating — self-healing by
+  the operator's own semantics (crash/replay matrix in the function
+  docstring). Periodic ``lsh_index_write`` rebuilds compact the
+  accumulated appends — the same contract as
+  streaming/ann_index.compact_index.
+
+The reference has no dedup surface at all (LLM-pipeline extension);
+the layout is the standard banded-LSH index shape (Leskovec et al.,
+Mining of Massive Datasets ch. 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fuse_query_spark.operators.dedup import (
+    _release_local_checkpoint,
+    _shingle_table,
+    band_rows_md5,
+    jaccard_verify,
+    minhash_signatures_md5,
+)
+
+
+def _gate_small_side(df: DataFrame, n_rows: int, bytes_per_row: int = 96) -> DataFrame:
+    """Broadcast `df` when its estimated size fits the session's
+    autoBroadcastJoinThreshold (same budget rule as
+    sampling.leakage_safe_split); otherwise pin a shuffled hash join —
+    never let a huge 'incremental' batch silently OOM the driver."""
+    spark = df.sparkSession
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        threshold = int(spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(raw))
+    except Exception:
+        threshold = -1 if raw.strip().startswith("-") else 10 * 1024 * 1024
+    if threshold > 0 and n_rows * bytes_per_row <= threshold:
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
+def lsh_index_write(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Build (or rebuild) the index: one shingle+signature pass over
+    the corpus, band rows written partitionBy(band). Overwrite mode —
+    this IS the compaction path after incremental appends."""
+    sigs = minhash_signatures_md5(docs, text_col, id_col, k, shingle_n)
+    rows = band_rows_md5(sigs, id_col, k, bands, out="doc_id")
+    rows.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+
+
+def lsh_index_append(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Append a batch's band rows (the delta zone — same layout, same
+    partitioning, so readers need no union logic). Replay-safe: a
+    duplicated append only duplicates band rows, and candidates are
+    DISTINCT'd downstream."""
+    sigs = minhash_signatures_md5(docs, text_col, id_col, k, shingle_n)
+    rows = band_rows_md5(sigs, id_col, k, bands, out="doc_id")
+    rows.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+
+
+def lsh_index_candidates(
+    new_docs: DataFrame,
+    spark: SparkSession,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_new: int | None = None,
+) -> DataFrame:
+    """Distinct (id_new, id_base) candidates for a new batch against
+    the persisted index: sign the batch, join its band rows into the
+    index scan. `n_new` feeds the broadcast gate; when absent it costs
+    one count() job over the (small) batch."""
+    sigs = minhash_signatures_md5(new_docs, text_col, id_col, k, shingle_n)
+    nb = band_rows_md5(sigs, id_col, k, bands, out="id_new")
+    if n_new is None:
+        n_new = new_docs.count()
+    nb = _gate_small_side(nb, n_new * bands)
+    idx = spark.read.parquet(f"{path}/bands").withColumnRenamed("doc_id", "id_base")
+    # NO self-pair (id_base == id_new) filter: a replayed batch whose
+    # rows already landed MUST be allowed to match its own landed copy
+    # (jaccard 1.0 → dropped) — that match is what makes replay
+    # converge instead of duplicating (see ingest_dedup_stream). The
+    # verify stage resolves each side against its own text zone, so a
+    # shared id can never join a document to itself.
+    return idx.join(nb, ["band", "bh"]).select("id_new", "id_base").distinct()
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    spark: SparkSession,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    n_new: int | None = None,
+) -> DataFrame:
+    """Per-new-doc dedup decision against the persisted index:
+
+        id_new, n_matches, best_jaccard, min_base, is_dup
+
+    Candidates come from the index; exact-Jaccard verification
+    re-shingles ONLY the candidate base docs (left-semi prune on
+    `corpus_docs`, the landed text zone) plus the batch — never the
+    whole corpus. min_base = smallest matching base id (-1 when none),
+    a deterministic representative for the audit trail.
+
+    Verification is strictly TWO-SIDED — the id_new side's shingles
+    come from the batch, the id_base side's from `corpus_docs` — so a
+    candidate whose base id has band rows in the index but no landed
+    text (a crash between the index append and the corpus append)
+    silently fails the verify join and the new doc is KEPT, never
+    dropped against a phantom."""
+    cands = lsh_index_candidates(
+        new_docs, spark, path, text_col, id_col, k, bands, shingle_n, n_new
+    )
+    base_ids = cands.select(F.col("id_base").alias(id_col)).distinct()
+    base_cand_docs = corpus_docs.join(base_ids, id_col, "left_semi")
+    new_sh = _shingle_table(new_docs, text_col, id_col, shingle_n)
+    base_sh = _shingle_table(base_cand_docs, text_col, id_col, shingle_n)
+    pairs = cands.select(F.col("id_new").alias("id_a"), F.col("id_base").alias("id_b"))
+    verified = jaccard_verify(
+        new_docs, pairs, text_col, id_col, shingle_n, threshold,
+        shingle_df=new_sh, shingle_df_b=base_sh,
+    )
+    agg = (
+        verified.groupBy(F.col("id_a").alias("id_new"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+            F.min("id_b").alias("min_base"),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("id_new"))
+        .join(agg, "id_new", "left")
+        .select(
+            "id_new",
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce(F.col("best_jaccard"), F.lit(0.0)).cast("double").alias("best_jaccard"),
+            F.coalesce(F.col("min_base"), F.lit(-1)).cast("long").alias("min_base"),
+            F.col("n_matches").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def ingest_dedup_stream(
+    stream: DataFrame,
+    spark: SparkSession,
+    index_path: str,
+    corpus_path: str,
+    decisions_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    timeout_sec: int = 120,
+) -> None:
+    """Continuous-crawl ingest: per micro-batch, decide against the
+    index, land the decisions, append the KEPT docs' band rows to the
+    index and then the docs themselves to the corpus — so batch N+1
+    dedups against batch N.
+
+    Crash/replay matrix (fresh checkpoint or source redelivery —
+    same-checkpoint restarts skip committed batches entirely):
+    - fully landed batch replayed → each doc matches its own landed
+      copy at jaccard 1.0 → dropped; corpus CONVERGES (the self-pair
+      filter deliberately absent from lsh_index_candidates).
+    - crash between the index append and the corpus append → bands
+      exist, text doesn't; on replay the two-sided verify drops the
+      phantom candidate, the doc is kept, its band rows append AGAIN
+      (harmless — candidates are DISTINCT'd) and the text lands.
+    - crash before the index append → nothing landed; plain re-run.
+    The decisions zone is an append-only audit log: a replayed batch
+    adds a second decision row (this time is_dup=true); consumers read
+    it per (batch window, id_new), latest wins.
+
+    The batch and the decision table are localCheckpoint'd: the
+    decision plan READS corpus_path, and the kept-doc append WRITES it
+    — without cutting lineage the append job would re-scan the path it
+    is appending to. Checkpoints are released deterministically after
+    the writes (the connected_components block-hygiene rule).
+
+    Boundary: INTRA-batch near-dups are not separated here (neither
+    doc is in the index when the batch is decided) — run
+    dedup.minhash_dedup_pairs within the batch first if single-batch
+    self-dedup matters; cross-batch they are caught as soon as the
+    first copy lands."""
+
+    def land(batch_df: DataFrame, _batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        try:
+            corpus = spark.read.parquet(corpus_path)
+            dec = dedup_against_index(
+                batch, corpus, spark, index_path,
+                text_col, id_col, k, bands, shingle_n, threshold,
+            ).localCheckpoint(eager=True)
+            try:
+                dec.write.mode("append").parquet(decisions_path)
+                kept = batch.join(
+                    dec.filter(~F.col("is_dup")).select(F.col("id_new").alias(id_col)),
+                    id_col,
+                    "left_semi",
+                ).localCheckpoint(eager=True)
+                try:
+                    # index FIRST, corpus second: the failure mode this
+                    # order leaves behind (bands without text) is the
+                    # one the two-sided verify repairs on replay;
+                    # corpus-without-bands would replay as a duplicate
+                    # text append instead.
+                    lsh_index_append(kept, index_path, text_col, id_col, k, bands, shingle_n)
+                    kept.write.mode("append").parquet(corpus_path)
+                finally:
+                    _release_local_checkpoint(kept)
+            finally:
+                _release_local_checkpoint(dec)
+        finally:
+            _release_local_checkpoint(batch)
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"dedup ingest stream did not drain within {timeout_sec}s")

@@ -141,6 +141,7 @@ DRIVER_PRIORITY = [
     "multimodal_mp4_demux",  # r8: ISO-BMFF sample-table demux + kf sampling
     "multimodal_mkv_demux",  # r8: EBML/Matroska demux incl. all lacing modes
     "multimodal_container_quarantine",  # r8: sniff/route/typed-quarantine
+    "dedup_incremental_index",  # r8: persisted LSH index, incremental dedup
     # --- last green r1/r2 ---
     # aggregation / grouping
     "agg_combinator_distinct",
@@ -196,7 +197,10 @@ DRIVER_PRIORITY = [
     "scalar_subquery",
     "similarity_bucket_histogram",
     "similarity_knn_lsh",
-    "text_bpe_token_count",
+    # text_bpe_token_count (r3) displaced by dedup_incremental_index
+    # (new, never checked — never-checked outranks a recency repeat);
+    # it joins window_running_total/text_fingerprint/dedup_ngram_jaccard
+    # at the head of the r9 queue.
 ]
 
 

@@ -351,6 +351,80 @@ def dedup_minhash_cross_corpus(spark, sf_dir):
     )
 
 
+def _incremental_index_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
+    """Mirror of _md5_minhash_cross_oracle aggregated to one decision
+    row per new doc (the dedup_against_index output contract)."""
+    mh_cols = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(s || '|{i}')), 'min') AS mh{i}"
+        for i in range(k)
+    )
+    r = k // bands
+    band_cols = ", ".join(
+        "md5({}) AS b{}".format(" || '|' || ".join(f"mh{b * r + j}" for j in range(r)), b)
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH t AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM documents),
+    mh AS (SELECT doc_id, source, {mh_cols} FROM t),
+    bn AS (SELECT doc_id, {band_cols} FROM mh WHERE source IN ('src0', 'src1')),
+    bb AS (SELECT doc_id, {band_cols} FROM mh WHERE source NOT IN ('src0', 'src1')),
+    cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_base
+             FROM bn a JOIN bb b ON ({band_match})),
+    ver AS (
+        SELECT c.id_new, c.id_base,
+               len(list_intersect(ta.sh, tb.sh))
+                 / greatest(len(list_distinct(list_concat(ta.sh, tb.sh))), 1) AS jaccard
+        FROM cand c
+        JOIN t ta ON ta.doc_id = c.id_new
+        JOIN t tb ON tb.doc_id = c.id_base
+        WHERE len(list_intersect(ta.sh, tb.sh))
+                / greatest(len(list_distinct(list_concat(ta.sh, tb.sh))), 1) >= {threshold}),
+    agg AS (SELECT id_new, COUNT(*) AS n_matches, MAX(jaccard) AS best_jaccard,
+                   MIN(id_base) AS min_base
+            FROM ver GROUP BY id_new)
+    SELECT d.doc_id AS id_new,
+           CAST(COALESCE(a.n_matches, 0) AS BIGINT) AS n_matches,
+           CAST(COALESCE(a.best_jaccard, 0.0) AS DOUBLE) AS best_jaccard,
+           CAST(COALESCE(a.min_base, -1) AS BIGINT) AS min_base,
+           (a.id_new IS NOT NULL) AS is_dup
+    FROM documents d LEFT JOIN agg a ON a.id_new = d.doc_id
+    WHERE d.source IN ('src0', 'src1')
+    """
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=_incremental_index_oracle(),
+    tags=("dedup", "minhash", "lsh", "index", "incremental", "portable"),
+)
+def dedup_incremental_index(spark, sf_dir):
+    """Incremental near-dedup against a PERSISTED LSH band index (r8;
+    operators/dedup_index.py): the base corpus's banded signatures are
+    written to disk once (the standing artifact a crawler keeps between
+    runs — the dedup twin of the ANN base+delta index), then the new
+    slice (sources src0/src1) is deduped against the index: its band
+    rows broadcast into ONE index scan, exact-Jaccard verification
+    re-shingles only the candidate base docs, and the result is one
+    decision row per new doc (n_matches / best_jaccard / min_base /
+    is_dup). Same md5 pipeline as dedup_minhash_cross_corpus, so the
+    DuckDB oracle recomputes the whole path — the index round-trip
+    through parquet is inside the hash-checked surface."""
+    import tempfile
+
+    from fuse_query_spark.operators.dedup_index import (
+        dedup_against_index,
+        lsh_index_write,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    new = d.filter(F.col("source").isin("src0", "src1"))
+    base = d.filter(~F.col("source").isin("src0", "src1"))
+    path = tempfile.mkdtemp(prefix="lsh_idx_")
+    lsh_index_write(base, path, k=8, bands=4)
+    return dedup_against_index(new, base, spark, path, k=8, bands=4, threshold=0.2)
+
+
 def _cc_oracle(k: int = 8, bands: int = 4, threshold: float = 0.2) -> str:
     """Recursive-CTE connected components over the SAME md5-minhash
     pair pipeline _md5_minhash_oracle checks: reach(a,b) = b reachable

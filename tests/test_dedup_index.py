@@ -1,0 +1,235 @@
+"""Persisted LSH band index (operators/dedup_index.py): build → decide
+equality vs the direct cross-corpus pipeline, append-vs-rebuild
+equality, broadcast-gate path equivalence, phantom-candidate safety,
+and the streaming ingest's replay convergence."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuse_query_spark.operators.dedup import (
+    jaccard_verify,
+    lsh_cross_candidate_pairs_md5,
+    minhash_signatures_md5,
+)
+from fuse_query_spark.operators.dedup_index import (
+    dedup_against_index,
+    ingest_dedup_stream,
+    lsh_index_append,
+    lsh_index_candidates,
+    lsh_index_write,
+)
+from fuse_query_spark.sources.tables import table
+
+K, BANDS, T = 8, 4, 0.2
+
+
+def _split(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    new = d.filter(F.col("source").isin("src0", "src1"))
+    base = d.filter(~F.col("source").isin("src0", "src1"))
+    return d, new, base
+
+
+def _direct_decisions(d, new, base):
+    """Reference result via the index-free cross-corpus pipeline."""
+    pairs = lsh_cross_candidate_pairs_md5(
+        minhash_signatures_md5(new, k=K),
+        minhash_signatures_md5(base, k=K),
+        k=K,
+        bands=BANDS,
+    ).select(F.col("id_new").alias("id_a"), F.col("id_base").alias("id_b"))
+    ver = jaccard_verify(d, pairs, threshold=T)
+    agg = {
+        r.id_new: r
+        for r in ver.groupBy(F.col("id_a").alias("id_new"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+            F.min("id_b").alias("min_base"),
+        )
+        .collect()
+    }
+    out = {}
+    for r in new.select("doc_id").collect():
+        m = agg.get(r.doc_id)
+        out[r.doc_id] = (
+            (m.n_matches, round(m.best_jaccard, 9), m.min_base, True)
+            if m
+            else (0, 0.0, -1, False)
+        )
+    return out
+
+
+def _collect_decisions(df):
+    return {
+        r.id_new: (r.n_matches, round(r.best_jaccard, 9), r.min_base, r.is_dup)
+        for r in df.collect()
+    }
+
+
+class TestIndexBatch:
+    def test_index_matches_direct_cross_corpus(self, spark, sf_dir, tmp_path):
+        d, new, base = _split(spark, sf_dir)
+        path = str(tmp_path / "idx")
+        lsh_index_write(base, path, k=K, bands=BANDS)
+        got = _collect_decisions(
+            dedup_against_index(new, base, spark, path, k=K, bands=BANDS, threshold=T)
+        )
+        want = _direct_decisions(d, new, base)
+        assert got == want
+        assert any(v[3] for v in got.values()), "corpus plants cross-source near-dups"
+        assert any(not v[3] for v in got.values())
+
+    def test_append_equals_rebuild(self, spark, sf_dir, tmp_path):
+        _, new, base = _split(spark, sf_dir)
+        h1 = new.filter(F.col("doc_id") % 2 == 0)
+        h2 = new.filter(F.col("doc_id") % 2 == 1)
+        grown = base.unionByName(h1)
+
+        inc = str(tmp_path / "inc")
+        lsh_index_write(base, inc, k=K, bands=BANDS)
+        lsh_index_append(h1, inc, k=K, bands=BANDS)
+        got = _collect_decisions(
+            dedup_against_index(h2, grown, spark, inc, k=K, bands=BANDS, threshold=T)
+        )
+
+        reb = str(tmp_path / "reb")
+        lsh_index_write(grown, reb, k=K, bands=BANDS)
+        want = _collect_decisions(
+            dedup_against_index(h2, grown, spark, reb, k=K, bands=BANDS, threshold=T)
+        )
+        assert got == want
+
+    def test_duplicate_appends_are_idempotent(self, spark, sf_dir, tmp_path):
+        """A replayed append duplicates band rows; candidates must not
+        change (the DISTINCT contract the replay story leans on)."""
+        _, new, base = _split(spark, sf_dir)
+        path = str(tmp_path / "idx")
+        lsh_index_write(base, path, k=K, bands=BANDS)
+        before = {
+            (r.id_new, r.id_base)
+            for r in lsh_index_candidates(new, spark, path, k=K, bands=BANDS).collect()
+        }
+        lsh_index_append(base.limit(50), path, k=K, bands=BANDS)
+        after = {
+            (r.id_new, r.id_base)
+            for r in lsh_index_candidates(new, spark, path, k=K, bands=BANDS).collect()
+        }
+        assert before == after
+
+    def test_broadcast_gate_paths_agree(self, spark, sf_dir, tmp_path):
+        _, new, base = _split(spark, sf_dir)
+        path = str(tmp_path / "idx")
+        lsh_index_write(base, path, k=K, bands=BANDS)
+        bcast = {
+            (r.id_new, r.id_base)
+            for r in lsh_index_candidates(new, spark, path, k=K, bands=BANDS).collect()
+        }
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            shuffled = {
+                (r.id_new, r.id_base)
+                for r in lsh_index_candidates(
+                    new, spark, path, k=K, bands=BANDS
+                ).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert bcast == shuffled and bcast
+
+    def test_phantom_bands_do_not_drop_docs(self, spark, sf_dir, tmp_path):
+        """Bands in the index without landed text (a crash between the
+        index append and the corpus append) must NOT mark the replayed
+        doc a dup — the two-sided verify drops the phantom candidate."""
+        _, new, base = _split(spark, sf_dir)
+        path = str(tmp_path / "idx")
+        lsh_index_write(base, path, k=K, bands=BANDS)
+        # probe = new docs with NO base match at all, so the ONLY index
+        # hit after the phantom append is the doc's own band rows
+        clean = dedup_against_index(
+            new, base, spark, path, k=K, bands=BANDS, threshold=T
+        ).filter(~F.col("is_dup"))
+        probe_ids = [r.id_new for r in clean.limit(5).collect()]
+        assert probe_ids
+        probe = new.filter(F.col("doc_id").isin(probe_ids))
+        lsh_index_append(probe, path, k=K, bands=BANDS)  # bands, no text
+        dec = dedup_against_index(
+            probe, base, spark, path, k=K, bands=BANDS, threshold=T
+        )
+        assert all(not r.is_dup for r in dec.collect())
+
+
+class TestIngestStream:
+    def _land_dirs(self, tmp_path):
+        return (
+            str(tmp_path / "idx"),
+            str(tmp_path / "corpus"),
+            str(tmp_path / "decisions"),
+            str(tmp_path / "in"),
+        )
+
+    def test_stream_matches_sequential_batches_and_replay_converges(
+        self, spark, sf_dir, tmp_path
+    ):
+        _, new, base = _split(spark, sf_dir)
+        base = base.select("doc_id", "text")
+        h1 = new.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        h2 = new.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+        idx, corpus, decisions, inbox = self._land_dirs(tmp_path)
+
+        base.write.parquet(corpus)
+        lsh_index_write(spark.read.parquet(corpus), idx, k=K, bands=BANDS)
+        # two input files → two micro-batches under maxFilesPerTrigger=1
+        h1.coalesce(1).write.parquet(inbox)
+        h2.coalesce(1).write.mode("append").parquet(inbox)
+
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        ingest_dedup_stream(
+            stream, spark, idx, corpus, decisions,
+            str(tmp_path / "ckpt1"), k=K, bands=BANDS, threshold=T,
+        )
+        landed = spark.read.parquet(corpus)
+        ids = [r.doc_id for r in landed.select("doc_id").collect()]
+        assert len(ids) == len(set(ids)), "no duplicate doc_ids after ingest"
+
+        # sequential-batch twin on separate dirs
+        idx2, corpus2 = str(tmp_path / "idx2"), str(tmp_path / "corpus2")
+        base.write.parquet(corpus2)
+        lsh_index_write(base, idx2, k=K, bands=BANDS)
+        expect_ids = set(r.doc_id for r in base.select("doc_id").collect())
+        for half in (h1, h2):
+            c = spark.read.parquet(corpus2)
+            dec = dedup_against_index(half, c, spark, idx2, k=K, bands=BANDS, threshold=T)
+            kept = half.join(
+                dec.filter(~F.col("is_dup")).select(F.col("id_new").alias("doc_id")),
+                "doc_id",
+                "left_semi",
+            )
+            lsh_index_append(kept, idx2, k=K, bands=BANDS)
+            kept.write.mode("append").parquet(corpus2)
+            expect_ids |= {r.doc_id for r in kept.select("doc_id").collect()}
+        assert set(ids) == expect_ids
+
+        # FRESH-checkpoint replay of the same inbox: every replayed doc
+        # matches its own landed copy at jaccard 1.0 → corpus converges
+        n_before = landed.count()
+        stream2 = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        ingest_dedup_stream(
+            stream2, spark, idx, corpus, decisions,
+            str(tmp_path / "ckpt2"), k=K, bands=BANDS, threshold=T,
+        )
+        assert spark.read.parquet(corpus).count() == n_before
+        # the replay's decisions are in the audit log as is_dup rows
+        dec_log = spark.read.parquet(decisions)
+        assert dec_log.filter(F.col("is_dup") & (F.col("best_jaccard") == 1.0)).count() > 0

@@ -128,6 +128,46 @@ def probe_emb_ops(spark, emb, r: int):
 
 EMB_OPS = ("semantic_dedup", "pq_encode")
 
+# Persisted-index dedup: the crawl shape is a FIXED batch against an
+# R-growing index, so the cell builds the index UNTIMED (it is the
+# standing artifact, amortized across every batch) and times only the
+# per-batch decide. Expected: decide ≈ batch signatures (constant) +
+# one narrow index scan (linear in R) + candidate verify (constant —
+# the replicated corpus's dup structure never crosses copies).
+INDEX_OPS = ("index_dedup_decide",)
+
+
+def measure_index_cell(spark, base, r: int) -> dict:
+    import tempfile
+
+    from fuse_query_spark.operators.dedup_index import (
+        dedup_against_index,
+        lsh_index_write,
+    )
+
+    docs = replicated(base, r)
+    new = base.filter(F.col("doc_id") % 97 == 0)  # fixed-size batch
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    path = tempfile.mkdtemp(prefix=f"probe_idx_{r}_")
+    lsh_index_write(corpus, path, k=8, bands=4)  # setup, untimed
+    # codegen/scan warm-up at the same shapes
+    dedup_against_index(
+        new.limit(10), corpus, spark, path, k=8, bands=4, threshold=0.2
+    ).write.format("noop").mode("overwrite").save()
+    baseline = _reset_peaks(spark)
+    t0 = time.monotonic()
+    dedup_against_index(
+        new, corpus, spark, path, k=8, bands=4, threshold=0.2
+    ).write.format("noop").mode("overwrite").save()
+    dt = round(time.monotonic() - t0, 3)
+    peak_delta = round(_peak_heap_mb(spark) - baseline, 1)
+    return {
+        "op": "index_dedup_decide",
+        "replication": r,
+        "sec": dt,
+        "peak_heap_delta_mb": peak_delta,
+    }
+
 
 def probe_ops(spark, docs):
     from fuse_query_spark.operators.dedup import (
@@ -225,6 +265,8 @@ def measure_cell(spark, base, name: str, r: int) -> dict:
     """One (op, R) measurement in the CURRENT session: warm the op at
     R=1 (codegen compile), materialize the R-corpus (cost floor), gc +
     reset heap peaks, run, report wall + peak-heap delta."""
+    if name in INDEX_OPS:
+        return measure_index_cell(spark, base, r)
     if name in EMB_OPS:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         emb_base = table(spark, sf_dir, "embeddings")
@@ -316,6 +358,7 @@ def main():
             "boilerplate_scrub",
             "perplexity_bands_exact",
             "perplexity_bands_approx",
+            "index_dedup_decide",
         ]
         if only:
             ops = [o for o in ops if o in only]
