@@ -140,6 +140,28 @@ class TestIndexBatch:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         assert bcast == shuffled and bcast
 
+    def test_candidate_plan_broadcasts_batch_not_index(self, spark, sf_dir, tmp_path):
+        """Plan gate: under the size gate the BATCH side broadcasts
+        into the index scan (BroadcastHashJoin) — the index is never
+        shuffled; past the gate the join degrades to a shuffled hash
+        join, still never a sort-merge over the index."""
+        _, new, base = _split(spark, sf_dir)
+        path = str(tmp_path / "idx")
+        lsh_index_write(base, path, k=K, bands=BANDS)
+        plan = lsh_index_candidates(
+            new, spark, path, k=K, bands=BANDS
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan2 = lsh_index_candidates(
+                new, spark, path, k=K, bands=BANDS
+            )._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "ShuffledHashJoin" in plan2 and "SortMergeJoin" not in plan2
+
     def test_phantom_bands_do_not_drop_docs(self, spark, sf_dir, tmp_path):
         """Bands in the index without landed text (a crash between the
         index append and the corpus append) must NOT mark the replayed

@@ -221,6 +221,10 @@ def probe_ops(spark, docs):
         # measured slope instead of a plan shape.
         "perplexity_bands_exact": lambda: _bands(docs, "exact"),
         "perplexity_bands_approx": lambda: _bands(docs, "approx"),
+        # r8: container demux — synthesize + box-walk are both per-row
+        # Arrow flat-maps, so the claim under test is a ~1.0 slope
+        # (embarrassingly parallel, no shuffle anywhere)
+        "mp4_demux": lambda: _mp4(docs),
     }
 
 
@@ -234,6 +238,12 @@ def _bands(docs, mode: str):
     from fuse_query_spark.operators.text import perplexity_bands
 
     return perplexity_bands(docs, n_bands=3, bands=mode)
+
+
+def _mp4(docs):
+    from fuse_query_spark.operators.mp4 import mp4_demux, synthesize_mp4_blobs
+
+    return mp4_demux(synthesize_mp4_blobs(docs))
 
 
 def _heap_pools(spark):
@@ -359,6 +369,7 @@ def main():
             "perplexity_bands_exact",
             "perplexity_bands_approx",
             "index_dedup_decide",
+            "mp4_demux",
         ]
         if only:
             ops = [o for o in ops if o in only]
