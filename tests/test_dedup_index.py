@@ -255,3 +255,20 @@ class TestIngestStream:
         # the replay's decisions are in the audit log as is_dup rows
         dec_log = spark.read.parquet(decisions)
         assert dec_log.filter(F.col("is_dup") & (F.col("best_jaccard") == 1.0)).count() > 0
+
+        # SAME-checkpoint restart: the sink's commit log says both
+        # batches are done, so availableNow drains nothing — corpus
+        # AND decisions log are byte-identical (no dup audit rows,
+        # unlike the fresh-checkpoint replay above)
+        n_dec = dec_log.count()
+        stream3 = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        ingest_dedup_stream(
+            stream3, spark, idx, corpus, decisions,
+            str(tmp_path / "ckpt2"), k=K, bands=BANDS, threshold=T,
+        )
+        assert spark.read.parquet(corpus).count() == n_before
+        assert spark.read.parquet(decisions).count() == n_dec
