@@ -242,16 +242,38 @@ def ingest_dedup_stream(
     doc is in the index when the batch is decided) — run
     dedup.minhash_dedup_pairs within the batch first if single-batch
     self-dedup matters; cross-batch they are caught as soon as the
-    first copy lands."""
+    first copy lands.
+
+    COLD START: a brand-new pipeline has no corpus and no index yet.
+    The first batch then decides trivially (everything kept, the
+    all-kept decision rows still land in the audit log) and its
+    appends CREATE both zones; batch 2 onward dedups normally."""
+
+    def _decide(batch: DataFrame) -> DataFrame:
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            corpus = spark.read.parquet(corpus_path)
+            return dedup_against_index(
+                batch, corpus, spark, index_path,
+                text_col, id_col, k, bands, shingle_n, threshold,
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            # cold start — nothing landed yet, so nothing to match
+            return batch.select(
+                F.col(id_col).alias("id_new"),
+                F.lit(0).cast("long").alias("n_matches"),
+                F.lit(0.0).cast("double").alias("best_jaccard"),
+                F.lit(-1).cast("long").alias("min_base"),
+                F.lit(False).alias("is_dup"),
+            )
 
     def land(batch_df: DataFrame, _batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
         try:
-            corpus = spark.read.parquet(corpus_path)
-            dec = dedup_against_index(
-                batch, corpus, spark, index_path,
-                text_col, id_col, k, bands, shingle_n, threshold,
-            ).localCheckpoint(eager=True)
+            dec = _decide(batch).localCheckpoint(eager=True)
             try:
                 dec.write.mode("append").parquet(decisions_path)
                 kept = batch.join(

@@ -185,6 +185,40 @@ class TestIndexBatch:
 
 
 class TestIngestStream:
+    def test_cold_start_bootstraps_corpus_and_index(self, spark, sf_dir, tmp_path):
+        """A brand-new pipeline (no corpus, no index) keeps the whole
+        first batch and CREATES both zones; the second batch dedups
+        against the first."""
+        _, new, _ = _split(spark, sf_dir)
+        h1 = new.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        # batch 2 = batch 1's docs re-crawled under new ids (+1 shift
+        # keeps ids disjoint) — every one a jaccard-1.0 dup of batch 1
+        h2 = h1.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        idx, corpus, decisions, inbox = (
+            str(tmp_path / d) for d in ("idx", "corpus", "decisions", "in")
+        )
+        h1.coalesce(1).write.parquet(inbox)
+        h2.coalesce(1).write.mode("append").parquet(inbox)
+        n1 = h1.count()
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        ingest_dedup_stream(
+            stream, spark, idx, corpus, decisions,
+            str(tmp_path / "ckpt"), k=K, bands=BANDS, threshold=T,
+        )
+        landed = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+        # micro-batch order is file order: h1 bootstraps, h2 all-dups.
+        # (If Spark ever batched them together, intra-batch docs would
+        # all be kept — the count assertion below would catch it.)
+        assert landed == {r.doc_id for r in h1.collect()}
+        assert len(landed) == n1
+        dec = spark.read.parquet(decisions)
+        assert dec.filter(~F.col("is_dup")).count() == n1
+        assert dec.filter(F.col("is_dup") & (F.col("best_jaccard") == 1.0)).count() == n1
+
     def _land_dirs(self, tmp_path):
         return (
             str(tmp_path / "idx"),
