@@ -40,6 +40,13 @@ ANN base+delta index (streaming/ann_index.py):
 The reference has no dedup surface at all (LLM-pipeline extension);
 the layout is the standard banded-LSH index shape (Leskovec et al.,
 Mining of Massive Datasets ch. 3).
+
+Storage note: `bh` is the md5-hex band hash (32 chars, high-entropy —
+parquet dictionaries don't compress it), the ENGINE-PORTABLE variant
+the DuckDB oracle can replay end-to-end. A deployment that doesn't
+need cross-engine replay should band with xxhash64 longs instead
+(dedup.lsh_candidate_pairs' hasher), cutting index bytes ~2x — the
+same fast-path/portable split as dedup_minhash_lsh vs _md5.
 """
 
 from __future__ import annotations
