@@ -237,7 +237,12 @@ def main() -> None:
         n_warm = MIRROR_WARM_RUNS if name in (MIRROR_QUERIES | HEAVY_QUERIES) else 3
         runs: list[float] = []  # chronological: runs[0] is the COLD run
         loads: list[float] = []  # 1-min load sampled just before each run
-        cpu_eff: list[float] = []  # JVM-cpu/wall/cpus parallel efficiency
+        # JVM-cpu/wall/cpus parallel efficiency. JVM-side ONLY: rows
+        # whose work runs in Arrow Python workers (the multimodal
+        # mapInPandas codecs) legitimately read ~0 here — the JVM just
+        # shuttles batches; their parallelism evidence is the scaling
+        # probe, not this column.
+        cpu_eff: list[float] = []
         gc0, heap0 = _jvm_gc_ms(spark), _jvm_heap_mb(spark)
         try:
             for _ in range(1 + n_warm):

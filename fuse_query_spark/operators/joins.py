@@ -93,7 +93,17 @@ def salted_join(
     AQE's skew-join handles most cases automatically; this is the
     explicit form for when a single key exceeds what AQE can split
     (e.g. one join key holding >50% of a 100 TB fact). Deterministic —
-    no rand() — so retried tasks produce identical output."""
+    no rand() — so retried tasks produce identical output.
+
+    Only inner/left/semi/anti shapes are sound: the right side is
+    REPLICATED n_salt times, so right/full outer would emit n_salt
+    copies of every unmatched right row — rejected loudly."""
+    norm = how.lower().replace("_", "")
+    if norm in ("right", "rightouter", "full", "fullouter", "outer"):
+        raise ValueError(
+            f"salted_join cannot run how={how!r}: the replicated right side "
+            "would duplicate unmatched right rows n_salt times"
+        )
     salt = F.pmod(
         F.xxhash64(*[c for c in left.columns if c != on]), F.lit(n_salt)
     ).alias("__salt")

@@ -109,3 +109,15 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    import pytest
+
+    from fuse_query_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    right = spark.createDataFrame([(1, "x")], "k INT, tag STRING")
+    for how in ("right", "right_outer", "full", "fullouter", "outer"):
+        with pytest.raises(ValueError, match="replicated right side"):
+            salted_join(left, right, "k", n_salt=4, how=how)
