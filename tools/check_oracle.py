@@ -224,7 +224,7 @@ def staleness_plan(current_round: int | None = None) -> str:
     import os as _os
     import re as _re
 
-    from fuse_query_spark.queries import DRIVER_HIDDEN
+    from fuse_query_spark.queries import DRIVER_HIDDEN, DRIVER_PRIORITY
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     last_green: dict[str, int] = {}
@@ -237,17 +237,27 @@ def staleness_plan(current_round: int | None = None) -> str:
                 last_green[name] = max(last_green.get(name, 0), rnd)
     nxt = (current_round or max_round) + 1
     reg = load_registry()
+    in_prefix = set(DRIVER_PRIORITY)
     rows = [
         (last_green.get(n, 0), n)
         for n in reg
         if n not in DRIVER_HIDDEN
     ]
     rows.sort()
-    lines = [f"# staleness plan for r{nxt} (oldest first; age = r{nxt} - last green)"]
+    lines = [
+        f"# staleness plan for r{nxt} (oldest first; age = r{nxt} - last green)",
+        "# [in prefix] rows are already queued for the NEXT driver run —",
+        "# the MUST-ENTER flag is only actionable on rows without it",
+    ]
     for lg, n in rows:
         age = nxt - lg if lg else None
         tag = "NEVER" if not lg else f"r{lg} (age {age})"
-        flag = "  <-- MUST ENTER PREFIX" if (not lg or age >= 6) else ""
+        if n in in_prefix:
+            flag = "  [in prefix]"
+        elif not lg or age >= 6:
+            flag = "  <-- MUST ENTER PREFIX"
+        else:
+            flag = ""
         lines.append(f"{n:45s} {tag}{flag}")
     return "\n".join(lines)
 
