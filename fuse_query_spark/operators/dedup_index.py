@@ -78,6 +78,41 @@ def _gate_small_side(df: DataFrame, n_rows: int, bytes_per_row: int = 96) -> Dat
     return df.hint("shuffle_hash")
 
 
+def _write_index_meta(path: str, k: int, bands: int, shingle_n: int) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_index_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"k": k, "bands": bands, "shingle_n": shingle_n, "hash": "md5"}, f)
+    os.replace(tmp, os.path.join(path, "_index_meta.json"))
+
+
+def _check_index_meta(path: str, k: int, bands: int, shingle_n: int) -> None:
+    """Band hashes computed under different (k, bands, shingle_n) NEVER
+    collide with the index's, so a parameter mismatch silently returns
+    zero candidates — every batch looks unique and dedup quietly stops
+    deduping. Fail loudly instead. Indexes from before the sidecar
+    existed (or on stores where the sidecar wasn't copied) pass — the
+    check is best-effort by design."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_index_meta.json")
+    if not os.path.exists(meta_path):
+        return
+    with open(meta_path) as f:
+        meta = json.load(f)
+    got = {"k": k, "bands": bands, "shingle_n": shingle_n}
+    want = {key: meta[key] for key in got if key in meta}
+    if got != want:
+        raise ValueError(
+            f"LSH index at {path} was built with {want}, queried with {got}: "
+            "band hashes cannot match — rebuild the index or use its parameters"
+        )
+
+
 def lsh_index_write(
     docs: DataFrame,
     path: str,
@@ -88,11 +123,15 @@ def lsh_index_write(
     shingle_n: int = 3,
 ) -> None:
     """Build (or rebuild) the index: one shingle+signature pass over
-    the corpus, band rows written partitionBy(band). Overwrite mode —
-    this IS the compaction path after incremental appends."""
+    the corpus, band rows written partitionBy(band), plus an
+    _index_meta.json sidecar recording (k, bands, shingle_n) so every
+    later append/read validates against the writer's parameters.
+    Overwrite mode — this IS the compaction path after incremental
+    appends."""
     sigs = minhash_signatures_md5(docs, text_col, id_col, k, shingle_n)
     rows = band_rows_md5(sigs, id_col, k, bands, out="doc_id")
     rows.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    _write_index_meta(path, k, bands, shingle_n)
 
 
 def lsh_index_append(
@@ -107,10 +146,17 @@ def lsh_index_append(
     """Append a batch's band rows (the delta zone — same layout, same
     partitioning, so readers need no union logic). Replay-safe: a
     duplicated append only duplicates band rows, and candidates are
-    DISTINCT'd downstream."""
+    DISTINCT'd downstream. Parameter-checked against the index's
+    sidecar; a cold-start append (no index yet) also WRITES the
+    sidecar so the bootstrap path leaves a self-describing index."""
+    import os
+
+    _check_index_meta(path, k, bands, shingle_n)
     sigs = minhash_signatures_md5(docs, text_col, id_col, k, shingle_n)
     rows = band_rows_md5(sigs, id_col, k, bands, out="doc_id")
     rows.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+    if not os.path.exists(os.path.join(path, "_index_meta.json")):
+        _write_index_meta(path, k, bands, shingle_n)
 
 
 def lsh_index_candidates(
@@ -127,7 +173,10 @@ def lsh_index_candidates(
     """Distinct (id_new, id_base) candidates for a new batch against
     the persisted index: sign the batch, join its band rows into the
     index scan. `n_new` feeds the broadcast gate; when absent it costs
-    one count() job over the (small) batch."""
+    one count() job over the (small) batch. Raises ValueError when the
+    query parameters differ from the index sidecar's (a mismatch can
+    never match a band hash — it would silently disable dedup)."""
+    _check_index_meta(path, k, bands, shingle_n)
     sigs = minhash_signatures_md5(new_docs, text_col, id_col, k, shingle_n)
     nb = band_rows_md5(sigs, id_col, k, bands, out="id_new")
     if n_new is None:

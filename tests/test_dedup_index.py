@@ -140,6 +140,20 @@ class TestIndexBatch:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         assert bcast == shuffled and bcast
 
+    def test_parameter_mismatch_raises(self, spark, sf_dir, tmp_path):
+        """Mismatched (k, bands, shingle_n) can never collide with the
+        index's band hashes — zero candidates would silently disable
+        dedup, so the sidecar check must fail loudly instead."""
+        _, new, base = _split(spark, sf_dir)
+        path = str(tmp_path / "idx")
+        lsh_index_write(base, path, k=K, bands=BANDS)
+        for kw in ({"k": 16, "bands": BANDS}, {"k": K, "bands": 2},
+                   {"k": K, "bands": BANDS, "shingle_n": 5}):
+            with pytest.raises(ValueError, match="band hashes cannot match"):
+                lsh_index_candidates(new, spark, path, **kw)
+            with pytest.raises(ValueError, match="band hashes cannot match"):
+                lsh_index_append(new, path, **kw)
+
     def test_candidate_plan_broadcasts_batch_not_index(self, spark, sf_dir, tmp_path):
         """Plan gate: under the size gate the BATCH side broadcasts
         into the index scan (BroadcastHashJoin) — the index is never
