@@ -126,18 +126,7 @@ def lsh_candidate_pairs(
     silently ignored, changing the similarity threshold curve the
     caller asked for (code-review r8).
     """
-    if k % bands:
-        raise ValueError(f"k={k} must be a multiple of bands={bands}")
-    r = k // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
-        band_rows.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"), F.col(id_col).alias("id"))
-        )
-    buckets = sigs.select(F.explode(F.array(*band_rows)).alias("s")).select(
-        F.col("s.band").alias("band"), F.col("s.bh").alias("bh"), F.col("s.id").alias("id")
-    )
+    buckets = band_rows_xx(sigs, id_col, k, bands, out="id")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -145,6 +134,29 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def band_rows_xx(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4, out: str = "id"
+) -> DataFrame:
+    """Explode xxhash64-long signatures into (band, bh, <out>) bucket
+    rows — band hash = xxhash64 over the band's signature longs. The
+    fast-path twin of band_rows_md5 (one definition each, shared by
+    the self-join and the persisted index so writer/readers agree)."""
+    if k % bands:
+        raise ValueError(f"k={k} must be a multiple of bands={bands}")
+    r = k // bands
+    rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+        rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("bh"),
+                F.col(id_col).alias(out),
+            )
+        )
+    return sigs.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
 
 
 def band_rows_md5(

@@ -41,12 +41,14 @@ The reference has no dedup surface at all (LLM-pipeline extension);
 the layout is the standard banded-LSH index shape (Leskovec et al.,
 Mining of Massive Datasets ch. 3).
 
-Storage note: `bh` is the md5-hex band hash (32 chars, high-entropy —
-parquet dictionaries don't compress it), the ENGINE-PORTABLE variant
-the DuckDB oracle can replay end-to-end. A deployment that doesn't
-need cross-engine replay should band with xxhash64 longs instead
-(dedup.lsh_candidate_pairs' hasher), cutting index bytes ~2x — the
-same fast-path/portable split as dedup_minhash_lsh vs _md5.
+Storage note: every function takes `hasher` — "md5" (default) stores
+`bh` as the md5-hex band hash (32 chars, high-entropy — parquet
+dictionaries don't compress it), the ENGINE-PORTABLE variant the
+DuckDB oracle replays end-to-end; "xx" stores xxhash64 longs (~2x
+smaller index bytes, JVM-only) for deployments that don't need
+cross-engine replay — the same fast-path/portable split as
+dedup_minhash_lsh vs _md5. The sidecar records the choice and readers
+refuse a mismatched family.
 """
 
 from __future__ import annotations
@@ -57,9 +59,26 @@ from fuse_query_spark.operators.dedup import (
     _release_local_checkpoint,
     _shingle_table,
     band_rows_md5,
+    band_rows_xx,
     jaccard_verify,
+    minhash_signatures,
     minhash_signatures_md5,
 )
+
+
+def _band_table(docs, text_col, id_col, k, bands, shingle_n, hasher, out):
+    """Signatures + band rows under the chosen hash family: 'md5' is
+    the engine-portable form every oracle replays; 'xx' is the
+    xxhash64 fast path (long band hashes — ~2x smaller index bytes,
+    no hex strings) for deployments that don't need cross-engine
+    replay. Same split as dedup_minhash_lsh vs _md5."""
+    if hasher == "md5":
+        sigs = minhash_signatures_md5(docs, text_col, id_col, k, shingle_n)
+        return band_rows_md5(sigs, id_col, k, bands, out=out)
+    if hasher == "xx":
+        sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n)
+        return band_rows_xx(sigs, id_col, k, bands, out=out)
+    raise ValueError(f"unknown hasher {hasher!r}: expected 'md5' or 'xx'")
 
 
 def _gate_small_side(df: DataFrame, n_rows: int, bytes_per_row: int = 96) -> DataFrame:
@@ -78,18 +97,18 @@ def _gate_small_side(df: DataFrame, n_rows: int, bytes_per_row: int = 96) -> Dat
     return df.hint("shuffle_hash")
 
 
-def _write_index_meta(path: str, k: int, bands: int, shingle_n: int) -> None:
+def _write_index_meta(path: str, k: int, bands: int, shingle_n: int, hasher: str) -> None:
     import json
     import os
 
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, "_index_meta.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"k": k, "bands": bands, "shingle_n": shingle_n, "hash": "md5"}, f)
+        json.dump({"k": k, "bands": bands, "shingle_n": shingle_n, "hash": hasher}, f)
     os.replace(tmp, os.path.join(path, "_index_meta.json"))
 
 
-def _check_index_meta(path: str, k: int, bands: int, shingle_n: int) -> None:
+def _check_index_meta(path: str, k: int, bands: int, shingle_n: int, hasher: str) -> None:
     """Band hashes computed under different (k, bands, shingle_n) NEVER
     collide with the index's, so a parameter mismatch silently returns
     zero candidates — every batch looks unique and dedup quietly stops
@@ -104,7 +123,7 @@ def _check_index_meta(path: str, k: int, bands: int, shingle_n: int) -> None:
         return
     with open(meta_path) as f:
         meta = json.load(f)
-    got = {"k": k, "bands": bands, "shingle_n": shingle_n}
+    got = {"k": k, "bands": bands, "shingle_n": shingle_n, "hash": hasher}
     want = {key: meta[key] for key in got if key in meta}
     if got != want:
         raise ValueError(
@@ -121,17 +140,17 @@ def lsh_index_write(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    hasher: str = "md5",
 ) -> None:
     """Build (or rebuild) the index: one shingle+signature pass over
     the corpus, band rows written partitionBy(band), plus an
-    _index_meta.json sidecar recording (k, bands, shingle_n) so every
-    later append/read validates against the writer's parameters.
+    _index_meta.json sidecar recording (k, bands, shingle_n, hash) so
+    every later append/read validates against the writer's parameters.
     Overwrite mode — this IS the compaction path after incremental
-    appends."""
-    sigs = minhash_signatures_md5(docs, text_col, id_col, k, shingle_n)
-    rows = band_rows_md5(sigs, id_col, k, bands, out="doc_id")
+    appends. `hasher`: see _band_table."""
+    rows = _band_table(docs, text_col, id_col, k, bands, shingle_n, hasher, "doc_id")
     rows.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
-    _write_index_meta(path, k, bands, shingle_n)
+    _write_index_meta(path, k, bands, shingle_n, hasher)
 
 
 def lsh_index_append(
@@ -142,6 +161,7 @@ def lsh_index_append(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    hasher: str = "md5",
 ) -> None:
     """Append a batch's band rows (the delta zone — same layout, same
     partitioning, so readers need no union logic). Replay-safe: a
@@ -151,12 +171,11 @@ def lsh_index_append(
     sidecar so the bootstrap path leaves a self-describing index."""
     import os
 
-    _check_index_meta(path, k, bands, shingle_n)
-    sigs = minhash_signatures_md5(docs, text_col, id_col, k, shingle_n)
-    rows = band_rows_md5(sigs, id_col, k, bands, out="doc_id")
+    _check_index_meta(path, k, bands, shingle_n, hasher)
+    rows = _band_table(docs, text_col, id_col, k, bands, shingle_n, hasher, "doc_id")
     rows.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
     if not os.path.exists(os.path.join(path, "_index_meta.json")):
-        _write_index_meta(path, k, bands, shingle_n)
+        _write_index_meta(path, k, bands, shingle_n, hasher)
 
 
 def lsh_index_candidates(
@@ -169,6 +188,7 @@ def lsh_index_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     n_new: int | None = None,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Distinct (id_new, id_base) candidates for a new batch against
     the persisted index: sign the batch, join its band rows into the
@@ -176,9 +196,8 @@ def lsh_index_candidates(
     one count() job over the (small) batch. Raises ValueError when the
     query parameters differ from the index sidecar's (a mismatch can
     never match a band hash — it would silently disable dedup)."""
-    _check_index_meta(path, k, bands, shingle_n)
-    sigs = minhash_signatures_md5(new_docs, text_col, id_col, k, shingle_n)
-    nb = band_rows_md5(sigs, id_col, k, bands, out="id_new")
+    _check_index_meta(path, k, bands, shingle_n, hasher)
+    nb = _band_table(new_docs, text_col, id_col, k, bands, shingle_n, hasher, "id_new")
     if n_new is None:
         n_new = new_docs.count()
     nb = _gate_small_side(nb, n_new * bands)
@@ -204,6 +223,7 @@ def dedup_against_index(
     shingle_n: int = 3,
     threshold: float = 0.2,
     n_new: int | None = None,
+    hasher: str = "md5",
 ) -> DataFrame:
     """Per-new-doc dedup decision against the persisted index:
 
@@ -222,7 +242,7 @@ def dedup_against_index(
     silently fails the verify join and the new doc is KEPT, never
     dropped against a phantom."""
     cands = lsh_index_candidates(
-        new_docs, spark, path, text_col, id_col, k, bands, shingle_n, n_new
+        new_docs, spark, path, text_col, id_col, k, bands, shingle_n, n_new, hasher
     )
     base_ids = cands.select(F.col("id_base").alias(id_col)).distinct()
     base_cand_docs = corpus_docs.join(base_ids, id_col, "left_semi")
@@ -268,6 +288,7 @@ def ingest_dedup_stream(
     shingle_n: int = 3,
     threshold: float = 0.2,
     timeout_sec: int = 120,
+    hasher: str = "md5",
 ) -> None:
     """Continuous-crawl ingest: per micro-batch, decide against the
     index, land the decisions, append the KEPT docs' band rows to the
@@ -313,6 +334,7 @@ def ingest_dedup_stream(
             return dedup_against_index(
                 batch, corpus, spark, index_path,
                 text_col, id_col, k, bands, shingle_n, threshold,
+                hasher=hasher,
             )
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e):
@@ -343,7 +365,9 @@ def ingest_dedup_stream(
                     # one the two-sided verify repairs on replay;
                     # corpus-without-bands would replay as a duplicate
                     # text append instead.
-                    lsh_index_append(kept, index_path, text_col, id_col, k, bands, shingle_n)
+                    lsh_index_append(
+                        kept, index_path, text_col, id_col, k, bands, shingle_n, hasher
+                    )
                     kept.write.mode("append").parquet(corpus_path)
                 finally:
                     _release_local_checkpoint(kept)

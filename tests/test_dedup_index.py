@@ -140,6 +140,49 @@ class TestIndexBatch:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         assert bcast == shuffled and bcast
 
+    def test_xxhash64_fast_path(self, spark, sf_dir, tmp_path):
+        """hasher='xx' (long band hashes, ~2x smaller index): exact
+        copies have identical shingle sets, hence identical signatures,
+        hence collide in EVERY band under ANY hash family — so a batch
+        of re-issued base docs must come back all-dup at jaccard 1.0
+        under both hashers; incremental append equals rebuild under xx
+        too; and a hash-family mismatch against the sidecar raises."""
+        _, new, base = _split(spark, sf_dir)
+        copies = base.limit(5).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "source"
+        )
+        for hasher, sub in (("xx", "xx"), ("md5", "m5")):
+            p = str(tmp_path / sub)
+            lsh_index_write(base, p, k=K, bands=BANDS, hasher=hasher)
+            dec = dedup_against_index(
+                copies, base, spark, p, k=K, bands=BANDS, threshold=T, hasher=hasher
+            )
+            rows = dec.collect()
+            assert len(rows) == 5
+            assert all(r.is_dup and r.best_jaccard == 1.0 for r in rows)
+        path = str(tmp_path / "xx")
+
+        h1 = new.filter(F.col("doc_id") % 2 == 0)
+        h2 = new.filter(F.col("doc_id") % 2 == 1)
+        grown = base.unionByName(h1)
+        lsh_index_append(h1, path, k=K, bands=BANDS, hasher="xx")
+        got = _collect_decisions(
+            dedup_against_index(h2, grown, spark, path, k=K, bands=BANDS,
+                                threshold=T, hasher="xx")
+        )
+        reb = str(tmp_path / "xxreb")
+        lsh_index_write(grown, reb, k=K, bands=BANDS, hasher="xx")
+        want = _collect_decisions(
+            dedup_against_index(h2, grown, spark, reb, k=K, bands=BANDS,
+                                threshold=T, hasher="xx")
+        )
+        assert got == want
+
+        with pytest.raises(ValueError, match="band hashes cannot match"):
+            lsh_index_candidates(new, spark, path, k=K, bands=BANDS)  # md5 vs xx
+        with pytest.raises(ValueError, match="expected 'md5' or 'xx'"):
+            lsh_index_write(base, str(tmp_path / "bad"), hasher="sha1")
+
     def test_parameter_mismatch_raises(self, spark, sf_dir, tmp_path):
         """Mismatched (k, bands, shingle_n) can never collide with the
         index's band hashes — zero candidates would silently disable
