@@ -134,9 +134,10 @@ DRIVER_PRIORITY = [
     # round via entry(), so it keeps a per-round execution check and
     # its local oracle check — the prefix slot was the least
     # informative one in the list.
-    # the three NEW rows this round: codec family's closing entry and
-    # the two real-container demuxers that close the r7 verdict's
-    # "largest remaining gap" (MP4/MKV)
+    # the five NEW rows this round: codec family's closing entry, the
+    # two real-container demuxers that close the r7 verdict's "largest
+    # remaining gap" (MP4/MKV), the container quarantine, and the
+    # persisted-LSH-index incremental dedup
     "multimodal_jpeg_quarantine_lossless",  # r8: lossless SOF3 typed routing
     "multimodal_mp4_demux",  # r8: ISO-BMFF sample-table demux + kf sampling
     "multimodal_mkv_demux",  # r8: EBML/Matroska demux incl. all lacing modes
