@@ -7,7 +7,8 @@ signatures are the standing artifact a crawler keeps BETWEEN runs;
 this module makes that artifact a disk table — the dedup twin of the
 ANN base+delta index (streaming/ann_index.py):
 
-    <path>/bands/   (band INT, bh STRING, doc_id LONG), partitionBy(band)
+    <path>/bands/   (band INT, bh, doc_id LONG), partitionBy(band)
+                    bh: STRING (md5 hex) or LONG (xxhash64), per `hasher`
 
 - ``lsh_index_write``: one pass over the landed corpus (build or the
   periodic rebuild/compaction).
@@ -324,18 +325,18 @@ def ingest_dedup_stream(
     COLD START: a brand-new pipeline has no corpus and no index yet.
     The first batch then decides trivially (everything kept, the
     all-kept decision rows still land in the audit log) and its
-    appends CREATE both zones; batch 2 onward dedups normally."""
+    appends CREATE both zones; batch 2 onward dedups normally. A
+    corpus WITHOUT an index is NOT a cold start — deciding against a
+    missing index would keep everything and then bootstrap an index
+    blind to every pre-seeded doc forever; that shape raises and the
+    caller runs lsh_index_write over the landed corpus first (as the
+    example pipeline does)."""
 
     def _decide(batch: DataFrame) -> DataFrame:
         from pyspark.sql.utils import AnalysisException
 
         try:
             corpus = spark.read.parquet(corpus_path)
-            return dedup_against_index(
-                batch, corpus, spark, index_path,
-                text_col, id_col, k, bands, shingle_n, threshold,
-                hasher=hasher,
-            )
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e):
                 raise
@@ -347,6 +348,20 @@ def ingest_dedup_stream(
                 F.lit(-1).cast("long").alias("min_base"),
                 F.lit(False).alias("is_dup"),
             )
+        try:
+            return dedup_against_index(
+                batch, corpus, spark, index_path,
+                text_col, id_col, k, bands, shingle_n, threshold,
+                hasher=hasher,
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            raise ValueError(
+                f"corpus exists at {corpus_path} but no index at {index_path}: "
+                "run lsh_index_write over the landed corpus before streaming — "
+                "bootstrapping here would leave the seeded docs unindexed"
+            ) from None
 
     def land(batch_df: DataFrame, _batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)

@@ -284,6 +284,25 @@ class TestIngestStream:
             str(tmp_path / "in"),
         )
 
+    def test_seeded_corpus_without_index_raises(self, spark, sf_dir, tmp_path):
+        """A landed corpus with NO index is not a cold start: deciding
+        would keep everything and bootstrap an index blind to every
+        seeded doc forever — the stream must fail loudly instead."""
+        _, new, base = _split(spark, sf_dir)
+        corpus = str(tmp_path / "corpus")
+        base.select("doc_id", "text").write.parquet(corpus)
+        inbox = str(tmp_path / "in")
+        new.select("doc_id", "text").coalesce(1).write.parquet(inbox)
+        stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(inbox)
+        from pyspark.sql.utils import StreamingQueryException
+
+        with pytest.raises(StreamingQueryException, match="unindexed"):
+            ingest_dedup_stream(
+                stream, spark, str(tmp_path / "idx"), corpus,
+                str(tmp_path / "dec"), str(tmp_path / "ckpt"),
+                k=K, bands=BANDS, threshold=T,
+            )
+
     def test_stream_matches_sequential_batches_and_replay_converges(
         self, spark, sf_dir, tmp_path
     ):
