@@ -6,8 +6,10 @@ corpus, in ~1 min on local[32]:
   2. batch decide: new slice vs the index   broadcast-into-scan join
   3. land the keepers, append their bands   index grows incrementally
   4. streaming ingest (foreachBatch)        batch N+1 dedups vs batch N
+     + intra_batch="drop"                   same-batch near-dups too
+     + compact_every_files                  auto-compaction trigger
   5. replay the stream, fresh checkpoint    corpus CONVERGES (no dups)
-  6. compaction                             lsh_index_write rebuild
+  6. manual compaction                      lsh_index_compact swap
 
 Usage: python examples/incremental_dedup_pipeline.py [sf_dir] [work_dir]
 Every stage is the SAME operator the oracle-checked registry query
@@ -23,9 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from fuse_query_spark.operators.dedup_index import (
+    _index_data_file_count,
     dedup_against_index,
     ingest_dedup_stream,
     lsh_index_append,
+    lsh_index_compact,
     lsh_index_write,
 )
 from fuse_query_spark.session import get_spark
@@ -77,6 +81,8 @@ def main() -> None:
     ingest_dedup_stream(
         stream, spark, idx, corpus, decisions, os.path.join(work, "ckpt1"),
         threshold=0.2,
+        intra_batch="drop",        # same-batch near-dups: smallest id wins
+        compact_every_files=64,    # auto-recompact once appends fragment
     )
     n_corpus = spark.read.parquet(corpus).count()
     print(f"after streaming crawl 2: corpus {n_corpus} docs")
@@ -90,15 +96,18 @@ def main() -> None:
     )
     ingest_dedup_stream(
         stream2, spark, idx, corpus, decisions, os.path.join(work, "ckpt2"),
-        threshold=0.2,
+        threshold=0.2, intra_batch="drop",
     )
     n_after = spark.read.parquet(corpus).count()
     print(f"replayed inbox, fresh checkpoint: corpus {n_after} docs "
           f"(converged: {n_after == n_corpus})")
 
-    # 6. periodic compaction: one rebuild folds all appends
-    lsh_index_write(spark.read.parquet(corpus), idx, k=8, bands=4)
-    print(f"compacted index: {spark.read.parquet(idx + '/bands').count()} band rows")
+    # 6. periodic compaction: staging rebuild + rename swap folds all
+    #    appends; decisions before/after identical by construction
+    before = _index_data_file_count(idx)
+    lsh_index_compact(spark, idx, corpus, k=8, bands=4)
+    print(f"compacted index: {before} -> {_index_data_file_count(idx)} data files, "
+          f"{spark.read.parquet(idx + '/bands').count()} band rows")
 
 
 if __name__ == "__main__":

@@ -183,6 +183,28 @@ class TestIndexBatch:
         with pytest.raises(ValueError, match="expected 'md5' or 'xx'"):
             lsh_index_write(base, str(tmp_path / "bad"), hasher="sha1")
 
+    def test_partial_sidecar_is_best_effort(self, spark, sf_dir, tmp_path):
+        """advisor r8: a sidecar from an older writer that lacks a key
+        must PASS on the keys it does carry (best-effort by design,
+        like the missing-file case) — but a mismatch on a key both
+        sides know still raises."""
+        import json
+
+        _, new, base = _split(spark, sf_dir)
+        path = str(tmp_path / "idx")
+        lsh_index_write(base, path, k=K, bands=BANDS)
+        meta = json.load(open(f"{path}/_index_meta.json"))
+        del meta["shingle_n"]
+        json.dump(meta, open(f"{path}/_index_meta.json", "w"))
+        # shingle_n no longer checkable -> a mismatched value passes
+        # the check (and matching values on the remaining keys pass)
+        assert lsh_index_candidates(
+            new, spark, path, k=K, bands=BANDS, shingle_n=5
+        ).columns == ["id_new", "id_base"]
+        # a key both sides carry still fails loudly
+        with pytest.raises(ValueError, match="band hashes cannot match"):
+            lsh_index_candidates(new, spark, path, k=16, bands=BANDS)
+
     def test_parameter_mismatch_raises(self, spark, sf_dir, tmp_path):
         """Mismatched (k, bands, shingle_n) can never collide with the
         index's band hashes — zero candidates would silently disable
@@ -382,3 +404,137 @@ class TestIngestStream:
         )
         assert spark.read.parquet(corpus).count() == n_before
         assert spark.read.parquet(decisions).count() == n_dec
+
+    def test_intra_batch_drop_lands_one_copy(self, spark, sf_dir, tmp_path):
+        """Two near-dups arriving in the SAME micro-batch: the r8
+        boundary. intra_batch='drop' lands exactly the smallest-id
+        copy; the dropped doc gets an is_dup audit row whose min_base
+        names the surviving batch doc; a fresh-checkpoint replay still
+        converges (deterministic split + jaccard-1.0 self-match)."""
+        # synthetic docs with DISJOINT vocabularies (corpus docs carry
+        # planted near-dups that would intra-drop each other): uniques
+        # are mutually jaccard-0; each copy is jaccard-1.0 of exactly
+        # its original
+        n_uniq = 20
+        uniq_rows = [
+            (i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(n_uniq)
+        ]
+        uniques = spark.createDataFrame(uniq_rows, "doc_id: long, text: string")
+        # exact in-batch copies under new ids: same text → same
+        # signatures → candidate pair in every band, jaccard 1.0
+        copies = uniques.select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+        batch = uniques.unionByName(copies)
+        idx, corpus, decisions, inbox = self._land_dirs(tmp_path)
+        batch.coalesce(1).write.parquet(inbox)
+
+        def _run(ckpt):
+            stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(inbox)
+            ingest_dedup_stream(
+                stream, spark, idx, corpus, decisions, str(tmp_path / ckpt),
+                k=K, bands=BANDS, threshold=T, intra_batch="drop",
+            )
+
+        _run("ckpt1")
+        landed = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+        assert landed == {r.doc_id for r in uniques.collect()}, "smallest ids survive"
+        dec = spark.read.parquet(decisions)
+        intra = dec.filter(F.col("is_dup") & (F.col("id_new") >= 5_000_000))
+        assert intra.count() == n_uniq
+        for r in intra.collect():
+            assert r.min_base == r.id_new - 5_000_000 and r.best_jaccard == 1.0
+        # default keep mode on fresh dirs would land BOTH copies —
+        # pin the contrast so the option is observably load-bearing
+        idx2, corpus2 = str(tmp_path / "idx_keep"), str(tmp_path / "corpus_keep")
+        stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(inbox)
+        ingest_dedup_stream(
+            stream, spark, idx2, corpus2, str(tmp_path / "dec_keep"),
+            str(tmp_path / "ckpt_keep"), k=K, bands=BANDS, threshold=T,
+        )
+        assert spark.read.parquet(corpus2).count() == 2 * n_uniq
+        # fresh-checkpoint replay of the drop pipeline: corpus converges
+        _run("ckpt2")
+        assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == landed
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="expected 'keep' or 'drop'"):
+            ingest_dedup_stream(
+                spark.readStream.schema("doc_id LONG, text STRING").parquet(inbox),
+                spark, idx, corpus, decisions, str(tmp_path / "ckpt3"),
+                intra_batch="purge",
+            )
+
+    def test_compaction_trigger_fires_and_decisions_hold(self, spark, sf_dir, tmp_path):
+        """compact_every_files: a multi-batch ingest crosses the file
+        threshold, compaction fires mid-stream (staging+rename swap),
+        the sidecar survives, the file count drops, and decisions
+        against the compacted index equal a never-compacted twin's."""
+        from fuse_query_spark.operators.dedup_index import (
+            _index_data_file_count,
+            lsh_index_compact,
+        )
+
+        _, new, base = _split(spark, sf_dir)
+        base = base.select("doc_id", "text")
+        parts = [
+            new.filter(F.col("doc_id") % 4 == m).select("doc_id", "text") for m in range(4)
+        ]
+        idx, corpus, decisions, inbox = self._land_dirs(tmp_path)
+        base.write.parquet(corpus)
+        lsh_index_write(spark.read.parquet(corpus), idx, k=K, bands=BANDS)
+        for p in parts:
+            p.coalesce(1).write.mode("append").parquet(inbox)
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        # threshold low enough that appends cross it mid-stream
+        ingest_dedup_stream(
+            stream, spark, idx, corpus, decisions, str(tmp_path / "ckpt"),
+            k=K, bands=BANDS, threshold=T, compact_every_files=2 * BANDS,
+        )
+        assert _index_data_file_count(idx) <= 2 * BANDS, "last batch compacted"
+        import json
+        import os
+
+        assert json.load(open(os.path.join(idx, "_index_meta.json")))["k"] == K
+        # decisions equal the never-compacted twin: same landed corpus,
+        # index rebuilt-from-corpus vs accumulated appends
+        idx2, corpus2 = str(tmp_path / "idx2"), str(tmp_path / "corpus2")
+        base.write.parquet(corpus2)
+        lsh_index_write(base, idx2, k=K, bands=BANDS)
+        for p in parts:
+            c = spark.read.parquet(corpus2)
+            d = dedup_against_index(p, c, spark, idx2, k=K, bands=BANDS, threshold=T)
+            kept = p.join(
+                d.filter(~F.col("is_dup")).select(F.col("id_new").alias("doc_id")),
+                "doc_id", "left_semi",
+            )
+            lsh_index_append(kept, idx2, k=K, bands=BANDS)
+            kept.write.mode("append").parquet(corpus2)
+        assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {
+            r.doc_id for r in spark.read.parquet(corpus2).collect()
+        }
+        # and a probe batch decides identically against both indexes
+        probe = parts[0].limit(10)
+        got = _collect_decisions(
+            dedup_against_index(
+                probe, spark.read.parquet(corpus), spark, idx,
+                k=K, bands=BANDS, threshold=T,
+            )
+        )
+        want = _collect_decisions(
+            dedup_against_index(
+                probe, spark.read.parquet(corpus2), spark, idx2,
+                k=K, bands=BANDS, threshold=T,
+            )
+        )
+        assert got == want
+        # direct compact call on the twin: idempotent decisions too
+        lsh_index_compact(spark, idx2, corpus2, k=K, bands=BANDS)
+        assert _collect_decisions(
+            dedup_against_index(
+                probe, spark.read.parquet(corpus2), spark, idx2,
+                k=K, bands=BANDS, threshold=T,
+            )
+        ) == want
