@@ -1112,6 +1112,19 @@ class Engine:
         )
 
     def _select(self, s: str) -> DataFrame:
+        # transparent cluster rescheduling (interpreter_select.rs:40-73
+        # / plan_scheduler.rs:96): with reachable peers registered, a
+        # two-phase-decomposable aggregate over numbers() fans out as
+        # per-peer partial stages over Flight and finalizes here; every
+        # other statement (and an empty/unreachable registry) takes the
+        # local Catalyst path below. plans/distributed.py for scope.
+        nodes = self.cluster.get_nodes()
+        if nodes:
+            from fuse_query_spark.plans.distributed import try_distributed_select
+
+            dist = try_distributed_select(self, s, nodes)
+            if dist is not None:
+                return dist
         if re.search(r"(?i)\bVERSION\s+AS\s+OF\b", s):
             s = self._resolve_time_travel(s)
         self._register_views(s)

@@ -365,6 +365,15 @@ def lsh_index_candidates(
     return idx.join(nb, ["band", "bh"]).select("id_new", "id_base").distinct()
 
 
+# candidate sets at or below this size prune the corpus re-shingle
+# scan with a literal In filter (parquet row-group pruning) instead of
+# a semi-join; above it, the size-gated join path. 64k longs is a
+# ~512 KB driver artifact and a sub-MB task-binary literal list —
+# far under either pressure point, while covering any realistic
+# micro-batch (candidates are bounded by batch x band matches).
+_ISIN_PRUNE_LIMIT = 65_536
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -394,12 +403,45 @@ def dedup_against_index(
     candidate whose base id has band rows in the index but no landed
     text (a crash between the index append and the corpus append)
     silently fails the verify join and the new doc is KEPT, never
-    dropped against a phantom."""
+    dropped against a phantom.
+
+    Plan shape (r9, from the re-salted scaling probe): the candidate
+    table is localCheckpoint'd — ONE index scan feeds both the
+    re-shingle prune and the verify pairs — and both batch-bounded
+    small sides (the candidate base ids pruning the corpus, and the
+    per-doc decision agg joining back onto the batch) go through the
+    size-gated broadcast. Before the gate, Catalyst planned the prune
+    as a SortMergeJoin that SHUFFLED THE ENTIRE CORPUS TEXT: measured
+    super-linear (slope 3.7 vs linear on the 16x->64x leg, 24 GB peak
+    heap) because per-batch cost grew with corpus bytes, the exact
+    failure the index exists to avoid. Checkpoint blocks are released
+    by the ContextCleaner when the result falls out of scope (the
+    minhash_dedup_pairs rule)."""
+    if n_new is None:
+        n_new = new_docs.count()
     cands = lsh_index_candidates(
         new_docs, spark, path, text_col, id_col, k, bands, shingle_n, n_new, hasher
-    )
-    base_ids = cands.select(F.col("id_base").alias(id_col)).distinct()
-    base_cand_docs = corpus_docs.join(base_ids, id_col, "left_semi")
+    ).localCheckpoint(eager=True)
+    n_cands = cands.count()  # block count over the checkpoint — cheap
+    if n_cands <= _ISIN_PRUNE_LIMIT:
+        # small candidate set: collect the distinct base ids (bounded
+        # driver artifact, <= limit) and prune with an In filter that
+        # REACHES THE PARQUET SCAN — on the id-clustered files that
+        # batch appends naturally produce, row-group min/max stats skip
+        # the corpus text that holds no candidate, so the per-batch
+        # read is candidate row groups, not the whole landed corpus.
+        # A semi-join (even broadcast) always scans every corpus row.
+        ids = [
+            r[0] for r in cands.select(F.col("id_base")).distinct().collect()
+        ]
+        base_cand_docs = corpus_docs.filter(F.col(id_col).isin(ids) if ids else F.lit(False))
+    else:
+        base_ids = _gate_small_side(
+            cands.select(F.col("id_base").alias(id_col)).distinct(),
+            n_cands,
+            bytes_per_row=16,
+        )
+        base_cand_docs = corpus_docs.join(base_ids, id_col, "left_semi")
     new_sh = _shingle_table(new_docs, text_col, id_col, shingle_n)
     base_sh = _shingle_table(base_cand_docs, text_col, id_col, shingle_n)
     pairs = cands.select(F.col("id_new").alias("id_a"), F.col("id_base").alias("id_b"))
@@ -417,7 +459,7 @@ def dedup_against_index(
     )
     return (
         new_docs.select(F.col(id_col).alias("id_new"))
-        .join(agg, "id_new", "left")
+        .join(_gate_small_side(agg, n_new, bytes_per_row=48), "id_new", "left")
         .select(
             "id_new",
             F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),

@@ -303,14 +303,57 @@ def decode_audio_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return blobs.mapInPandas(_meta, AUDIO_META_SCHEMA)
 
 
-def decode_image_pixels(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL pixel decode for the two codec-free formats — PPM (raw
-    RGB: header parse + slice) and uncompressed 24-bit BMP (r5:
-    stride/bottom-up/BGR normalization to RGB) — as (doc_id, width,
-    height, pixels); truncated bodies raise instead of returning a
-    short buffer. Compressed formats raise — PNG/JPEG need zlib/DCT
-    codecs from an image library absent here; wire PIL into this
-    same mapInPandas batch contract to add them."""
+def decode_image_pixels(
+    blobs: DataFrame, id_col: str = "doc_id", decoder: str = "pure"
+) -> DataFrame:
+    """REAL pixel decode to (doc_id, width, height, pixels) RGB.
+
+    decoder="pure" (default): the dependency-free decoders in this
+    module — PPM (header parse + slice), uncompressed 24-bit BMP, PNG
+    (all five filters, interlace), GIF (incl. interlaced/local
+    palette), JPEG (baseline/progressive/arithmetic). Truncated bodies
+    raise instead of returning a short buffer; lossless JPEG raises as
+    the documented codec boundary (quarantine-routable).
+
+    decoder="library": the SAME mapInPandas batch contract over
+    PIL/Pillow (convert("RGB")) for deployments that can take the
+    dependency — covers the lossless-JPEG boundary and trades pure
+    portability for libjpeg/zlib speed. Import happens inside the
+    worker batches, so the option costs nothing unless selected; tests
+    are dependency-gated (skip without PIL) and assert per-byte
+    equality with the pure decoders on the synthesized corpora (the C
+    reference harness, tools/jpeg_ref_harness.c, already pins the pure
+    JPEG path to libjpeg output byte-for-byte, so the two decoders
+    agree wherever both decode)."""
+    if decoder not in ("pure", "library"):
+        raise ValueError(f"unknown decoder {decoder!r}: expected 'pure' or 'library'")
+    if decoder == "library":
+
+        def _pixels_lib(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image  # dependency-gated: worker-side import
+
+            for pdf in batches:
+                ids, ws, hs, px = [], [], [], []
+                for doc_id, b in zip(pdf[id_col], pdf["content"]):
+                    data = bytes(b)
+                    try:
+                        im = Image.open(io.BytesIO(data))
+                        rgb = im.convert("RGB")
+                    except Exception as e:
+                        raise ValueError(f"doc {doc_id}: {e}") from None
+                    ids.append(doc_id)
+                    ws.append(rgb.width)
+                    hs.append(rgb.height)
+                    px.append(rgb.tobytes())
+                yield pd.DataFrame(
+                    {"doc_id": ids, "width": ws, "height": hs, "pixels": px}
+                )
+
+        return blobs.mapInPandas(
+            _pixels_lib, "doc_id LONG, width INT, height INT, pixels BINARY"
+        )
 
     def _pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -625,7 +668,8 @@ def synthesize_png_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def image_pixel_stats(
-    blobs: DataFrame, id_col: str = "doc_id", weighted: bool = False
+    blobs: DataFrame, id_col: str = "doc_id", weighted: bool = False,
+    decoder: str = "pure",
 ) -> DataFrame:
     """Decode pixels (PPM/BMP/PNG — whatever decode_image_pixels
     handles) and emit closed-form-verifiable per-image statistics:
@@ -636,8 +680,9 @@ def image_pixel_stats(
     POSITION-weighted sum (sum of i*byte_i) is added: the plain sum is
     invariant under row permutation, so it cannot catch a wrong
     de-interlace row mapping — the weighted sum moves under ANY
-    reordering of the decoded bytes."""
-    decoded = decode_image_pixels(blobs, id_col)
+    reordering of the decoded bytes. `decoder`: see
+    decode_image_pixels — 'library' runs the same stats over PIL."""
+    decoded = decode_image_pixels(blobs, id_col, decoder=decoder)
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

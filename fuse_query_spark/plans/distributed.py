@@ -1,0 +1,300 @@
+"""Distributed SELECT through ``Engine.sql`` — the reference's
+transparent cluster rescheduling, Spark-first.
+
+Reference behavior (fusequery/query/src):
+- interpreters/interpreter_select.rs:40-73 — ``SelectInterpreter``
+  checks ``try_get_cluster()``; with nodes registered it reschedules
+  the plan across them and executes a ``RemoteExecutor``, otherwise it
+  runs locally. The USER types the same SQL either way.
+- interpreters/plan_scheduler.rs:96 — the scheduler splits the read
+  source among nodes (each node gets a partition slice of the numbers
+  generator) and hangs a hash-scatter on the stage boundary
+  (api/rpc/flight_scatter_hash.rs).
+- The final merge runs on the coordinator.
+
+Spark-first mapping: a single-process Spark engine already IS a
+distributed executor (Catalyst plans the shuffle; a real deployment
+scales by executors, not by this surface), so this module is the
+CAPABILITY-PARITY path: when the engine's ClusterRegistry (populated
+by the HTTP API, clusters/cluster.rs:23-27) has reachable peers, a
+distributable aggregate query fans out as PrepareShuffleActions — one
+partial-aggregate plan slice per peer over its range of the source —
+is gathered over Arrow Flight one-shot streams (with
+``dispatch_with_retry``'s abort/reassign recovery), and is FINALIZED
+coordinator-side in the local Spark session. Everything else (no
+cluster, unreachable peers, any unsupported shape) falls back to the
+local Catalyst path — same transparent contract as the reference.
+
+Scope: sources are the ``numbers(N)`` / ``numbers_mt(N)`` generators —
+the same sources the reference's own distributed tests reschedule
+(``numbers_local`` stays node-local by name, numbers_table.rs).
+Distributable shape: single-block ``SELECT <aggs and group keys> FROM
+numbers(N) [WHERE ...] [GROUP BY ...] [ORDER BY aliases] [LIMIT n]``
+with count/sum/min/max/avg (two-phase-decomposable; DISTINCT, HAVING,
+joins, subqueries, windows all fall back). The coordinator's gather is
+bounded by (group cardinality x peers) partial rows — the same bound
+the reference's final merge stage carries.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+from dataclasses import dataclass, field
+
+_AGG_FUNCS = ("count", "sum", "min", "max", "avg")
+
+# shapes that are never two-phase-decomposable here (checked on the
+# comment-stripped statement; a false positive only means a local run)
+_UNSUPPORTED = re.compile(
+    r"(?is)\b(HAVING|JOIN|UNION|INTERSECT|EXCEPT|DISTINCT|OVER|LIMIT\s+\d+\s+BY)\b|\(\s*SELECT"
+)
+
+_STMT = re.compile(
+    r"(?is)^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?:system\.)?"
+    r"(?P<src>numbers|numbers_mt)\s*\(\s*(?P<n>\d+)\s*\)\s*(?:AS\s+\w+\s*)?"
+    r"(?:\bWHERE\s+(?P<where>.*?))?"
+    r"(?:\bGROUP\s+BY\s+(?P<group>.*?))?"
+    r"(?:\bORDER\s+BY\s+(?P<order>.*?))?"
+    r"(?:\bLIMIT\s+(?P<limit>\d+))?\s*$"
+)
+
+_ITEM_ALIAS = re.compile(r"(?is)^(?P<body>.*?)\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$")
+_AGG_CALL = re.compile(
+    r"(?is)^(?P<func>" + "|".join(_AGG_FUNCS) + r")\s*\((?P<arg>.*)\)\s*$"
+)
+_ORDER_TERM = re.compile(r"(?is)^([A-Za-z_]\w*|\d+)(\s+(?:ASC|DESC))?$")
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip().lower())
+
+
+def _split_top_level(s: str) -> list[str]:
+    from fuse_query_spark.dialect.rewriter import _split_top_level as split
+
+    return split(s)
+
+
+@dataclass
+class _Item:
+    kind: str  # "key" | "agg"
+    name: str  # output column name
+    body: str = ""  # key: the group expr text
+    func: str = ""  # agg: function
+    arg: str = ""  # agg: argument text ('*' only for count)
+    key_idx: int = -1  # key: index into group_exprs
+
+
+@dataclass
+class DistributedAgg:
+    """A parsed two-phase-decomposable aggregate statement."""
+
+    n: int
+    where: str | None
+    group_exprs: list[str]
+    items: list[_Item]
+    order_by: str | None
+    limit: str | None
+    partial_cols: list[str] = field(default_factory=list)
+
+
+def parse_distributed_agg(sql: str) -> DistributedAgg | None:
+    """None unless the statement is a supported single-block aggregate
+    over numbers()/numbers_mt() — the local path handles everything
+    else, exactly as the reference's interpreter falls back when the
+    plan has no reschedulable read stage."""
+    if _UNSUPPORTED.search(sql):
+        return None
+    m = _STMT.match(sql.strip().rstrip(";"))
+    if not m:
+        return None
+    group_raw = m.group("group")
+    group_exprs = [g.strip() for g in _split_top_level(group_raw)] if group_raw else []
+    norm_groups = [_norm(g) for g in group_exprs]
+    items: list[_Item] = []
+    has_agg = False
+    for raw in _split_top_level(m.group("items")):
+        raw = raw.strip()
+        am = _ITEM_ALIAS.match(raw)
+        body, alias = (am.group("body"), am.group("alias")) if am else (raw, None)
+        body = body.strip()
+        call = _AGG_CALL.match(body)
+        # _AGG_CALL's greedy arg can span `max(a), min(b)` when the
+        # item splitter is bypassed; parens must balance inside the arg
+        if call is not None and call.group("arg").count("(") == call.group("arg").count(")"):
+            arg = call.group("arg").strip()
+            func = call.group("func").lower()
+            if re.match(r"(?is)^\s*DISTINCT\b", arg):
+                return None
+            if arg == "*" and func != "count":
+                return None
+            if not arg:
+                return None
+            items.append(_Item("agg", alias or body, func=func, arg=arg))
+            has_agg = True
+        elif _norm(body) in norm_groups:
+            items.append(
+                _Item("key", alias or body, body=body, key_idx=norm_groups.index(_norm(body)))
+            )
+        else:
+            return None  # a non-aggregate, non-key item — not this shape
+    if not has_agg:
+        return None
+    plan = DistributedAgg(
+        n=int(m.group("n")),
+        where=(m.group("where") or "").strip() or None,
+        group_exprs=group_exprs,
+        items=items,
+        order_by=(m.group("order") or "").strip() or None,
+        limit=m.group("limit"),
+    )
+    if plan.order_by is not None:
+        out_names = {i.name for i in plan.items}
+        for term in _split_top_level(plan.order_by):
+            t = _ORDER_TERM.match(term.strip())
+            if not t:
+                return None
+            ident = t.group(1)
+            if not ident.isdigit() and ident not in out_names:
+                return None  # ORDER BY a raw expression — final view
+                # only carries aliases; keep the local path exact
+    return plan
+
+
+def slice_bounds(n: int, parts: int) -> list[tuple[int, int]]:
+    """Contiguous [a, b) ranges covering [0, n) — the scheduler's
+    read-source split (plan_scheduler.rs:96 slices the numbers
+    partitions among nodes)."""
+    step = (n + parts - 1) // parts
+    return [(i * step, min((i + 1) * step, n)) for i in range(parts)]
+
+
+def partial_sql(plan: DistributedAgg, lo: int, hi: int) -> str:
+    """Peer plan slice: the PARTIAL aggregate over [lo, hi) of the
+    generator, in the engine's own dialect (the peer runs it through
+    Engine.sql like any user query — the reference ships a serialized
+    PlanNode; our plan wire format is SQL, flight_server.py module
+    docstring). Output columns: k0..kG group keys, then per item
+    p{j} (count/sum/min/max) or p{j}s+p{j}c (avg)."""
+    cols: list[str] = [
+        f"{expr} AS k{i}" for i, expr in enumerate(plan.group_exprs)
+    ]
+    partial_cols: list[str] = []
+    for j, it in enumerate(plan.items):
+        if it.kind == "key":
+            continue
+        if it.func == "avg":
+            cols.append(f"sum({it.arg}) AS p{j}s")
+            cols.append(f"count({it.arg}) AS p{j}c")
+            partial_cols += [f"p{j}s", f"p{j}c"]
+        else:
+            cols.append(f"{it.func}({it.arg}) AS p{j}")
+            partial_cols.append(f"p{j}")
+    plan.partial_cols = partial_cols
+    pred = f"number >= {lo} AND number < {hi}"
+    if plan.where:
+        pred += f" AND ({plan.where})"
+    sql = f"SELECT {', '.join(cols)} FROM numbers({plan.n}) WHERE {pred}"
+    if plan.group_exprs:
+        sql += f" GROUP BY {', '.join(plan.group_exprs)}"
+    return sql
+
+
+def scatter_expression(plan: DistributedAgg) -> str:
+    """Hash-scatter on the first group key of the PARTIAL output
+    (flight_scatter_hash.rs expr_action — the reference hangs the
+    group expression on the stage boundary): rows of one group always
+    land in the same sink, so a downstream stage could finalize
+    per-sink without another shuffle. hash() totalizes non-numeric
+    keys; keyless aggregates scatter to a single bucket."""
+    return "hash(k0)" if plan.group_exprs else "0"
+
+
+def final_sql(plan: DistributedAgg, view: str) -> str:
+    """Coordinator-side finalization over the gathered partial rows:
+    count -> sum, sum -> sum, min/max -> min/max, avg -> sum/sum
+    (double division, matching single-stage avg)."""
+    out: list[str] = []
+    for j, it in enumerate(plan.items):
+        if it.kind == "key":
+            out.append(f"k{it.key_idx} AS `{it.name}`")
+        elif it.func == "avg":
+            out.append(f"sum(p{j}s) / sum(p{j}c) AS `{it.name}`")
+        elif it.func == "count":
+            out.append(f"sum(p{j}) AS `{it.name}`")
+        else:
+            out.append(f"{it.func}(p{j}) AS `{it.name}`")
+    sql = f"SELECT {', '.join(out)} FROM {view}"
+    if plan.group_exprs:
+        sql += f" GROUP BY {', '.join(f'k{i}' for i in range(len(plan.group_exprs)))}"
+    if plan.order_by:
+        sql += f" ORDER BY {plan.order_by}"
+    if plan.limit:
+        sql += f" LIMIT {plan.limit}"
+    return sql
+
+
+def reachable_peers(addresses: list[str], timeout: float = 3.0) -> list[str]:
+    """grpc:// peers that answer a Flight handshake right now. An
+    EMPTY result means 'run locally' (registry entries are metadata
+    until a Flight endpoint actually listens there — the HTTP API
+    registers addresses before servers necessarily exist)."""
+    import pyarrow.flight as flight
+
+    alive = []
+    for addr in addresses:
+        loc = addr if "://" in addr else f"grpc://{addr}"
+        try:
+            con = flight.connect(loc)
+            con.wait_for_available(timeout=timeout)
+            con.close()
+            alive.append(loc)
+        except Exception:
+            pass
+    return alive
+
+
+def try_distributed_select(engine, sql: str, nodes: list[dict]):
+    """The Engine.sql hook (interpreter_select.rs:40-73): returns the
+    finalized DataFrame when the statement fanned out across the
+    registered cluster, or None to run locally. Raises StageError only
+    when reachable peers fail mid-stage beyond dispatch_with_retry's
+    recovery — never for 'no usable cluster'."""
+    plan = parse_distributed_agg(sql)
+    if plan is None:
+        return None
+    peers = reachable_peers([n["address"] for n in nodes])
+    if not peers:
+        return None
+    import pyarrow as pa
+
+    from fuse_query_spark.servers.flight_server import dispatch_with_retry
+
+    query_id = f"dq-{uuid.uuid4().hex[:12]}"
+    plans = [partial_sql(plan, lo, hi) for lo, hi in slice_bounds(plan.n, len(peers))]
+    sinks = [f"s{i}" for i in range(len(peers))]
+    parts = dispatch_with_retry(
+        peers, query_id, "stage0", plans, sinks, scatter_expression(plan),
+        # test seam (same contract as dispatch_with_retry's): lets a
+        # test kill a peer between an attempt's dispatch and gather —
+        # the only deterministic way to exercise mid-stage recovery
+        # through the Engine.sql surface
+        _after_dispatch=getattr(engine, "_dist_after_dispatch", None),
+    )
+    gathered = pa.concat_tables([parts[s] for s in sinks])
+    view = f"__fq_dist_{query_id.replace('-', '_')}"
+    if gathered.num_rows:
+        pdf = engine.spark.createDataFrame(gathered.to_pandas())
+    else:  # schema-only (every slice filtered empty): pandas inference
+        # has nothing to infer from, so map the Arrow schema directly
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        pdf = engine.spark.createDataFrame([], schema=from_arrow_schema(gathered.schema))
+    pdf.createOrReplaceTempView(view)
+    try:
+        # analysis resolves the view eagerly; the returned plan keeps
+        # its own reference, so the catalog entry can go right away
+        return engine.spark.sql(final_sql(plan, view))
+    finally:
+        engine.spark.catalog.dropTempView(view)

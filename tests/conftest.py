@@ -27,3 +27,47 @@ def oracle(sf_dir):
     con = duckdb_conn(sf_dir)
     yield con
     con.close()
+
+
+def spawn_peer(cpus: int = 2):
+    """Start a peer engine + Flight service in a separate JVM/process;
+    returns (Popen, port). Caller terminates. Shared by the Flight
+    stage tests and the Engine.sql distributed-select tests."""
+    import subprocess
+    import threading
+
+    peer_src = f"""
+import sys
+sys.path.insert(0, ".")
+from fuse_query_spark.engine import Engine
+from fuse_query_spark.servers.flight_server import FuseQueryFlightService
+from fuse_query_spark.session import get_spark
+
+spark = get_spark("flight-peer", cpus={cpus})
+srv = FuseQueryFlightService(Engine(spark), "grpc://0.0.0.0:0")
+print(f"PORT={{srv.port}}", flush=True)
+srv.serve()
+"""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", peer_src],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        cwd=root,
+        text=True,
+    )
+    port_box: list = []
+
+    def _read_port():
+        for line in proc.stdout:
+            if line.startswith("PORT="):
+                port_box.append(int(line.strip().split("=", 1)[1]))
+                return
+
+    t = threading.Thread(target=_read_port, daemon=True)
+    t.start()
+    t.join(timeout=180)  # JVM + session startup
+    if not port_box:
+        proc.terminate()
+        raise RuntimeError("peer process never reported its port")
+    return proc, port_box[0]

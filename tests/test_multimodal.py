@@ -1470,3 +1470,50 @@ def test_quarantine_catches_corrupt_supported_formats(spark):
     assert rows[0].status == "quarantined" and rows[0].reason
     assert rows[1].status == "quarantined" and rows[1].reason
     assert rows[2].status == "decoded" and rows[2].pixel_sum > 0
+
+
+class TestLibraryDecoder:
+    """decoder='library' (r8 verdict #7): the PIL path behind the same
+    decode_image_pixels API. Dependency-gated — this container ships
+    no image libraries, so these skip here and run wherever PIL is
+    installed; the pure JPEG path is already pinned byte-for-byte to
+    libjpeg by the C harness (tools/jpeg_ref_harness.c), which is what
+    makes per-byte equality a fair assertion."""
+
+    @pytest.mark.skipif(
+        __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+        reason="Pillow not installed (expected in this container)",
+    )
+    @pytest.mark.parametrize("synth", ["png", "gif", "jpeg", "ppm"])
+    def test_library_matches_pure_decoders(self, spark, sf_dir, synth):
+        from fuse_query_spark.operators.multimodal import (
+            decode_image_pixels,
+            synthesize_gif_blobs,
+            synthesize_jpeg_blobs,
+            synthesize_png_blobs,
+            synthesize_ppm_blobs,
+        )
+
+        docs = table(spark, sf_dir, "documents").select("doc_id").limit(40)
+        blobs = {
+            "png": synthesize_png_blobs,
+            "gif": synthesize_gif_blobs,
+            "jpeg": synthesize_jpeg_blobs,
+            "ppm": synthesize_ppm_blobs,
+        }[synth](docs)
+        pure = {
+            r.doc_id: (r.width, r.height, bytes(r.pixels))
+            for r in decode_image_pixels(blobs).collect()
+        }
+        lib = {
+            r.doc_id: (r.width, r.height, bytes(r.pixels))
+            for r in decode_image_pixels(blobs, decoder="library").collect()
+        }
+        assert lib == pure and len(lib) == 40
+
+    def test_unknown_decoder_rejected(self, spark, sf_dir):
+        from fuse_query_spark.operators.multimodal import decode_image_pixels
+
+        docs = table(spark, sf_dir, "documents").select("doc_id").limit(1)
+        with pytest.raises(ValueError, match="expected 'pure' or 'library'"):
+            decode_image_pixels(docs, decoder="libvips")
