@@ -25,15 +25,20 @@ coordinator-side in the local Spark session. Everything else (no
 cluster, unreachable peers, any unsupported shape) falls back to the
 local Catalyst path — same transparent contract as the reference.
 
-Scope: sources are the ``numbers(N)`` / ``numbers_mt(N)`` generators —
-the same sources the reference's own distributed tests reschedule
-(``numbers_local`` stays node-local by name, numbers_table.rs).
-Distributable shape: single-block ``SELECT <aggs and group keys> FROM
-numbers(N) [WHERE ...] [GROUP BY ...] [ORDER BY aliases] [LIMIT n]``
-with count/sum/min/max/avg (two-phase-decomposable; DISTINCT, HAVING,
-joins, subqueries, windows all fall back). The coordinator's gather is
-bounded by (group cardinality x peers) partial rows — the same bound
-the reference's final merge stage carries.
+Scope: sources are the ``numbers(N)`` / ``numbers_mt(N)`` generators
+(sliced by range — the same sources the reference's own distributed
+tests reschedule; ``numbers_local`` stays node-local by name,
+numbers_table.rs) and catalog PARQUET tables whose location holds
+multiple data files (sliced by file, the scheduler's partition unit —
+plan_scheduler.rs:96; single-file and hive-partitioned locations stay
+local: the former gives peers nothing to split, the latter would lose
+path-encoded partition values). Distributable shape: single-block
+``SELECT <aggs and group keys> FROM <source> [WHERE ...] [GROUP BY
+...] [ORDER BY aliases] [LIMIT n]`` with count/sum/min/max/avg
+(two-phase-decomposable; DISTINCT, HAVING, joins, subqueries, windows
+all fall back). The coordinator's gather is bounded by (group
+cardinality x peers) partial rows — the same bound the reference's
+final merge stage carries.
 """
 
 from __future__ import annotations
@@ -51,8 +56,9 @@ _UNSUPPORTED = re.compile(
 )
 
 _STMT = re.compile(
-    r"(?is)^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?:system\.)?"
-    r"(?P<src>numbers|numbers_mt)\s*\(\s*(?P<n>\d+)\s*\)\s*(?:AS\s+\w+\s*)?"
+    r"(?is)^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+"
+    r"(?:(?:system\.)?(?P<src>numbers|numbers_mt)\s*\(\s*(?P<n>\d+)\s*\)"
+    r"|(?P<table>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?))\s*(?:AS\s+\w+\s*)?"
     r"(?:\bWHERE\s+(?P<where>.*?))?"
     r"(?:\bGROUP\s+BY\s+(?P<group>.*?))?"
     r"(?:\bORDER\s+BY\s+(?P<order>.*?))?"
@@ -88,14 +94,19 @@ class _Item:
 
 @dataclass
 class DistributedAgg:
-    """A parsed two-phase-decomposable aggregate statement."""
+    """A parsed two-phase-decomposable aggregate statement. The read
+    source is EITHER the numbers generator (`n` set — sliced by range)
+    or a catalog table (`table` set — resolved by the engine hook to a
+    parquet file list and sliced by file, the reference's
+    ReadDataSourcePlan partition split)."""
 
-    n: int
+    n: int | None
     where: str | None
     group_exprs: list[str]
     items: list[_Item]
     order_by: str | None
     limit: str | None
+    table: str | None = None
     partial_cols: list[str] = field(default_factory=list)
 
 
@@ -141,13 +152,17 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
             return None  # a non-aggregate, non-key item — not this shape
     if not has_agg:
         return None
+    table = m.group("table")
+    if table and (table.lower() == "dual" or table.lower().startswith("system.")):
+        return None  # system surface stays local
     plan = DistributedAgg(
-        n=int(m.group("n")),
+        n=int(m.group("n")) if m.group("n") else None,
         where=(m.group("where") or "").strip() or None,
         group_exprs=group_exprs,
         items=items,
         order_by=(m.group("order") or "").strip() or None,
         limit=m.group("limit"),
+        table=table,
     )
     if plan.order_by is not None:
         out_names = {i.name for i in plan.items}
@@ -170,13 +185,21 @@ def slice_bounds(n: int, parts: int) -> list[tuple[int, int]]:
     return [(i * step, min((i + 1) * step, n)) for i in range(parts)]
 
 
-def partial_sql(plan: DistributedAgg, lo: int, hi: int) -> str:
-    """Peer plan slice: the PARTIAL aggregate over [lo, hi) of the
-    generator, in the engine's own dialect (the peer runs it through
-    Engine.sql like any user query — the reference ships a serialized
-    PlanNode; our plan wire format is SQL, flight_server.py module
-    docstring). Output columns: k0..kG group keys, then per item
-    p{j} (count/sum/min/max) or p{j}s+p{j}c (avg)."""
+def partial_sql(
+    plan: DistributedAgg,
+    lo: int = 0,
+    hi: int = 0,
+    source: str | None = None,
+) -> str:
+    """Peer plan slice: the PARTIAL aggregate over the peer's share of
+    the read source, in the engine's own dialect (the peer runs it
+    through Engine.sql like any user query — the reference ships a
+    serialized PlanNode; our plan wire format is SQL, flight_server.py
+    module docstring). Generator source: [lo, hi) range predicate over
+    numbers(N). Table source: `source` is the peer's parquet file-glob
+    FROM clause (plan_scheduler.rs:96 splits the read partitions; a
+    file is our partition unit). Output columns: k0..kG group keys,
+    then per item p{j} (count/sum/min/max) or p{j}s+p{j}c (avg)."""
     cols: list[str] = [
         f"{expr} AS k{i}" for i, expr in enumerate(plan.group_exprs)
     ]
@@ -192,13 +215,46 @@ def partial_sql(plan: DistributedAgg, lo: int, hi: int) -> str:
             cols.append(f"{it.func}({it.arg}) AS p{j}")
             partial_cols.append(f"p{j}")
     plan.partial_cols = partial_cols
-    pred = f"number >= {lo} AND number < {hi}"
-    if plan.where:
-        pred += f" AND ({plan.where})"
-    sql = f"SELECT {', '.join(cols)} FROM numbers({plan.n}) WHERE {pred}"
+    if source is None:
+        pred = f"number >= {lo} AND number < {hi}"
+        if plan.where:
+            pred += f" AND ({plan.where})"
+        sql = f"SELECT {', '.join(cols)} FROM numbers({plan.n}) WHERE {pred}"
+    else:
+        sql = f"SELECT {', '.join(cols)} FROM {source}"
+        if plan.where:
+            sql += f" WHERE {plan.where}"
     if plan.group_exprs:
         sql += f" GROUP BY {', '.join(plan.group_exprs)}"
     return sql
+
+
+def table_file_slices(location: str, parts: int) -> list[str] | None:
+    """Round-robin the location's parquet data files into `parts`
+    FROM-clause globs (`parquet.`<dir>/{f1,f2}``) — the file is the
+    partition unit the scheduler hands each node. None when the
+    location is a single bare file (nothing to split: every peer would
+    re-decode the whole file for 1/P of the aggregation work) or holds
+    fewer files than peers."""
+    import glob as _glob
+    import os as _os
+
+    if not _os.path.isdir(location):
+        return None
+    files = sorted(
+        _os.path.basename(f)
+        for f in _glob.glob(_os.path.join(location, "*.parquet"))
+    )
+    if len(files) < parts:
+        return None
+    groups: list[list[str]] = [[] for _ in range(parts)]
+    for i, f in enumerate(files):
+        groups[i % parts].append(f)
+    root = _os.path.abspath(location)
+    return [
+        "parquet.`" + root + "/{" + ",".join(g) + "}`"
+        for g in groups
+    ]
 
 
 def scatter_expression(plan: DistributedAgg) -> str:
@@ -255,6 +311,25 @@ def reachable_peers(addresses: list[str], timeout: float = 3.0) -> list[str]:
     return alive
 
 
+def _resolve_parquet_table(engine, name: str):
+    """The catalog TableDef for a FROM <table> source, but only when
+    its storage is file-sliceable: engine=Parquet, a real location,
+    and NO hive partition columns (slicing a hive layout by file loses
+    the path-encoded partition values — partition-pruned queries stay
+    local rather than silently reading NULL keys)."""
+    db, _, tbl = name.rpartition(".")
+    db = db or engine.current_db
+    try:
+        tdef = engine.catalog.databases.get(db, {}).get(tbl)
+    except Exception:
+        return None
+    if tdef is None or tdef.engine != "Parquet" or not tdef.location:
+        return None
+    if getattr(tdef, "partition_by", ()):
+        return None
+    return tdef
+
+
 def try_distributed_select(engine, sql: str, nodes: list[dict]):
     """The Engine.sql hook (interpreter_select.rs:40-73): returns the
     finalized DataFrame when the statement fanned out across the
@@ -264,15 +339,26 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
     plan = parse_distributed_agg(sql)
     if plan is None:
         return None
+    tdef = None
+    if plan.table is not None:
+        tdef = _resolve_parquet_table(engine, plan.table)
+        if tdef is None:
+            return None  # not a sliceable catalog parquet table → local
     peers = reachable_peers([n["address"] for n in nodes])
     if not peers:
         return None
+    if tdef is not None:
+        sources = table_file_slices(tdef.location, len(peers))
+        if sources is None:
+            return None  # single file / fewer files than peers → local
+        plans = [partial_sql(plan, source=s) for s in sources]
+    else:
+        plans = [partial_sql(plan, lo, hi) for lo, hi in slice_bounds(plan.n, len(peers))]
     import pyarrow as pa
 
     from fuse_query_spark.servers.flight_server import dispatch_with_retry
 
     query_id = f"dq-{uuid.uuid4().hex[:12]}"
-    plans = [partial_sql(plan, lo, hi) for lo, hi in slice_bounds(plan.n, len(peers))]
     sinks = [f"s{i}" for i in range(len(peers))]
     parts = dispatch_with_retry(
         peers, query_id, "stage0", plans, sinks, scatter_expression(plan),

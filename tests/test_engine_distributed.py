@@ -54,7 +54,7 @@ class TestParser:
             "SELECT max(number) FROM numbers(10) GROUP BY number % 3 HAVING max(number) > 1",
             "SELECT count(DISTINCT number) FROM numbers(10)",
             "SELECT max(number) FROM numbers_local(10)",  # local by name
-            "SELECT max(number) FROM lineitem",  # not a generator
+            "SELECT max(n) FROM system.processes",  # system surface
             "SELECT max(number) + 1 FROM numbers(10)",  # post-agg expr
             "SELECT rank() OVER (ORDER BY number) FROM numbers(10)",
             "SELECT max(number) FROM numbers(10) ORDER BY number % 3",  # raw-expr order
@@ -63,6 +63,36 @@ class TestParser:
     )
     def test_unsupported_shapes_fall_back(self, sql):
         assert parse_distributed_agg(sql) is None
+
+    def test_catalog_table_source_parses(self):
+        p = parse_distributed_agg(
+            "SELECT l_returnflag AS f, sum(l_quantity) AS q FROM lineitem "
+            "GROUP BY l_returnflag"
+        )
+        assert p is not None and p.table == "lineitem" and p.n is None
+        s = partial_sql(p, source="parquet.`/x/{a.parquet,b.parquet}`")
+        assert s.startswith(
+            "SELECT l_returnflag AS k0, sum(l_quantity) AS p1 "
+            "FROM parquet.`/x/{a.parquet,b.parquet}`"
+        )
+
+    def test_table_file_slices_round_robin(self, tmp_path):
+        from fuse_query_spark.plans.distributed import table_file_slices
+
+        d = tmp_path / "t"
+        d.mkdir()
+        for i in range(5):
+            (d / f"part-{i}.parquet").write_bytes(b"")
+        slices = table_file_slices(str(d), 2)
+        assert len(slices) == 2
+        names = [s.split("{", 1)[1].rstrip("`}").split(",") for s in slices]
+        assert sorted(n for g in names for n in g) == sorted(
+            f"part-{i}.parquet" for i in range(5)
+        )
+        assert not set(names[0]) & set(names[1])
+        # single bare file / too few files -> None (nothing to split)
+        assert table_file_slices(str(d / "part-0.parquet"), 2) is None
+        assert table_file_slices(str(d), 6) is None
 
     def test_slice_bounds_cover_exactly(self):
         for n, parts in ((10, 3), (100000, 2), (7, 8), (1, 1)):
@@ -192,6 +222,37 @@ class TestDistributedEngineSql:
             assert sorted(r.c for r in rows) == [500, 500]
         finally:
             engine.cluster.remove_node("ghost")
+
+    def test_parquet_table_distributes_by_file(self, engine, two_peers, tmp_path):
+        """A catalog Parquet table whose location holds multiple data
+        files fans out file-sliced (the scheduler's partition unit);
+        the distributed result equals local execution. A SINGLE-file
+        table must stay local (nothing to split) — asserted via the
+        testdata-attached lineitem, which still answers correctly."""
+        loc = str(tmp_path / "ctas_t")
+        engine.sql(
+            f"CREATE TABLE dist_t ENGINE = Parquet location = '{loc}' AS "
+            "SELECT number % 7 AS g, number AS v FROM numbers(50000)"
+        )
+        import glob
+
+        n_files = len(glob.glob(loc + "/*.parquet"))
+        assert n_files >= 2, f"CTAS wrote {n_files} files; test needs a multi-file table"
+        q = "SELECT g AS g, sum(v) AS s, count(*) AS c, avg(v) AS a FROM dist_t GROUP BY g"
+        local = {tuple(map(str, r)) for r in engine.sql(q).collect()}
+        engine.attach_parquet_dir("/root/testdata/sf0.001")
+        q_single = "SELECT count(*) AS c FROM lineitem"
+        local_single = engine.sql(q_single).collect()[0].c
+        self._register(engine, [port for _p, port in two_peers])
+        try:
+            got = {tuple(map(str, r)) for r in engine.sql(q).collect()}
+            assert got == local and len(got) == 7
+            # single-file location: falls back to local, same answer
+            assert engine.sql(q_single).collect()[0].c == local_single
+        finally:
+            for i in range(2):
+                engine.cluster.remove_node(f"peer{i}")
+            engine.sql("DROP TABLE dist_t")
 
     def test_kill_one_peer_mid_stage_recovers(self, engine, spark):
         """Kill a peer between dispatch and gather (the seam
