@@ -223,6 +223,29 @@ class TestDistributedEngineSql:
         finally:
             engine.cluster.remove_node("ghost")
 
+    def test_empty_and_type_edges_match_local(self, engine, two_peers):
+        """Edge shapes through the distributed path: (a) a WHERE that
+        filters every slice empty — grouped result is 0 rows via the
+        schema-only gather branch; (b) keyless aggregates over an
+        empty source — one row of NULLs/0 exactly like local; (c) avg
+        returns the same values as local (sum/sum double division)."""
+        stmts = [
+            "SELECT number % 3 AS g, count(*) AS c FROM numbers(10000) "
+            "WHERE number < 0 GROUP BY number % 3",
+            "SELECT count(*) AS c, max(number) AS m, avg(number) AS a "
+            "FROM numbers(10000) WHERE number < 0",
+            "SELECT avg(number) AS a, count(number) AS c FROM numbers(9999)",
+        ]
+        local = [[tuple(map(str, r)) for r in engine.sql(s).collect()] for s in stmts]
+        self._register(engine, [port for _p, port in two_peers])
+        try:
+            for s, want in zip(stmts, local):
+                got = [tuple(map(str, r)) for r in engine.sql(s).collect()]
+                assert sorted(got) == sorted(want), s
+        finally:
+            for i in range(2):
+                engine.cluster.remove_node(f"peer{i}")
+
     def test_parquet_table_distributes_by_file(self, engine, two_peers, tmp_path):
         """A catalog Parquet table whose location holds multiple data
         files fans out file-sliced (the scheduler's partition unit);
