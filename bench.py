@@ -351,11 +351,15 @@ def main() -> None:
         {"after": "<end>", "sec": round(_calibration_probe(spark), 3),
          "load_1m": round(os.getloadavg()[0], 1)}
     )
-    cal_secs = sorted(c["sec"] for c in calibration)
+    cal_chrono = [c["sec"] for c in calibration]  # probe order = suite order
+    cal_secs = sorted(cal_chrono)
     cal_summary = {
         "median": round(statistics.median(cal_secs), 3),
         "spread": [cal_secs[0], cal_secs[-1]],
-        "drift": round(cal_secs[-1] / cal_secs[0], 2) if cal_secs[0] > 0 else -1.0,
+        # drift = END vs START, chronological (code-review r9: max/min
+        # is just the spread ratio — it can't distinguish 'host got
+        # busier during the run' from one mid-suite spike)
+        "drift": round(cal_chrono[-1] / cal_chrono[0], 2) if cal_chrono[0] > 0 else -1.0,
         "n": len(cal_secs),
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)

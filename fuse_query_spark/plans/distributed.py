@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import re
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 _AGG_FUNCS = ("count", "sum", "min", "max", "avg")
 
@@ -107,7 +107,6 @@ class DistributedAgg:
     order_by: str | None
     limit: str | None
     table: str | None = None
-    partial_cols: list[str] = field(default_factory=list)
 
 
 def parse_distributed_agg(sql: str) -> DistributedAgg | None:
@@ -155,6 +154,16 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
     table = m.group("table")
     if table and (table.lower() == "dual" or table.lower().startswith("system.")):
         return None  # system surface stays local
+    # qualified column references (t.col) cannot resolve in the peer's
+    # rewritten FROM clause (the table becomes a parquet file glob, and
+    # any `AS alias` is consumed above) — a registered cluster must not
+    # turn a locally-working query into a StageError (code-review r9).
+    # Decimal literals (1.5) don't match ident.ident.
+    body_text = " ".join(
+        x for x in (m.group("items"), m.group("where"), m.group("group")) if x
+    )
+    if re.search(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]\w*", body_text):
+        return None
     plan = DistributedAgg(
         n=int(m.group("n")) if m.group("n") else None,
         where=(m.group("where") or "").strip() or None,
@@ -203,18 +212,14 @@ def partial_sql(
     cols: list[str] = [
         f"{expr} AS k{i}" for i, expr in enumerate(plan.group_exprs)
     ]
-    partial_cols: list[str] = []
     for j, it in enumerate(plan.items):
         if it.kind == "key":
             continue
         if it.func == "avg":
             cols.append(f"sum({it.arg}) AS p{j}s")
             cols.append(f"count({it.arg}) AS p{j}c")
-            partial_cols += [f"p{j}s", f"p{j}c"]
         else:
             cols.append(f"{it.func}({it.arg}) AS p{j}")
-            partial_cols.append(f"p{j}")
-    plan.partial_cols = partial_cols
     if source is None:
         pred = f"number >= {lo} AND number < {hi}"
         if plan.where:
@@ -292,23 +297,29 @@ def final_sql(plan: DistributedAgg, view: str) -> str:
 
 
 def reachable_peers(addresses: list[str], timeout: float = 3.0) -> list[str]:
-    """grpc:// peers that answer a Flight handshake right now. An
-    EMPTY result means 'run locally' (registry entries are metadata
-    until a Flight endpoint actually listens there — the HTTP API
-    registers addresses before servers necessarily exist)."""
+    """grpc:// peers that answer a Flight handshake right now, probed
+    CONCURRENTLY (one dead registry entry must cost one timeout, not a
+    serial stall per node — code-review r9). An EMPTY result means
+    'run locally' (registry entries are metadata until a Flight
+    endpoint actually listens there — the HTTP API registers addresses
+    before servers necessarily exist)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.flight as flight
 
-    alive = []
-    for addr in addresses:
+    def _probe(addr: str) -> str | None:
         loc = addr if "://" in addr else f"grpc://{addr}"
         try:
             con = flight.connect(loc)
             con.wait_for_available(timeout=timeout)
             con.close()
-            alive.append(loc)
+            return loc
         except Exception:
-            pass
-    return alive
+            return None
+
+    with ThreadPoolExecutor(max_workers=max(1, len(addresses))) as ex:
+        probed = list(ex.map(_probe, addresses))
+    return [loc for loc in probed if loc is not None]
 
 
 def _resolve_parquet_table(engine, name: str):
@@ -366,17 +377,18 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
         # test kill a peer between an attempt's dispatch and gather —
         # the only deterministic way to exercise mid-stage recovery
         # through the Engine.sql surface
+        # reachable_peers just probed this exact set — skip the
+        # redundant attempt-0 re-probe (retries still probe fresh)
+        assume_alive_first_attempt=True,
         _after_dispatch=getattr(engine, "_dist_after_dispatch", None),
     )
     gathered = pa.concat_tables([parts[s] for s in sinks])
     view = f"__fq_dist_{query_id.replace('-', '_')}"
-    if gathered.num_rows:
-        pdf = engine.spark.createDataFrame(gathered.to_pandas())
-    else:  # schema-only (every slice filtered empty): pandas inference
-        # has nothing to infer from, so map the Arrow schema directly
-        from pyspark.sql.pandas.types import from_arrow_schema
-
-        pdf = engine.spark.createDataFrame([], schema=from_arrow_schema(gathered.schema))
+    # straight Arrow -> Spark (PySpark 4 accepts pa.Table): a pandas
+    # round-trip here CORRUPTS types — int64 partials with a NULL (an
+    # empty slice's keyless max) silently become float64, and NaN/null
+    # conflate for double columns (code-review r9)
+    pdf = engine.spark.createDataFrame(gathered)
     pdf.createOrReplaceTempView(view)
     try:
         # analysis resolves the view eagerly; the returned plan keeps

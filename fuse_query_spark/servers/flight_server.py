@@ -370,6 +370,7 @@ def dispatch_with_retry(
     sinks: list[str],
     scatters_expression: str,
     max_attempts: int = 3,
+    assume_alive_first_attempt: bool = False,
     _after_dispatch=None,
 ) -> dict:
     """Fault-tolerant scatter-gather over StageCoordinator: if a peer
@@ -394,16 +395,28 @@ def dispatch_with_retry(
     assignment = list(zip(peers, plans))  # [(peer, plan)] — slices
     last_err: Exception | None = None
     for attempt in range(max_attempts):
-        # probe which peers are reachable right now
-        alive: list[str] = []
-        for p in dict.fromkeys(pr for pr, _ in assignment):
-            try:
-                c = flight.connect(p)
-                c.wait_for_available(timeout=10)
-                c.close()
-                alive.append(p)
-            except Exception:
-                pass
+        # probe which peers are reachable right now — CONCURRENTLY (a
+        # dead peer costs one timeout, not a serial stall each), and
+        # not at all on attempt 0 when the caller just probed
+        # (assume_alive_first_attempt; code-review r9: the Engine.sql
+        # path paid two full serial handshake rounds per statement)
+        candidates = list(dict.fromkeys(pr for pr, _ in assignment))
+        if attempt == 0 and assume_alive_first_attempt:
+            alive = candidates
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _probe(p: str) -> str | None:
+                try:
+                    c = flight.connect(p)
+                    c.wait_for_available(timeout=10)
+                    c.close()
+                    return p
+                except Exception:
+                    return None
+
+            with ThreadPoolExecutor(max_workers=max(1, len(candidates))) as ex:
+                alive = [p for p in ex.map(_probe, candidates) if p is not None]
         if not alive:
             raise last_err or StageError("<all peers>", RuntimeError("no peers reachable"))
         # reassign: keep a slice on its peer if alive, else round-robin

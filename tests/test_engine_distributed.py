@@ -59,6 +59,11 @@ class TestParser:
             "SELECT rank() OVER (ORDER BY number) FROM numbers(10)",
             "SELECT max(number) FROM numbers(10) ORDER BY number % 3",  # raw-expr order
             "SELECT (SELECT 1), max(number) FROM numbers(10)",
+            # qualified refs can't resolve against the peer's rewritten
+            # FROM (file glob / consumed alias) — must stay local
+            "SELECT sum(lineitem.l_quantity) AS s FROM lineitem",
+            "SELECT sum(l.l_quantity) AS s FROM lineitem AS l",
+            "SELECT max(number) FROM numbers(10) WHERE t.number > 1",
         ],
     )
     def test_unsupported_shapes_fall_back(self, sql):
