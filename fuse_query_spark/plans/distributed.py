@@ -175,14 +175,24 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
     )
     if plan.order_by is not None:
         out_names = {i.name for i in plan.items}
+        rewritten_terms = []
         for term in _split_top_level(plan.order_by):
-            t = _ORDER_TERM.match(term.strip())
-            if not t:
-                return None
-            ident = t.group(1)
-            if not ident.isdigit() and ident not in out_names:
-                return None  # ORDER BY a raw expression — final view
-                # only carries aliases; keep the local path exact
+            term = term.strip()
+            t = _ORDER_TERM.match(term)
+            if t and (t.group(1).isdigit() or t.group(1) in out_names):
+                rewritten_terms.append(term)
+                continue
+            # a raw GROUP BY expression (ORDER BY number % 3): the
+            # final view carries it as k{i}, and Spark resolves ORDER
+            # BY against the aggregation input, selected or not
+            dm = re.match(r"(?is)^(?P<expr>.*?)(?:\s+(?P<dir>ASC|DESC))?\s*$", term)
+            expr, dirn = dm.group("expr").strip(), (dm.group("dir") or "")
+            if _norm(expr) in norm_groups:
+                ki = f"k{norm_groups.index(_norm(expr))}"
+                rewritten_terms.append(f"{ki} {dirn}".strip())
+                continue
+            return None  # not an alias, ordinal, or group expr — local
+        plan.order_by = ", ".join(rewritten_terms)
     return plan
 
 

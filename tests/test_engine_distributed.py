@@ -123,6 +123,20 @@ class TestParser:
         assert "GROUP BY k0" in f
         assert scatter_expression(p) == "hash(k0)"
 
+    def test_order_by_group_expr_rewrites_to_key_column(self):
+        p = parse_distributed_agg(
+            "SELECT count(*) AS c FROM numbers(100) "
+            "GROUP BY number % 3, number % 2 ORDER BY number % 2 DESC, c"
+        )
+        assert p is not None
+        assert p.order_by == "k1 DESC, c"
+        assert "ORDER BY k1 DESC, c" in final_sql(p, "v")
+        # ... but a raw expr with NO matching group expr stays local
+        assert parse_distributed_agg(
+            "SELECT count(*) AS c FROM numbers(100) GROUP BY number % 3 "
+            "ORDER BY number % 5"
+        ) is None
+
     def test_where_and_avg_decomposition(self):
         p = parse_distributed_agg(
             "SELECT avg(number) AS a FROM numbers(1000) WHERE number % 2 = 0"
@@ -281,6 +295,47 @@ class TestDistributedEngineSql:
             for i in range(2):
                 engine.cluster.remove_node(f"peer{i}")
             engine.sql("DROP TABLE dist_t")
+
+    def test_random_shapes_differential(self, engine, two_peers):
+        """Seeded differential sweep: randomly composed distributable
+        shapes, each executed locally then through the two-peer path,
+        results compared as sorted stringified rows. Pins the partial/
+        final decomposition broadly rather than per-hand-picked case."""
+        import random
+
+        rng = random.Random(909)
+        aggs = [
+            ("count(*)", "c{}"), ("count(number)", "c{}"), ("sum(number)", "s{}"),
+            ("min(number)", "lo{}"), ("max(number)", "hi{}"), ("avg(number)", "a{}"),
+        ]
+        stmts = []
+        for q in range(10):
+            n = rng.choice([3000, 7777, 20000])
+            picked = rng.sample(aggs, rng.randint(1, 4))
+            items = [f"{expr} AS {al.format(j)}" for j, (expr, al) in enumerate(picked)]
+            group = rng.choice([None, "number % 2", "number % 7", "number % 10"])
+            where = rng.choice([None, "number % 3 = 1", f"number < {n // 2}", "number % 2 = 0"])
+            sql = "SELECT "
+            if group and rng.random() < 0.5:
+                items.insert(0, f"{group} AS g")
+            sql += ", ".join(items) + f" FROM numbers({n})"
+            if where:
+                sql += f" WHERE {where}"
+            if group:
+                sql += f" GROUP BY {group}"
+                if rng.random() < 0.5:
+                    sql += f" ORDER BY {group}"
+            assert parse_distributed_agg(sql) is not None, f"vacuous case: {sql}"
+            stmts.append(sql)
+        local = [sorted(tuple(map(str, r)) for r in engine.sql(s).collect()) for s in stmts]
+        self._register(engine, [port for _p, port in two_peers])
+        try:
+            for s, want in zip(stmts, local):
+                got = sorted(tuple(map(str, r)) for r in engine.sql(s).collect())
+                assert got == want, s
+        finally:
+            for i in range(2):
+                engine.cluster.remove_node(f"peer{i}")
 
     def test_kill_one_peer_mid_stage_recovers(self, engine, spark):
         """Kill a peer between dispatch and gather (the seam
