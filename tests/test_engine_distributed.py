@@ -337,6 +337,36 @@ class TestDistributedEngineSql:
             for i in range(2):
                 engine.cluster.remove_node(f"peer{i}")
 
+    def test_mysql_wire_front_end_distributes(self, spark, two_peers):
+        """Cross-surface pin: the MySQL wire protocol rides Engine.sql,
+        so a clustered engine distributes queries arriving over the
+        wire too — the reference's primary entry point
+        (interpreter_select.rs is reached from the MySQL handler)."""
+        from test_mysql_server import MiniClient
+
+        from fuse_query_spark.engine import Engine
+        from fuse_query_spark.servers.mysql_server import MySQLServer
+
+        engine = Engine(spark)
+        srv = MySQLServer(engine, port=0)
+        srv.start()
+        try:
+            c = MiniClient(srv.port)
+            sql = ("SELECT max(number) AS m, count(*) AS c "
+                   "FROM numbers(60000) GROUP BY number % 3")
+            _, local_rows = c.query(sql)
+            self._register(engine, [port for _p, port in two_peers])
+            try:
+                _, dist_rows = c.query(sql)
+            finally:
+                for i in range(2):
+                    engine.cluster.remove_node(f"peer{i}")
+            c.quit()
+            assert sorted(map(tuple, dist_rows)) == sorted(map(tuple, local_rows))
+            assert len(dist_rows) == 3
+        finally:
+            srv.stop()
+
     def test_kill_one_peer_mid_stage_recovers(self, engine, spark):
         """Kill a peer between dispatch and gather (the seam
         dispatch_with_retry exposes): the retry reassigns the dead
