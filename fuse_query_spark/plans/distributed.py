@@ -39,6 +39,15 @@ path-encoded partition values). Distributable shape: single-block
 all fall back). The coordinator's gather is bounded by (group
 cardinality x peers) partial rows — the same bound the reference's
 final merge stage carries.
+
+Known limitation (documented, not hidden): KILL QUERY cancels Spark
+job groups, and a distributed statement spends its middle phase in
+Flight RPCs outside any Spark job — a kill lands before dispatch or
+after gather, not mid-stage. The peer-side abort gate
+(FlightDispatcher.abort) exists for a peer-local shutdown; wiring the
+coordinator's KILL through to remote stage abort is the reference's
+kill_query-to-dispatcher path and would be the follow-up if
+interactive cancellation of fan-out queries matters.
 """
 
 from __future__ import annotations
