@@ -140,6 +140,10 @@ class Engine:
 
         self._ordinal_lock = threading.Lock()
         self._view_local = threading.local()  # per-thread view-expansion stack
+        # per-thread pid of the statement currently executing — lets
+        # deep paths (the distributed gather's abort check) see their
+        # own KILL without threading pid through every signature
+        self._stmt_local = threading.local()
         self.settings: dict[str, Setting] = {
             # reference defaults: sessions/settings.rs:20-34
             "max_threads": Setting(
@@ -291,6 +295,7 @@ class Engine:
         # engine threads each get their own cancellation scope;
         # interruptOnCancel interrupts running task threads too
         self.spark.sparkContext.setJobGroup(f"fq-{pid}", s[:200], interruptOnCancel=True)
+        self._stmt_local.pid = pid
         t0 = time.time()
         state = "Finished"
         try:
@@ -318,6 +323,7 @@ class Engine:
             # PySpark has no clearJobGroup; resetting via setJobGroup
             # with an empty id detaches subsequent jobs on this thread
             self.spark.sparkContext.setJobGroup("", "")
+            self._stmt_local.pid = None
             self._live.pop(pid, None)
             self._trace_record(pid, s, time.time() - t0, state)
 

@@ -40,14 +40,15 @@ all fall back). The coordinator's gather is bounded by (group
 cardinality x peers) partial rows — the same bound the reference's
 final merge stage carries.
 
-Known limitation (documented, not hidden): KILL QUERY cancels Spark
-job groups, and a distributed statement spends its middle phase in
-Flight RPCs outside any Spark job — a kill lands before dispatch or
-after gather, not mid-stage. The peer-side abort gate
-(FlightDispatcher.abort) exists for a peer-local shutdown; wiring the
-coordinator's KILL through to remote stage abort is the reference's
-kill_query-to-dispatcher path and would be the follow-up if
-interactive cancellation of fan-out queries matters.
+KILL QUERY reaches the fan-out (the reference's kill_query ->
+dispatcher-abort path): the coordinator polls the statement's
+live-state between Flight RPCs — a kill landing mid-stage drains the
+attempt's one-shot streams (the wire-level remote teardown; nothing
+is left half-consumable, no stage_id poisoned) and raises
+QueryAborted. Granularity is the RPC boundary: an in-flight
+do_action/do_get blocks until its peer answers, the same block-level
+unit the reference's AbortStream tears down at (stream_abort.rs:
+19-26).
 """
 
 from __future__ import annotations
@@ -389,6 +390,16 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
     from fuse_query_spark.servers.flight_server import dispatch_with_retry
 
     query_id = f"dq-{uuid.uuid4().hex[:12]}"
+    # KILL QUERY reaches the gather: the executing statement's pid is
+    # thread-local on the engine; the coordinator polls its live-state
+    # between RPCs and tears the stage down on Aborted (the reference's
+    # kill_query -> dispatcher abort path)
+    pid = getattr(getattr(engine, "_stmt_local", None), "pid", None)
+    abort_check = (
+        (lambda: engine._live.get(pid, {}).get("state") == "Aborted")
+        if pid is not None
+        else None
+    )
     sinks = [f"s{i}" for i in range(len(peers))]
     parts = dispatch_with_retry(
         peers, query_id, "stage0", plans, sinks, scatter_expression(plan),
@@ -399,6 +410,7 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
         # reachable_peers just probed this exact set — skip the
         # redundant attempt-0 re-probe (retries still probe fresh)
         assume_alive_first_attempt=True,
+        abort_check=abort_check,
         _after_dispatch=getattr(engine, "_dist_after_dispatch", None),
     )
     gathered = pa.concat_tables([parts[s] for s in sinks])

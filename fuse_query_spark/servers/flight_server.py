@@ -371,6 +371,7 @@ def dispatch_with_retry(
     scatters_expression: str,
     max_attempts: int = 3,
     assume_alive_first_attempt: bool = False,
+    abort_check=None,
     _after_dispatch=None,
 ) -> dict:
     """Fault-tolerant scatter-gather over StageCoordinator: if a peer
@@ -439,7 +440,36 @@ def dispatch_with_retry(
                 (alive.index(pr), f"{stage}/{si}", pl)
                 for si, (pr, pl) in enumerate(assignment)
             ]
+            def _drain_attempt():
+                # consume whatever this attempt left behind on
+                # reachable peers (one-shot streams: draining IS the
+                # remote teardown; already-fetched keys just 'not found')
+                for pi2, sid2, _pl2 in subs:
+                    try:
+                        for sink2 in sinks:
+                            try:
+                                coord.cons[pi2].do_get(
+                                    stream_ticket(query_id, sid2, sink2)
+                                ).read_all()
+                            except flight.FlightError:
+                                pass
+                    except Exception:
+                        pass  # that peer is the dead one
+
+            def _check_abort():
+                # KILL QUERY lands between RPCs (an in-flight do_action/
+                # do_get blocks until the peer answers — same unit the
+                # reference's AbortStream tears down at a block boundary,
+                # stream_abort.rs:19-26): drain the attempt's streams so
+                # nothing is left half-consumable, then surface the kill
+                if abort_check is not None and abort_check():
+                    from fuse_query_spark.errors import QueryAborted
+
+                    _drain_attempt()
+                    raise QueryAborted("distributed stage aborted by KILL")
+
             for pi, sid, pl in subs:
+                _check_abort()
                 list(
                     coord.cons[pi].do_action(
                         shuffle_action(query_id, sid, pl, sinks, scatters_expression)
@@ -450,6 +480,7 @@ def dispatch_with_retry(
             parts: dict[str, list] = {s: [] for s in sinks}
             for pi, sid, _pl in subs:
                 for sink in sinks:
+                    _check_abort()
                     parts[sink].append(
                         coord.cons[pi]
                         .do_get(stream_ticket(query_id, sid, sink))
@@ -458,18 +489,7 @@ def dispatch_with_retry(
             return {s: pa.concat_tables(t) for s, t in parts.items()}
         except flight.FlightError as e:
             last_err = StageError("<mid-stage>", e)
-            # drain whatever this attempt left behind on reachable peers
-            for pi, sid, _pl in subs:
-                try:
-                    for sink in sinks:
-                        try:
-                            coord.cons[pi].do_get(
-                                stream_ticket(query_id, sid, sink)
-                            ).read_all()
-                        except flight.FlightError:
-                            pass
-                except Exception:
-                    pass  # that peer is the dead one
+            _drain_attempt()
         finally:
             coord.close()
     raise last_err

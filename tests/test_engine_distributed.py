@@ -337,6 +337,39 @@ class TestDistributedEngineSql:
             for i in range(2):
                 engine.cluster.remove_node(f"peer{i}")
 
+    def test_kill_query_aborts_distributed_stage(self, engine, two_peers):
+        """KILL QUERY mid-fan-out (the seam fires between dispatch and
+        gather — stage live, streams registered on both peers): the
+        statement raises QueryAborted, every one-shot stream is drained
+        remotely (nothing poisoned), and the SAME SQL immediately
+        re-runs distributed to the correct result."""
+        from fuse_query_spark.errors import QueryAborted
+
+        sql = ("SELECT max(number) AS m, count(*) AS c "
+               "FROM numbers(90000) GROUP BY number % 3")
+        want = {tuple(r) for r in engine.sql(sql).collect()}
+        self._register(engine, [port for _p, port in two_peers])
+        killed = []
+
+        def _kill_via_engine(attempt):
+            if not killed:
+                pid = next(iter(engine._live))
+                assert engine.cancel(pid)
+                killed.append(pid)
+
+        engine._dist_after_dispatch = _kill_via_engine
+        try:
+            with pytest.raises(QueryAborted, match="aborted by KILL"):
+                engine.sql(sql)
+            assert killed
+            engine._dist_after_dispatch = None
+            got = {tuple(r) for r in engine.sql(sql).collect()}
+            assert got == want
+        finally:
+            engine._dist_after_dispatch = None
+            for i in range(2):
+                engine.cluster.remove_node(f"peer{i}")
+
     def test_mysql_wire_front_end_distributes(self, spark, two_peers):
         """Cross-surface pin: the MySQL wire protocol rides Engine.sql,
         so a clustered engine distributes queries arriving over the
