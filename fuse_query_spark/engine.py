@@ -1202,9 +1202,28 @@ class Engine:
 
     def _explain(self, s: str) -> DataFrame:
         inner = re.sub(r"(?i)^EXPLAIN(\s+PIPELINE)?\s+", "", s)
-        mode = "FORMATTED" if re.match(r"(?i)^EXPLAIN\s+PIPELINE", s) else "EXTENDED"
+        pipeline = bool(re.match(r"(?i)^EXPLAIN\s+PIPELINE", s))
+        mode = "FORMATTED" if pipeline else "EXTENDED"
         self._register_views(inner)
-        return self.spark.sql(f"EXPLAIN {mode} {rewrite_select(inner, self._dialect_ctx())}")
+        local = self.spark.sql(
+            f"EXPLAIN {mode} {rewrite_select(inner, self._dialect_ctx())}"
+        )
+        # reference parity (interpreter_explain.rs:62-67): plain
+        # EXPLAIN optimizes WITH the scatters pass, so under a
+        # registered cluster a distributable statement shows its staged
+        # form ahead of the local physical plan; EXPLAIN PIPELINE uses
+        # without_scatters and stays purely local.
+        nodes = [] if pipeline else self.cluster.get_nodes()
+        if nodes:
+            from fuse_query_spark.plans.distributed import explain_distributed
+
+            staged = explain_distributed(self, inner, nodes)
+            if staged is not None:
+                text = staged + "\n\n== Local Physical Plan ==\n" + "\n".join(
+                    r[0] for r in local.collect()
+                )
+                return self.spark.createDataFrame([(text,)], "plan: string")
+        return local
 
     def _register_views(self, s: str) -> None:
         """Register any catalog/system tables the query references as

@@ -361,6 +361,46 @@ def _resolve_parquet_table(engine, name: str):
     return tdef
 
 
+def explain_distributed(engine, sql: str, nodes: list[dict]) -> str | None:
+    """The scheduled form of a distributable statement, for EXPLAIN
+    under a registered cluster — reference parity: ExplainInterpreter
+    runs `Optimizers::create` (WITH the scatters pass) for the
+    Syntax/Graph types, so a clustered EXPLAIN shows the scattered
+    stage plan (interpreter_explain.rs:62-67; only EXPLAIN PIPELINE
+    uses without_scatters). Uses the REGISTERED node set like the
+    ScattersOptimizer (no liveness probe — EXPLAIN must not do I/O);
+    the runtime probe note says what happens when peers are down.
+    None when the statement would run locally anyway."""
+    plan = parse_distributed_agg(sql)
+    if plan is None or not nodes:
+        return None
+    addrs = [n["address"] for n in nodes]
+    if plan.table is not None:
+        tdef = _resolve_parquet_table(engine, plan.table)
+        if tdef is None:
+            return None
+        sources = table_file_slices(tdef.location, len(addrs))
+        if sources is None:
+            return None
+        plans = [partial_sql(plan, source=s) for s in sources]
+    else:
+        plans = [partial_sql(plan, lo, hi) for lo, hi in slice_bounds(plan.n, len(addrs))]
+    sinks = len(addrs)
+    lines = [
+        f"== Distributed Plan (cluster: {len(addrs)} registered peers) ==",
+        f"Stage 0 (PrepareShuffleAction, scatter={scatter_expression(plan)} "
+        f"into {sinks} sinks):",
+    ]
+    for addr, p in zip(addrs, plans):
+        lines.append(f"  peer {addr}: {p}")
+    lines.append(f"Final (coordinator): {final_sql(plan, '<gathered partials>')}")
+    lines.append(
+        "Runtime: executes distributed when registered peers answer the "
+        "Flight probe; otherwise the local plan runs."
+    )
+    return "\n".join(lines)
+
+
 def try_distributed_select(engine, sql: str, nodes: list[dict]):
     """The Engine.sql hook (interpreter_select.rs:40-73): returns the
     finalized DataFrame when the statement fanned out across the

@@ -147,6 +147,43 @@ class TestParser:
         assert "sum(p0s) / sum(p0c) AS `a`" in final_sql(p, "v")
 
 
+class TestClusteredExplain:
+    """interpreter_explain.rs:62-67 parity: plain EXPLAIN optimizes
+    WITH the scatters pass — under a registered cluster a
+    distributable statement shows its staged form (no liveness probe,
+    no I/O); EXPLAIN PIPELINE uses without_scatters and stays local."""
+
+    def test_explain_shows_stages_under_cluster(self, spark):
+        from fuse_query_spark.engine import Engine
+
+        e = Engine(spark)
+        e.cluster.add_node("x0", 5, "grpc://h0:9000")
+        e.cluster.add_node("x1", 5, "grpc://h1:9000")
+        try:
+            sql = ("EXPLAIN SELECT max(number) AS m, count(*) AS c "
+                   "FROM numbers(1000) GROUP BY number % 3")
+            text = e.sql(sql).collect()[0].plan
+            assert "== Distributed Plan (cluster: 2 registered peers) ==" in text
+            assert "scatter=hash(k0) into 2 sinks" in text
+            assert "number >= 500 AND number < 1000" in text
+            assert "Final (coordinator): SELECT max(p0) AS `m`, sum(p1) AS `c`" in text
+            assert "== Local Physical Plan ==" in text
+            # non-distributable statements explain exactly as before
+            t2 = "\n".join(r[0] for r in e.sql(
+                "EXPLAIN SELECT number FROM numbers(10)"
+            ).collect())
+            assert "Distributed Plan" not in t2
+            # EXPLAIN PIPELINE = without_scatters: local even clustered
+            t3 = "\n".join(r[0] for r in e.sql(
+                "EXPLAIN PIPELINE SELECT count(*) AS c FROM numbers(1000) "
+                "GROUP BY number % 3"
+            ).collect())
+            assert "Distributed Plan" not in t3
+        finally:
+            e.cluster.remove_node("x0")
+            e.cluster.remove_node("x1")
+
+
 @pytest.fixture(scope="module")
 def two_peers():
     from conftest import spawn_peer
