@@ -124,6 +124,11 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
     over numbers()/numbers_mt() — the local path handles everything
     else, exactly as the reference's interpreter falls back when the
     plan has no reschedulable read stage."""
+    if len(sql) > 20_000:
+        # the anchored regex over many optional non-greedy groups can
+        # backtrack heavily on adversarial input; no realistic
+        # distributable aggregate is this long — local path
+        return None
     if _UNSUPPORTED.search(sql):
         return None
     m = _STMT.match(sql.strip().rstrip(";"))
@@ -407,7 +412,13 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
     registered cluster, or None to run locally. Raises StageError only
     when reachable peers fail mid-stage beyond dispatch_with_retry's
     recovery — never for 'no usable cluster'."""
-    plan = parse_distributed_agg(sql)
+    try:
+        plan = parse_distributed_agg(sql)
+    except Exception:
+        # the hook runs on EVERY select of a clustered engine; a parse
+        # crash on exotic SQL must mean 'local path', never a broken
+        # statement (dispatch errors past this point DO propagate)
+        return None
     if plan is None:
         return None
     tdef = None

@@ -99,6 +99,33 @@ class TestParser:
         assert table_file_slices(str(d / "part-0.parquet"), 2) is None
         assert table_file_slices(str(d), 6) is None
 
+    def test_parser_is_total_on_garbage(self):
+        """The hook runs on every SELECT of a clustered engine: the
+        parser must return None (or a plan) fast on anything — long
+        statements, unbalanced parens, deep nesting, weird unicode —
+        never throw or backtrack for seconds."""
+        import time as _time
+
+        nasty = [
+            "SELECT " + ", ".join(f"max(c{i})" for i in range(500)) + " FROM numbers(10)",
+            "SELECT max(((((number FROM numbers(10)",
+            "SELECT max(number)))) FROM numbers(10)",
+            "SELECT max(number) FROM numbers(10) WHERE " + "x AND " * 2000 + "y",
+            "SELECT sum(number) FROM numbers(999999999999999999999)",
+            "SELECT mäx(number) FROM numbers(10)",
+            "SELECT max(number) FROM numbers(10) GROUP BY " + "(" * 100,
+            "SELECT 'FROM numbers(10)' FROM numbers(10)",
+            "SELECT\x00 max(number) FROM numbers(10)",
+            "SELECT max(number) FROM numbers(10) " + "ORDER BY g " * 500,
+        ]
+        for s in nasty:
+            t0 = _time.time()
+            try:
+                parse_distributed_agg(s)
+            except Exception:
+                pass  # try_distributed_select maps any raise to local
+            assert _time.time() - t0 < 2.0, f"parser stalled on: {s[:60]}..."
+
     def test_slice_bounds_cover_exactly(self):
         for n, parts in ((10, 3), (100000, 2), (7, 8), (1, 1)):
             b = slice_bounds(n, parts)
