@@ -141,6 +141,10 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
     has_agg = False
     for raw in _split_top_level(m.group("items")):
         raw = raw.strip()
+        if "`" in raw:
+            # a backtick inside an unaliased item would nest inside the
+            # final SELECT's backtick-quoted output alias — local path
+            return None
         am = _ITEM_ALIAS.match(raw)
         body, alias = (am.group("body"), am.group("alias")) if am else (raw, None)
         body = body.strip()

@@ -64,6 +64,9 @@ class TestParser:
             "SELECT sum(lineitem.l_quantity) AS s FROM lineitem",
             "SELECT sum(l.l_quantity) AS s FROM lineitem AS l",
             "SELECT max(number) FROM numbers(10) WHERE t.number > 1",
+            # a backtick in an item would nest inside the final
+            # backtick-quoted output alias
+            "SELECT max(`number`) FROM numbers(10)",
         ],
     )
     def test_unsupported_shapes_fall_back(self, sql):
