@@ -45,16 +45,20 @@ def spawn_peer():
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, cwd=ROOT, text=True,
     )
     box: list = []
+    got = threading.Event()
 
     def _read():
+        # capture the port, then keep DRAINING the pipe for the peer's
+        # lifetime (an undrained stdout PIPE blocks the peer once it
+        # logs past the ~64 KB OS buffer)
         for line in proc.stdout:
-            if line.startswith("PORT="):
+            if not got.is_set() and line.startswith("PORT="):
                 box.append(int(line.strip().split("=", 1)[1]))
-                return
+                got.set()
+        got.set()
 
-    t = threading.Thread(target=_read, daemon=True)
-    t.start()
-    t.join(timeout=180)
+    threading.Thread(target=_read, daemon=True).start()
+    got.wait(timeout=180)
     if not box:
         proc.terminate()
         raise RuntimeError("peer never reported its port")

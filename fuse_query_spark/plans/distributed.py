@@ -195,6 +195,7 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
     if plan.order_by is not None:
         out_names = {i.name for i in plan.items}
         rewritten_terms = []
+        needs_k_rewrite = False
         for term in _split_top_level(plan.order_by):
             term = term.strip()
             t = _ORDER_TERM.match(term)
@@ -209,8 +210,15 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
             if _norm(expr) in norm_groups:
                 ki = f"k{norm_groups.index(_norm(expr))}"
                 rewritten_terms.append(f"{ki} {dirn}".strip())
+                needs_k_rewrite = True
                 continue
             return None  # not an alias, ordinal, or group expr — local
+        if needs_k_rewrite and any(re.fullmatch(r"k\d+", n) for n in out_names):
+            # Spark binds ORDER BY names to SELECT-list aliases FIRST:
+            # a user output alias literally named k<i> would capture the
+            # rewritten term and silently change row order vs the local
+            # path (code-review r9) — local execution instead
+            return None
         plan.order_by = ", ".join(rewritten_terms)
     return plan
 
@@ -370,6 +378,24 @@ def _resolve_parquet_table(engine, name: str):
     return tdef
 
 
+def _build_partial_plans(engine, plan: DistributedAgg, n_targets: int) -> list[str] | None:
+    """The per-target partial plan slices for BOTH the executor
+    (try_distributed_select) and EXPLAIN (explain_distributed) — one
+    definition, so the plan EXPLAIN prints can never drift from the
+    plan that runs (code-review r9). None = the statement runs locally
+    (unresolvable table, single-file location, fewer files than
+    targets)."""
+    if plan.table is not None:
+        tdef = _resolve_parquet_table(engine, plan.table)
+        if tdef is None:
+            return None
+        sources = table_file_slices(tdef.location, n_targets)
+        if sources is None:
+            return None
+        return [partial_sql(plan, source=s) for s in sources]
+    return [partial_sql(plan, lo, hi) for lo, hi in slice_bounds(plan.n, n_targets)]
+
+
 def explain_distributed(engine, sql: str, nodes: list[dict]) -> str | None:
     """The scheduled form of a distributable statement, for EXPLAIN
     under a registered cluster — reference parity: ExplainInterpreter
@@ -380,20 +406,17 @@ def explain_distributed(engine, sql: str, nodes: list[dict]) -> str | None:
     ScattersOptimizer (no liveness probe — EXPLAIN must not do I/O);
     the runtime probe note says what happens when peers are down.
     None when the statement would run locally anyway."""
-    plan = parse_distributed_agg(sql)
+    try:
+        plan = parse_distributed_agg(sql)
+    except Exception:
+        return None  # the executor hook's invariant holds for EXPLAIN
+        # too: a parse crash means 'local plan', never a broken EXPLAIN
     if plan is None or not nodes:
         return None
     addrs = [n["address"] for n in nodes]
-    if plan.table is not None:
-        tdef = _resolve_parquet_table(engine, plan.table)
-        if tdef is None:
-            return None
-        sources = table_file_slices(tdef.location, len(addrs))
-        if sources is None:
-            return None
-        plans = [partial_sql(plan, source=s) for s in sources]
-    else:
-        plans = [partial_sql(plan, lo, hi) for lo, hi in slice_bounds(plan.n, len(addrs))]
+    plans = _build_partial_plans(engine, plan, len(addrs))
+    if plans is None:
+        return None
     sinks = len(addrs)
     lines = [
         f"== Distributed Plan (cluster: {len(addrs)} registered peers) ==",
@@ -425,21 +448,14 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
         return None
     if plan is None:
         return None
-    tdef = None
-    if plan.table is not None:
-        tdef = _resolve_parquet_table(engine, plan.table)
-        if tdef is None:
-            return None  # not a sliceable catalog parquet table → local
+    if plan.table is not None and _resolve_parquet_table(engine, plan.table) is None:
+        return None  # not a sliceable catalog parquet table → local
     peers = reachable_peers([n["address"] for n in nodes])
     if not peers:
         return None
-    if tdef is not None:
-        sources = table_file_slices(tdef.location, len(peers))
-        if sources is None:
-            return None  # single file / fewer files than peers → local
-        plans = [partial_sql(plan, source=s) for s in sources]
-    else:
-        plans = [partial_sql(plan, lo, hi) for lo, hi in slice_bounds(plan.n, len(peers))]
+    plans = _build_partial_plans(engine, plan, len(peers))
+    if plans is None:
+        return None  # single file / fewer files than peers → local
     import pyarrow as pa
 
     from fuse_query_spark.servers.flight_server import dispatch_with_retry

@@ -435,13 +435,29 @@ def dedup_incremental_index(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     new = d.filter(F.col("source").isin("src0", "src1"))
     base = d.filter(~F.col("source").isin("src0", "src1"))
-    key = (sf_dir, 8, 4, 3)
+    # key includes a cheap corpus fingerprint (mtime_ns + size of the
+    # documents parquet path) so a regenerated corpus at the same
+    # sf_dir can never reuse a stale index (code-review r9); the build
+    # itself runs OUTSIDE the lock (keys for other sf_dirs must not
+    # serialize behind a multi-second Spark write) with a lost-race /
+    # failure cleanup.
+    import shutil
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (sf_dir, st.st_mtime_ns, st.st_size, 8, 4, 3)
     with _IDX_LOCK:
         path = _IDX_CACHE.get(key)
-        if path is None or not os.path.isdir(os.path.join(path, "bands")):
-            path = tempfile.mkdtemp(prefix="lsh_idx_")
-            lsh_index_write(base, path, k=8, bands=4)
-            _IDX_CACHE[key] = path
+    if path is None or not os.path.isdir(os.path.join(path, "bands")):
+        built = tempfile.mkdtemp(prefix="lsh_idx_")
+        try:
+            lsh_index_write(base, built, k=8, bands=4)
+        except BaseException:
+            shutil.rmtree(built, ignore_errors=True)
+            raise
+        with _IDX_LOCK:
+            path = _IDX_CACHE.setdefault(key, built)
+        if path is not built:  # lost a build race — drop ours
+            shutil.rmtree(built, ignore_errors=True)
     return dedup_against_index(new, base, spark, path, k=8, bands=4, threshold=0.2)
 
 

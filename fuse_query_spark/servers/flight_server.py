@@ -468,13 +468,31 @@ def dispatch_with_retry(
                     _drain_attempt()
                     raise QueryAborted("distributed stage aborted by KILL")
 
-            for pi, sid, pl in subs:
-                _check_abort()
+            # dispatch CONCURRENTLY: do_action executes the peer's
+            # whole partial plan synchronously (flight_server.py
+            # shuffle_action), so a serial loop would make the stage
+            # cost the SUM of the partials instead of their MAX — the
+            # opposite of why the query fanned out (code-review r9).
+            # A KILL during the dispatches is checked right after the
+            # barrier (granularity unchanged: the RPC boundary).
+            _check_abort()
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _dispatch_one(sub):
+                pi2, sid2, pl2 = sub
                 list(
-                    coord.cons[pi].do_action(
-                        shuffle_action(query_id, sid, pl, sinks, scatters_expression)
+                    coord.cons[pi2].do_action(
+                        shuffle_action(query_id, sid2, pl2, sinks, scatters_expression)
                     )
                 )
+
+            with ThreadPoolExecutor(max_workers=max(1, len(subs))) as ex:
+                futs = [ex.submit(_dispatch_one, sub) for sub in subs]
+                errs = [f.exception() for f in futs]
+            for err in errs:
+                if err is not None:
+                    raise err
+            _check_abort()
             if _after_dispatch is not None:
                 _after_dispatch(attempt)
             parts: dict[str, list] = {s: [] for s in sinks}

@@ -57,16 +57,23 @@ srv.serve()
         text=True,
     )
     port_box: list = []
+    got_port = threading.Event()
 
     def _read_port():
         for line in proc.stdout:
-            if line.startswith("PORT="):
+            if not got_port.is_set() and line.startswith("PORT="):
                 port_box.append(int(line.strip().split("=", 1)[1]))
-                return
+                got_port.set()
+        got_port.set()  # EOF without a port — unblock the waiter
 
+    # the reader thread stays alive DRAINING stdout for the peer's
+    # lifetime: stdout is a PIPE, and a peer that later logs more than
+    # the OS buffer (~64 KB) would block mid-write and hang its
+    # in-flight query (code-review r9); the waiter blocks on the event,
+    # not the thread
     t = threading.Thread(target=_read_port, daemon=True)
     t.start()
-    t.join(timeout=180)  # JVM + session startup
+    got_port.wait(timeout=180)  # JVM + session startup
     if not port_box:
         proc.terminate()
         raise RuntimeError("peer process never reported its port")

@@ -122,12 +122,16 @@ class TestParser:
             "SELECT max(number) FROM numbers(10) " + "ORDER BY g " * 500,
         ]
         for s in nasty:
-            t0 = _time.time()
+            t0 = _time.process_time()
             try:
                 parse_distributed_agg(s)
             except Exception:
                 pass  # try_distributed_select maps any raise to local
-            assert _time.time() - t0 < 2.0, f"parser stalled on: {s[:60]}..."
+            # CPU time, not wall (code-review r9: a loaded CI host's
+            # scheduler stall must not flake this); the regression
+            # signal is catastrophic regex backtracking = seconds+ of
+            # pure compute
+            assert _time.process_time() - t0 < 2.0, f"parser stalled on: {s[:60]}..."
 
     def test_slice_bounds_cover_exactly(self):
         for n, parts in ((10, 3), (100000, 2), (7, 8), (1, 1)):
@@ -166,6 +170,24 @@ class TestParser:
             "SELECT count(*) AS c FROM numbers(100) GROUP BY number % 3 "
             "ORDER BY number % 5"
         ) is None
+        # ... and a user alias literally named k<i> would capture the
+        # rewritten term (Spark binds ORDER BY to select aliases
+        # first) — those shapes stay local (code-review r9)
+        assert parse_distributed_agg(
+            "SELECT number % 3 AS k1, count(*) AS c FROM numbers(100) "
+            "GROUP BY number % 3, number % 2 ORDER BY number % 2"
+        ) is None
+        assert parse_distributed_agg(
+            "SELECT count(*) AS k0 FROM numbers(100) "
+            "GROUP BY number % 3 ORDER BY number % 3"
+        ) is None
+        # a k-named alias WITHOUT a k-rewrite is fine (binds the same
+        # alias locally and distributed)
+        p2 = parse_distributed_agg(
+            "SELECT count(*) AS k0 FROM numbers(100) GROUP BY number % 3 "
+            "ORDER BY k0"
+        )
+        assert p2 is not None and p2.order_by == "k0"
 
     def test_where_and_avg_decomposition(self):
         p = parse_distributed_agg(
