@@ -455,8 +455,19 @@ def dedup_incremental_index(spark, sf_dir):
             shutil.rmtree(built, ignore_errors=True)
             raise
         with _IDX_LOCK:
-            path = _IDX_CACHE.setdefault(key, built)
-        if path is not built:  # lost a build race — drop ours
+            # 'lost a race to a VALID build' and 'cache holds a stale
+            # path' (e.g. a /tmp reaper deleted the dir mid-session)
+            # must be distinguished here: setdefault would hand back
+            # the dead path forever and rmtree every fresh build — a
+            # permanent wedge (advice r9). Re-check the entry's dir
+            # under the lock and REPAIR it with ours when invalid.
+            cur = _IDX_CACHE.get(key)
+            if cur is not None and os.path.isdir(os.path.join(cur, "bands")):
+                path = cur
+            else:
+                _IDX_CACHE[key] = built
+                path = built
+        if path is not built:  # lost a race to a valid build — drop ours
             shutil.rmtree(built, ignore_errors=True)
     return dedup_against_index(new, base, spark, path, k=8, bands=4, threshold=0.2)
 

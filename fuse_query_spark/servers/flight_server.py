@@ -508,6 +508,17 @@ def dispatch_with_retry(
         except flight.FlightError as e:
             last_err = StageError("<mid-stage>", e)
             _drain_attempt()
+        except Exception:
+            # a non-Flight failure from a dispatch thread (ArrowInvalid,
+            # OSError on a half-closed socket, QueryAborted raced in a
+            # worker) is not retryable — but the attempt's one-shot
+            # streams are already registered on surviving peers and
+            # would otherwise sit there for the peer's lifetime: drain
+            # before propagating (advice r9). QueryAborted from
+            # _check_abort drains twice; harmless — drained keys just
+            # answer 'not found'.
+            _drain_attempt()
+            raise
         finally:
             coord.close()
     raise last_err

@@ -571,3 +571,26 @@ class TestIngestStream:
                 k=K, bands=BANDS, threshold=T,
             )
         ) == want
+
+
+class TestSessionIndexCache:
+    def test_externally_deleted_cache_dir_self_repairs(self, spark, sf_dir):
+        """A stale _IDX_CACHE entry (the cached dir deleted out from
+        under the session, e.g. a /tmp reaper) must be REPAIRED by the
+        next call, not returned forever: before the advice-r9 fix,
+        setdefault handed the dead path back, the fresh build was
+        rmtree'd as a 'lost race', and every retry wedged the same way."""
+        import shutil
+
+        from fuse_query_spark.queries import dedup as qd
+
+        first = qd.dedup_incremental_index(spark, sf_dir)
+        want = _collect_decisions(first)
+        key = next(k for k in qd._IDX_CACHE if k[0] == sf_dir)
+        cached = qd._IDX_CACHE[key]
+        shutil.rmtree(cached)  # the external reaper
+        got = _collect_decisions(qd.dedup_incremental_index(spark, sf_dir))
+        assert got == want
+        repaired = qd._IDX_CACHE[key]
+        assert repaired != cached
+        assert os.path.isdir(os.path.join(repaired, "bands"))

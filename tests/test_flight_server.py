@@ -487,3 +487,57 @@ class TestStageRetry:
                 ["SELECT 1 AS n", "SELECT 2 AS n"],
                 ["b0"], "n", max_attempts=2,
             )
+
+    def test_non_flight_failure_drains_before_propagating(self):
+        """A non-Flight exception after dispatch (an ArrowInvalid from a
+        worker thread, an OSError on a half-closed socket — modeled by
+        the test seam raising ValueError) is not retryable and must
+        propagate — but only AFTER the attempt's one-shot streams are
+        drained from the surviving peers; otherwise they sit in the
+        registries for the peer's lifetime and poison the stage id
+        (advice r9)."""
+        import pyarrow.flight as flight
+
+        from fuse_query_spark.servers.flight_server import (
+            StageCoordinator,
+            dispatch_with_retry,
+            stream_ticket,
+        )
+
+        p0, port0 = _spawn_peer()
+        p1, port1 = _spawn_peer()
+        peers = [f"grpc://localhost:{port0}", f"grpc://localhost:{port1}"]
+        sinks = ["b0", "b1"]
+        plans = [
+            "SELECT number AS n FROM numbers(100)",
+            "SELECT number + 100 AS n FROM numbers(100)",
+        ]
+
+        def boom(attempt):
+            raise ValueError("worker blew up after dispatch")
+
+        try:
+            with pytest.raises(ValueError):
+                dispatch_with_retry(
+                    peers, "qnf", "stage0", plans, sinks, "n",
+                    max_attempts=3, _after_dispatch=boom,
+                )
+            # every (peer, sink) stream of the failed attempt is gone
+            for addr in peers:
+                con = flight.connect(addr)
+                for sink in sinks:
+                    with pytest.raises(flight.FlightError, match="not found"):
+                        con.do_get(stream_ticket("qnf", "stage0/0", sink)).read_all()
+                    with pytest.raises(flight.FlightError, match="not found"):
+                        con.do_get(stream_ticket("qnf", "stage0/1", sink)).read_all()
+                con.close()
+            # and the stage id is not poisoned: the same query/stage
+            # re-dispatches cleanly
+            coord = StageCoordinator(peers)
+            coord.dispatch("qnf", "stage0/0", plans, sinks, "n")
+            coord.close()
+        finally:
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.terminate()
+                p.wait(timeout=30)
