@@ -623,3 +623,73 @@ class TestLocalSchemaConformance:
             assert type(e_dist.value) is type(e_local.value)
         finally:
             self._dereg(engine)
+
+
+class TestQuoteAwareFrontEnd:
+    """Advice r9 (medium): the old regex front-end mis-split clauses
+    when a string literal contained a clause keyword — with reachable
+    peers a locally-valid query then failed with StageError, violating
+    the module invariant that a registered cluster never breaks a
+    locally-working statement. The clause scanner lexes literals."""
+
+    def test_keyword_inside_literal_splits_clauses_correctly(self):
+        p = parse_distributed_agg(
+            "SELECT count(*) AS c FROM docs WHERE src = 'a GROUP BY b'"
+        )
+        assert p is not None
+        assert p.where == "src = 'a GROUP BY b'"
+        assert p.group_exprs == [] and p.table == "docs"
+        p2 = parse_distributed_agg(
+            "SELECT count(*) AS c FROM numbers(100) "
+            "WHERE 'x ORDER BY y' != 'z LIMIT 5'"
+        )
+        assert p2 is not None and p2.order_by is None and p2.limit is None
+        assert "'x ORDER BY y'" in p2.where
+
+    def test_unterminated_literal_and_malformed_shapes_fall_back(self):
+        for s in [
+            "SELECT count(*) AS c FROM docs WHERE src = 'a GROUP BY b",
+            "SELECT count(*) AS c FROM docs WHERE GROUP BY x",
+            "SELECT count(*) AS c FROM docs GROUP BY",
+            "SELECT count(*) AS c FROM docs LIMIT 5 BY c",
+            "SELECT count(*) AS c FROM docs LIMIT 5 OFFSET 2",
+            "SELECT count(*) AS c FROM docs WHERE x GROUP BY g WHERE y",
+            "SELECT count(*) AS c FROM docs ORDER BY c GROUP BY g",
+        ]:
+            assert parse_distributed_agg(s) is None, s
+
+    def test_literal_qualified_ref_does_not_false_trip_guard(self):
+        p = parse_distributed_agg(
+            "SELECT count(*) AS c FROM docs WHERE src != 'a.b'"
+        )
+        assert p is not None
+
+    def test_clustered_literal_keyword_query_matches_local(self, engine, two_peers, tmp_path):
+        """End-to-end pin of the advice scenario: the literal-keyword
+        statement DISTRIBUTES (not falls back) and equals local."""
+        loc = str(tmp_path / "lit_t")
+        engine.sql(
+            f"CREATE TABLE lit_t ENGINE = Parquet location = '{loc}' AS "
+            "SELECT CASE WHEN number % 2 = 0 THEN 'a GROUP BY b' ELSE 'z' END AS src, "
+            "number AS v FROM numbers(40000)"
+        )
+        import glob
+
+        assert len(glob.glob(loc + "/*.parquet")) >= 2
+        q = "SELECT count(*) AS c, sum(v) AS s FROM lit_t WHERE src = 'a GROUP BY b'"
+        try:
+            want = [tuple(r) for r in engine.sql(q).collect()]
+            for i, (_p, port) in enumerate(two_peers):
+                engine.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+            seen = []
+            engine._dist_after_dispatch = lambda attempt: seen.append(attempt)
+            try:
+                got = [tuple(r) for r in engine.sql(q).collect()]
+                assert seen, "query fell back to local — must distribute"
+                assert got == want
+            finally:
+                engine._dist_after_dispatch = None
+                for i in range(2):
+                    engine.cluster.remove_node(f"peer{i}")
+        finally:
+            engine.sql("DROP TABLE lit_t")
