@@ -1138,6 +1138,40 @@ class Engine:
         with self._ordinal_lock:
             return self._select_locked(s, rewritten)
 
+    _FLIGHT_STREAM = re.compile(
+        r"(?i)\bflight_stream\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,"
+        r"\s*'([^']+)'\s*,\s*'([^']+)'\s*\)"
+    )
+
+    def _resolve_flight_streams(self, s: str) -> str:
+        """Materialize ``flight_stream('addr', 'query_id', 'stage_id',
+        'sink')`` table references: fetch the ONE-SHOT stage stream
+        over Arrow Flight and substitute a temp view of the result.
+        This is the consuming side of a distributed BROADCAST stage —
+        a peer's partial join plan reads the dim table this way
+        (flight_scatter_broadcast.rs hands every downstream node the
+        full stage output; plans/distributed.py emits the refs).
+        Fetch errors propagate: the coordinator's retry layer owns
+        recovery, a peer must fail its stage loudly."""
+
+        def repl(m: "re.Match[str]") -> str:
+            import pyarrow.flight as flight
+
+            from fuse_query_spark.servers.flight_server import stream_ticket
+
+            addr, qid, sid, sink = m.groups()
+            con = flight.connect(addr if "://" in addr else f"grpc://{addr}")
+            try:
+                con.wait_for_available(timeout=10)
+                tbl = con.do_get(stream_ticket(qid, sid, sink)).read_all()
+            finally:
+                con.close()
+            view = "__fq_fs_" + re.sub(r"\W", "_", f"{qid}_{sid}_{sink}")
+            self.spark.createDataFrame(tbl).createOrReplaceTempView(view)
+            return view
+
+        return self._FLIGHT_STREAM.sub(repl, s)
+
     def _select(self, s: str) -> DataFrame:
         # transparent cluster rescheduling (interpreter_select.rs:40-73
         # / plan_scheduler.rs:96): with reachable peers registered, a
@@ -1152,6 +1186,8 @@ class Engine:
             dist = try_distributed_select(self, s, nodes)
             if dist is not None:
                 return dist
+        if "flight_stream" in s.lower():
+            s = self._resolve_flight_streams(s)
         if re.search(r"(?i)\bVERSION\s+AS\s+OF\b", s):
             s = self._resolve_time_travel(s)
         self._register_views(s)

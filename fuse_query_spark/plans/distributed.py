@@ -96,6 +96,29 @@ _FROM_TABLE = re.compile(
     r"(?is)^(?P<table>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*(?:AS\s+[A-Za-z_]\w*)?\s*$"
 )
 
+# the broadcast-join FROM form: a sliceable fact table joined to one
+# small dim table (the reference's broadcast scatter choice:
+# optimizers/optimizer_scatters.rs picks hash vs broadcast per stage,
+# api/rpc/flight_scatter_broadcast.rs expands the stage result to
+# every sink). INNER and LEFT only — RIGHT/FULL would emit unmatched
+# DIM rows once per peer.
+_KW_STOP = r"(?!(?:JOIN|INNER|LEFT|OUTER|ON|AS)\b)"
+_FROM_JOIN = re.compile(
+    r"(?is)^(?P<fact>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+    r"(?:\s+(?:AS\s+)?" + _KW_STOP + r"(?P<fa>[A-Za-z_]\w*))?"
+    r"\s+(?P<jt>(?:INNER\s+)?JOIN|LEFT\s+(?:OUTER\s+)?JOIN)\s+"
+    r"(?P<dim>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+    r"(?:\s+(?:AS\s+)?" + _KW_STOP + r"(?P<da>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<cond>.+)$"
+)
+
+# compressed on-disk bound for a broadcast dim: every peer holds the
+# full table in memory during its partial stage, so the gate is the
+# same small-side discipline Spark's own autoBroadcastJoinThreshold
+# enforces (default 10MB there; 64MB here because the dim transits
+# once per stage, not once per task)
+BROADCAST_DIM_MAX_BYTES = 64 << 20
+
 
 def _top_level_clauses(sql: str) -> dict[str, str] | None:
     """Split one comment-stripped statement into its top-level clauses
@@ -380,6 +403,14 @@ class DistributedAgg:
     # resolved post-finalize filter (references output names / k{i});
     # None = no HAVING clause
     having: str | None = None
+    # broadcast-join form: `table` is the sliced FACT side, `dim` the
+    # broadcast side; aliases always set when dim is (defaulting to
+    # the base table names so qualified refs resolve in peer SQL)
+    dim: str | None = None
+    fact_alias: str | None = None
+    dim_alias: str | None = None
+    join_type: str | None = None  # "JOIN" | "LEFT JOIN"
+    join_cond: str | None = None
 
 
 def parse_distributed_agg(sql: str) -> DistributedAgg | None:
@@ -401,8 +432,9 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
         # malformed SQL — never rescue it into a runnable plan
     fm = _FROM_NUMBERS.match(cl["FROM"])
     tm = _FROM_TABLE.match(cl["FROM"]) if fm is None else None
-    if fm is None and tm is None:
-        return None  # joins, comma-lists, subquery sources, ...
+    jm = _FROM_JOIN.match(cl["FROM"]) if fm is None and tm is None else None
+    if fm is None and tm is None and jm is None:
+        return None  # comma-lists, subquery sources, multi-joins, ...
     group_raw = cl.get("GROUP BY")
     group_exprs = [g.strip() for g in _split_top_level(group_raw)] if group_raw else []
     norm_groups = [_norm(g) for g in group_exprs]
@@ -451,24 +483,43 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
     if not has_agg:
         return None
     table = tm.group("table") if tm is not None else None
-    if table and (table.lower() == "dual" or table.lower().startswith("system.")):
-        return None  # system surface stays local
+    dim = fact_alias = dim_alias = join_type = join_cond = None
+    if jm is not None:
+        table, dim = jm.group("fact"), jm.group("dim")
+        fact_alias = jm.group("fa") or table.rpartition(".")[2]
+        dim_alias = jm.group("da") or dim.rpartition(".")[2]
+        if fact_alias.lower() == dim_alias.lower():
+            return None  # self-join / colliding aliases — local
+        join_type = "LEFT JOIN" if jm.group("jt").upper().startswith("LEFT") else "JOIN"
+        join_cond = jm.group("cond").strip()
+    for t in (table, dim):
+        if t and (t.lower() == "dual" or t.lower().startswith("system.")):
+            return None  # system surface stays local
     limit = cl.get("LIMIT")
     if limit is not None and not re.fullmatch(r"\d+", limit):
         return None  # LIMIT n BY / OFFSET forms stay local
-    # qualified column references (t.col) cannot resolve in the peer's
-    # rewritten FROM clause (the table becomes a parquet file glob, and
-    # any `AS alias` is consumed above) — a registered cluster must not
-    # turn a locally-working query into a StageError (code-review r9).
-    # Decimal literals (1.5) don't match ident.ident; literal BODIES
-    # are blanked so 'a.b' in a string can't false-trip the guard.
+    # Qualified column references: in the single-source form they
+    # cannot resolve in the peer's rewritten FROM (the table becomes a
+    # parquet file glob, any `AS alias` is consumed above) — a
+    # registered cluster must not turn a locally-working query into a
+    # StageError (code-review r9). In the JOIN form the peer SQL
+    # carries BOTH aliases, so refs qualified by either are fine and
+    # anything else falls back. Decimal literals (1.5) don't match
+    # ident.ident; literal BODIES are blanked so 'a.b' in a string
+    # can't false-trip the guard.
     body_text = " ".join(
         x
-        for x in (cl.get("SELECT"), cl.get("WHERE"), group_raw, cl.get("HAVING"))
+        for x in (cl.get("SELECT"), cl.get("WHERE"), group_raw, cl.get("HAVING"), join_cond)
         if x
     )
-    if re.search(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]\w*", _blank_literals(body_text)):
-        return None
+    qual = re.findall(r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_]\w*", _blank_literals(body_text))
+    if jm is None:
+        if qual:
+            return None
+    else:
+        allowed = {fact_alias.lower(), dim_alias.lower()}
+        if any(q.lower() not in allowed for q in qual):
+            return None
     plan = DistributedAgg(
         n=int(fm.group("n")) if fm is not None else None,
         where=(cl.get("WHERE") or "").strip() or None,
@@ -477,6 +528,11 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
         order_by=(cl.get("ORDER BY") or "").strip() or None,
         limit=limit,
         table=table,
+        dim=dim,
+        fact_alias=fact_alias,
+        dim_alias=dim_alias,
+        join_type=join_type,
+        join_cond=join_cond,
     )
     if plan.order_by is not None:
         out_names = {i.name for i in plan.items}
@@ -542,6 +598,7 @@ def partial_sql(
     lo: int = 0,
     hi: int = 0,
     source: str | None = None,
+    dim_ref: str | None = None,
 ) -> str:
     """Peer plan slice: the PARTIAL aggregate over the peer's share of
     the read source, in the engine's own dialect (the peer runs it
@@ -576,6 +633,19 @@ def partial_sql(
         if plan.where:
             pred += f" AND ({plan.where})"
         sql = f"SELECT {', '.join(cols)} FROM numbers({plan.n}) WHERE {pred}"
+    elif plan.dim is not None:
+        # broadcast-join slice: the peer joins ITS fact files against
+        # the broadcast stage's stream (dim_ref is a flight_stream()
+        # call the peer's engine resolves to the stage result — the
+        # wire analog of flight_scatter_broadcast.rs handing every
+        # downstream node the full stage output). Both aliases ride
+        # along so qualified references resolve exactly as local.
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {source} AS {plan.fact_alias} "
+            f"{plan.join_type} {dim_ref} AS {plan.dim_alias} ON {plan.join_cond}"
+        )
+        if plan.where:
+            sql += f" WHERE {plan.where}"
     else:
         sql = f"SELECT {', '.join(cols)} FROM {source}"
         if plan.where:
@@ -716,6 +786,36 @@ def _resolve_parquet_table(engine, name: str):
     return tdef
 
 
+def _dim_location_bytes(location: str) -> int | None:
+    """Total on-disk bytes of the location's parquet files; None when
+    there is nothing to read (the broadcast plan would fail)."""
+    import glob as _glob
+    import os as _os
+
+    if not _os.path.isdir(location):
+        return None
+    files = _glob.glob(_os.path.join(location, "*.parquet"))
+    if not files:
+        return None
+    return sum(_os.path.getsize(f) for f in files)
+
+
+def _resolve_join_tables(engine, plan: DistributedAgg):
+    """(fact_tdef, dim_tdef) for the broadcast-join form, or None →
+    local: both sides must be catalog parquet tables, the fact side
+    file-sliceable, and the dim side under BROADCAST_DIM_MAX_BYTES —
+    the scatter-choice gate the reference's ScattersOptimizer makes
+    when it plans a broadcast stage (optimizer_scatters.rs)."""
+    fact = _resolve_parquet_table(engine, plan.table)
+    dim = _resolve_parquet_table(engine, plan.dim)
+    if fact is None or dim is None:
+        return None
+    nbytes = _dim_location_bytes(dim.location)
+    if nbytes is None or nbytes > BROADCAST_DIM_MAX_BYTES:
+        return None
+    return fact, dim
+
+
 def _build_partial_plans(engine, plan: DistributedAgg, n_targets: int) -> list[str] | None:
     """The per-target partial plan slices for BOTH the executor
     (try_distributed_select) and EXPLAIN (explain_distributed) — one
@@ -732,6 +832,45 @@ def _build_partial_plans(engine, plan: DistributedAgg, n_targets: int) -> list[s
             return None
         return [partial_sql(plan, source=s) for s in sources]
     return [partial_sql(plan, lo, hi) for lo, hi in slice_bounds(plan.n, n_targets)]
+
+
+def broadcast_sql(dim_tdef) -> str:
+    """The broadcast stage's plan: one full scan of the dim table,
+    executed ONCE on the hosting peer; the dispatcher registers the
+    result for every sink (flight_scatter_broadcast.rs)."""
+    import os as _os
+
+    return f"SELECT * FROM parquet.`{_os.path.abspath(dim_tdef.location)}`"
+
+
+def _build_join_partials(
+    engine, plan: DistributedAgg, targets: list[str], query_id: str,
+    bstage: str, bsinks: list[str],
+) -> list[str] | None:
+    """Per-target broadcast-join slices (executor AND EXPLAIN share
+    this, like _build_partial_plans): target i joins its fact file
+    glob against the broadcast stage's sink i via flight_stream() —
+    the broadcast host is targets[0], where the BroadcastAction runs.
+    None → local (unresolvable/oversized tables, fewer fact files
+    than targets)."""
+    resolved = _resolve_join_tables(engine, plan)
+    if resolved is None:
+        return None
+    fact_tdef, _dim_tdef = resolved
+    slices = table_file_slices(fact_tdef.location, len(targets))
+    if slices is None:
+        return None
+    return [
+        partial_sql(
+            plan,
+            source=s,
+            dim_ref=(
+                f"flight_stream('{targets[0]}', '{query_id}', "
+                f"'{bstage}', '{bsinks[i]}')"
+            ),
+        )
+        for i, s in enumerate(slices)
+    ]
 
 
 def explain_distributed(engine, sql: str, nodes: list[dict]) -> str | None:
@@ -752,15 +891,32 @@ def explain_distributed(engine, sql: str, nodes: list[dict]) -> str | None:
     if plan is None or not nodes:
         return None
     addrs = [n["address"] for n in nodes]
-    plans = _build_partial_plans(engine, plan, len(addrs))
-    if plans is None:
-        return None
-    sinks = len(addrs)
-    lines = [
-        f"== Distributed Plan (cluster: {len(addrs)} registered peers) ==",
-        f"Stage 0 (PrepareShuffleAction, scatter={scatter_expression(plan)} "
-        f"into {sinks} sinks):",
-    ]
+    lines = [f"== Distributed Plan (cluster: {len(addrs)} registered peers) =="]
+    if plan.dim is not None:
+        bsinks = [f"b{i}" for i in range(len(addrs))]
+        plans = _build_join_partials(
+            engine, plan, addrs, "<query-id>", "stage0/bcast", bsinks
+        )
+        if plans is None:
+            return None
+        resolved = _resolve_join_tables(engine, plan)
+        lines.append(
+            f"Stage 0 (BroadcastAction, scatter=broadcast into "
+            f"{len(addrs)} sinks):"
+        )
+        lines.append(f"  peer {addrs[0]}: {broadcast_sql(resolved[1])}")
+        lines.append(
+            f"Stage 1 (PrepareShuffleAction, scatter={scatter_expression(plan)} "
+            f"into {len(addrs)} sinks):"
+        )
+    else:
+        plans = _build_partial_plans(engine, plan, len(addrs))
+        if plans is None:
+            return None
+        lines.append(
+            f"Stage 0 (PrepareShuffleAction, scatter={scatter_expression(plan)} "
+            f"into {len(addrs)} sinks):"
+        )
     for addr, p in zip(addrs, plans):
         lines.append(f"  peer {addr}: {p}")
     lines.append(f"Final (coordinator): {final_sql(plan, '<gathered partials>')}")
@@ -786,14 +942,25 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
         return None
     if plan is None:
         return None
-    if plan.table is not None and _resolve_parquet_table(engine, plan.table) is None:
+    if plan.dim is not None:
+        if _resolve_join_tables(engine, plan) is None:
+            return None  # unresolvable / oversized dim → local
+    elif plan.table is not None and _resolve_parquet_table(engine, plan.table) is None:
         return None  # not a sliceable catalog parquet table → local
     peers = reachable_peers([n["address"] for n in nodes])
     if not peers:
         return None
-    plans = _build_partial_plans(engine, plan, len(peers))
-    if plans is None:
-        return None  # single file / fewer files than peers → local
+    query_id = f"dq-{uuid.uuid4().hex[:12]}"
+    if plan.dim is not None:
+        plans = None  # per-attempt (the join path regenerates slices)
+        if _build_join_partials(
+            engine, plan, peers, query_id, "probe", ["b0"] * len(peers)
+        ) is None:
+            return None  # fewer fact files than peers → local
+    else:
+        plans = _build_partial_plans(engine, plan, len(peers))
+        if plans is None:
+            return None  # single file / fewer files than peers → local
     # the LOCAL plan's analyzed schema is the output contract: the
     # finalized result is conformed to its names (unaliased `count(*)`
     # is Spark's `count(1)`, not the raw item text) and dtypes (local
@@ -804,9 +971,11 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
     local_schema = engine.local_select(sql).schema
     import pyarrow as pa
 
-    from fuse_query_spark.servers.flight_server import dispatch_with_retry
+    from fuse_query_spark.servers.flight_server import (
+        dispatch_join_with_retry,
+        dispatch_with_retry,
+    )
 
-    query_id = f"dq-{uuid.uuid4().hex[:12]}"
     # KILL QUERY reaches the gather: the executing statement's pid is
     # thread-local on the engine; the coordinator polls its live-state
     # between RPCs and tears the stage down on Aborted (the reference's
@@ -817,20 +986,41 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
         if pid is not None
         else None
     )
-    sinks = [f"s{i}" for i in range(len(peers))]
-    parts = dispatch_with_retry(
-        peers, query_id, "stage0", plans, sinks, scatter_expression(plan),
-        # test seam (same contract as dispatch_with_retry's): lets a
-        # test kill a peer between an attempt's dispatch and gather —
-        # the only deterministic way to exercise mid-stage recovery
-        # through the Engine.sql surface
-        # reachable_peers just probed this exact set — skip the
-        # redundant attempt-0 re-probe (retries still probe fresh)
-        assume_alive_first_attempt=True,
-        abort_check=abort_check,
-        _after_dispatch=getattr(engine, "_dist_after_dispatch", None),
-    )
-    gathered = pa.concat_tables([parts[s] for s in sinks])
+    if plan.dim is not None:
+        # two-stage broadcast join: stage0/bcast runs the dim scan once
+        # on the first alive peer and registers the FULL result for
+        # every sink (BroadcastAction — flight_scatter_broadcast.rs);
+        # each peer's partial then joins its fact slice against its
+        # broadcast stream. Retries regenerate BOTH stages under fresh
+        # stage ids (broadcast streams are one-shot).
+        _dim_tdef = _resolve_join_tables(engine, plan)[1]
+
+        def make_partials(alive: list[str], bstage: str, bsinks: list[str]):
+            return _build_join_partials(engine, plan, alive, query_id, bstage, bsinks)
+
+        parts = dispatch_join_with_retry(
+            peers, query_id, "stage1", broadcast_sql(_dim_tdef), make_partials,
+            scatter_expression(plan),
+            assume_alive_first_attempt=True,
+            abort_check=abort_check,
+            _after_dispatch=getattr(engine, "_dist_after_dispatch", None),
+        )
+        gathered = pa.concat_tables(list(parts.values()))
+    else:
+        sinks = [f"s{i}" for i in range(len(peers))]
+        parts = dispatch_with_retry(
+            peers, query_id, "stage0", plans, sinks, scatter_expression(plan),
+            # test seam (same contract as dispatch_with_retry's): lets a
+            # test kill a peer between an attempt's dispatch and gather —
+            # the only deterministic way to exercise mid-stage recovery
+            # through the Engine.sql surface
+            # reachable_peers just probed this exact set — skip the
+            # redundant attempt-0 re-probe (retries still probe fresh)
+            assume_alive_first_attempt=True,
+            abort_check=abort_check,
+            _after_dispatch=getattr(engine, "_dist_after_dispatch", None),
+        )
+        gathered = pa.concat_tables([parts[s] for s in sinks])
     view = f"__fq_dist_{query_id.replace('-', '_')}"
     # straight Arrow -> Spark (PySpark 4 accepts pa.Table): a pandas
     # round-trip here CORRUPTS types — int64 partials with a NULL (an

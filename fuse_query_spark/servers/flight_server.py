@@ -522,3 +522,147 @@ def dispatch_with_retry(
         finally:
             coord.close()
     raise last_err
+
+
+def dispatch_join_with_retry(
+    peers: list[str],
+    query_id: str,
+    stage_id: str,
+    broadcast_plan: str,
+    make_partials,
+    scatters_expression: str,
+    max_attempts: int = 3,
+    assume_alive_first_attempt: bool = False,
+    abort_check=None,
+    _after_dispatch=None,
+) -> dict:
+    """Two-stage broadcast-join dispatch (the scatter pair the
+    reference's ScattersOptimizer plans — optimizer_scatters.rs picks
+    hash vs broadcast, api/rpc/flight_scatter_broadcast.rs expands a
+    stage result to every sink):
+
+      stage <id>/bcast — `broadcast_plan` runs ONCE on the first alive
+      peer as a BroadcastAction; every sink b{i} receives the full
+      result (the dim table).
+      stage <id>/{i}   — peer i's partial plan (from
+      `make_partials(alive, bstage, bsinks)`) joins its fact slice
+      against its broadcast stream and scatters into s{0..P-1}.
+
+    Recovery mirrors dispatch_with_retry, but a retry regenerates BOTH
+    stages under fresh stage ids: broadcast streams are one-shot, and
+    the broadcast host itself may be the dead peer — make_partials is
+    re-invoked with the survivor set so slices AND stream refs rebind.
+    Raises the last StageError when no survivor set completes; drains
+    every failed attempt's streams (broadcast and output) before
+    retrying or propagating."""
+    last_err: Exception | None = None
+    candidates = list(peers)
+    for attempt in range(max_attempts):
+        if attempt == 0 and assume_alive_first_attempt:
+            alive = list(candidates)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _probe(p: str) -> str | None:
+                try:
+                    c = flight.connect(p)
+                    c.wait_for_available(timeout=10)
+                    c.close()
+                    return p
+                except Exception:
+                    return None
+
+            with ThreadPoolExecutor(max_workers=max(1, len(candidates))) as ex:
+                alive = [p for p in ex.map(_probe, candidates) if p is not None]
+        if not alive:
+            raise last_err or StageError("<all peers>", RuntimeError("no peers reachable"))
+        stage = stage_id if attempt == 0 else f"{stage_id}~retry{attempt}"
+        bstage = f"{stage}/bcast"
+        bsinks = [f"b{i}" for i in range(len(alive))]
+        osinks = [f"s{i}" for i in range(len(alive))]
+        plans = make_partials(alive, bstage, bsinks)
+        if plans is None:
+            raise last_err or StageError(
+                "<plan>", RuntimeError("no fact slices for the surviving peers")
+            )
+        try:
+            coord = StageCoordinator(alive)
+        except Exception as e:
+            last_err = StageError("<connect>", e)
+            continue
+        try:
+            def _drain_attempt():
+                # unconsumed broadcast streams live on the hosting peer
+                # (a peer consumes its own b{i} while executing its
+                # partial); output streams live everywhere — drain both
+                for b in bsinks:
+                    try:
+                        coord.cons[0].do_get(
+                            stream_ticket(query_id, bstage, b)
+                        ).read_all()
+                    except Exception:
+                        pass
+                for pi in range(len(alive)):
+                    for sink in osinks:
+                        try:
+                            coord.cons[pi].do_get(
+                                stream_ticket(query_id, f"{stage}/{pi}", sink)
+                            ).read_all()
+                        except Exception:
+                            pass
+
+            def _check_abort():
+                if abort_check is not None and abort_check():
+                    from fuse_query_spark.errors import QueryAborted
+
+                    _drain_attempt()
+                    raise QueryAborted("distributed stage aborted by KILL")
+
+            _check_abort()
+            # the broadcast stage prepares synchronously on one peer
+            list(
+                coord.cons[0].do_action(
+                    broadcast_action(query_id, bstage, broadcast_plan, bsinks)
+                )
+            )
+            _check_abort()
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _dispatch_one(pi: int):
+                list(
+                    coord.cons[pi].do_action(
+                        shuffle_action(
+                            query_id, f"{stage}/{pi}", plans[pi], osinks,
+                            scatters_expression,
+                        )
+                    )
+                )
+
+            with ThreadPoolExecutor(max_workers=max(1, len(alive))) as ex:
+                futs = [ex.submit(_dispatch_one, pi) for pi in range(len(alive))]
+                errs = [f.exception() for f in futs]
+            for err in errs:
+                if err is not None:
+                    raise err
+            _check_abort()
+            if _after_dispatch is not None:
+                _after_dispatch(attempt)
+            parts: dict[str, list] = {s: [] for s in osinks}
+            for pi in range(len(alive)):
+                for sink in osinks:
+                    _check_abort()
+                    parts[sink].append(
+                        coord.cons[pi]
+                        .do_get(stream_ticket(query_id, f"{stage}/{pi}", sink))
+                        .read_all()
+                    )
+            return {s: pa.concat_tables(t) for s, t in parts.items()}
+        except flight.FlightError as e:
+            last_err = StageError("<mid-stage>", e)
+            _drain_attempt()
+        except Exception:
+            _drain_attempt()
+            raise
+        finally:
+            coord.close()
+    raise last_err
