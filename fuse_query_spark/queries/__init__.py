@@ -117,84 +117,73 @@ DRIVER_HIDDEN = {
 # (both r5+r6 green; sampling keeps split_leakage_safe + dsir,
 # similarity keeps 4 prefix rows).
 DRIVER_PRIORITY = [
-    # r9 rotation CONTINUES the staleness burn-down (judge r8 ask #1):
-    # after r8's recency sweep the oldest evidence sat at r3 (4 rows,
-    # age 6 — MUST ENTER) and r4 (47 rows, age 5). This prefix is the
-    # staleness plan's head verbatim (tools/check_oracle.py --stale):
-    # all 4 r3 rows + 46 of the 47 r4 rows, every one re-verified green
-    # by tools/check_oracle.py at sf0.01 before pinning. The r8-green
-    # rows they displace keep their driver-green history past slot 50
-    # (ROTATION.md). The ONE deferment, expr_projection (r4), is the
-    # r4 row with the densest overlapping recent coverage (the four
-    # expr_*_surface rows were all green r7) — first in line for r10,
-    # where the burn-down completes and no row's evidence predates r9.
-    # No new rows enter: this round's new operator surface (intra-batch
-    # ingest dedup, index compaction, distributed Engine.sql) is
-    # streaming/multi-process machinery the driver harness cannot
-    # replay; its evidence is the pytest suite (test_dedup_index.py,
-    # test_engine_distributed.py).
-    # --- last green r3 (age 6 — must-enter) ---
-    "dedup_ngram_jaccard",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "window_running_total",
-    # --- last green r4, by family ---
-    # aggregation / grouping / filters
-    "agg_global_stats",
-    "agg_uniq",
-    "filter_predicates",
-    "grouping_sets",
-    "having_filter",
-    "interval_arithmetic",
-    "limit_by",
-    "limit_offset",
-    "sort_topk",
-    "numbers_substring_topk",
-    "dialect_numbers_groupby",
-    "dialect_scalar_surface",
-    # engine scans
-    "csv_engine_scan",
-    "json_engine_scan",
-    # TPC-H shapes
-    "q02_min_cost_supplier",
-    "q05_local_supplier_volume",
-    "q09_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q16_parts_supplier_relationship",
-    "q20_potential_part_promotion",
-    # joins / windows / set ops / misc relational
-    "join_semi_exists",
-    "window_first_last_nth",
-    "setop_union_keys",
-    "pivot_events",
-    "scd2_customer_tiers",
-    # events
-    "events_cohort_retention",
-    "events_funnel_attribution",
-    "events_sessionize",
-    # text
-    "text_lang_id",
-    "text_quality_score",
-    "text_repetition_metrics",
-    # dedup
-    "dedup_duplicated_spans",
-    "dedup_embedding_cosine",
-    "dedup_exact_docs",
-    "dedup_minhash_cross_corpus",
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
-    # sampling / decontamination / packing
-    "decontaminate_bloom",
-    "decontaminate_ngram",
-    "sample_split_documents",
-    "pack_token_bins",
-    # similarity
-    "similarity_knn_ivf_md5",
-    "similarity_pairs_label_blocked",
-    "similarity_topk_bruteforce",
-    # multimodal
-    "multimodal_ppm_decode",
+    # r10 rotation COMPLETES the staleness burn-down (judge r9 ask #5):
+    # prefix = the staleness plan's head verbatim (tools/check_oracle.py
+    # --stale after applying r9 greens): expr_projection (the last r4
+    # row, deliberately deferred in r9), ALL 15 r5 rows, ALL 5 r6 rows,
+    # then the 29 oldest r7 rows — every one re-verified green by
+    # tools/check_oracle.py at sf0.01 before pinning. After this round
+    # no registry row's last green predates r7 (the remaining 21 r7
+    # rows queue for r11). The displaced r9-green rows keep their
+    # driver-green history past slot 50 (ROTATION.md). No new rows
+    # enter: this round's new surface (distributed broadcast-join
+    # stage, distributed uniq/HAVING) is multi-process machinery the
+    # driver harness cannot replay; its evidence is pytest
+    # (test_engine_distributed.py, test_flight_server.py).
+    # --- last green r4 (the final deferment — must-enter) ---
+    "expr_projection",
+    # --- last green r5 ---
+    "dedup_cluster_canonical",
+    "embedding_quantize_int8",
+    "events_value_histogram",
+    "multimodal_jpeg_decode",
+    "pipeline_curation_end_to_end",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "recursive_month_spine",
+    "sample_stratified_rates",
+    "sample_temperature_mix",
+    "text_chunk_windows",
+    "text_pii_redact",
+    "text_tfidf_keywords",
+    "text_unigram_logprob",
+    # --- last green r6 ---
+    "dedup_chunk_fraction",
+    "embedding_random_projection",
+    "multimodal_gif_decode",
+    "multimodal_wav_decode",
+    "pack_sequences",
+    # --- last green r7 (oldest 29 of 50; rest queue for r11) ---
+    "agg_approx_bounded",
+    "agg_percentiles",
+    "corpus_vocab_stats",
+    "correlated_exists",
+    "correlated_scalar_subquery",
+    "dedup_containment_md5",
+    "dedup_semantic_kmeans",
+    "dedup_soft_reweight",
+    "embedding_pq_encode",
+    "events_heavy_hitters_rollup",
+    "events_topk_sketch_rollup",
+    "events_uniq_sketch_rollup",
+    "expr_array_surface",
+    "expr_datetime_surface",
+    "expr_null_semantics",
+    "expr_string_surface",
+    "multimodal_blob_meta",
+    "multimodal_gif_interlaced_decode",
+    "multimodal_jpeg_arith_decode",
+    "multimodal_jpeg_arith_progressive_decode",
+    "multimodal_jpeg_color_decode",
+    "multimodal_jpeg_progressive_decode",
+    "multimodal_png_decode",
+    "numbers_groupby3_1b",
+    "numbers_sum_triple_1b",
+    "numbers_throughput_10b",
+    "numbers_topk_sort_10b",
+    "pipeline_filter_funnel",
+    "q01_pricing_summary",
 ]
 
 
