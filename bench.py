@@ -186,6 +186,15 @@ DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DE
 # host), flat probes indict the plan.
 CALIBRATION_EVERY = 8  # one probe after every N suite queries
 
+# The probe's PINNED quiet-host median (r10: 0.1995s over 9 samples at
+# load_1m 0.77 on the 32-cpu build host). Load-normalized medians
+# (judge r9 ask #8) divide each query's local probe estimate by this,
+# so round-over-round comparisons stop requiring manual adjudication
+# of contended driver hosts: a probe reading 0.4s means ambient load
+# ate half the machine, and the query's normalized time deflates
+# accordingly. Re-pin only if the probe SHAPE changes.
+CAL_REFERENCE_SEC = 0.2
+
 
 def _calibration_probe(spark) -> float:
     t0 = time.time()
@@ -327,6 +336,10 @@ def main() -> None:
                 "gc_ms": round(gc1 - gc0, 1) if gc0 >= 0 and gc1 >= 0 else -1.0,
                 "heap_mb": heap1,
                 "heap_delta_mb": round(heap1 - heap0, 1) if heap0 >= 0 and heap1 >= 0 else -1.0,
+                # index of the last calibration probe taken BEFORE this
+                # query ran; resolved to median_normalized after the
+                # suite (the bracketing probe isn't known yet)
+                "_cal_idx": len(calibration) - 1,
             }
         except Exception as e:  # a broken bench query should not zero the run
             print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
@@ -361,7 +374,23 @@ def main() -> None:
         # busier during the run' from one mid-suite spike)
         "drift": round(cal_chrono[-1] / cal_chrono[0], 2) if cal_chrono[0] > 0 else -1.0,
         "n": len(cal_secs),
+        "reference": CAL_REFERENCE_SEC,
     }
+    # Load-normalized medians (judge r9 ask #8): median x
+    # (CAL_REFERENCE_SEC / local_probe), local_probe = mean of the two
+    # calibration samples BRACKETING the query's run — the artifact's
+    # own ambient estimate at that point in the suite. Raw medians stay
+    # the headline; normalized values make contended-host artifacts
+    # directly comparable across rounds.
+    for st in stats.values():
+        k = st.pop("_cal_idx")
+        bracket = [calibration[k]["sec"]]
+        if k + 1 < len(calibration):
+            bracket.append(calibration[k + 1]["sec"])
+        local = sum(bracket) / len(bracket)
+        st["median_normalized"] = (
+            round(st["median"] * CAL_REFERENCE_SEC / local, 3) if local > 0 else -1.0
+        )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Full per-query stats go to a SIDECAR file: BENCH_r04.json came
     # back `parsed: null` because the single stdout line with embedded
@@ -396,7 +425,11 @@ def main() -> None:
     # single best-run sample; the adjudicable number must be a median
     # with variance shown, in BENCH_r{N}.json, not only in the sidecar).
     mirrors = {
-        n: {"median": stats[n]["median"], "spread": stats[n]["kept_spread"]}
+        n: {
+            "median": stats[n]["median"],
+            "median_normalized": stats[n]["median_normalized"],
+            "spread": stats[n]["kept_spread"],
+        }
         for n in sorted(MIRROR_QUERIES | HEAVY_QUERIES)
         if n in stats
     }
