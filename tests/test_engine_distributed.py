@@ -988,3 +988,88 @@ class TestDistributedBroadcastJoin:
                         p.kill()
         finally:
             self._drop(engine)
+
+
+class TestDistinctHavingSweepAndJoinKill:
+    def test_random_distinct_having_shapes_differential(self, engine, two_peers):
+        """Seeded sweep over the r10 surface: uniq/count(DISTINCT)
+        mixed with plain aggregates, optional WHERE, and post-finalize
+        HAVING — each shape asserted non-vacuously parseable and
+        two-peer equal to local."""
+        import random
+
+        rng = random.Random(1010)
+        stmts = []
+        for q in range(8):
+            n = rng.choice([5000, 12345, 30000])
+            mod = rng.choice([50, 321, 1000])
+            aggs = [f"uniq(number % {mod}) AS u", "count(*) AS c"]
+            if rng.random() < 0.5:
+                aggs.append("sum(number) AS s")
+            if rng.random() < 0.5:
+                aggs.append(f"count(DISTINCT number % {mod // 2 + 1}) AS u2")
+            group = rng.choice([None, "number % 7", "number % 3"])
+            sql = "SELECT " + ", ".join(aggs) + f" FROM numbers({n})"
+            if rng.random() < 0.5:
+                sql += " WHERE number % 2 = 0"
+            if group:
+                sql += f" GROUP BY {group}"
+                if rng.random() < 0.6:
+                    sql += " HAVING count(*) > 10"
+            assert parse_distributed_agg(sql) is not None, f"vacuous case: {sql}"
+            stmts.append(sql)
+        local = [sorted(tuple(map(str, r)) for r in engine.sql(s).collect()) for s in stmts]
+        for i, (_p, port) in enumerate(two_peers):
+            engine.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+        try:
+            for s, want in zip(stmts, local):
+                got = sorted(tuple(map(str, r)) for r in engine.sql(s).collect())
+                assert got == want, s
+        finally:
+            for i in range(2):
+                engine.cluster.remove_node(f"peer{i}")
+
+    def test_kill_query_aborts_broadcast_join_stage(self, engine, two_peers, tmp_path):
+        """KILL QUERY tears the two-stage join fan-out down at an RPC
+        boundary (shared _check_abort machinery, pinned through the
+        join path): QueryAborted raises, and the SAME SQL immediately
+        re-runs distributed to the correct result — nothing poisoned
+        on either stage."""
+        from fuse_query_spark.errors import QueryAborted
+
+        engine.sql(
+            f"CREATE TABLE kfact ENGINE = Parquet location = '{tmp_path}/kf' AS "
+            "SELECT number % 11 AS fk, number AS v FROM numbers(30000)"
+        )
+        engine.sql(
+            f"CREATE TABLE kdim ENGINE = Parquet location = '{tmp_path}/kd' AS "
+            "SELECT number AS id FROM numbers(11)"
+        )
+        sql = ("SELECT count(*) AS c, sum(f.v) AS s FROM kfact AS f "
+               "JOIN kdim AS d ON f.fk = d.id")
+        try:
+            want = [tuple(r) for r in engine.sql(sql).collect()]
+            for i, (_p, port) in enumerate(two_peers):
+                engine.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+            killed = []
+
+            def _kill_via_engine(attempt):
+                if not killed:
+                    pid = next(iter(engine._live))
+                    assert engine.cancel(pid)
+                    killed.append(pid)
+
+            engine._dist_after_dispatch = _kill_via_engine
+            try:
+                with pytest.raises(QueryAborted, match="aborted by KILL"):
+                    engine.sql(sql)
+                assert killed
+                engine._dist_after_dispatch = None
+                assert [tuple(r) for r in engine.sql(sql).collect()] == want
+            finally:
+                engine._dist_after_dispatch = None
+                for i in range(2):
+                    engine.cluster.remove_node(f"peer{i}")
+        finally:
+            engine.sql("DROP TABLE kfact")
+            engine.sql("DROP TABLE kdim")
