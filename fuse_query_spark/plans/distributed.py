@@ -554,7 +554,23 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
                 rewritten_terms.append(f"{ki} {dirn}".strip())
                 needs_k_rewrite = True
                 continue
-            return None  # not an alias, ordinal, or group expr — local
+            # a raw aggregate matching a select item (ORDER BY
+            # count(*) DESC): bind to the item's output column —
+            # Spark orders locally by re-evaluating the aggregate,
+            # which is the same value the finalize names
+            hit = next(
+                (
+                    it
+                    for it in plan.items
+                    if it.kind == "agg" and _norm(it.body) == _norm(expr)
+                ),
+                None,
+            )
+            if hit is not None:
+                rewritten_terms.append(f"`{hit.name}` {dirn}".strip())
+                continue
+            return None  # not an alias, ordinal, group expr, or
+            # select-item aggregate — local
         if needs_k_rewrite and any(re.fullmatch(r"k\d+", n) for n in out_names):
             # Spark binds ORDER BY names to SELECT-list aliases FIRST:
             # a user output alias literally named k<i> would capture the

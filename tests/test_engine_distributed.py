@@ -1073,3 +1073,50 @@ class TestDistinctHavingSweepAndJoinKill:
         finally:
             engine.sql("DROP TABLE kfact")
             engine.sql("DROP TABLE kdim")
+
+
+class TestOrderByAggregateBody:
+    """ORDER BY a raw aggregate matching a select item (ORDER BY
+    count(*) DESC) binds to the item's output column instead of
+    forcing local (r10)."""
+
+    def test_parses_and_binds_to_output_name(self):
+        p = parse_distributed_agg(
+            "SELECT number % 3 AS g, count(*) AS c FROM numbers(100) "
+            "GROUP BY number % 3 ORDER BY count(*) DESC, g"
+        )
+        assert p is not None and p.order_by == "`c` DESC, g"
+        # unaliased item: binds to the raw-text finalize alias (the
+        # conformance projection renames AFTER the sort)
+        p2 = parse_distributed_agg(
+            "SELECT count(*) FROM numbers(100) GROUP BY number % 3 "
+            "ORDER BY count(*) DESC"
+        )
+        assert p2 is not None and p2.order_by == "`count(*)` DESC"
+        # an aggregate with no select twin still falls back
+        assert parse_distributed_agg(
+            "SELECT count(*) AS c FROM numbers(100) GROUP BY number % 3 "
+            "ORDER BY sum(number)"
+        ) is None
+
+    def test_two_peers_order_matches_local(self, engine, two_peers):
+        stmts = [
+            "SELECT number % 7 AS g, count(*) AS c FROM numbers(49999) "
+            "GROUP BY number % 7 ORDER BY count(*) DESC, g LIMIT 4",
+            "SELECT number % 5 AS g, uniq(number % 40) AS u FROM numbers(20000) "
+            "GROUP BY number % 5 ORDER BY uniq(number % 40) DESC, g",
+        ]
+        local = [[tuple(r) for r in engine.sql(s).collect()] for s in stmts]
+        for i, (_p, port) in enumerate(two_peers):
+            engine.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+        seen = []
+        engine._dist_after_dispatch = lambda a: seen.append(a)
+        try:
+            for s, want in zip(stmts, local):
+                got = [tuple(r) for r in engine.sql(s).collect()]
+                assert got == want, s  # ORDER-sensitive comparison
+            assert len(seen) == len(stmts)
+        finally:
+            engine._dist_after_dispatch = None
+            for i in range(2):
+                engine.cluster.remove_node(f"peer{i}")
