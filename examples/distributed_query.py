@@ -89,6 +89,54 @@ def main() -> None:
         print(f"2 peers         : {dist}  [{time.time()-t0:.2f}s]  "
               f"equal: {dist == local}")
 
+        # r10 surface: serialized distinct states + post-finalize
+        # HAVING distribute through the same hook
+        dsql = ("SELECT number % 3 AS g, uniq(number % 100) AS u "
+                "FROM numbers(300000) GROUP BY number % 3 "
+                "HAVING count(*) > 10 ORDER BY g")
+        engine.cluster.remove_node("peer0")
+        engine.cluster.remove_node("peer1")
+        dlocal = [tuple(r) for r in engine.sql(dsql).collect()]
+        engine.cluster.add_node("peer0", 5, f"grpc://localhost:{port0}")
+        engine.cluster.add_node("peer1", 5, f"grpc://localhost:{port1}")
+        t0 = time.time()
+        ddist = [tuple(r) for r in engine.sql(dsql).collect()]
+        print(f"uniq + HAVING   : {ddist}  [{time.time()-t0:.2f}s]  "
+              f"equal: {ddist == dlocal}")
+
+        # r10 surface: broadcast-join stage — a CTAS fact table sliced
+        # by file, the small dim broadcast once per stage to every peer
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dist_demo_")
+        engine.sql(
+            f"CREATE TABLE demo_fact ENGINE = Parquet location = '{d}/fact' AS "
+            "SELECT number % 17 AS fk, number AS v FROM numbers(200000)"
+        )
+        engine.sql(
+            f"CREATE TABLE demo_dim ENGINE = Parquet location = '{d}/dim' AS "
+            "SELECT number AS id, CASE WHEN number % 2 = 0 THEN 'even' "
+            "ELSE 'odd' END AS grp FROM numbers(17)"
+        )
+        jsql = ("SELECT d.grp AS g, count(*) AS c, sum(f.v) AS s "
+                "FROM demo_fact AS f JOIN demo_dim AS d ON f.fk = d.id "
+                "GROUP BY d.grp ORDER BY g")
+        engine.cluster.remove_node("peer0")
+        engine.cluster.remove_node("peer1")
+        jlocal = [tuple(r) for r in engine.sql(jsql).collect()]
+        engine.cluster.add_node("peer0", 5, f"grpc://localhost:{port0}")
+        engine.cluster.add_node("peer1", 5, f"grpc://localhost:{port1}")
+        t0 = time.time()
+        jdist = [tuple(r) for r in engine.sql(jsql).collect()]
+        print(f"broadcast join  : {jdist}  [{time.time()-t0:.2f}s]  "
+              f"equal: {jdist == jlocal}")
+        plan = engine.sql("EXPLAIN " + jsql).collect()[0].plan
+        print("EXPLAIN (first 3 lines):")
+        for line in plan.splitlines()[:3]:
+            print(f"  {line}")
+        engine.sql("DROP TABLE demo_fact")
+        engine.sql("DROP TABLE demo_dim")
+
         p1.kill()
         p1.wait(timeout=30)
         t0 = time.time()
