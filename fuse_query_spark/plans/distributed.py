@@ -764,23 +764,10 @@ def reachable_peers(addresses: list[str], timeout: float = 3.0) -> list[str]:
     'run locally' (registry entries are metadata until a Flight
     endpoint actually listens there — the HTTP API registers addresses
     before servers necessarily exist)."""
-    from concurrent.futures import ThreadPoolExecutor
+    from fuse_query_spark.servers.flight_server import probe_alive
 
-    import pyarrow.flight as flight
-
-    def _probe(addr: str) -> str | None:
-        loc = addr if "://" in addr else f"grpc://{addr}"
-        try:
-            con = flight.connect(loc)
-            con.wait_for_available(timeout=timeout)
-            con.close()
-            return loc
-        except Exception:
-            return None
-
-    with ThreadPoolExecutor(max_workers=max(1, len(addresses))) as ex:
-        probed = list(ex.map(_probe, addresses))
-    return [loc for loc in probed if loc is not None]
+    locs = [a if "://" in a else f"grpc://{a}" for a in addresses]
+    return probe_alive(locs, timeout=timeout)
 
 
 def _resolve_parquet_table(engine, name: str):

@@ -362,6 +362,26 @@ def dispatch_and_gather(
         coord.close()
 
 
+def probe_alive(candidates: list[str], timeout: float = 10.0) -> list[str]:
+    """Peers that answer a Flight handshake right now, probed
+    CONCURRENTLY — a dead peer costs one timeout, not a serial stall
+    each. Shared by both retry loops and the Engine.sql reachability
+    check."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _probe(p: str) -> str | None:
+        try:
+            c = flight.connect(p)
+            c.wait_for_available(timeout=timeout)
+            c.close()
+            return p
+        except Exception:
+            return None
+
+    with ThreadPoolExecutor(max_workers=max(1, len(candidates))) as ex:
+        return [p for p in ex.map(_probe, candidates) if p is not None]
+
+
 def dispatch_with_retry(
     peers: list[str],
     query_id: str,
@@ -405,19 +425,7 @@ def dispatch_with_retry(
         if attempt == 0 and assume_alive_first_attempt:
             alive = candidates
         else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            def _probe(p: str) -> str | None:
-                try:
-                    c = flight.connect(p)
-                    c.wait_for_available(timeout=10)
-                    c.close()
-                    return p
-                except Exception:
-                    return None
-
-            with ThreadPoolExecutor(max_workers=max(1, len(candidates))) as ex:
-                alive = [p for p in ex.map(_probe, candidates) if p is not None]
+            alive = probe_alive(candidates)
         if not alive:
             raise last_err or StageError("<all peers>", RuntimeError("no peers reachable"))
         # reassign: keep a slice on its peer if alive, else round-robin
@@ -561,19 +569,7 @@ def dispatch_join_with_retry(
         if attempt == 0 and assume_alive_first_attempt:
             alive = list(candidates)
         else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            def _probe(p: str) -> str | None:
-                try:
-                    c = flight.connect(p)
-                    c.wait_for_available(timeout=10)
-                    c.close()
-                    return p
-                except Exception:
-                    return None
-
-            with ThreadPoolExecutor(max_workers=max(1, len(candidates))) as ex:
-                alive = [p for p in ex.map(_probe, candidates) if p is not None]
+            alive = probe_alive(candidates)
         if not alive:
             raise last_err or StageError("<all peers>", RuntimeError("no peers reachable"))
         stage = stage_id if attempt == 0 else f"{stage_id}~retry{attempt}"
