@@ -420,9 +420,10 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
     falls back when the plan has no reschedulable read stage. The
     front-end is the linear clause scanner above, not a statement
     regex (judge r9 ask #4)."""
-    if "`" in sql:
+    if "`" in _blank_literals(sql):
         # a backtick inside an unaliased item would nest inside the
         # final SELECT's backtick-quoted output alias — local path
+        # (backticks INSIDE string literals are harmless and stay)
         return None
     cl = _top_level_clauses(sql.strip().rstrip(";").strip())
     if cl is None:
