@@ -1168,9 +1168,31 @@ class Engine:
                 con.close()
             view = "__fq_fs_" + re.sub(r"\W", "_", f"{qid}_{sid}_{sink}")
             self.spark.createDataFrame(tbl).createOrReplaceTempView(view)
+            # record for the caller (the Flight stage action) to DROP
+            # after materialization: the view holds the full broadcast
+            # dim in memory and its name is query-unique, so without
+            # cleanup a long-lived peer pins one dim copy per join
+            # query forever (code-review r10). Thread-local: concurrent
+            # stage actions on one peer each clean only their own.
+            if not hasattr(self, "_fs_views_tl"):
+                import threading as _threading
+
+                self._fs_views_tl = _threading.local()
+            if getattr(self._fs_views_tl, "views", None) is None:
+                self._fs_views_tl.views = []
+            self._fs_views_tl.views.append(view)
             return view
 
         return self._FLIGHT_STREAM.sub(repl, s)
+
+    def pop_flight_stream_views(self) -> list:
+        """Names of the temp views _resolve_flight_streams registered
+        on THIS thread since the last pop; clears the record."""
+        tl = getattr(self, "_fs_views_tl", None)
+        views = getattr(tl, "views", None) if tl is not None else None
+        if tl is not None:
+            tl.views = []
+        return views or []
 
     def _select(self, s: str) -> DataFrame:
         # transparent cluster rescheduling (interpreter_select.rs:40-73

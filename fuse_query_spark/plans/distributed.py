@@ -60,6 +60,7 @@ unit the reference's AbortStream tears down at (stream_abort.rs:
 
 from __future__ import annotations
 
+import os
 import re
 import uuid
 from dataclasses import dataclass
@@ -102,7 +103,11 @@ _FROM_TABLE = re.compile(
 # api/rpc/flight_scatter_broadcast.rs expands the stage result to
 # every sink). INNER and LEFT only — RIGHT/FULL would emit unmatched
 # DIM rows once per peer.
-_KW_STOP = r"(?!(?:JOIN|INNER|LEFT|OUTER|ON|AS)\b)"
+# every keyword that can follow a table ref in a FROM clause must be
+# excluded from alias capture: before RIGHT/FULL/SEMI/ANTI/CROSS were
+# listed, `fact RIGHT JOIN dim` captured RIGHT as the fact ALIAS and
+# dispatched as an inner join (code-review r10)
+_KW_STOP = r"(?!(?:JOIN|INNER|LEFT|RIGHT|FULL|SEMI|ANTI|CROSS|NATURAL|OUTER|ON|AS|USING)\b)"
 _FROM_JOIN = re.compile(
     r"(?is)^(?P<fact>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
     r"(?:\s+(?:AS\s+)?" + _KW_STOP + r"(?P<fa>[A-Za-z_]\w*))?"
@@ -204,25 +209,9 @@ def _top_level_clauses(sql: str) -> dict[str, str] | None:
 def _blank_literals(s: str) -> str:
     """The statement with string-literal BODIES removed (quotes kept):
     keyword/reference checks over this text can never false-match
-    inside a literal."""
-    out: list[str] = []
-    i, n, in_str = 0, len(s), None
-    while i < n:
-        ch = s[i]
-        if in_str is not None:
-            if ch == "\\":
-                i += 2
-                continue
-            if ch == in_str:
-                in_str = None
-                out.append(ch)
-            i += 1
-            continue
-        if ch in ("'", '"'):
-            in_str = ch
-        out.append(ch)
-        i += 1
-    return "".join(out)
+    inside a literal. Defined via _mask_literals so there is exactly
+    ONE literal lexer to keep correct (code-review r10)."""
+    return _mask_literals(s).replace("\x00", "")
 
 _ITEM_ALIAS = re.compile(r"(?is)^(?P<body>.*?)\s+AS\s+(?P<alias>[A-Za-z_]\w*)\s*$")
 _AGG_CALL = re.compile(
@@ -849,15 +838,18 @@ def broadcast_sql(dim_tdef) -> str:
 
 def _build_join_partials(
     engine, plan: DistributedAgg, targets: list[str], query_id: str,
-    bstage: str, bsinks: list[str],
+    bstage: str, bsinks: list[str], resolved=None,
 ) -> list[str] | None:
     """Per-target broadcast-join slices (executor AND EXPLAIN share
     this, like _build_partial_plans): target i joins its fact file
     glob against the broadcast stage's sink i via flight_stream() —
     the broadcast host is targets[0], where the BroadcastAction runs.
     None → local (unresolvable/oversized tables, fewer fact files
-    than targets)."""
-    resolved = _resolve_join_tables(engine, plan)
+    than targets). `resolved` lets a caller that already ran
+    _resolve_join_tables skip the repeated catalog + file-stat work
+    (code-review r10: one statement resolved the pair four times)."""
+    if resolved is None:
+        resolved = _resolve_join_tables(engine, plan)
     if resolved is None:
         return None
     fact_tdef, _dim_tdef = resolved
@@ -946,8 +938,10 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
         return None
     if plan is None:
         return None
+    resolved = None
     if plan.dim is not None:
-        if _resolve_join_tables(engine, plan) is None:
+        resolved = _resolve_join_tables(engine, plan)
+        if resolved is None:
             return None  # unresolvable / oversized dim → local
     elif plan.table is not None and _resolve_parquet_table(engine, plan.table) is None:
         return None  # not a sliceable catalog parquet table → local
@@ -957,14 +951,21 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
     query_id = f"dq-{uuid.uuid4().hex[:12]}"
     if plan.dim is not None:
         plans = None  # per-attempt (the join path regenerates slices)
-        if _build_join_partials(
-            engine, plan, peers, query_id, "probe", ["b0"] * len(peers)
-        ) is None:
+        fact_slices = table_file_slices(resolved[0].location, len(peers))
+        if fact_slices is None:
             return None  # fewer fact files than peers → local
+        # an ANALYZABLE stand-in for a peer partial (the flight stream
+        # does not exist yet): the dim read directly from its location
+        probe_partial = partial_sql(
+            plan,
+            source=fact_slices[0],
+            dim_ref=f"parquet.`{os.path.abspath(resolved[1].location)}`",
+        )
     else:
         plans = _build_partial_plans(engine, plan, len(peers))
         if plans is None:
             return None  # single file / fewer files than peers → local
+        probe_partial = plans[0]
     # the LOCAL plan's analyzed schema is the output contract: the
     # finalized result is conformed to its names (unaliased `count(*)`
     # is Spark's `count(1)`, not the raw item text) and dtypes (local
@@ -973,6 +974,23 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
     # advice + judge r9. Analysis only; an analysis error here is the
     # SAME error the local path raises, so it propagates.
     local_schema = engine.local_select(sql).schema
+    # pre-dispatch finalize validation (code-review r10): analyze the
+    # ENTIRE coordinator finalize against an EMPTY view of the partial
+    # schema. Any shape the post-finalize layer cannot resolve — an
+    # unqualified HAVING ref spelled differently than its group expr,
+    # an aggregate outside _RESID_AGG's list (count_if, max_by, ...) —
+    # must mean LOCAL execution, never a post-dispatch analysis error
+    # on a locally-valid statement (the module invariant).
+    try:
+        pschema = engine.local_select(probe_partial).schema
+        pview = f"__fq_dist_probe_{query_id.replace('-', '_')}"
+        engine.spark.createDataFrame([], pschema).createOrReplaceTempView(pview)
+        try:
+            engine.spark.sql(final_sql(plan, pview))
+        finally:
+            engine.spark.catalog.dropTempView(pview)
+    except Exception:
+        return None
     import pyarrow as pa
 
     from fuse_query_spark.servers.flight_server import (
@@ -997,10 +1015,12 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
         # each peer's partial then joins its fact slice against its
         # broadcast stream. Retries regenerate BOTH stages under fresh
         # stage ids (broadcast streams are one-shot).
-        _dim_tdef = _resolve_join_tables(engine, plan)[1]
+        _dim_tdef = resolved[1]
 
         def make_partials(alive: list[str], bstage: str, bsinks: list[str]):
-            return _build_join_partials(engine, plan, alive, query_id, bstage, bsinks)
+            return _build_join_partials(
+                engine, plan, alive, query_id, bstage, bsinks, resolved=resolved
+            )
 
         parts = dispatch_join_with_retry(
             peers, query_id, "stage1", broadcast_sql(_dim_tdef), make_partials,
@@ -1039,14 +1059,17 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
     finally:
         engine.spark.catalog.dropTempView(view)
     # conform to the local contract (a projection on top of the
-    # finalize keeps its ORDER BY — Spark projects over the sort)
+    # finalize keeps its ORDER BY — Spark projects over the sort).
+    # POSITIONAL: duplicate output names are legal locally (`SELECT
+    # sum(x) AS c, count(*) AS c`), so a by-name F.col would raise
+    # AMBIGUOUS_REFERENCE (code-review r10) — rename by position
+    # first, then cast/alias each slot to the local field.
     from pyspark.sql import functions as F
 
-    return fin.select(
+    tmp_names = [f"__fq_c{i}" for i in range(len(fin.columns))]
+    return fin.toDF(*tmp_names).select(
         *[
-            # backtick-quote: an unaliased item's name can hold parens
-            # or dots (`count(1.5)`) that bare F.col would parse
-            F.col(f"`{c}`").cast(f.dataType).alias(f.name)
-            for c, f in zip(fin.columns, local_schema.fields)
+            F.col(c).cast(f.dataType).alias(f.name)
+            for c, f in zip(tmp_names, local_schema.fields)
         ]
     )

@@ -85,14 +85,18 @@ class FlightDispatcher:
             raise flight.FlightServerError("duplicate sink names in one action")
         if not sinks:
             raise flight.FlightServerError("ShuffleAction with no sinks")
-        df = engine.sql(action["plan"])
-        if df is None:
-            raise flight.FlightServerError("plan produced no result set")
-        expr = F.expr(action["scatters_expression"])
-        # one execution computes every sink's rows: materialize to
-        # Arrow WITH the bucket column, split by bucket in Arrow memory
-        tagged = df.withColumn("__fq_bucket", scatter_bucket(expr, len(sinks)))
-        table = tagged.toArrow()
+        try:
+            df = engine.sql(action["plan"])
+            if df is None:
+                raise flight.FlightServerError("plan produced no result set")
+            expr = F.expr(action["scatters_expression"])
+            # one execution computes every sink's rows: materialize to
+            # Arrow WITH the bucket column, split by bucket in Arrow
+            # memory
+            tagged = df.withColumn("__fq_bucket", scatter_bucket(expr, len(sinks)))
+            table = tagged.toArrow()
+        finally:
+            _drop_flight_stream_views(engine)
         buckets = table.column("__fq_bucket")
         out_cols = [c for c in table.column_names if c != "__fq_bucket"]
         parts = {}
@@ -110,10 +114,13 @@ class FlightDispatcher:
             raise flight.FlightServerError("duplicate sink names in one action")
         if not sinks:
             raise flight.FlightServerError("BroadcastAction with no sinks")
-        df = engine.sql(action["plan"])
-        if df is None:
-            raise flight.FlightServerError("plan produced no result set")
-        table = df.toArrow()
+        try:
+            df = engine.sql(action["plan"])
+            if df is None:
+                raise flight.FlightServerError("plan produced no result set")
+            table = df.toArrow()
+        finally:
+            _drop_flight_stream_views(engine)
         self._set_streams(
             action["query_id"], action["stage_id"], {s: table for s in sinks}
         )
@@ -141,6 +148,21 @@ class FlightDispatcher:
         if table is None:
             raise flight.FlightServerError("Stream is not found")
         return table
+
+
+def _drop_flight_stream_views(engine) -> None:
+    """Drop the temp views the engine's flight_stream resolution
+    registered on this thread — each holds a full broadcast table in
+    memory under a query-unique name, so a stage action must clean up
+    after materializing (code-review r10)."""
+    pop = getattr(engine, "pop_flight_stream_views", None)
+    if pop is None:
+        return
+    for v in pop():
+        try:
+            engine.spark.catalog.dropTempView(v)
+        except Exception:
+            pass
 
 
 class FuseQueryFlightService(flight.FlightServerBase):

@@ -1120,3 +1120,96 @@ class TestOrderByAggregateBody:
             engine._dist_after_dispatch = None
             for i in range(2):
                 engine.cluster.remove_node(f"peer{i}")
+
+
+class TestReviewR10Fixes:
+    """Code-review r10 regressions pinned: join keywords never parse
+    as aliases, duplicate output names conform positionally, and the
+    pre-dispatch finalize validation keeps locally-valid statements
+    out of post-dispatch analysis errors."""
+
+    def test_join_keywords_never_capture_as_alias(self):
+        # pre-fix: `fact RIGHT JOIN dim` parsed with fact_alias='RIGHT'
+        # and join_type='JOIN' — an inner join dispatched for a RIGHT
+        # join (unqualified refs dodge the qualified-ref guard)
+        for s in [
+            "SELECT grp AS g, count(*) AS c FROM fact RIGHT JOIN dim ON fk = id GROUP BY grp",
+            "SELECT grp AS g, count(*) AS c FROM fact FULL JOIN dim ON fk = id GROUP BY grp",
+            "SELECT count(*) AS c FROM fact SEMI JOIN dim ON fk = id",
+            "SELECT count(*) AS c FROM fact ANTI JOIN dim ON fk = id",
+            "SELECT count(*) AS c FROM fact CROSS JOIN dim ON fk = id",
+            "SELECT count(*) AS c FROM fact NATURAL JOIN dim ON fk = id",
+        ]:
+            assert parse_distributed_agg(s) is None, s
+        # ... while genuine bare aliases still work
+        p = parse_distributed_agg(
+            "SELECT count(*) AS c FROM fact f JOIN dim d ON f.fk = d.id"
+        )
+        assert p is not None and p.fact_alias == "f" and p.dim_alias == "d"
+
+    def test_duplicate_output_names_conform_positionally(self, engine, two_peers):
+        # pre-fix: by-name F.col on the conformance projection raised
+        # AMBIGUOUS_REFERENCE after the whole distributed stage ran
+        sql = "SELECT sum(number) AS c, count(*) AS c FROM numbers(40000)"
+        local = engine.sql(sql)
+        want = [tuple(r) for r in local.collect()]
+        for i, (_p, port) in enumerate(two_peers):
+            engine.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+        seen = []
+        engine._dist_after_dispatch = lambda a: seen.append(a)
+        try:
+            dist = engine.sql(sql)
+            assert dist.columns == local.columns == ["c", "c"]
+            assert [tuple(r) for r in dist.collect()] == want
+            assert seen, "statement fell back to local"
+        finally:
+            engine._dist_after_dispatch = None
+            for i in range(2):
+                engine.cluster.remove_node(f"peer{i}")
+
+    def test_unresolvable_post_finalize_having_runs_locally(
+        self, engine, two_peers, tmp_path
+    ):
+        """Locally-valid HAVING shapes the post-finalize layer cannot
+        resolve must run LOCALLY (correct result, no dispatch), never
+        StageError: (a) an unqualified ref spelled differently than
+        its group expr; (b) an aggregate outside the residual
+        blocklist (count_if)."""
+        engine.sql(
+            f"CREATE TABLE rvfact ENGINE = Parquet location = '{tmp_path}/rf' AS "
+            "SELECT number % 13 AS fk, number AS v FROM numbers(30000)"
+        )
+        engine.sql(
+            f"CREATE TABLE rvdim ENGINE = Parquet location = '{tmp_path}/rd' AS "
+            "SELECT number AS id, CASE WHEN number % 2 = 0 THEN 'even' ELSE 'odd' "
+            "END AS grp FROM numbers(13)"
+        )
+        stmts = [
+            # group expr is d.grp; Spark binds bare `grp` locally, the
+            # textual substitution cannot — must fall back
+            "SELECT d.grp AS g, count(*) AS c FROM rvfact AS f "
+            "JOIN rvdim AS d ON f.fk = d.id GROUP BY d.grp HAVING grp = 'even'",
+            # count_if: not an _AGG_FUNC, not in _RESID_AGG — only the
+            # finalize validation catches it
+            "SELECT count(*) AS c FROM numbers(100) GROUP BY number % 3 "
+            "HAVING count_if(number > 0) > 1",
+        ]
+        try:
+            local = [sorted(tuple(map(str, r)) for r in engine.sql(s).collect())
+                     for s in stmts]
+            for i, (_p, port) in enumerate(two_peers):
+                engine.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+            seen = []
+            engine._dist_after_dispatch = lambda a: seen.append(a)
+            try:
+                for s, want in zip(stmts, local):
+                    got = sorted(tuple(map(str, r)) for r in engine.sql(s).collect())
+                    assert got == want, s
+                assert not seen, "an unresolvable shape was dispatched"
+            finally:
+                engine._dist_after_dispatch = None
+                for i in range(2):
+                    engine.cluster.remove_node(f"peer{i}")
+        finally:
+            engine.sql("DROP TABLE rvfact")
+            engine.sql("DROP TABLE rvdim")

@@ -541,3 +541,48 @@ class TestStageRetry:
                 if p.poll() is None:
                     p.terminate()
                 p.wait(timeout=30)
+
+
+class TestFlightStreamViewCleanup:
+    def test_stage_action_drops_flight_stream_views(self, engine, server, client):
+        """A peer's flight_stream() resolution registers a temp view of
+        the full broadcast table under a query-unique name; the stage
+        action must DROP it after materializing, or a long-lived peer
+        pins one dim copy per join query forever (code-review r10)."""
+        # stage A: a broadcast stream this engine will consume itself
+        engine_addr = f"grpc://localhost:{server.port}"
+        list(client.do_action(broadcast_action(
+            "qv1", "bst", "SELECT number AS id FROM numbers(5)", ["b0"]
+        )))
+        # stage B: a shuffle plan whose FROM reads the broadcast stream
+        plan = (
+            "SELECT count(*) AS c FROM "
+            f"flight_stream('{engine_addr}', 'qv1', 'bst', 'b0')"
+        )
+        list(client.do_action(shuffle_action("qv1", "sst", plan, ["s0"], "0")))
+        got = _fetch(client, "qv1", "sst", "s0")
+        assert got.column("c").to_pylist() == [5]
+        leftovers = [
+            t.name for t in engine.spark.catalog.listTables()
+            if t.name.startswith("__fq_fs_")
+        ]
+        assert leftovers == [], leftovers
+
+    def test_failed_plan_still_drops_views(self, engine, server, client):
+        """Cleanup runs on the failure path too: the plan resolves its
+        stream view, then fails analysis — the view must not linger."""
+        engine_addr = f"grpc://localhost:{server.port}"
+        list(client.do_action(broadcast_action(
+            "qv2", "bst", "SELECT number AS id FROM numbers(3)", ["b0"]
+        )))
+        bad = (
+            "SELECT no_such_column FROM "
+            f"flight_stream('{engine_addr}', 'qv2', 'bst', 'b0')"
+        )
+        with pytest.raises(flight.FlightError):
+            list(client.do_action(shuffle_action("qv2", "sst", bad, ["s0"], "0")))
+        leftovers = [
+            t.name for t in engine.spark.catalog.listTables()
+            if t.name.startswith("__fq_fs_")
+        ]
+        assert leftovers == [], leftovers
