@@ -233,6 +233,14 @@ def _norm(s: str) -> str:
         if c in ("'", '"'):
             j = i + 1
             while j < n:
+                if s[j] == "\\":
+                    # backslash escapes are active in Spark's default
+                    # parser — without this, 'a\'B' closed at the
+                    # escaped quote and the tail case-folded, colliding
+                    # two distinct group exprs (code-review r10; same
+                    # rule as every other lexer in this module)
+                    j += 2
+                    continue
                 if s[j] == c:
                     if j + 1 < n and s[j + 1] == c:  # doubled-quote escape
                         j += 2
@@ -440,9 +448,15 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
         if re.search(r"(?i)\bOVER\b", _blank_literals(body)):
             return None  # window function — never two-phase here
         call = _AGG_CALL.match(body)
-        # _AGG_CALL's greedy arg can span `max(a)) OVER (..` shapes;
-        # parens must balance inside the arg
-        if call is not None and call.group("arg").count("(") == call.group("arg").count(")"):
+        # the call must span the WHOLE body as ONE balanced aggregate:
+        # the old paren-count check accepted `sum(a) * sum(b)` as a
+        # single sum whose arg was `a) * sum(b` — each peer then
+        # aggregated the per-slice PRODUCT and the finalize summed
+        # those, silently wrong (code-review r10). _find_agg_calls
+        # returns outermost balanced spans, so exactly one span
+        # covering the body is the structural test.
+        spans = _find_agg_calls(body) if call is not None else None
+        if call is not None and spans is not None and spans == [(0, len(body))]:
             arg = call.group("arg").strip()
             func = call.group("func").lower()
             if re.match(r"(?is)^\s*DISTINCT\b", arg):
@@ -809,15 +823,19 @@ def _resolve_join_tables(engine, plan: DistributedAgg):
     return fact, dim
 
 
-def _build_partial_plans(engine, plan: DistributedAgg, n_targets: int) -> list[str] | None:
+def _build_partial_plans(
+    engine, plan: DistributedAgg, n_targets: int, tdef=None
+) -> list[str] | None:
     """The per-target partial plan slices for BOTH the executor
     (try_distributed_select) and EXPLAIN (explain_distributed) — one
     definition, so the plan EXPLAIN prints can never drift from the
     plan that runs (code-review r9). None = the statement runs locally
     (unresolvable table, single-file location, fewer files than
-    targets)."""
+    targets). `tdef` skips re-resolving a table the caller already
+    resolved (code-review r10)."""
     if plan.table is not None:
-        tdef = _resolve_parquet_table(engine, plan.table)
+        if tdef is None:
+            tdef = _resolve_parquet_table(engine, plan.table)
         if tdef is None:
             return None
         sources = table_file_slices(tdef.location, n_targets)
@@ -939,12 +957,15 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
     if plan is None:
         return None
     resolved = None
+    tdef = None
     if plan.dim is not None:
         resolved = _resolve_join_tables(engine, plan)
         if resolved is None:
             return None  # unresolvable / oversized dim → local
-    elif plan.table is not None and _resolve_parquet_table(engine, plan.table) is None:
-        return None  # not a sliceable catalog parquet table → local
+    elif plan.table is not None:
+        tdef = _resolve_parquet_table(engine, plan.table)
+        if tdef is None:
+            return None  # not a sliceable catalog parquet table → local
     peers = reachable_peers([n["address"] for n in nodes])
     if not peers:
         return None
@@ -962,7 +983,7 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
             dim_ref=f"parquet.`{os.path.abspath(resolved[1].location)}`",
         )
     else:
-        plans = _build_partial_plans(engine, plan, len(peers))
+        plans = _build_partial_plans(engine, plan, len(peers), tdef=tdef)
         if plans is None:
             return None  # single file / fewer files than peers → local
         probe_partial = plans[0]

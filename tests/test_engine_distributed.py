@@ -1213,3 +1213,34 @@ class TestReviewR10Fixes:
         finally:
             engine.sql("DROP TABLE rvfact")
             engine.sql("DROP TABLE rvdim")
+
+
+class TestReviewR10SecondPass:
+    def test_multi_aggregate_arithmetic_body_falls_back(self):
+        """`sum(a) * sum(b)` satisfied the old paren-count check as ONE
+        sum whose arg was `a) * sum(b` — each peer aggregated the
+        per-slice PRODUCT and the finalize summed those, silently
+        wrong (code-review r10). The call must span the whole body."""
+        for s in [
+            "SELECT sum(number) * sum(number) AS s2 FROM numbers(1000)",
+            "SELECT min(number) - max(number) AS d FROM numbers(1000)",
+            "SELECT count(number) + count(number) AS c2 FROM numbers(10) GROUP BY number % 2",
+        ]:
+            assert parse_distributed_agg(s) is None, s
+        # single whole-body calls still parse, including nested parens
+        assert parse_distributed_agg(
+            "SELECT sum((number + 1) * (number - 1)) AS s FROM numbers(10)"
+        ) is not None
+
+    def test_norm_honors_backslash_escapes(self):
+        r"""'a\'B' and 'a\'b' are DIFFERENT literals: without backslash
+        handling _norm closed the literal at the escaped quote and
+        case-folded the tail, colliding two distinct group exprs and
+        binding both select items to key 0 (code-review r10)."""
+        p = parse_distributed_agg(
+            "SELECT concat(s, 'a\\'B') AS p, concat(s, 'a\\'b') AS q, "
+            "count(*) AS c FROM docs "
+            "GROUP BY concat(s, 'a\\'B'), concat(s, 'a\\'b')"
+        )
+        assert p is not None
+        assert [i.key_idx for i in p.items if i.kind == "key"] == [0, 1]
