@@ -1244,3 +1244,75 @@ class TestReviewR10SecondPass:
         )
         assert p is not None
         assert [i.key_idx for i in p.items if i.kind == "key"] == [0, 1]
+
+
+class TestJoinShapeSweep:
+    def test_random_join_shapes_differential(self, engine, two_peers, tmp_path):
+        """Seeded sweep over the broadcast-join surface: random agg
+        mixes (incl. uniq), INNER/LEFT, WHERE over both sides, group
+        keys from either side, HAVING, ORDER BY — each shape asserted
+        non-vacuously parseable and two-peer equal to local (schema
+        included)."""
+        import random
+
+        engine.sql(
+            f"CREATE TABLE swfact ENGINE = Parquet location = '{tmp_path}/swf' AS "
+            "SELECT number % 19 AS fk, number AS v, number % 4 AS cat "
+            "FROM numbers(60000)"
+        )
+        engine.sql(
+            f"CREATE TABLE swdim ENGINE = Parquet location = '{tmp_path}/swd' AS "
+            "SELECT number AS id, CASE WHEN number % 3 = 0 THEN 'a' "
+            "WHEN number % 3 = 1 THEN 'b' ELSE 'c' END AS grp FROM numbers(16)"
+        )  # ids 16-18 unmatched -> LEFT JOIN NULL keys
+        rng = random.Random(2020)
+        stmts = []
+        for q in range(8):
+            jt = rng.choice(["JOIN", "LEFT JOIN"])
+            aggs = ["count(*) AS c"]
+            if rng.random() < 0.7:
+                aggs.append("sum(f.v) AS s")
+            if rng.random() < 0.5:
+                aggs.append("avg(f.v) AS a")
+            if rng.random() < 0.5:
+                aggs.append("uniq(f.cat) AS u")
+            group = rng.choice([None, "d.grp", "f.cat"])
+            items = list(aggs)
+            if group and rng.random() < 0.7:
+                items.insert(0, f"{group} AS g")
+            sql = ("SELECT " + ", ".join(items) +
+                   f" FROM swfact AS f {jt} swdim AS d ON f.fk = d.id")
+            if rng.random() < 0.5:
+                sql += rng.choice([" WHERE f.v % 2 = 0", " WHERE d.id < 12"])
+            if group:
+                sql += f" GROUP BY {group}"
+                if rng.random() < 0.4:
+                    sql += " HAVING count(*) > 5"
+                if rng.random() < 0.4:
+                    sql += " ORDER BY count(*) DESC"
+            assert parse_distributed_agg(sql) is not None, f"vacuous case: {sql}"
+            stmts.append(sql)
+        try:
+            local = [
+                (sorted(tuple(map(str, r)) for r in engine.sql(s).collect()),
+                 engine.sql(s).schema)
+                for s in stmts
+            ]
+            for i, (_p, port) in enumerate(two_peers):
+                engine.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+            seen = []
+            engine._dist_after_dispatch = lambda a: seen.append(a)
+            try:
+                for s, (want, schema) in zip(stmts, local):
+                    df = engine.sql(s)
+                    got = sorted(tuple(map(str, r)) for r in df.collect())
+                    assert got == want, s
+                    assert df.schema == schema, s
+                assert len(seen) == len(stmts), "a shape fell back to local"
+            finally:
+                engine._dist_after_dispatch = None
+                for i in range(2):
+                    engine.cluster.remove_node(f"peer{i}")
+        finally:
+            engine.sql("DROP TABLE swfact")
+            engine.sql("DROP TABLE swdim")
