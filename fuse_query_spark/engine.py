@@ -134,10 +134,16 @@ class Engine:
         from fuse_query_spark.cluster import ClusterRegistry
 
         self.cluster = ClusterRegistry()
+        # per-thread record of flight_stream() temp views awaiting
+        # cleanup by the Flight stage actions — EAGER init: a lazy
+        # `if not hasattr` under two concurrent stage actions could
+        # replace the other thread's local and orphan its view
+        # (code-review r10)
+        self._fs_views_tl = threading.local()
         # serializes the session-global groupByOrdinal toggle around
         # statement ANALYSIS (see _select); execution stays concurrent
-        import threading
-
+        # (threading comes from the module import — a function-local
+        # re-import here shadowed it for the whole body)
         self._ordinal_lock = threading.Lock()
         self._view_local = threading.local()  # per-thread view-expansion stack
         # per-thread pid of the statement currently executing — lets
@@ -1174,10 +1180,6 @@ class Engine:
             # cleanup a long-lived peer pins one dim copy per join
             # query forever (code-review r10). Thread-local: concurrent
             # stage actions on one peer each clean only their own.
-            if not hasattr(self, "_fs_views_tl"):
-                import threading as _threading
-
-                self._fs_views_tl = _threading.local()
             if getattr(self._fs_views_tl, "views", None) is None:
                 self._fs_views_tl.views = []
             self._fs_views_tl.views.append(view)
@@ -1187,7 +1189,14 @@ class Engine:
 
     def pop_flight_stream_views(self) -> list:
         """Names of the temp views _resolve_flight_streams registered
-        on THIS thread since the last pop; clears the record."""
+        on THIS thread since the last pop; clears the record.
+
+        Contract: the Flight STAGE ACTIONS are the cleanup owners —
+        they pop-and-drop after materializing (the views must outlive
+        Engine.sql itself because execution is lazy). A caller that
+        consumes flight_stream() outside a stage action keeps its
+        views for the session (one per distinct (query, stage, sink) —
+        repeated identical refs reuse the same view name)."""
         tl = getattr(self, "_fs_views_tl", None)
         views = getattr(tl, "views", None) if tl is not None else None
         if tl is not None:

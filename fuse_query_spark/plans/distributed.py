@@ -496,6 +496,15 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
             return None  # self-join / colliding aliases — local
         join_type = "LEFT JOIN" if jm.group("jt").upper().startswith("LEFT") else "JOIN"
         join_cond = jm.group("cond").strip()
+        # the greedy cond capture would swallow a CHAINED join (`ON
+        # f.fk = d.id JOIN other ON ...`) or a trailing comma-join —
+        # the third table resolves in the COORDINATOR's catalog (so
+        # the finalize validation passes) but not on the peers, giving
+        # a StageError on a locally-valid statement (code-review r10)
+        if re.search(r"(?i)\bJOIN\b", _blank_literals(join_cond)):
+            return None
+        if len(_split_top_level(join_cond)) != 1:
+            return None
     for t in (table, dim):
         if t and (t.lower() == "dual" or t.lower().startswith("system.")):
             return None  # system surface stays local
@@ -887,6 +896,59 @@ def _build_join_partials(
     ]
 
 
+def _analyzable_probe_partial(engine, plan: DistributedAgg, tdef=None, resolved=None) -> str | None:
+    """ONE peer-shaped partial whose sources analyze in the LOCAL
+    session (the join form swaps the flight_stream ref — the stream
+    does not exist yet — for a direct dim read). Input to
+    _validate_finalize; None → the statement runs locally."""
+    if plan.dim is not None:
+        if resolved is None:
+            resolved = _resolve_join_tables(engine, plan)
+        if resolved is None:
+            return None
+        slices = table_file_slices(resolved[0].location, 1)
+        if slices is None:
+            return None
+        return partial_sql(
+            plan,
+            source=slices[0],
+            dim_ref=f"parquet.`{os.path.abspath(resolved[1].location)}`",
+        )
+    if plan.table is not None:
+        if tdef is None:
+            tdef = _resolve_parquet_table(engine, plan.table)
+        if tdef is None:
+            return None
+        slices = table_file_slices(tdef.location, 1)
+        if slices is None:
+            return None
+        return partial_sql(plan, source=slices[0])
+    return partial_sql(plan, *slice_bounds(plan.n, 1)[0])
+
+
+def _validate_finalize(engine, plan: DistributedAgg, probe_partial: str) -> bool:
+    """Pre-dispatch finalize validation (code-review r10): analyze the
+    ENTIRE coordinator finalize against an EMPTY view of the partial
+    schema. Any shape the post-finalize layer cannot resolve — an
+    unqualified HAVING ref spelled differently than its group expr,
+    an aggregate outside _RESID_AGG's list (count_if, max_by, ...), a
+    dangling FILTER clause — must mean LOCAL execution, never a
+    post-dispatch analysis error on a locally-valid statement (the
+    module invariant). Shared by the executor AND EXPLAIN so the plan
+    EXPLAIN prints can never drift from the plan that runs."""
+    try:
+        pschema = engine.local_select(probe_partial).schema
+        pview = f"__fq_dist_probe_{uuid.uuid4().hex[:12]}"
+        engine.spark.createDataFrame([], pschema).createOrReplaceTempView(pview)
+        try:
+            engine.spark.sql(final_sql(plan, pview))
+        finally:
+            engine.spark.catalog.dropTempView(pview)
+        return True
+    except Exception:
+        return False
+
+
 def explain_distributed(engine, sql: str, nodes: list[dict]) -> str | None:
     """The scheduled form of a distributable statement, for EXPLAIN
     under a registered cluster — reference parity: ExplainInterpreter
@@ -906,14 +968,30 @@ def explain_distributed(engine, sql: str, nodes: list[dict]) -> str | None:
         return None
     addrs = [n["address"] for n in nodes]
     lines = [f"== Distributed Plan (cluster: {len(addrs)} registered peers) =="]
+    resolved = None
     if plan.dim is not None:
+        resolved = _resolve_join_tables(engine, plan)
+        if resolved is None:
+            return None
         bsinks = [f"b{i}" for i in range(len(addrs))]
         plans = _build_join_partials(
-            engine, plan, addrs, "<query-id>", "stage0/bcast", bsinks
+            engine, plan, addrs, "<query-id>", "stage0/bcast", bsinks,
+            resolved=resolved,
         )
         if plans is None:
             return None
-        resolved = _resolve_join_tables(engine, plan)
+    else:
+        plans = _build_partial_plans(engine, plan, len(addrs))
+        if plans is None:
+            return None
+    # the executor validates the finalize pre-dispatch; EXPLAIN must
+    # make the SAME call or it would print a distributed plan (with
+    # un-analyzable Final SQL) for a statement that always runs
+    # locally — plan drift (code-review r10)
+    probe = _analyzable_probe_partial(engine, plan, resolved=resolved)
+    if probe is None or not _validate_finalize(engine, plan, probe):
+        return None
+    if plan.dim is not None:
         lines.append(
             f"Stage 0 (BroadcastAction, scatter=broadcast into "
             f"{len(addrs)} sinks):"
@@ -924,9 +1002,6 @@ def explain_distributed(engine, sql: str, nodes: list[dict]) -> str | None:
             f"into {len(addrs)} sinks):"
         )
     else:
-        plans = _build_partial_plans(engine, plan, len(addrs))
-        if plans is None:
-            return None
         lines.append(
             f"Stage 0 (PrepareShuffleAction, scatter={scatter_expression(plan)} "
             f"into {len(addrs)} sinks):"
@@ -972,21 +1047,19 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
     query_id = f"dq-{uuid.uuid4().hex[:12]}"
     if plan.dim is not None:
         plans = None  # per-attempt (the join path regenerates slices)
-        fact_slices = table_file_slices(resolved[0].location, len(peers))
-        if fact_slices is None:
+        if table_file_slices(resolved[0].location, len(peers)) is None:
             return None  # fewer fact files than peers → local
-        # an ANALYZABLE stand-in for a peer partial (the flight stream
-        # does not exist yet): the dim read directly from its location
-        probe_partial = partial_sql(
-            plan,
-            source=fact_slices[0],
-            dim_ref=f"parquet.`{os.path.abspath(resolved[1].location)}`",
-        )
     else:
         plans = _build_partial_plans(engine, plan, len(peers), tdef=tdef)
         if plans is None:
             return None  # single file / fewer files than peers → local
-        probe_partial = plans[0]
+    probe_partial = (
+        _analyzable_probe_partial(engine, plan, tdef=tdef, resolved=resolved)
+        if plan.dim is not None
+        else plans[0]
+    )
+    if probe_partial is None:
+        return None
     # the LOCAL plan's analyzed schema is the output contract: the
     # finalized result is conformed to its names (unaliased `count(*)`
     # is Spark's `count(1)`, not the raw item text) and dtypes (local
@@ -995,22 +1068,7 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
     # advice + judge r9. Analysis only; an analysis error here is the
     # SAME error the local path raises, so it propagates.
     local_schema = engine.local_select(sql).schema
-    # pre-dispatch finalize validation (code-review r10): analyze the
-    # ENTIRE coordinator finalize against an EMPTY view of the partial
-    # schema. Any shape the post-finalize layer cannot resolve — an
-    # unqualified HAVING ref spelled differently than its group expr,
-    # an aggregate outside _RESID_AGG's list (count_if, max_by, ...) —
-    # must mean LOCAL execution, never a post-dispatch analysis error
-    # on a locally-valid statement (the module invariant).
-    try:
-        pschema = engine.local_select(probe_partial).schema
-        pview = f"__fq_dist_probe_{query_id.replace('-', '_')}"
-        engine.spark.createDataFrame([], pschema).createOrReplaceTempView(pview)
-        try:
-            engine.spark.sql(final_sql(plan, pview))
-        finally:
-            engine.spark.catalog.dropTempView(pview)
-    except Exception:
+    if not _validate_finalize(engine, plan, probe_partial):
         return None
     import pyarrow as pa
 

@@ -1316,3 +1316,79 @@ class TestJoinShapeSweep:
         finally:
             engine.sql("DROP TABLE swfact")
             engine.sql("DROP TABLE swdim")
+
+
+class TestReviewR10ThirdPass:
+    def test_chained_and_comma_joins_fall_back(self):
+        """The greedy ON capture must not swallow a chained or comma
+        join: the third table resolves in the COORDINATOR's catalog
+        but not on the peers — StageError on locally-valid SQL
+        (code-review r10)."""
+        for s in [
+            "SELECT count(*) AS c FROM fact f JOIN dim d ON f.fk = d.id "
+            "JOIN other ON f.v = d.id",
+            "SELECT count(*) AS c FROM fact f JOIN dim d ON f.fk = d.id "
+            "LEFT JOIN other o ON o.x = d.id",
+            "SELECT count(*) AS c FROM fact f JOIN dim d ON f.fk = d.id, other",
+        ]:
+            assert parse_distributed_agg(s) is None, s
+        # a literal containing the word JOIN in the cond is fine
+        p = parse_distributed_agg(
+            "SELECT count(*) AS c FROM fact f JOIN dim d "
+            "ON f.fk = d.id AND d.grp != 'x JOIN y'"
+        )
+        assert p is not None
+
+    def test_explain_matches_runtime_for_unresolvable_having(self, engine):
+        """EXPLAIN must make the same finalize-validation call as the
+        executor: a statement that always runs locally must not print
+        a distributed plan with un-analyzable Final SQL (plan drift,
+        code-review r10)."""
+        engine.cluster.add_node("x0", 5, "grpc://h0:9000")
+        engine.cluster.add_node("x1", 5, "grpc://h1:9000")
+        try:
+            text = "\n".join(
+                r[0] for r in engine.sql(
+                    "EXPLAIN SELECT count(*) AS c FROM numbers(100) "
+                    "GROUP BY number % 3 HAVING count_if(number > 0) > 1"
+                ).collect()
+            )
+            assert "Distributed Plan" not in text
+            # ... while a resolvable HAVING still explains distributed
+            t2 = "\n".join(
+                r[0] for r in engine.sql(
+                    "EXPLAIN SELECT count(*) AS c FROM numbers(100) "
+                    "GROUP BY number % 3 HAVING count(*) > 1"
+                ).collect()
+            )
+            assert "Distributed Plan" in t2
+        finally:
+            engine.cluster.remove_node("x0")
+            engine.cluster.remove_node("x1")
+
+    def test_concurrent_flight_stream_resolutions_all_tracked(self, spark):
+        """The thread-local view record is initialized EAGERLY: a lazy
+        hasattr check raced two concurrent resolutions, one replacing
+        the other's threading.local and orphaning its view forever
+        (code-review r10). Simulated at the bookkeeping level."""
+        import threading
+
+        from fuse_query_spark.engine import Engine
+
+        e = Engine(spark)
+        assert hasattr(e, "_fs_views_tl")
+        results = {}
+
+        def record(name):
+            if getattr(e._fs_views_tl, "views", None) is None:
+                e._fs_views_tl.views = []
+            e._fs_views_tl.views.append(name)
+            results[name] = e.pop_flight_stream_views()
+
+        ts = [threading.Thread(target=record, args=(f"v{i}",)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # every thread sees exactly its own view, none lost
+        assert all(results[f"v{i}"] == [f"v{i}"] for i in range(8))
