@@ -1392,3 +1392,62 @@ class TestReviewR10ThirdPass:
             t.join()
         # every thread sees exactly its own view, none lost
         assert all(results[f"v{i}"] == [f"v{i}"] for i in range(8))
+
+
+class TestConcurrentDistributedStatements:
+    def test_parallel_statements_through_one_coordinator(self, engine, two_peers, tmp_path):
+        """Two threads run DIFFERENT distributable statements (one
+        shuffle-only, one broadcast join) concurrently against the
+        same registered cluster — the reality of the MySQL front-end's
+        connection threads. Query-unique ids keep stages and temp
+        views disjoint; the analysis lock serializes only analysis.
+        Both results must equal their local twins."""
+        import threading
+
+        engine.sql(
+            f"CREATE TABLE ccfact ENGINE = Parquet location = '{tmp_path}/ccf' AS "
+            "SELECT number % 9 AS fk, number AS v FROM numbers(40000)"
+        )
+        engine.sql(
+            f"CREATE TABLE ccdim ENGINE = Parquet location = '{tmp_path}/ccd' AS "
+            "SELECT number AS id FROM numbers(9)"
+        )
+        q1 = ("SELECT number % 5 AS g, uniq(number % 100) AS u, count(*) AS c "
+              "FROM numbers(50000) GROUP BY number % 5")
+        q2 = ("SELECT count(*) AS c, sum(f.v) AS s FROM ccfact AS f "
+              "JOIN ccdim AS d ON f.fk = d.id")
+        try:
+            want = {
+                q: sorted(tuple(map(str, r)) for r in engine.sql(q).collect())
+                for q in (q1, q2)
+            }
+            for i, (_p, port) in enumerate(two_peers):
+                engine.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+            got: dict = {}
+            errs: list = []
+
+            def run(q):
+                try:
+                    got[q] = sorted(
+                        tuple(map(str, r)) for r in engine.sql(q).collect()
+                    )
+                except Exception as e:  # surface in the main thread
+                    errs.append((q, e))
+
+            try:
+                for _round in range(2):  # twice: reuse the same cluster
+                    got.clear()
+                    ts = [threading.Thread(target=run, args=(q,)) for q in (q1, q2)]
+                    for t in ts:
+                        t.start()
+                    for t in ts:
+                        t.join(timeout=300)
+                    assert not errs, errs
+                    assert got[q1] == want[q1]
+                    assert got[q2] == want[q2]
+            finally:
+                for i in range(2):
+                    engine.cluster.remove_node(f"peer{i}")
+        finally:
+            engine.sql("DROP TABLE ccfact")
+            engine.sql("DROP TABLE ccdim")
