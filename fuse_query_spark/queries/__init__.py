@@ -117,73 +117,66 @@ DRIVER_HIDDEN = {
 # (both r5+r6 green; sampling keeps split_leakage_safe + dsir,
 # similarity keeps 4 prefix rows).
 DRIVER_PRIORITY = [
-    # r10 rotation COMPLETES the staleness burn-down (judge r9 ask #5):
-    # prefix = the staleness plan's head verbatim (tools/check_oracle.py
-    # --stale after applying r9 greens): expr_projection (the last r4
-    # row, deliberately deferred in r9), ALL 15 r5 rows, ALL 5 r6 rows,
-    # then the 29 oldest r7 rows — every one re-verified green by
-    # tools/check_oracle.py at sf0.01 before pinning. After this round
-    # no registry row's last green predates r7 (the remaining 21 r7
-    # rows queue for r11). The displaced r9-green rows keep their
-    # driver-green history past slot 50 (ROTATION.md). No new rows
-    # enter: this round's new surface (distributed broadcast-join
-    # stage, distributed uniq/HAVING) is multi-process machinery the
-    # driver harness cannot replay; its evidence is pytest
-    # (test_engine_distributed.py, test_flight_server.py).
-    # --- last green r4 (the final deferment — must-enter) ---
-    "expr_projection",
-    # --- last green r5 ---
-    "dedup_cluster_canonical",
-    "embedding_quantize_int8",
-    "events_value_histogram",
-    "multimodal_jpeg_decode",
-    "pipeline_curation_end_to_end",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "recursive_month_spine",
-    "sample_stratified_rates",
-    "sample_temperature_mix",
-    "text_chunk_windows",
-    "text_pii_redact",
-    "text_tfidf_keywords",
-    "text_unigram_logprob",
-    # --- last green r6 ---
-    "dedup_chunk_fraction",
-    "embedding_random_projection",
-    "multimodal_gif_decode",
-    "multimodal_wav_decode",
-    "pack_sequences",
-    # --- last green r7 (oldest 29 of 50; rest queue for r11) ---
-    "agg_approx_bounded",
-    "agg_percentiles",
-    "corpus_vocab_stats",
-    "correlated_exists",
-    "correlated_scalar_subquery",
-    "dedup_containment_md5",
-    "dedup_semantic_kmeans",
-    "dedup_soft_reweight",
-    "embedding_pq_encode",
-    "events_heavy_hitters_rollup",
-    "events_topk_sketch_rollup",
-    "events_uniq_sketch_rollup",
-    "expr_array_surface",
-    "expr_datetime_surface",
-    "expr_null_semantics",
-    "expr_string_surface",
-    "multimodal_blob_meta",
-    "multimodal_gif_interlaced_decode",
-    "multimodal_jpeg_arith_decode",
-    "multimodal_jpeg_arith_progressive_decode",
-    "multimodal_jpeg_color_decode",
-    "multimodal_jpeg_progressive_decode",
-    "multimodal_png_decode",
-    "numbers_groupby3_1b",
-    "numbers_sum_triple_1b",
-    "numbers_throughput_10b",
-    "numbers_topk_sort_10b",
-    "pipeline_filter_funnel",
-    "q01_pricing_summary",
+    # r11 rotation (judge r10 ask #1): prefix = the staleness plan's
+    # head verbatim (tools/check_oracle.py --stale after applying r10
+    # greens) — the 21 remaining r7 rows, then the 29 oldest r8 rows to
+    # fill 50. After this round no registry row's last green predates
+    # r8; the remaining 26 r8 rows queue for r12. Every row below was
+    # re-verified green by tools/check_oracle.py at sf0.01 before
+    # pinning. Displaced r10-green rows keep their driver-green history
+    # past slot 50 (ROTATION.md).
+    # --- last green r7 (the 21 remaining) ---
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "remote_engine_scan",
+    "sample_dsir_importance",
+    "sample_split_leakage_safe",
+    "setop_except_intersect_all",
+    "similarity_knn_ivf_lloyd",
+    "similarity_knn_pq_adc",
+    "similarity_knn_pq_rerank",
+    "similarity_knn_projected",
+    "snapshot_time_travel",
+    "text_bigram_logprob",
+    "text_boilerplate_scrub",
+    "text_bpe_segment",
+    "text_hashed_linear_score",
+    "text_perplexity_bands",
+    "text_winnow_fingerprint",
+    "window_distribution",
+    # --- last green r8 (oldest 29 of 55; rest queue for r12) ---
+    "agg_argminmax",
+    "agg_combinator_distinct",
+    "agg_combinator_if",
+    "cube_lineitem",
+    "dedup_exact_retention",
+    "dedup_incremental_index",
+    "dedup_near_prefix_groups",
+    "derived_table",
+    "dialect_combinators",
+    "dialect_limit_by",
+    "events_hopping_15m",
+    "events_json_extract",
+    "events_rate_per_day",
+    "events_tumbling_hourly",
+    "grouping_sets_disjoint",
+    "grouping_sets_orders",
+    "join_anti",
+    "join_asof",
+    "join_fact_fact",
+    "join_left_outer",
+    "join_range_bucketed",
+    "join_revenue_by_nation",
+    "multimodal_container_quarantine",
+    "multimodal_jpeg_quarantine_lossless",
+    "multimodal_mkv_demux",
+    "multimodal_mp4_demux",
+    "numbers_agg",
+    "numbers_groupby3_100m",
+    "numbers_sum_triple_100m",
 ]
 
 
