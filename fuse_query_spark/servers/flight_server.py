@@ -279,6 +279,91 @@ class StageError(Exception):
         self.cause = cause
 
 
+class DistinctStateOverflow(Exception):
+    """A peer's distinct-state guard tripped (the assert_true the
+    partial plan carries when a group's collect_set would exceed
+    DISTINCT_STATE_MAX_ELEMS — plans/distributed.py, advice r10). NOT
+    retryable: every peer re-executes the same partial and re-trips
+    the same guard, so the retry loops raise this immediately (after
+    draining the attempt) and the coordinator reruns the statement
+    locally, where Spark's own partial distinct aggregation has no
+    single-row state bound."""
+
+
+def _is_distinct_overflow(err: Exception) -> bool:
+    from fuse_query_spark.plans.distributed import DISTINCT_OVERFLOW_MARKER
+
+    return DISTINCT_OVERFLOW_MARKER in str(err)
+
+
+def _drain_remote(addr: str, query_id: str, stage_id: str, sinks: list[str]) -> None:
+    """Best-effort one-shot-stream teardown over a FRESH connection —
+    used by the post-abort watcher after a straggler stage action
+    finally completes on its peer."""
+    try:
+        con = flight.connect(addr)
+        try:
+            con.wait_for_available(timeout=5)
+            for s in sinks:
+                try:
+                    con.do_get(stream_ticket(query_id, stage_id, s)).read_all()
+                except Exception:
+                    pass
+        finally:
+            con.close()
+    except Exception:
+        pass
+
+
+def _run_actions_interruptibly(coord, jobs, abort_check, owned) -> None:
+    """Run an attempt's blocking do_action RPCs concurrently while
+    POLLING the abort flag every ~100ms (advice r10: a KILL landing
+    during a long synchronous stage action must surface at the poll
+    interval, not after the slowest peer finishes its whole partial).
+    `jobs` is a list of (thunk, (addr, query_id, stage_id, sinks)).
+
+    On abort with actions still in flight, ownership of the attempt
+    moves to a daemon WATCHER: the coordinator's connections stay open
+    (owned["v"] flips False so the caller's finally skips close), so
+    each straggler future completes exactly when its peer finished —
+    and therefore has registered its streams; the watcher then drains
+    every job's streams and closes the coordinator. A peer that never
+    answers parks the watcher forever (daemon thread, bounded by
+    process life) — the same exposure an uninterruptible RPC had, now
+    off the KILL path. Raises QueryAborted on abort, else the first
+    action error after all actions complete."""
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import wait as _fwait
+
+    ex = ThreadPoolExecutor(max_workers=max(1, len(jobs)))
+    try:
+        futs = [ex.submit(thunk) for thunk, _info in jobs]
+        pending = set(futs)
+        while pending:
+            done, pending = _fwait(pending, timeout=0.1)
+            if abort_check is not None and pending and abort_check():
+                from fuse_query_spark.errors import QueryAborted
+
+                infos = [info for _t, info in jobs]
+                still = frozenset(pending)
+
+                def _watch():
+                    _fwait(still)
+                    for addr, qid, sid, sinks in infos:
+                        _drain_remote(addr, qid, sid, sinks)
+                    coord.close()
+
+                owned["v"] = False
+                threading.Thread(target=_watch, daemon=True).start()
+                raise QueryAborted("distributed stage aborted by KILL")
+        for f in futs:
+            err = f.exception()
+            if err is not None:
+                raise err
+    finally:
+        ex.shutdown(wait=False)
+
+
 class StageCoordinator:
     """Coordinator side of the reference's distributed dispatch loop
     (plan_scheduler.rs + flight_dispatcher.rs): send peer i its slice
@@ -463,6 +548,8 @@ def dispatch_with_retry(
             # as a failed attempt and let the next probe drop it
             last_err = StageError("<connect>", e)
             continue
+        owned = {"v": True}  # flips False when a post-abort watcher
+        # takes over the coordinator's connections (stragglers in flight)
         try:
             # one sub-stage per slice (a peer may carry several after
             # reassignment; sub-stage ids keep their streams disjoint)
@@ -503,10 +590,9 @@ def dispatch_with_retry(
             # shuffle_action), so a serial loop would make the stage
             # cost the SUM of the partials instead of their MAX — the
             # opposite of why the query fanned out (code-review r9).
-            # A KILL during the dispatches is checked right after the
-            # barrier (granularity unchanged: the RPC boundary).
+            # A KILL during the dispatches surfaces at the ~100ms poll
+            # (advice r10), with a watcher owning straggler teardown.
             _check_abort()
-            from concurrent.futures import ThreadPoolExecutor
 
             def _dispatch_one(sub):
                 pi2, sid2, pl2 = sub
@@ -516,12 +602,18 @@ def dispatch_with_retry(
                     )
                 )
 
-            with ThreadPoolExecutor(max_workers=max(1, len(subs))) as ex:
-                futs = [ex.submit(_dispatch_one, sub) for sub in subs]
-                errs = [f.exception() for f in futs]
-            for err in errs:
-                if err is not None:
-                    raise err
+            _run_actions_interruptibly(
+                coord,
+                [
+                    (
+                        (lambda sub=sub: _dispatch_one(sub)),
+                        (alive[sub[0]], query_id, sub[1], sinks),
+                    )
+                    for sub in subs
+                ],
+                abort_check,
+                owned,
+            )
             _check_abort()
             if _after_dispatch is not None:
                 _after_dispatch(attempt)
@@ -536,6 +628,12 @@ def dispatch_with_retry(
                     )
             return {s: pa.concat_tables(t) for s, t in parts.items()}
         except flight.FlightError as e:
+            if _is_distinct_overflow(e):
+                # deterministic re-failure on every peer — drain and
+                # surface the typed overflow so the coordinator falls
+                # back to local execution (advice r10)
+                _drain_attempt()
+                raise DistinctStateOverflow(str(e)) from e
             last_err = StageError("<mid-stage>", e)
             _drain_attempt()
         except Exception:
@@ -550,7 +648,8 @@ def dispatch_with_retry(
             _drain_attempt()
             raise
         finally:
-            coord.close()
+            if owned["v"]:
+                coord.close()
     raise last_err
 
 
@@ -608,6 +707,7 @@ def dispatch_join_with_retry(
         except Exception as e:
             last_err = StageError("<connect>", e)
             continue
+        owned = {"v": True}
         try:
             def _drain_attempt():
                 # unconsumed broadcast streams live on the hosting peer
@@ -637,14 +737,26 @@ def dispatch_join_with_retry(
                     raise QueryAborted("distributed stage aborted by KILL")
 
             _check_abort()
-            # the broadcast stage prepares synchronously on one peer
-            list(
-                coord.cons[0].do_action(
-                    broadcast_action(query_id, bstage, broadcast_plan, bsinks)
-                )
+            # the broadcast stage prepares synchronously on one peer —
+            # a full dim scan, so it too is abort-polled (advice r10)
+            _run_actions_interruptibly(
+                coord,
+                [
+                    (
+                        (lambda: list(
+                            coord.cons[0].do_action(
+                                broadcast_action(
+                                    query_id, bstage, broadcast_plan, bsinks
+                                )
+                            )
+                        )),
+                        (alive[0], query_id, bstage, bsinks),
+                    )
+                ],
+                abort_check,
+                owned,
             )
             _check_abort()
-            from concurrent.futures import ThreadPoolExecutor
 
             def _dispatch_one(pi: int):
                 list(
@@ -656,12 +768,18 @@ def dispatch_join_with_retry(
                     )
                 )
 
-            with ThreadPoolExecutor(max_workers=max(1, len(alive))) as ex:
-                futs = [ex.submit(_dispatch_one, pi) for pi in range(len(alive))]
-                errs = [f.exception() for f in futs]
-            for err in errs:
-                if err is not None:
-                    raise err
+            _run_actions_interruptibly(
+                coord,
+                [
+                    (
+                        (lambda pi=pi: _dispatch_one(pi)),
+                        (alive[pi], query_id, f"{stage}/{pi}", osinks),
+                    )
+                    for pi in range(len(alive))
+                ],
+                abort_check,
+                owned,
+            )
             _check_abort()
             if _after_dispatch is not None:
                 _after_dispatch(attempt)
@@ -676,11 +794,15 @@ def dispatch_join_with_retry(
                     )
             return {s: pa.concat_tables(t) for s, t in parts.items()}
         except flight.FlightError as e:
+            if _is_distinct_overflow(e):
+                _drain_attempt()
+                raise DistinctStateOverflow(str(e)) from e
             last_err = StageError("<mid-stage>", e)
             _drain_attempt()
         except Exception:
             _drain_attempt()
             raise
         finally:
-            coord.close()
+            if owned["v"]:
+                coord.close()
     raise last_err
