@@ -683,7 +683,7 @@ def dispatch_join_with_retry(
     peers: list[str],
     query_id: str,
     stage_id: str,
-    broadcast_plan: str,
+    broadcast_plans: list[str] | str,
     make_partials,
     scatters_expression: str,
     max_attempts: int = 3,
@@ -691,25 +691,28 @@ def dispatch_join_with_retry(
     abort_check=None,
     _after_dispatch=None,
 ) -> dict:
-    """Two-stage broadcast-join dispatch (the scatter pair the
+    """Multi-stage broadcast-join dispatch (the scatter kinds the
     reference's ScattersOptimizer plans — optimizer_scatters.rs picks
-    hash vs broadcast, api/rpc/flight_scatter_broadcast.rs expands a
-    stage result to every sink):
+    hash vs broadcast per stage, api/rpc/flight_scatter_broadcast.rs
+    expands a stage result to every sink, and plan_scheduler.rs:96
+    walks arbitrary stage trees — so a join CHAIN gets one
+    BroadcastAction stage per dim):
 
-      stage <id>/bcast — `broadcast_plan` runs ONCE on the first alive
-      peer as a BroadcastAction; every sink b{i} receives the full
-      result (the dim table).
-      stage <id>/{i}   — peer i's partial plan (from
-      `make_partials(alive, bstage, bsinks)`) joins its fact slice
-      against its broadcast stream and scatters into s{0..P-1}.
+      stage <id>/bcast{d} — broadcast_plans[d] runs ONCE on the first
+      alive peer as a BroadcastAction; every sink b{i} receives the
+      full result (dim d's table). The d stages dispatch concurrently.
+      stage <id>/{i}      — peer i's partial plan (from
+      `make_partials(alive, bstages, bsinks)`) joins its fact slice
+      against its broadcast streams and scatters into s{0..P-1}.
 
-    Recovery mirrors dispatch_with_retry, but a retry regenerates BOTH
+    Recovery mirrors dispatch_with_retry, but a retry regenerates ALL
     stages under fresh stage ids: broadcast streams are one-shot, and
     the broadcast host itself may be the dead peer — make_partials is
     re-invoked with the survivor set so slices AND stream refs rebind.
     Raises the last StageError when no survivor set completes; drains
     every failed attempt's streams (broadcast and output) before
-    retrying or propagating."""
+    retrying or propagating. A bare string `broadcast_plans` is
+    accepted as a one-stage chain."""
     last_err: Exception | None = None
     candidates = list(peers)
     for attempt in range(max_attempts):
@@ -720,10 +723,14 @@ def dispatch_join_with_retry(
         if not alive:
             raise last_err or StageError("<all peers>", RuntimeError("no peers reachable"))
         stage = stage_id if attempt == 0 else f"{stage_id}~retry{attempt}"
-        bstage = f"{stage}/bcast"
+        bplans = (
+            [broadcast_plans] if isinstance(broadcast_plans, str)
+            else list(broadcast_plans)
+        )
+        bstages = [f"{stage}/bcast{d}" for d in range(len(bplans))]
         bsinks = [f"b{i}" for i in range(len(alive))]
         osinks = [f"s{i}" for i in range(len(alive))]
-        plans = make_partials(alive, bstage, bsinks)
+        plans = make_partials(alive, bstages, bsinks)
         if plans is None:
             raise last_err or StageError(
                 "<plan>", RuntimeError("no fact slices for the surviving peers")
@@ -739,13 +746,14 @@ def dispatch_join_with_retry(
                 # unconsumed broadcast streams live on the hosting peer
                 # (a peer consumes its own b{i} while executing its
                 # partial); output streams live everywhere — drain both
-                for b in bsinks:
-                    try:
-                        coord.cons[0].do_get(
-                            stream_ticket(query_id, bstage, b)
-                        ).read_all()
-                    except Exception:
-                        pass
+                for bst in bstages:
+                    for b in bsinks:
+                        try:
+                            coord.cons[0].do_get(
+                                stream_ticket(query_id, bst, b)
+                            ).read_all()
+                        except Exception:
+                            pass
                 for pi in range(len(alive)):
                     for sink in osinks:
                         try:
@@ -763,21 +771,21 @@ def dispatch_join_with_retry(
                     raise QueryAborted("distributed stage aborted by KILL")
 
             _check_abort()
-            # the broadcast stage prepares synchronously on one peer —
-            # a full dim scan, so it too is abort-polled (advice r10)
+            # the broadcast stages prepare on one peer — each a full
+            # dim scan, dispatched concurrently and abort-polled
+            # (advice r10); one BroadcastAction per dim in the chain
             _run_actions_interruptibly(
                 coord,
                 [
                     (
-                        (lambda: list(
+                        (lambda bst=bst, bpl=bpl: list(
                             coord.cons[0].do_action(
-                                broadcast_action(
-                                    query_id, bstage, broadcast_plan, bsinks
-                                )
+                                broadcast_action(query_id, bst, bpl, bsinks)
                             )
                         )),
-                        (alive[0], query_id, bstage, bsinks),
+                        (alive[0], query_id, bst, bsinks),
                     )
+                    for bst, bpl in zip(bstages, bplans)
                 ],
                 abort_check,
                 owned,
