@@ -392,6 +392,18 @@ def main() -> None:
             round(st["median"] * CAL_REFERENCE_SEC / local, 3) if local > 0 else -1.0
         )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # headline_normalized (judge r10 ask #6): the same sum over the
+    # load-normalized per-query medians — the round-over-round
+    # comparison basis on a contended host. Raw `value` stays the
+    # official metric.
+    total_normalized = round(
+        sum(
+            st["median_normalized"]
+            for st in stats.values()
+            if st.get("median_normalized", -1.0) >= 0
+        ),
+        3,
+    )
     # Full per-query stats go to a SIDECAR file: BENCH_r04.json came
     # back `parsed: null` because the single stdout line with embedded
     # stats exceeded the driver's capture window (judge r4 ask #7).
@@ -399,6 +411,7 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
+        "headline_normalized": total_normalized,
         "unit": "sec",
         "sf": sf,
         "cpus": cpus,
@@ -439,6 +452,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
+                "headline_normalized": total_normalized,
                 "unit": "sec",
                 "queries": qdict,
                 "queries_elided_see_detail": omitted,
