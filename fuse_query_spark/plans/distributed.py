@@ -966,7 +966,12 @@ def _final_expr(j: int, it: _Item, elem_types: dict[int, str] | None = None) -> 
             f"(a, x) -> CAST(a + x AS {acc}))"
         )
         if it.func == "avg_distinct":
-            fold = f"{fold} / size({merged})"
+            # divide by BIGINT, not size()'s INT: local Average divides
+            # the sum-typed numerator by a bigint count, and DECIMAL
+            # division precision/scale depend on the divisor's type —
+            # the int shape could double-round differently at scale-6
+            # boundaries
+            fold = f"{fold} / CAST(size({merged}) AS BIGINT)"
         # an all-NULL (or empty-after-filter) group merges to an empty
         # set; local sum/avg(DISTINCT) return NULL there, the fold's
         # zero-init would return 0
