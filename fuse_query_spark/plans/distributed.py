@@ -646,6 +646,22 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
                 }[base]
             else:
                 func = base
+            if func == "uniq" and arg and arg != "*":
+                parts = [a.strip() for a in _split_top_level(arg)]
+                if len(parts) > 1:
+                    # multi-arg count(DISTINCT a, b)/uniq(a, b): the
+                    # distinct state is the TUPLE set — shipped as a
+                    # struct, null-guarded because CountDistinct counts
+                    # only rows where EVERY child is non-null (the same
+                    # rule the reference's distinct combinator keys its
+                    # HashSet on)
+                    if any(not p for p in parts):
+                        return None
+                    guard = " AND ".join(f"({p}) IS NOT NULL" for p in parts)
+                    fields = ", ".join(
+                        f"'c{i}', {p}" for i, p in enumerate(parts)
+                    )
+                    arg = f"CASE WHEN {guard} THEN named_struct({fields}) END"
             if func in ("uniq", "sum_distinct", "avg_distinct") and (
                 not arg or arg == "*" or len(_split_top_level(arg)) != 1
             ):

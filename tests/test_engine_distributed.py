@@ -745,11 +745,16 @@ class TestDistributedDistinctAndHaving:
         )
         assert p2 is not None and p2.items[0].func == "uniq"
         # sum/avg DISTINCT ride the SAME value-set wire since r11
-        # (aggregate_combinator_distinct.rs:39-225 generality); only
-        # multi-arg / star distinct states stay local
+        # (aggregate_combinator_distinct.rs:39-225 generality)
         p3 = parse_distributed_agg("SELECT sum(DISTINCT number) AS s FROM numbers(10)")
         assert p3 is not None and p3.items[0].func == "sum_distinct"
-        assert parse_distributed_agg("SELECT uniq(a, b) FROM docs") is None
+        # multi-arg distinct ships the TUPLE set as a null-guarded
+        # struct (CountDistinct counts only all-non-null rows)
+        p4 = parse_distributed_agg(
+            "SELECT count(DISTINCT number % 3, number % 5) AS u FROM numbers(10)"
+        )
+        assert p4 is not None and p4.items[0].func == "uniq"
+        assert "named_struct" in p4.items[0].arg and "IS NOT NULL" in p4.items[0].arg
         assert parse_distributed_agg("SELECT count(DISTINCT *) FROM docs") is None
 
     def test_having_parses_to_post_finalize_filter(self):
@@ -830,6 +835,11 @@ class TestDistributedDistinctAndHaving:
             # (empty-set fold), matching local sum/avg(DISTINCT)
             "SELECT sumIf(number, number < 0) AS s, "
             "avgIf(number, number < 0) AS a FROM numbers(5000)",
+            # multi-arg tuple distinct (struct state), incl. a NULL-able
+            # child so the all-non-null guard is load-bearing
+            "SELECT count(DISTINCT number % 6, number % 10) AS u, "
+            "uniq(number % 4, IF(number % 3 = 0, NULL, number % 7)) AS u2 "
+            "FROM numbers(30000)",
         ]
         local = [
             ([tuple(map(str, r)) for r in engine.sql(s).collect()],
