@@ -934,6 +934,12 @@ class TestDistributedDistinctAndHaving:
         stmts = [
             "SELECT number % 7 AS g, count(*) AS c FROM numbers(49999) "
             "GROUP BY number % 7 HAVING count(*) > 7142 ORDER BY g",
+            # combinator-spelled select twins resolve in HAVING and
+            # ORDER BY through the same textual-twin machinery (r11)
+            "SELECT number % 3 AS g, sumIf(number, number % 2 = 0) AS s, "
+            "sum(DISTINCT number % 50) AS sd FROM numbers(30000) "
+            "GROUP BY number % 3 HAVING sumIf(number, number % 2 = 0) > 100 "
+            "ORDER BY sum(DISTINCT number % 50) DESC, g",
             "SELECT number % 7 AS g, uniq(number % 100) AS u FROM numbers(21000) "
             "GROUP BY number % 7 HAVING uniq(number % 100) >= 100 AND number % 7 >= 2 "
             "ORDER BY g LIMIT 3",
@@ -1565,10 +1571,17 @@ class TestJoinShapeSweep:
             "SELECT number AS id, CASE WHEN number % 3 = 0 THEN 'a' "
             "WHEN number % 3 = 1 THEN 'b' ELSE 'c' END AS grp FROM numbers(16)"
         )  # ids 16-18 unmatched -> LEFT JOIN NULL keys
+        engine.sql(
+            f"CREATE TABLE swdim2 ENGINE = Parquet location = '{tmp_path}/swd2' AS "
+            "SELECT number AS id2, number * 7 AS w FROM numbers(3)"
+        )  # cat 3 unmatched -> chained LEFT JOIN NULLs
         rng = random.Random(2020)
         stmts = []
-        for q in range(8):
+        for q in range(10):
             jt = rng.choice(["JOIN", "LEFT JOIN"])
+            # r11: ~half the shapes chain a second broadcast dim
+            chain = rng.random() < 0.5
+            jt2 = rng.choice(["JOIN", "LEFT JOIN"]) if chain else None
             aggs = ["count(*) AS c"]
             if rng.random() < 0.7:
                 aggs.append("sum(f.v) AS s")
@@ -1576,12 +1589,21 @@ class TestJoinShapeSweep:
                 aggs.append("avg(f.v) AS a")
             if rng.random() < 0.5:
                 aggs.append("uniq(f.cat) AS u")
+            # r11 combinator surface rides the sweep
+            if rng.random() < 0.5:
+                aggs.append("sumIf(f.v, f.cat = 1) AS sif")
+            if rng.random() < 0.4:
+                aggs.append("sum(DISTINCT f.cat) AS sd")
+            if chain and rng.random() < 0.6:
+                aggs.append("sum(d2.w) AS w2")
             group = rng.choice([None, "d.grp", "f.cat"])
             items = list(aggs)
             if group and rng.random() < 0.7:
                 items.insert(0, f"{group} AS g")
             sql = ("SELECT " + ", ".join(items) +
                    f" FROM swfact AS f {jt} swdim AS d ON f.fk = d.id")
+            if chain:
+                sql += f" {jt2} swdim2 AS d2 ON f.cat = d2.id2"
             if rng.random() < 0.5:
                 sql += rng.choice([" WHERE f.v % 2 = 0", " WHERE d.id < 12"])
             if group:
@@ -1616,6 +1638,7 @@ class TestJoinShapeSweep:
         finally:
             engine.sql("DROP TABLE swfact")
             engine.sql("DROP TABLE swdim")
+            engine.sql("DROP TABLE swdim2")
 
 
 class TestReviewR10ThirdPass:
