@@ -164,8 +164,19 @@ class Engine:
                 "maps to spark.sql.shuffle.partitions",
             ),
             "max_block_size": Setting(10000, 10000, "no-op: Spark sizes batches internally"),
-            "min_distributed_rows": Setting(100_000_000, 100_000_000, "no-op: AQE decides"),
-            "min_distributed_bytes": Setting(500 * 1024 * 1024, 500 * 1024 * 1024, "no-op: AQE decides"),
+            # the standalone-vs-cluster scatter thresholds
+            # (optimizer_scatters.rs:150-210): a clustered engine
+            # fans a distributable statement out only when the read
+            # source meets either bound — below them the fan-out's
+            # fixed stage premium dominates (SCALE.md r10/r11)
+            "min_distributed_rows": Setting(
+                100_000_000, 100_000_000,
+                "distribute only sources with at least this many rows",
+            ),
+            "min_distributed_bytes": Setting(
+                500 * 1024 * 1024, 500 * 1024 * 1024,
+                "distribute only sources with at least this many bytes",
+            ),
         }
 
     # ---------- public API ----------

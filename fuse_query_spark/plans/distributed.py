@@ -1104,6 +1104,41 @@ def _resolve_join_tables(engine, plan: DistributedAgg):
     return fact, dim_tdefs
 
 
+def _source_stats(engine, plan: DistributedAgg, tdef=None, resolved=None):
+    """(rows, bytes) of the sliced read source — rows exact for the
+    numbers generator (bytes = rows x 8, the u64 width the reference's
+    own statistics report for it), bytes from parquet file sizes for
+    catalog tables (the FACT side for joins; row count would need a
+    footer read per file, so that dimension reports 0 and the byte
+    threshold decides)."""
+    if plan.n is not None:
+        return plan.n, plan.n * 8
+    tref = resolved[0] if resolved is not None else tdef
+    if tref is None or not getattr(tref, "location", None):
+        return 0, 0
+    return 0, _dim_location_bytes(tref.location) or 0
+
+
+def meets_distribution_threshold(engine, plan: DistributedAgg, tdef=None, resolved=None) -> bool:
+    """The reference's standalone-vs-cluster decision
+    (optimizer_scatters.rs:150-210, thresholds from
+    sessions/settings.rs:23-24): a read source smaller than BOTH
+    ``min_distributed_rows`` AND ``min_distributed_bytes`` stays
+    standalone — below that, the fan-out's fixed stage premium
+    (~0.5-1.3 s measured, SCALE.md r10/r11) dominates any split win.
+    The settings are per-engine session state (SET min_distributed_rows
+    = 0 forces distribution, reference-style). Settings stored by SET
+    arrive as strings; unparsable values fail open to 'distribute'
+    so a bad SET can't silently pin a cluster to local."""
+    try:
+        min_rows = int(engine.settings["min_distributed_rows"].value)
+        min_bytes = int(engine.settings["min_distributed_bytes"].value)
+    except Exception:
+        return True
+    rows, nbytes = _source_stats(engine, plan, tdef=tdef, resolved=resolved)
+    return rows >= min_rows or nbytes >= min_bytes
+
+
 def _build_partial_plans(
     engine, plan: DistributedAgg, n_targets: int, tdef=None
 ) -> list[str] | None:
@@ -1267,6 +1302,7 @@ def explain_distributed(engine, sql: str, nodes: list[dict]) -> str | None:
     addrs = [n["address"] for n in nodes]
     lines = [f"== Distributed Plan (cluster: {len(addrs)} registered peers) =="]
     resolved = None
+    tdef = None
     if plan.dims:
         resolved = _resolve_join_tables(engine, plan)
         if resolved is None:
@@ -1280,9 +1316,15 @@ def explain_distributed(engine, sql: str, nodes: list[dict]) -> str | None:
         if plans is None:
             return None
     else:
-        plans = _build_partial_plans(engine, plan, len(addrs))
+        if plan.table is not None:
+            tdef = _resolve_parquet_table(engine, plan.table)
+            if tdef is None:
+                return None
+        plans = _build_partial_plans(engine, plan, len(addrs), tdef=tdef)
         if plans is None:
             return None
+    if not meets_distribution_threshold(engine, plan, tdef=tdef, resolved=resolved):
+        return None  # EXPLAIN mirrors the runtime standalone decision
     # the executor validates the finalize pre-dispatch; EXPLAIN must
     # make the SAME call (including the local-schema casts) or it would
     # print a distributed plan (with un-analyzable Final SQL) for a
@@ -1354,6 +1396,10 @@ def try_distributed_select(engine, sql: str, nodes: list[dict]):
         tdef = _resolve_parquet_table(engine, plan.table)
         if tdef is None:
             return None  # not a sliceable catalog parquet table → local
+    if not meets_distribution_threshold(engine, plan, tdef=tdef, resolved=resolved):
+        return None  # under min_distributed_rows/bytes — standalone
+        # (optimizer_scatters.rs:150-210; the settings were documented
+        # no-ops until the engine grew this real distributed path)
     peers = reachable_peers([n["address"] for n in nodes])
     if not peers:
         return None

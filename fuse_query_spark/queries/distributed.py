@@ -60,6 +60,10 @@ def distributed_two_peer_gather(spark, sf_dir):
             threading.Thread(target=srv.serve, daemon=True).start()
             servers.append(srv)
         coord = Engine(spark)
+        # the reference-default standalone thresholds (settings.rs:23-24,
+        # 100M rows / 500MB) would keep this 200k-row probe local —
+        # force the scatter decision the way a reference session does
+        coord.sql("SET min_distributed_rows = 0")
         for i, srv in enumerate(servers):
             coord.cluster.add_node(f"p{i}", 5, f"grpc://localhost:{srv.port}")
         dispatched = []

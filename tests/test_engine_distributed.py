@@ -219,6 +219,7 @@ class TestClusteredExplain:
         from fuse_query_spark.engine import Engine
 
         e = Engine(spark)
+        e.sql("SET min_distributed_rows = 0")
         e.cluster.add_node("x0", 5, "grpc://h0:9000")
         e.cluster.add_node("x1", 5, "grpc://h1:9000")
         try:
@@ -268,7 +269,12 @@ def two_peers():
 def engine(spark):
     from fuse_query_spark.engine import Engine
 
-    return Engine(spark)
+    e = Engine(spark)
+    # the reference-default standalone thresholds (100M rows / 500MB,
+    # settings.rs:23-24) would keep every small test query local —
+    # force the scatter decision the way a reference test session does
+    e.sql("SET min_distributed_rows = 0")
+    return e
 
 
 class TestDistributedEngineSql:
@@ -493,6 +499,7 @@ class TestDistributedEngineSql:
         from fuse_query_spark.servers.mysql_server import MySQLServer
 
         engine = Engine(spark)
+        engine.sql("SET min_distributed_rows = 0")
         srv = MySQLServer(engine, port=0)
         srv.start()
         try:
@@ -1243,6 +1250,63 @@ class TestDistinctHavingSweepAndJoinKill:
         finally:
             engine.sql("DROP TABLE kfact")
             engine.sql("DROP TABLE kdim")
+
+
+class TestDistributionThresholds:
+    """The reference's standalone-vs-cluster decision
+    (optimizer_scatters.rs:150-210, sessions/settings.rs:23-24):
+    a read source under BOTH min_distributed_rows and
+    min_distributed_bytes stays standalone even with live peers —
+    the fan-out's fixed stage premium would dominate (SCALE.md).
+    The settings were documented no-ops until the engine grew the
+    real distributed path; r11 makes them load-bearing."""
+
+    def test_small_source_stays_local_by_default(self, spark, two_peers):
+        from fuse_query_spark.engine import Engine
+
+        e = Engine(spark)  # reference defaults: 100M rows / 500MB
+        for i, (_p, port) in enumerate(two_peers):
+            e.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+        dispatched = []
+        e._dist_after_dispatch = lambda a: dispatched.append(a)
+        try:
+            rows = e.sql(
+                "SELECT count(*) AS c FROM numbers(50000) GROUP BY number % 2"
+            ).collect()
+            assert sorted(r.c for r in rows) == [25000, 25000]
+            assert dispatched == [], "a sub-threshold source must stay standalone"
+            # EXPLAIN mirrors the runtime decision: no distributed plan
+            t = "\n".join(
+                map(str, e.sql(
+                    "EXPLAIN SELECT count(*) AS c FROM numbers(50000) "
+                    "GROUP BY number % 2"
+                ).collect())
+            )
+            assert "Distributed Plan" not in t
+        finally:
+            e._dist_after_dispatch = None
+            for i in range(2):
+                e.cluster.remove_node(f"peer{i}")
+
+    def test_threshold_boundary_controls_the_scatter(self, spark, two_peers):
+        from fuse_query_spark.engine import Engine
+
+        e = Engine(spark)
+        e.sql("SET min_distributed_rows = 50000")
+        e.sql(f"SET min_distributed_bytes = {50000 * 8}")
+        for i, (_p, port) in enumerate(two_peers):
+            e.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+        dispatched = []
+        e._dist_after_dispatch = lambda a: dispatched.append(a)
+        try:
+            e.sql("SELECT count(*) AS c FROM numbers(49999)").collect()
+            assert dispatched == []
+            e.sql("SELECT count(*) AS c FROM numbers(50000)").collect()
+            assert len(dispatched) == 1, "at-threshold source must distribute"
+        finally:
+            e._dist_after_dispatch = None
+            for i in range(2):
+                e.cluster.remove_node(f"peer{i}")
 
 
 class TestDistributedMultiDimChain:
