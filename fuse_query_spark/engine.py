@@ -28,6 +28,7 @@ from fuse_query_spark.dialect.rewriter import (
     strip_line_comments,
 )
 from fuse_query_spark.errors import (
+    BadArguments,
     DatabaseAlreadyExists,
     QueryAborted,
     TableAlreadyExists,
@@ -1990,9 +1991,25 @@ class Engine:
             return self.spark.createDataFrame([(tdef.name, ddl)], "Table STRING, CreateTable STRING")
         raise UnsupportedStatement(f"Unsupported SHOW: {s}")
 
+    # settings whose consumers need an integer; rejected at SET time
+    # (advice r11: `SET min_distributed_rows = 'abc'` used to store the
+    # string, and meets_distribution_threshold's fail-open except then
+    # silently forced every distributable statement to fan out)
+    _INT_SETTINGS = (
+        "max_threads", "max_block_size",
+        "min_distributed_rows", "min_distributed_bytes",
+    )
+
     def _set(self, s: str):
         m = re.match(r"(?is)^SET\s+(\w+)\s*=\s*(.+)$", s)
         key, value = m.group(1).lower(), m.group(2).strip().strip("'")
+        if key in self._INT_SETTINGS:
+            try:
+                value = int(value)
+            except ValueError:
+                raise BadArguments(
+                    f"Setting '{key}' expects an integer, got '{value}'"
+                ) from None
         if key not in self.settings:
             self.settings[key] = Setting(value, value, "user-defined")
         else:

@@ -153,7 +153,7 @@ DRIVER_PRIORITY = [
     "text_perplexity_bands",
     "text_winnow_fingerprint",
     "window_distribution",
-    # --- last green r8 (oldest 29 of 55; rest queue for r12) ---
+    # --- last green r8 (oldest 28 of 55; rest queue for r12) ---
     "agg_argminmax",
     "agg_combinator_distinct",
     "agg_combinator_if",

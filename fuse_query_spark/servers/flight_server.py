@@ -341,53 +341,79 @@ def _drain_remote(addr: str, query_id: str, stage_id: str, sinks: list[str]) -> 
         pass
 
 
-def _run_actions_interruptibly(coord, jobs, abort_check, owned) -> None:
+class _ActionRun:
+    """One in-flight stage action on its own DAEMON thread. Plain
+    threads, not a ThreadPoolExecutor: concurrent.futures registers
+    its (non-daemon) workers for an atexit join, so a worker blocked
+    in a never-answering peer's do_action would block interpreter
+    exit (advice r11) — a daemon thread dies with the process, which
+    is the bound the docstring promises. Results are discarded by
+    every caller (the actions return ack bytes only); errors keep."""
+
+    __slots__ = ("done", "err")
+
+    def __init__(self, thunk):
+        self.done = threading.Event()
+        self.err: BaseException | None = None
+
+        def _run():
+            try:
+                thunk()
+            except BaseException as e:  # noqa: BLE001 — kept for the caller
+                self.err = e
+            finally:
+                self.done.set()
+
+        threading.Thread(target=_run, daemon=True).start()
+
+
+def _run_actions_interruptibly(coord, jobs, abort_check, owned, extra_drains=()) -> None:
     """Run an attempt's blocking do_action RPCs concurrently while
     POLLING the abort flag every ~100ms (advice r10: a KILL landing
     during a long synchronous stage action must surface at the poll
     interval, not after the slowest peer finishes its whole partial).
-    `jobs` is a list of (thunk, (addr, query_id, stage_id, sinks)).
+    `jobs` is a list of (thunk, (addr, query_id, stage_id, sinks));
+    `extra_drains` is additional (addr, query_id, stage_id, sinks)
+    tuples the post-abort watcher must ALSO drain — the join dispatch
+    passes its broadcast stages here, because a straggler partial that
+    fails after the abort never consumes its b{i} broadcast stream,
+    which would otherwise sit on the hosting peer for the peer's
+    lifetime (advice r11).
 
     On abort with actions still in flight, ownership of the attempt
     moves to a daemon WATCHER: the coordinator's connections stay open
     (owned["v"] flips False so the caller's finally skips close), so
-    each straggler future completes exactly when its peer finished —
-    and therefore has registered its streams; the watcher then drains
-    every job's streams and closes the coordinator. A peer that never
-    answers parks the watcher forever (daemon thread, bounded by
-    process life) — the same exposure an uninterruptible RPC had, now
-    off the KILL path. Raises QueryAborted on abort, else the first
-    action error after all actions complete."""
-    from concurrent.futures import ThreadPoolExecutor
-    from concurrent.futures import wait as _fwait
+    each straggler completes exactly when its peer finished — and
+    therefore has registered its streams; the watcher then drains
+    every job's (and extra_drains') streams and closes the
+    coordinator. ALL threads here are daemon (workers AND watcher), so
+    a peer that never answers parks them until process death but can
+    never block interpreter exit. Raises QueryAborted on abort, else
+    the first action error after all actions complete."""
+    runs = [_ActionRun(thunk) for thunk, _info in jobs]
+    pending = [r for r in runs if not r.done.is_set()]
+    while pending:
+        pending[0].done.wait(timeout=0.1)
+        pending = [r for r in pending if not r.done.is_set()]
+        if abort_check is not None and pending and abort_check():
+            from fuse_query_spark.errors import QueryAborted
 
-    ex = ThreadPoolExecutor(max_workers=max(1, len(jobs)))
-    try:
-        futs = [ex.submit(thunk) for thunk, _info in jobs]
-        pending = set(futs)
-        while pending:
-            done, pending = _fwait(pending, timeout=0.1)
-            if abort_check is not None and pending and abort_check():
-                from fuse_query_spark.errors import QueryAborted
+            infos = [info for _t, info in jobs] + list(extra_drains)
+            still = list(pending)
 
-                infos = [info for _t, info in jobs]
-                still = frozenset(pending)
+            def _watch():
+                for r in still:
+                    r.done.wait()
+                for addr, qid, sid, sinks in infos:
+                    _drain_remote(addr, qid, sid, sinks)
+                coord.close()
 
-                def _watch():
-                    _fwait(still)
-                    for addr, qid, sid, sinks in infos:
-                        _drain_remote(addr, qid, sid, sinks)
-                    coord.close()
-
-                owned["v"] = False
-                threading.Thread(target=_watch, daemon=True).start()
-                raise QueryAborted("distributed stage aborted by KILL")
-        for f in futs:
-            err = f.exception()
-            if err is not None:
-                raise err
-    finally:
-        ex.shutdown(wait=False)
+            owned["v"] = False
+            threading.Thread(target=_watch, daemon=True).start()
+            raise QueryAborted("distributed stage aborted by KILL")
+    for r in runs:
+        if r.err is not None:
+            raise r.err
 
 
 class StageCoordinator:
@@ -813,6 +839,13 @@ def dispatch_join_with_retry(
                 ],
                 abort_check,
                 owned,
+                # a straggler partial that FAILS after the abort never
+                # consumes its b{i} broadcast stream — the watcher must
+                # drain the broadcast stages too or they sit on the
+                # hosting peer for its lifetime (advice r11)
+                extra_drains=[
+                    (alive[0], query_id, bst, bsinks) for bst in bstages
+                ],
             )
             _check_abort()
             if _after_dispatch is not None:

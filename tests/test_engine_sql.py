@@ -242,6 +242,29 @@ def test_set_and_settings_table(engine):
     assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "16"
 
 
+def test_set_integer_setting_rejects_non_numeric(engine):
+    """advice r11: a non-numeric value for an integer-typed setting
+    must fail at SET time, not fail-open downstream (a bad
+    min_distributed_rows used to silently force every distributable
+    statement onto the cluster)."""
+    from fuse_query_spark.errors import BadArguments
+
+    for stmt in (
+        "SET min_distributed_rows = 'abc'",
+        "SET min_distributed_bytes = 12.5",
+        "SET max_threads = ''",
+    ):
+        with pytest.raises(BadArguments):
+            engine.sql(stmt)
+    # the stored values are untouched by the rejected statements
+    v = engine.sql(
+        "SELECT value FROM system.settings WHERE name = 'min_distributed_rows'"
+    ).collect()
+    assert v[0][0].isdigit()
+    # free-form (non-integer-typed) settings still accept any string
+    engine.sql("SET some_user_setting = 'free text'")
+
+
 def test_explain(engine):
     out = engine.sql("EXPLAIN select max(number+1) as c1 from numbers_mt(10000) group by number%3")
     text = "\n".join(r[0] for r in out.collect())
