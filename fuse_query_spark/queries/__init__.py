@@ -118,70 +118,70 @@ DRIVER_HIDDEN = {
 # (both r5+r6 green; sampling keeps split_leakage_safe + dsir,
 # similarity keeps 4 prefix rows).
 DRIVER_PRIORITY = [
-    # r11 rotation (judge r10 ask #1): prefix = the staleness plan's
-    # head verbatim (tools/check_oracle.py --stale after applying r10
-    # greens) — the 21 remaining r7 rows, then the 28 oldest r8 rows,
-    # plus ONE never-checked row (never-checked outranks a repeat:
-    # distributed_two_peer_gather, the new in-process two-peer Flight
-    # gather — judge r10 ask #8 — giving the distributed path a
-    # driver-green row instead of pytest-only evidence). After this
-    # round no registry row's last green predates r8; the remaining 27
-    # r8 rows queue for r12. Every row below was re-verified green by
-    # tools/check_oracle.py at sf0.01 before pinning. Displaced
-    # r10-green rows keep their driver-green history past slot 50
-    # (ROTATION.md).
-    "distributed_two_peer_gather",
-    # --- last green r7 (the 21 remaining) ---
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "remote_engine_scan",
-    "sample_dsir_importance",
-    "sample_split_leakage_safe",
-    "setop_except_intersect_all",
-    "similarity_knn_ivf_lloyd",
-    "similarity_knn_pq_adc",
-    "similarity_knn_pq_rerank",
-    "similarity_knn_projected",
-    "snapshot_time_travel",
-    "text_bigram_logprob",
-    "text_boilerplate_scrub",
-    "text_bpe_segment",
-    "text_hashed_linear_score",
-    "text_perplexity_bands",
-    "text_winnow_fingerprint",
-    "window_distribution",
-    # --- last green r8 (oldest 28 of 55; rest queue for r12) ---
-    "agg_argminmax",
-    "agg_combinator_distinct",
-    "agg_combinator_if",
-    "cube_lineitem",
-    "dedup_exact_retention",
-    "dedup_incremental_index",
-    "dedup_near_prefix_groups",
-    "derived_table",
-    "dialect_combinators",
-    "dialect_limit_by",
-    "events_hopping_15m",
-    "events_json_extract",
-    "events_rate_per_day",
-    "events_tumbling_hourly",
-    "grouping_sets_disjoint",
-    "grouping_sets_orders",
-    "join_anti",
-    "join_asof",
-    "join_fact_fact",
-    "join_left_outer",
-    "join_range_bucketed",
-    "join_revenue_by_nation",
-    "multimodal_container_quarantine",
-    "multimodal_jpeg_quarantine_lossless",
-    "multimodal_mkv_demux",
-    "multimodal_mp4_demux",
-    "numbers_agg",
-    "numbers_groupby3_100m",
+    # r12 rotation (judge r11 ask #2): prefix = the staleness plan's
+    # head verbatim (tools/check_oracle.py --stale after applying r11
+    # greens) — TWO never-checked rows first (never-checked outranks a
+    # repeat: distributed_topk_two_peer, the sort/limit Convergent
+    # stage over the wire — judge r11 ask #3 — and
+    # distributed_argmax_two_peer, the arg-extremum struct-state wire
+    # — ask #4), then the 22 remaining r8 rows, then the 26 oldest r9
+    # rows. After this round no registry row's last green predates r9;
+    # the remaining 29 r9 rows queue for r13. Every row below was
+    # re-verified green by tools/check_oracle.py at sf0.01 before
+    # pinning. Displaced r10/r11-green rows keep their driver-green
+    # history past slot 50 (ROTATION.md).
+    "distributed_topk_two_peer",
+    "distributed_argmax_two_peer",
+    # --- last green r8 (the 22 remaining) ---
+    "numbers_sum_triple_100m",
+    "numbers_throughput_100m",
+    "numbers_topk_sort_100m",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q06_forecast_revenue",
+    "q12_priority_by_returnflag",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "rollup_orders",
+    "sample_quota_per_source",
+    "scalar_subquery",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "similarity_bucket_histogram",
+    "similarity_knn_lsh",
+    "text_token_stats",
+    "window_lag_lead",
+    "window_range_interval",
+    "window_rank",
+    "window_sliding_frame",
+    # --- last green r9 (oldest 26 of 55; rest queue for r13) ---
+    "agg_global_stats",
+    "agg_uniq",
+    "csv_engine_scan",
+    "decontaminate_bloom",
+    "decontaminate_ngram",
+    "dedup_duplicated_spans",
+    "dedup_embedding_cosine",
+    "dedup_exact_docs",
+    "dedup_minhash_cross_corpus",
+    "dedup_minhash_lsh_md5",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_md5",
+    "dialect_numbers_groupby",
+    "dialect_scalar_surface",
+    "events_cohort_retention",
+    "events_funnel_attribution",
+    "events_sessionize",
+    "filter_predicates",
+    "grouping_sets",
+    "having_filter",
+    "interval_arithmetic",
+    "join_semi_exists",
+    "json_engine_scan",
+    "limit_by",
+    "limit_offset",
+    "multimodal_ppm_decode",
 ]
 
 

@@ -71,6 +71,34 @@ class FlightDispatcher:
         if self._aborted:
             raise flight.FlightUnavailableError("dispatcher is aborted")
 
+    @staticmethod
+    def _to_arrow_nullable(df) -> pa.Table:
+        """``df.toArrow()`` with the schema relaxed to fully nullable
+        first. Spark's Arrow conversion casts batches to the ANALYZED
+        schema, and a NULL value above a non-nullable child field —
+        e.g. an arg-extremum partial ``max(CASE WHEN … THEN
+        named_struct('c', cmp, 'r', number) END)`` over an all-NULL-cmp
+        slice, where the generator's ``number`` makes field r
+        non-null — fails Arrow's view with 'nulls in input cannot be
+        viewed as non-nullable'. The wire carries values, not
+        nullability contracts, so every stage result ships with
+        relaxed nullability (the coordinator conforms to the local
+        plan's schema at finalize anyway)."""
+        from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+        def relax(dt):
+            if isinstance(dt, StructType):
+                return StructType(
+                    [StructField(f.name, relax(f.dataType), True) for f in dt.fields]
+                )
+            if isinstance(dt, ArrayType):
+                return ArrayType(relax(dt.elementType), True)
+            if isinstance(dt, MapType):
+                return MapType(relax(dt.keyType), relax(dt.valueType), True)
+            return dt
+
+        return df.to(relax(df.schema)).toArrow()
+
     def shuffle_action(self, engine, action: dict) -> None:
         """PrepareShuffleAction: run the plan once, route every row to
         the sink whose index equals the reference's scatter bucket
@@ -96,7 +124,7 @@ class FlightDispatcher:
                 # to Arrow WITH the bucket column, split by bucket in
                 # Arrow memory
                 tagged = df.withColumn("__fq_bucket", scatter_bucket(expr, len(sinks)))
-                table = tagged.toArrow()
+                table = self._to_arrow_nullable(tagged)
         finally:
             _drop_flight_stream_views(engine)
         buckets = table.column("__fq_bucket")
@@ -121,7 +149,7 @@ class FlightDispatcher:
                 df = engine.sql(action["plan"])
                 if df is None:
                     raise flight.FlightServerError("plan produced no result set")
-                table = df.toArrow()
+                table = self._to_arrow_nullable(df)
         finally:
             _drop_flight_stream_views(engine)
         self._set_streams(
