@@ -40,12 +40,17 @@ factory composes (aggregate_function_factory.rs:150-196):
 ``uniq``/``count(DISTINCT x)``/``sum(DISTINCT x)``/``avg(DISTINCT x)``
 (min/max DISTINCT are semantic no-ops and run as their base), the
 ``<agg>If`` forms, and the Spark-native ``<agg>(x) FILTER (WHERE c)``
-spelling; ``argMin``/``argMax`` (+If; Distinct is a no-op) ship a
-(cmp, ret) struct extremum — aggregate_arg_min.rs:19-180's
-serialize/merge of the (value, arg) pair — and the
+spelling; ``argMin``/``argMax`` (+If; Distinct is a no-op) ship the
+(value, arg) pair state — min_by/max_by(ret, cmp) next to
+min/max(cmp), re-merged with min_by/max_by at the coordinator,
+aggregate_arg_min.rs:19-180's own serialize/merge — and the
 stddev/var family ships (n, mean, M2) per peer, merged with the exact
 parallel-variance combination (within 1-ulp of local Welford; the
-0-row→NULL / 1-row→NULL(_samp) edges are exact, r12). A NO-AGGREGATE
+0-row→NULL / 1-row→NULL(_samp) edges are exact, r12). Keys-only
+GROUP BY and ``SELECT DISTINCT <exprs>`` (a keys-only group-by by
+rewrite) two-phase the same way with no aggregate merges — the
+reference stages GroupBy partial/final regardless of aggregate
+presence (r12). A NO-AGGREGATE
 ``SELECT <exprs> FROM <source> [WHERE …] ORDER BY … LIMIT k`` (k ≤
 FQ_DIST_TOPK_MAX) distributes as the reference's Convergent stage
 (optimizer_scatters.rs:29-315 inserts one before sort/limit
@@ -555,6 +560,7 @@ class _Item:
     body: str = ""  # key: the group expr text; col: the projected expr
     func: str = ""  # agg: function
     arg: str = ""  # agg: argument text ('*' only for count)
+    arg2: str = ""  # argmin/argmax: the cmp (ordering) expression
     key_idx: int = -1  # key: index into group_exprs
 
 
@@ -718,6 +724,35 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
     if any(not body for body in cl.values()):
         return None  # an empty clause body (`WHERE GROUP BY x`) is
         # malformed SQL — never rescue it into a runnable plan
+    dm = re.match(r"(?is)^\s*DISTINCT\b", cl.get("SELECT") or "")
+    if dm is not None:
+        # SELECT DISTINCT <exprs> = GROUP BY every select expr — the
+        # same keys-only two-phase the reference's scatter optimizer
+        # stages for GroupBy partial/final regardless of aggregate
+        # presence (optimizer_scatters.rs hashes _group_by_key): each
+        # peer groups its slice, the merge re-groups the gathered keys
+        if cl.get("GROUP BY") is not None:
+            return None  # DISTINCT over an aggregate output — local
+        cl = dict(cl)
+        cl["SELECT"] = cl["SELECT"][dm.end():].strip()
+        if not cl["SELECT"]:
+            return None
+        bodies = []
+        for raw in _split_top_level(cl["SELECT"]):
+            am = _ITEM_ALIAS.match(raw.strip())
+            b = (am.group("body") if am else raw).strip()
+            bspans = _find_agg_calls(b)
+            if (
+                not b
+                or b == "*"
+                or re.fullmatch(r"[A-Za-z_]\w*\s*\.\s*\*", b)
+                or bspans is None
+                or bspans  # DISTINCT over aggregates — local
+                or _RESID_AGG.search(_blank_literals(b))
+            ):
+                return None
+            bodies.append(b)
+        cl["GROUP BY"] = ", ".join(bodies)
     fm = _FROM_NUMBERS.match(cl["FROM"])
     tm = _FROM_TABLE.match(cl["FROM"]) if fm is None else None
     jm = _parse_from_joins(cl["FROM"]) if fm is None and tm is None else None
@@ -780,29 +815,33 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
                 distinct = True
                 arg = re.sub(r"(?is)^\s*DISTINCT\b", "", arg).strip()
             if base in ("argmin", "argmax"):
-                # the serialized state is the (cmp, ret) struct extremum
-                # — aggregate_arg_min.rs:19-180 merges (value, arg)
-                # pairs by comparing value; struct ordering compares
-                # 'c' first, so min/max over the struct IS that merge.
-                # DISTINCT is a semantic no-op (duplicate pairs cannot
-                # change the winner, rewriter.py argMinDistinct). The
-                # NULL-cmp guard mirrors min_by/max_by ignoring rows
-                # whose ordering key is NULL; on cmp ties the struct
-                # extremum deterministically takes the extremal ret —
-                # one of the valid outcomes of Spark's own
-                # partition-order-dependent min_by/max_by.
+                # the serialized state is the (value, arg) PAIR —
+                # exactly what aggregate_arg_min.rs:19-180 keeps and
+                # merges by comparing value: the partial ships
+                # min_by/max_by(ret, cmp) next to min/max(cmp), the
+                # finalize re-runs min_by/max_by over the peer states.
+                # Both stages stay native/whole-stage-codegen — the
+                # first cut shipped a struct extremum instead and its
+                # interpreted struct comparison cost ~35x on a 100M-row
+                # partial (SCALE.md r12). DISTINCT is a semantic no-op
+                # (duplicate pairs cannot change the winner,
+                # rewriter.py argMinDistinct); the If/FILTER guard
+                # folds into cmp (a NULL ordering key is ignored by
+                # min_by/max_by, so guarded-out rows never update the
+                # state). Ties keep min_by/max_by's own
+                # partition-order nondeterminism — same class locally.
                 parts = [a.strip() for a in _split_top_level(arg)]
                 if len(parts) != 2 or any(not p for p in parts):
                     return None
                 ret_e, cmp_e = parts
-                guards = [f"({cmp_e}) IS NOT NULL"]
                 if fcond is not None:
-                    guards.insert(0, f"({fcond})")
-                arg = (
-                    f"CASE WHEN {' AND '.join(guards)} THEN "
-                    f"named_struct('c', ({cmp_e}), 'r', ({ret_e})) END"
+                    cmp_e = f"CASE WHEN ({fcond}) THEN ({cmp_e}) END"
+                items.append(
+                    _Item(
+                        "agg", alias or body, body=body, func=base,
+                        arg=ret_e, arg2=cmp_e,
+                    )
                 )
-                items.append(_Item("agg", alias or body, body=body, func=base, arg=arg))
                 has_agg = True
                 continue
             if base in _MOMENT_FUNCS:
@@ -885,9 +924,16 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
         else:
             return None  # a non-aggregate, non-key item — not this shape
     if not has_agg:
-        if any(it.kind != "col" for it in items):
-            return None  # keys without aggregates (bare GROUP BY) — local
-        return _build_sort_plan(cl, items, fm, tm, jm)
+        if items and all(it.kind == "key" for it in items):
+            # keys-only GROUP BY (or a rewritten SELECT DISTINCT):
+            # two-phase group-by with NO aggregate merges — the
+            # partial groups each slice, the finalize re-groups the
+            # gathered keys; falls through to the shared plan build
+            pass
+        elif items and all(it.kind == "col" for it in items):
+            return _build_sort_plan(cl, items, fm, tm, jm)
+        else:
+            return None  # mixed / empty — local
     if any(it.kind == "col" for it in items):
         return None  # mixing bare columns into an ungrouped aggregate
         # is invalid SQL — let the local path raise Spark's error
@@ -1059,11 +1105,13 @@ def partial_sql(
             cols.append(f"sum({it.arg}) AS p{j}s")
             cols.append(f"count({it.arg}) AS p{j}c")
         elif it.func in ("argmin", "argmax"):
-            # the (cmp, ret) struct extremum — the peer's serialized
-            # arg-extremum state (aggregate_arg_min.rs:19-180); arg is
-            # the NULL-guarded named_struct built at parse time
+            # the (value, arg) pair state (aggregate_arg_min.rs:19-180):
+            # ret-of-extremal-cmp next to the extremal cmp itself —
+            # both native codegen aggregates (the struct-extremum form
+            # cost ~35x interpreted, SCALE.md r12)
             f = "min" if it.func == "argmin" else "max"
-            cols.append(f"{f}({it.arg}) AS p{j}")
+            cols.append(f"{f}_by({it.arg}, {it.arg2}) AS p{j}r")
+            cols.append(f"{f}({it.arg2}) AS p{j}c")
         elif it.func in _MOMENT_FUNCS:
             # the (n, mean, M2) moment state — Spark computes each
             # peer's mean/M2 with its own Welford-style central-moment
@@ -1205,11 +1253,12 @@ def _final_expr(j: int, it: _Item, elem_types: dict[int, str] | None = None) -> 
         # non-nullable output schema through the gathered view
         return f"coalesce(sum(p{j}), 0)"
     if it.func in ("argmin", "argmax"):
-        # merge = the same struct extremum over the peers' (cmp, ret)
-        # states, then project the ret field — exactly
-        # aggregate_arg_min.rs's merge(compare value, keep arg)
-        f = "min" if it.func == "argmin" else "max"
-        return f"{f}(p{j}).r"
+        # merge = min_by/max_by over the peers' (ret, cmp) pair states
+        # — exactly aggregate_arg_min.rs's merge(compare value, keep
+        # arg); a peer whose slice had no qualifying row ships a NULL
+        # cmp and is ignored, so an all-NULL group finalizes to NULL
+        f = "min_by" if it.func == "argmin" else "max_by"
+        return f"{f}(p{j}r, p{j}c)"
     if it.func in _MOMENT_FUNCS:
         n = f"sum(p{j}n)"
         # fold the peer states through the exact parallel-variance

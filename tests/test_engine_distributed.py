@@ -2079,25 +2079,26 @@ class TestDistributedArgExtremaAndMoments:
         for i in range(2):
             engine.cluster.remove_node(f"peer{i}")
 
-    def test_arg_extrema_parse_to_struct_states(self):
+    def test_arg_extrema_parse_to_pair_states(self):
         p = parse_distributed_agg(
             "SELECT number % 3 AS g, argMax(number, number % 10) AS am "
             "FROM numbers(100000) GROUP BY number % 3"
         )
         assert p is not None
         part = partial_sql(p, 0, 50000)
-        assert (
-            "max(CASE WHEN (number % 10) IS NOT NULL THEN "
-            "named_struct('c', (number % 10), 'r', (number)) END) AS p1" in part
-        )
-        assert "max(p1).r" in final_sql(p, "v")
-        # 3-arg If combinator folds into the struct guard
+        # the (value, arg) pair state: ret-of-extremal-cmp next to the
+        # extremal cmp, both native codegen aggregates
+        assert "max_by(number, number % 10) AS p1r" in part
+        assert "max(number % 10) AS p1c" in part
+        assert "max_by(p1r, p1c)" in final_sql(p, "v")
+        # 3-arg If combinator folds into the cmp guard (a NULL
+        # ordering key never updates the state)
         p2 = parse_distributed_agg(
             "SELECT argMinIf(number, number % 7, number % 2 = 0) AS a "
             "FROM numbers(1000)"
         )
         assert p2 is not None
-        assert "(number % 2 = 0) AND (number % 7) IS NOT NULL" in p2.items[0].arg
+        assert p2.items[0].arg2 == "CASE WHEN (number % 2 = 0) THEN (number % 7) END"
         # wrong arity falls back
         assert parse_distributed_agg(
             "SELECT argMin(number) AS a FROM numbers(1000)"
@@ -2119,9 +2120,7 @@ class TestDistributedArgExtremaAndMoments:
     def test_two_peer_arg_extrema_equal_local(self, engine, two_peers):
         """Tie-free cmp (unique per row) → exact equality with local,
         grouped and keyless; NULL-cmp rows are ignored exactly as
-        min_by/max_by; an all-NULL-cmp group yields NULL (this case
-        also pins the nullable Arrow wire: a NULL struct above a
-        non-nullable generator child must survive toArrow); FILTER
+        min_by/max_by; an all-NULL-cmp group yields NULL; FILTER
         spelling; a same-ret tie class (every tied row carries the
         same ret, so any tie-break matches)."""
         stmts = [
@@ -2211,3 +2210,94 @@ class TestDistributedArgExtremaAndMoments:
         finally:
             engine._dist_after_dispatch = None
             self._dereg(engine)
+
+
+class TestDistributedKeysOnlyAndDistinct:
+    """Keys-only GROUP BY and SELECT DISTINCT over the wire (r12): the
+    reference's scatter optimizer stages GroupBy partial/final
+    regardless of aggregate presence (optimizer_scatters.rs hashes
+    _group_by_key) — a distinct is a keys-only group-by. Partial
+    groups each slice; the finalize re-groups the gathered keys."""
+
+    def _register(self, engine, ports):
+        for i, port in enumerate(ports):
+            engine.cluster.add_node(f"peer{i}", 5, f"grpc://localhost:{port}")
+
+    def _dereg(self, engine):
+        for i in range(2):
+            engine.cluster.remove_node(f"peer{i}")
+
+    def test_parse_shapes(self):
+        p = parse_distributed_agg(
+            "SELECT number % 3 AS g FROM numbers(100000) "
+            "GROUP BY number % 3 ORDER BY g"
+        )
+        assert p is not None and not p.sort_only
+        assert "GROUP BY number % 3" in partial_sql(p, 0, 50000)
+        p2 = parse_distributed_agg(
+            "SELECT DISTINCT number % 5 AS d FROM numbers(200000) "
+            "ORDER BY d DESC LIMIT 3"
+        )
+        assert p2 is not None and p2.group_exprs == ["number % 5"]
+        # DISTINCT over aggregates / stars / an aggregate output — local
+        for bad in (
+            "SELECT DISTINCT count(*) FROM numbers(1000)",
+            "SELECT DISTINCT * FROM numbers(1000)",
+            "SELECT DISTINCT number FROM numbers(1000) GROUP BY number",
+        ):
+            assert parse_distributed_agg(bad) is None
+
+    def test_two_peer_keys_only_and_distinct_equal_local(self, engine, two_peers):
+        stmts = [
+            "SELECT number % 7 AS g FROM numbers(100000) "
+            "GROUP BY number % 7 ORDER BY g",
+            # key selected, second grouping key not selected: one row
+            # per (g, h) group, exactly as local
+            "SELECT number % 3 AS g FROM numbers(30000) "
+            "GROUP BY number % 3, number % 4 ORDER BY g",
+            "SELECT DISTINCT number % 5 AS d FROM numbers(200000) "
+            "WHERE number % 2 = 0 ORDER BY d DESC LIMIT 3",
+            # multi-expr DISTINCT, unaliased second item
+            "SELECT DISTINCT number % 4 AS a, number % 6 "
+            "FROM numbers(60000) ORDER BY a, 2",
+        ]
+        local = [sorted(tuple(map(str, r)) for r in engine.sql(s).collect()) for s in stmts]
+        self._register(engine, [port for _p, port in two_peers])
+        dispatched = []
+        engine._dist_after_dispatch = lambda a: dispatched.append(a)
+        try:
+            for s, want in zip(stmts, local):
+                n0 = len(dispatched)
+                got = sorted(tuple(map(str, r)) for r in engine.sql(s).collect())
+                assert len(dispatched) > n0, f"did not fan out: {s}"
+                assert got == want, s
+        finally:
+            engine._dist_after_dispatch = None
+            self._dereg(engine)
+
+
+class TestNullableArrowWire:
+    def test_null_struct_over_non_nullable_child_ships(self, spark):
+        """Wire-hardening (r12): Spark's toArrow casts batches to the
+        analyzed schema, and a NULL struct above a NON-nullable child
+        fails Arrow's non-nullable view ('nulls in input cannot be
+        viewed as non-nullable'). Every stage result ships through
+        _to_arrow_nullable (recursively relaxed nullability) so no
+        state shape — the arg-extremum struct prototype hit this; any
+        future struct-typed state would too — can poison the wire."""
+        import pyarrow as pa
+
+        from fuse_query_spark.servers.flight_server import FlightDispatcher
+
+        # max over a guarded struct of the non-nullable range column:
+        # the aggregate result is NULL for the all-guarded-out input,
+        # but field 'r' stays declared non-null from `id`
+        df = spark.sql(
+            "SELECT max(CASE WHEN id < 0 THEN named_struct('c', id, 'r', id) END) AS s "
+            "FROM range(10)"
+        )
+        with pytest.raises(Exception):
+            df.toArrow()  # the raw conversion really is broken
+        t = FlightDispatcher._to_arrow_nullable(df)
+        assert isinstance(t, pa.Table) and t.num_rows == 1
+        assert t.column("s")[0].as_py() is None
