@@ -602,6 +602,11 @@ class DistributedAgg:
     # ORDER BY expressions not bound to a select item: shipped as
     # extra partial columns o{i} so the merge can sort by them
     extra_order_exprs: list[str] = field(default_factory=list)
+    # LIMIT k OFFSET m (r12): the offset applies at the COORDINATOR
+    # only — aggregate/keys-only finalizes see the complete merged
+    # result, and the sort converge widens each peer's partial to
+    # top-(k+m) so the global window [m, m+k) is provably contained
+    offset: str | None = None
 
 
 _SORT_TERM = re.compile(
@@ -628,12 +633,19 @@ def _build_sort_plan(cl, items, fm, tm, jm) -> DistributedAgg | None:
     if re.match(r"(?is)^\s*(DISTINCT|ALL)\b", cl["SELECT"]):
         return None  # per-peer DISTINCT would leak cross-peer dupes
     order_raw = (cl.get("ORDER BY") or "").strip()
-    limit = cl.get("LIMIT")
-    if not order_raw or limit is None or not re.fullmatch(r"\d+", limit):
+    lm = re.fullmatch(r"(?is)(\d+)(?:\s+OFFSET\s+(\d+))?", cl.get("LIMIT") or "")
+    if not order_raw or lm is None:
         return None  # no ORDER BY (peer row choice would be arbitrary)
-        # or no plain LIMIT — the converge shape needs both
-    if int(limit) > DIST_TOPK_MAX_ROWS:
-        return None  # k×P gather would stop being a converge
+        # or no plain LIMIT [OFFSET] — the converge shape needs both;
+        # a bare LIMIT without ORDER BY also CAN'T distribute under
+        # the module invariant (distributed == the local plan): which
+        # rows local returns is its own partition order, which peers
+        # return is theirs — no merge reproduces the local choice
+    limit, offset = lm.group(1), lm.group(2)
+    if int(limit) + int(offset or 0) > DIST_TOPK_MAX_ROWS:
+        return None  # (k+m)×P gather would stop being a converge —
+        # each peer must ship its top-(k+m) so the global window
+        # [m, m+k) is contained in the merge
     table = tm.group("table") if tm is not None else None
     if table and (table.lower() == "dual" or table.lower().startswith("system.")):
         return None
@@ -700,6 +712,7 @@ def _build_sort_plan(cl, items, fm, tm, jm) -> DistributedAgg | None:
         items=items,
         order_by=", ".join(out_terms),
         limit=limit,
+        offset=offset,
         table=table,
         sort_only=True,
         extra_order_exprs=extra,
@@ -959,8 +972,15 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
         if t and (t.lower() == "dual" or t.lower().startswith("system.")):
             return None  # system surface stays local
     limit = cl.get("LIMIT")
-    if limit is not None and not re.fullmatch(r"\d+", limit):
-        return None  # LIMIT n BY / OFFSET forms stay local
+    offset = None
+    if limit is not None:
+        lm = re.fullmatch(r"(?is)(\d+)(?:\s+OFFSET\s+(\d+))?", limit)
+        if lm is None:
+            return None  # LIMIT n BY and other forms stay local
+        # OFFSET applies post-finalize only: the coordinator already
+        # holds the COMPLETE merged result for aggregate/keys-only
+        # plans, so LIMIT k OFFSET m is just the final projection (r12)
+        limit, offset = lm.group(1), lm.group(2)
     # Qualified column references: in the single-source form they
     # cannot resolve in the peer's rewritten FROM (the table becomes a
     # parquet file glob, any `AS alias` is consumed above) — a
@@ -991,6 +1011,7 @@ def parse_distributed_agg(sql: str) -> DistributedAgg | None:
         items=items,
         order_by=(cl.get("ORDER BY") or "").strip() or None,
         limit=limit,
+        offset=offset,
         table=table,
         dims=dims,
         fact_alias=fact_alias,
@@ -1173,7 +1194,11 @@ def partial_sql(
     if plan.group_exprs:
         sql += f" GROUP BY {', '.join(plan.group_exprs)}"
     if plan.sort_only:
-        sql += f" ORDER BY {plan.order_by} LIMIT {plan.limit}"
+        # each peer ships its top-(k+m): the global window [m, m+k)
+        # is contained in the union of per-peer top-(k+m) prefixes;
+        # the OFFSET itself is applied only at the coordinator merge
+        k = int(plan.limit) + int(plan.offset or 0)
+        sql += f" ORDER BY {plan.order_by} LIMIT {k}"
     return sql
 
 
@@ -1350,10 +1375,13 @@ def final_sql(
             if cast_types is not None:
                 sexpr = f"CAST({sexpr} AS {cast_types[j]})"
             souts.append(f"{sexpr} AS `{it.name}`")
-        return (
+        sql = (
             f"SELECT {', '.join(souts)} FROM {view} "
             f"ORDER BY {plan.order_by} LIMIT {plan.limit}"
         )
+        if plan.offset:
+            sql += f" OFFSET {plan.offset}"
+        return sql
     out: list[str] = []
     for j, it in enumerate(plan.items):
         expr = f"k{it.key_idx}" if it.kind == "key" else _final_expr(j, it, elem_types)
@@ -1373,6 +1401,9 @@ def final_sql(
         sql += f" ORDER BY {plan.order_by}"
     if plan.limit:
         sql += f" LIMIT {plan.limit}"
+        if plan.offset:
+            # post-finalize only: the merge already holds EVERY group
+            sql += f" OFFSET {plan.offset}"
     return sql
 
 

@@ -1925,8 +1925,10 @@ class TestDistributedSortConverge:
             "SELECT * FROM numbers(1000000) ORDER BY number LIMIT 5",
             # k beyond the converge cap (FQ_DIST_TOPK_MAX default 1M)
             "SELECT number FROM numbers_mt(100000000) ORDER BY number LIMIT 2000000",
-            # LIMIT n BY / OFFSET forms
-            "SELECT number FROM numbers(1000000) ORDER BY number LIMIT 5 OFFSET 2",
+            # LIMIT n BY form (OFFSET distributes since r12)
+            "SELECT number FROM numbers(1000000) ORDER BY number LIMIT 2 BY number",
+            # k+m over the converge cap
+            "SELECT number FROM numbers(100000000) ORDER BY number LIMIT 999999 OFFSET 2",
         ],
     )
     def test_non_converge_shapes_fall_back(self, sql):
@@ -1986,6 +1988,76 @@ class TestDistributedSortConverge:
             assert all(r.k == 0 for r in got)
         finally:
             self._dereg(engine)
+
+    def test_two_peer_limit_offset_equals_local(self, engine, two_peers):
+        """LIMIT k OFFSET m (r12): the sort converge widens each
+        peer's partial to top-(k+m) — the global window [m, m+k) is
+        contained in the union of per-peer top-(k+m) prefixes — and
+        applies the offset only at the coordinator merge; aggregate
+        and keys-only finalizes hold the complete merged result, so
+        their offset is just the final projection. Total orderings →
+        row-exact vs local."""
+        stmts = [
+            "SELECT number FROM numbers_mt(200000) "
+            "ORDER BY number DESC LIMIT 10 OFFSET 7",
+            # offset spanning a tie group, totalized by the 2nd key
+            "SELECT number % 10 AS k, number AS x FROM numbers(100000) "
+            "ORDER BY k, x LIMIT 9 OFFSET 9998",
+            "SELECT number % 7 AS g, count(*) AS c FROM numbers(70000) "
+            "GROUP BY number % 7 ORDER BY g LIMIT 3 OFFSET 2",
+            "SELECT DISTINCT number % 13 AS d FROM numbers(130000) "
+            "ORDER BY d LIMIT 4 OFFSET 5",
+        ]
+        local = [[tuple(map(str, r)) for r in engine.sql(s).collect()] for s in stmts]
+        self._register(engine, [port for _p, port in two_peers])
+        dispatched = []
+        engine._dist_after_dispatch = lambda a: dispatched.append(a)
+        try:
+            for s, want in zip(stmts, local):
+                n0 = len(dispatched)
+                got = [tuple(map(str, r)) for r in engine.sql(s).collect()]
+                assert len(dispatched) > n0, f"did not fan out: {s}"
+                assert got == want, s
+        finally:
+            engine._dist_after_dispatch = None
+            self._dereg(engine)
+
+    def test_kill_one_peer_mid_converge_recovers(self, engine, spark):
+        """Kill a peer between the converge dispatch and gather: the
+        retry reassigns the dead peer's slice to the survivor and the
+        top-k still equals the no-failure result."""
+        from conftest import spawn_peer
+
+        p0, port0 = spawn_peer()
+        p1, port1 = spawn_peer()
+        engine.cluster.add_node("k0", 5, f"grpc://localhost:{port0}")
+        engine.cluster.add_node("k1", 5, f"grpc://localhost:{port1}")
+        killed = []
+
+        def _kill_once(attempt):
+            if attempt == 0:
+                p1.kill()
+                p1.wait(timeout=30)
+                killed.append(True)
+
+        engine._dist_after_dispatch = _kill_once
+        try:
+            rows = engine.sql(
+                "SELECT number FROM numbers_mt(60000) "
+                "ORDER BY number DESC LIMIT 5"
+            ).collect()
+            assert killed, "seam never fired — query did not take the distributed path"
+            assert [r[0] for r in rows] == [59999, 59998, 59997, 59996, 59995]
+        finally:
+            engine._dist_after_dispatch = None
+            engine.cluster.remove_node("k0")
+            engine.cluster.remove_node("k1")
+            for p in (p0, p1):
+                p.terminate()
+                try:
+                    p.wait(timeout=30)
+                except Exception:
+                    p.kill()
 
     def test_parquet_table_sort_distributes_by_file(self, engine, two_peers, tmp_path):
         loc = str(tmp_path / "sort_t")
