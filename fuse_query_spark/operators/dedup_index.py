@@ -73,17 +73,25 @@ from fuse_query_spark.operators.dedup import (
 )
 
 
-def _band_table(docs, text_col, id_col, k, bands, shingle_n, hasher, out):
+def _band_table(docs, text_col, id_col, k, bands, shingle_n, hasher, out,
+                shingle_df=None):
     """Signatures + band rows under the chosen hash family: 'md5' is
     the engine-portable form every oracle replays; 'xx' is the
     xxhash64 fast path (long band hashes — ~2x smaller index bytes,
     no hex strings) for deployments that don't need cross-engine
-    replay. Same split as dedup_minhash_lsh vs _md5."""
+    replay. Same split as dedup_minhash_lsh vs _md5. `shingle_df`:
+    optionally reuse an already-materialized shingle table (the r12
+    decide-path share — dedup_against_index shingles the batch ONCE
+    for both its band signatures and its verify side)."""
     if hasher == "md5":
-        sigs = minhash_signatures_md5(docs, text_col, id_col, k, shingle_n)
+        sigs = minhash_signatures_md5(
+            docs, text_col, id_col, k, shingle_n, shingle_df=shingle_df
+        )
         return band_rows_md5(sigs, id_col, k, bands, out=out)
     if hasher == "xx":
-        sigs = minhash_signatures(docs, text_col, id_col, k, shingle_n)
+        sigs = minhash_signatures(
+            docs, text_col, id_col, k, shingle_n, shingle_df=shingle_df
+        )
         return band_rows_xx(sigs, id_col, k, bands, out=out)
     raise ValueError(f"unknown hasher {hasher!r}: expected 'md5' or 'xx'")
 
@@ -343,15 +351,21 @@ def lsh_index_candidates(
     shingle_n: int = 3,
     n_new: int | None = None,
     hasher: str = "md5",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (id_new, id_base) candidates for a new batch against
     the persisted index: sign the batch, join its band rows into the
     index scan. `n_new` feeds the broadcast gate; when absent it costs
     one count() job over the (small) batch. Raises ValueError when the
     query parameters differ from the index sidecar's (a mismatch can
-    never match a band hash — it would silently disable dedup)."""
+    never match a band hash — it would silently disable dedup).
+    `shingle_df`: optional pre-materialized batch shingle table (see
+    _band_table)."""
     _check_index_meta(path, k, bands, shingle_n, hasher)
-    nb = _band_table(new_docs, text_col, id_col, k, bands, shingle_n, hasher, "id_new")
+    nb = _band_table(
+        new_docs, text_col, id_col, k, bands, shingle_n, hasher, "id_new",
+        shingle_df=shingle_df,
+    )
     if n_new is None:
         n_new = new_docs.count()
     nb = _gate_small_side(nb, n_new * bands)
@@ -419,8 +433,17 @@ def dedup_against_index(
     minhash_dedup_pairs rule)."""
     if n_new is None:
         n_new = new_docs.count()
+    # the batch is shingled ONCE (r12 opt): this checkpointed table
+    # feeds both the band-signature build inside lsh_index_candidates
+    # and the id_new side of the verify join below — previously the
+    # tokenize+shingle explode of the batch ran twice per decide call
+    # (the same recompute class minhash_dedup_pairs fixed in r5).
+    new_sh_shared = _shingle_table(new_docs, text_col, id_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     cands = lsh_index_candidates(
-        new_docs, spark, path, text_col, id_col, k, bands, shingle_n, n_new, hasher
+        new_docs, spark, path, text_col, id_col, k, bands, shingle_n, n_new, hasher,
+        shingle_df=new_sh_shared,
     ).localCheckpoint(eager=True)
     n_cands = cands.count()  # block count over the checkpoint — cheap
     if n_cands <= _ISIN_PRUNE_LIMIT:
@@ -442,7 +465,7 @@ def dedup_against_index(
             bytes_per_row=16,
         )
         base_cand_docs = corpus_docs.join(base_ids, id_col, "left_semi")
-    new_sh = _shingle_table(new_docs, text_col, id_col, shingle_n)
+    new_sh = new_sh_shared
     base_sh = _shingle_table(base_cand_docs, text_col, id_col, shingle_n)
     pairs = cands.select(F.col("id_new").alias("id_a"), F.col("id_base").alias("id_b"))
     verified = jaccard_verify(

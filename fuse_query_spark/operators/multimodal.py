@@ -33,6 +33,7 @@ for byte size at the parquet scan).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import struct
@@ -1283,7 +1284,15 @@ def _decode_block(r: _BitReader, prev_dc: int, dc_tbl, ac_tbl) -> tuple[list[int
     return coeffs, dc
 
 
+_IDCT_MATRIX = None
+
+
 def _idct_matrix():
+    # memoized: the 8x8 basis is a constant, and rebuilding it per
+    # image was ~4% of the small-image decode profile (r12 opt)
+    global _IDCT_MATRIX
+    if _IDCT_MATRIX is not None:
+        return _IDCT_MATRIX
     import math
 
     import numpy as np
@@ -1293,7 +1302,21 @@ def _idct_matrix():
         cu = (1 / math.sqrt(2)) if u == 0 else 1.0
         for x in range(8):
             a[u, x] = (cu / 2) * math.cos((2 * x + 1) * u * math.pi / 16)
+    _IDCT_MATRIX = a
     return a
+
+
+@functools.lru_cache(maxsize=256)
+def _huff_decode_table(payload: bytes) -> dict:
+    """{(code, length): symbol} for one DHT table, keyed on the raw
+    17+n-byte table payload (tc/th byte + 16 length counts + values).
+    A pure function of the bytes, cached across images: a corpus
+    reuses a handful of tables, and rebuilding the canonical-code dict
+    per image was ~10% of the small-image decode profile (r12 opt)."""
+    bits = list(payload[1:17])
+    vals = list(payload[17:])
+    codes = _canonical_codes(bits, vals)
+    return {(c, ln): sym for sym, (c, ln) in codes.items()}
 
 
 def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
@@ -1337,11 +1360,8 @@ def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + n])
-                codes = _canonical_codes(bits, vals)
-                htables[(tc, th)] = {(c, ln): sym for sym, (c, ln) in codes.items()}
+                n = sum(seg[p + 1 : p + 17])
+                htables[(tc, th)] = _huff_decode_table(bytes(seg[p : p + 17 + n]))
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -1762,11 +1782,8 @@ def _jpeg_pixels_progressive(data: bytes) -> tuple[int, int, bytes]:
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + n])
-                codes = _canonical_codes(bits, vals)
-                htables[(tc, th)] = {(c, ln): sym for sym, (c, ln) in codes.items()}
+                n = sum(seg[p + 1 : p + 17])
+                htables[(tc, th)] = _huff_decode_table(bytes(seg[p : p + 17 + n]))
                 p += 17 + n
         elif marker == 0xC2:  # SOF2
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -1848,7 +1865,10 @@ def _jpeg_pixels_progressive(data: bytes) -> tuple[int, int, bytes]:
         zz_cols = [z % 8 for z in _ZIGZAG]
         f[:, :, zz_rows, zz_cols] = grid
         # pixel[i,j] = sum_{u,v} a[u,i] f[u,v] a[v,j] per block, batched
-        px = np.einsum("ui,bcuv,vj->bcij", a, f, a, optimize=True)
+        # a.T @ f @ a batched over (bh, bw) blocks — identical
+        # contraction order to the baseline per-block path, without
+        # einsum's per-call path search (~20% of the decode profile)
+        px = (a.T @ f) @ a
         plane = px.transpose(0, 2, 1, 3).reshape(bh_full * 8, bw_full * 8) + 128.0
         planes.append(plane)
     return _jpeg_finish(planes, comps, w, h, hmax, vmax)
@@ -1977,7 +1997,11 @@ def _ac_refine_block(r, grid, by, bx, ss, se, al, ac_tbl, state):
     every already-nonzero position traversed absorbs one correction
     bit (T.81 G.1.2.3; the libjpeg-compatible Huffman refinement)."""
     p1, m1 = 1 << al, -1 << al
-    blk = grid[by, bx]
+    row = grid[by, bx]
+    # plain-int working copy: the loop below reads/writes single
+    # elements, and numpy scalar indexing is ~10x a list's (r12 opt —
+    # this function was 45% of the progressive decode profile)
+    blk = row.tolist()
     k = ss
     if state["eobrun"] == 0:
         while k <= se:
@@ -2018,6 +2042,7 @@ def _ac_refine_block(r, grid, by, bx, ss, se, al, ac_tbl, state):
                     blk[k] += p1 if blk[k] >= 0 else m1
             k += 1
         state["eobrun"] -= 1
+    row[:] = blk
 
 
 # Progressive AC symbol set: every (run, size) pair is meaningful —
@@ -3125,7 +3150,10 @@ def _jpeg_pixels_arith_prog(data: bytes) -> tuple[int, int, bytes]:
         zz_rows = [z // 8 for z in _ZIGZAG]
         zz_cols = [z % 8 for z in _ZIGZAG]
         f[:, :, zz_rows, zz_cols] = grid
-        px = np.einsum("ui,bcuv,vj->bcij", a, f, a, optimize=True)
+        # a.T @ f @ a batched over (bh, bw) blocks — identical
+        # contraction order to the baseline per-block path, without
+        # einsum's per-call path search (~20% of the decode profile)
+        px = (a.T @ f) @ a
         planes.append(
             px.transpose(0, 2, 1, 3).reshape(bh_full * 8, bw_full * 8) + 128.0
         )

@@ -378,11 +378,24 @@ def dsir_select(
 
     from pyspark.sql import Window
 
-    t = tokens(text_col)
-    tok = df.select(id_col, F.explode(t).alias("_w"))
+    from fuse_query_spark.operators.dedup import _spread
+
+    # ONE tokenize pass (r12 opt): the token ARRAY table is spread
+    # across cores and materialized once, and the unigram explode, the
+    # bigram construction, and the stopword-density target predicate
+    # all read the materialized arrays — previously each of the three
+    # consumers re-ran the regex tokenize from the raw text (and all
+    # of them on the scan's single task, the one-row-group corpus
+    # shape — guide §2.5). ngrams_from_tokens evaluates its argument
+    # n+1 times per row, which against a materialized array column is
+    # a column read, not a re-tokenize.
+    tok_arr = _spread(
+        df.select(id_col, tokens(text_col).alias("_toks")), id_col
+    ).localCheckpoint(eager=True)
+    tok = tok_arr.select(id_col, F.explode("_toks").alias("_w"))
     uni_f = tok.select(id_col, (md5_int32(F.col("_w")) % n_buckets).alias("_f"))
-    bg_f = df.select(
-        id_col, F.explode(ngrams_from_tokens(t, 2)).alias("_bg")
+    bg_f = tok_arr.select(
+        id_col, F.explode(ngrams_from_tokens(F.col("_toks"), 2)).alias("_bg")
     ).select(id_col, (md5_int32(F.col("_bg")) % n_buckets).alias("_f"))
     # dtf feeds THREE consumers (raw counts, target counts, scoring);
     # without materialization Catalyst re-runs the tokenize+md5 explode

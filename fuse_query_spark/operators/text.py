@@ -175,11 +175,19 @@ def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
         .groupBy(id_col, "bigram")
         .agg(F.count(F.lit(1)).alias("bg_n"))
     )
-    max_n = counts.groupBy(id_col).agg(F.max("bg_n").alias("bg_n"))
+    # per-doc top-1 in ONE hash aggregate (r12 opt): min over the
+    # orderable struct (-bg_n, bigram) IS "max count, lexicographic
+    # min bigram on ties" — field-by-field struct ordering replaces
+    # the previous max-count agg + join-back + re-agg (one shuffle
+    # join fewer, same unique answer).
     top = (
-        counts.join(max_n, [id_col, "bg_n"])  # rows at the max count
-        .groupBy(id_col, "bg_n")
-        .agg(F.min("bigram").alias("bigram"))  # lexicographic tie-break
+        counts.groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("bg_n")).alias("_neg"), F.col("bigram").alias("bigram"))
+            ).alias("_t")
+        )
+        .select(id_col, F.col("_t.bigram").alias("bigram"), (-F.col("_t._neg")).alias("bg_n"))
     )
     dup_frac = (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens")
     top_frac = F.col("bg_n").cast("double") / (F.col("n_tokens") - 1)
@@ -520,7 +528,16 @@ def remove_boilerplate_chunks(
     that doc's own chunks only. Nothing quadratic, no driver state.
 
     Returns (id_col, clean_text, n_chunks, n_dropped_chunks)."""
-    chunks = chunk_windows(df, chunk_tokens, chunk_tokens, text_col, id_col)
+    # the chunk table feeds BOTH the corpus-frequency agg and the
+    # tagged join below; without materialization Catalyst re-runs the
+    # tokenize+chunk explode per consumer (the recompute class
+    # minhash_dedup_pairs fixed in r5 — r12 opt: this operator showed
+    # 2.9–17.8 s run-to-run spread at sf0.1 from the duplicated
+    # explode under GC pressure). localCheckpoint, not persist: blocks
+    # are released by the ContextCleaner when the result is GC'd.
+    chunks = chunk_windows(df, chunk_tokens, chunk_tokens, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     freq = (
         chunks.groupBy(F.md5("chunk_text").alias("h"))
         .agg(F.countDistinct(id_col).alias("n_docs"))

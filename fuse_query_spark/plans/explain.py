@@ -47,6 +47,21 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
 
-def shuffle_count(df: DataFrame) -> int:
-    """Number of exchanges in the plan — the scale-cost headline."""
-    return len(re.findall(r"\bExchange\b", formatted_plan(df)))
+def shuffle_count(df: DataFrame, include_repartition: bool = True) -> int:
+    """Number of exchanges in the plan — the scale-cost headline.
+    (Each physical exchange appears twice in the formatted plan: once
+    in the operator tree and once as a numbered detail block.)
+
+    include_repartition=False excludes exchanges originating from an
+    EXPLICIT repartition (REPARTITION_BY_NUM / REPARTITION_BY_COL —
+    the r12 scale-adaptive scan spread, sources/tables.py:
+    spread_table, which no-ops past the file-size gate at scale). The
+    shuffle-free / bounded-shuffle plan gates assert the absence of
+    ACCIDENTAL exchanges; an intentional spread of a one-row-group
+    scan is not in that class."""
+    plan = formatted_plan(df)
+    total = len(re.findall(r"\bExchange\b", plan))
+    if include_repartition:
+        return total
+    n_rep = len(re.findall(r"REPARTITION_BY_(?:NUM|COL)", plan))
+    return total - 2 * n_rep

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from fuse_query_spark.functions.exact import davg, dec, dsum, one_minus, one_plus
 from fuse_query_spark.queries import register
 from fuse_query_spark.sources.table_functions import numbers
-from fuse_query_spark.sources.tables import table
+from fuse_query_spark.sources.tables import spread_table, table
 
 # Shared decimal-cast SQL fragments for oracles.
 _DQ = "CAST(l_quantity AS DECIMAL(12,2))"
@@ -91,7 +91,7 @@ def agg_global_stats(spark, sf_dir):
     """Keyless aggregation — reference AggregatorPartial/Final
     (transform_aggregator_partial.rs:24-125): partial states merged to a
     single row. Spark plans the identical partial→final pair."""
-    li = table(spark, sf_dir, "lineitem")
+    li = spread_table(spark, sf_dir, "lineitem", "l_shipdate")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),

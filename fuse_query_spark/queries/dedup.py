@@ -165,15 +165,10 @@ def dedup_minhash_lsh_md5(spark, sf_dir):
     every stage is reproducible in DuckDB, so the ENTIRE near-dedup
     pipeline (shingle → minhash → band → bucket join → exact Jaccard)
     is hash-verified end-to-end, not just rows-only."""
-    from fuse_query_spark.operators.dedup import (
-        lsh_candidate_pairs_md5,
-        minhash_signatures_md5,
-    )
+    from fuse_query_spark.operators.dedup import minhash_dedup_pairs_md5
 
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures_md5(d, k=8)
-    cands = lsh_candidate_pairs_md5(sigs, k=8, bands=4)
-    return jaccard_verify(d, cands, threshold=0.2)
+    return minhash_dedup_pairs_md5(d, k=8, bands=4, threshold=0.2)
 
 
 @register(
@@ -528,15 +523,11 @@ def dedup_cluster_canonical(spark, sf_dir):
     recursive reachability CTE."""
     from fuse_query_spark.operators.dedup import (
         connected_components,
-        jaccard_verify,
-        lsh_candidate_pairs_md5,
-        minhash_signatures_md5,
+        minhash_dedup_pairs_md5,
     )
 
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures_md5(d, k=8)
-    cands = lsh_candidate_pairs_md5(sigs, k=8, bands=4)
-    pairs = jaccard_verify(d, cands, threshold=0.2)
+    pairs = minhash_dedup_pairs_md5(d, k=8, bands=4, threshold=0.2)
     cc = connected_components(pairs)
     return cc.withColumn("is_canonical", F.col("doc_id") == F.col("component"))
 
@@ -672,14 +663,10 @@ def dedup_soft_reweight(spark, sf_dir):
     recursive-CTE components included. See
     operators/dedup.py:soft_dedup_weights."""
     from fuse_query_spark.operators.dedup import (
-        jaccard_verify,
-        lsh_candidate_pairs_md5,
-        minhash_signatures_md5,
+        minhash_dedup_pairs_md5,
         soft_dedup_weights,
     )
 
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures_md5(d, k=8)
-    cands = lsh_candidate_pairs_md5(sigs, k=8, bands=4)
-    pairs = jaccard_verify(d, cands, threshold=0.2)
+    pairs = minhash_dedup_pairs_md5(d, k=8, bands=4, threshold=0.2)
     return soft_dedup_weights(d, pairs)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from fuse_query_spark.operators.multimodal import decode_image_meta, synthesize_blobs
 from fuse_query_spark.queries import register
-from fuse_query_spark.sources.tables import table
+from fuse_query_spark.sources.tables import spread_table, table
 
 
 @register(
@@ -253,7 +253,7 @@ def multimodal_jpeg_decode(spark, sf_dir):
         synthesize_jpeg_blobs,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_table(spark, sf_dir, "documents", "doc_id")
     return image_pixel_stats(synthesize_jpeg_blobs(docs))
 
 
@@ -288,7 +288,7 @@ def multimodal_jpeg_color_decode(spark, sf_dir):
         synthesize_jpeg_color_blobs,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_table(spark, sf_dir, "documents", "doc_id")
     return image_pixel_stats(synthesize_jpeg_color_blobs(docs))
 
 
@@ -400,7 +400,7 @@ def multimodal_jpeg_progressive_decode(spark, sf_dir):
         synthesize_jpeg_progressive_blobs,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_table(spark, sf_dir, "documents", "doc_id")
     return image_pixel_stats(synthesize_jpeg_progressive_blobs(docs))
 
 
@@ -445,7 +445,7 @@ def multimodal_jpeg_quarantine_lossless(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_table(spark, sf_dir, "documents", "doc_id")
     out = image_pixel_stats_quarantine(synthesize_jpeg_mixed_blobs(docs))
     # DOUBLE, not nullable BIGINT: DuckDB nullable BIGINT reaches the
     # driver's pandas compare as float64 ('164736.0' vs '164736') —
@@ -499,7 +499,7 @@ def multimodal_mp4_demux(spark, sf_dir):
     one row. See operators/mp4.py for the scale posture."""
     from fuse_query_spark.operators.mp4 import mp4_demux, synthesize_mp4_blobs
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_table(spark, sf_dir, "documents", "doc_id")
     return mp4_demux(synthesize_mp4_blobs(docs))
 
 
@@ -546,7 +546,7 @@ def multimodal_mkv_demux(spark, sf_dir):
     (VP9/AV1/Opus) remain the library boundary."""
     from fuse_query_spark.operators.mkv import mkv_demux, synthesize_mkv_blobs
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_table(spark, sf_dir, "documents", "doc_id")
     return mkv_demux(synthesize_mkv_blobs(docs))
 
 
@@ -607,7 +607,7 @@ def multimodal_container_quarantine(spark, sf_dir):
         synthesize_mixed_container_blobs,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_table(spark, sf_dir, "documents", "doc_id")
     out = demux_quarantine(synthesize_mixed_container_blobs(docs))
     reason_class = (
         F.when(F.col("reason").isNull(), F.lit(None).cast("string"))

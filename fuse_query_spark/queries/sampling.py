@@ -592,16 +592,10 @@ def _leakage_safe_oracle() -> str:
 def _leakage_inputs(spark, sf_dir):
     """(documents, verified near-dup pairs) — shared by the registry
     query and the broadcast-size-gate plan test."""
-    from fuse_query_spark.operators.dedup import (
-        jaccard_verify,
-        lsh_candidate_pairs_md5,
-        minhash_signatures_md5,
-    )
+    from fuse_query_spark.operators.dedup import minhash_dedup_pairs_md5
 
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures_md5(d, k=8)
-    cands = lsh_candidate_pairs_md5(sigs, k=8, bands=4)
-    return d, jaccard_verify(d, cands, threshold=0.2)
+    return d, minhash_dedup_pairs_md5(d, k=8, bands=4, threshold=0.2)
 
 
 @register(

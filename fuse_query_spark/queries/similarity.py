@@ -22,7 +22,7 @@ from fuse_query_spark.operators.similarity import (
     pairs_above_threshold_blas,
 )
 from fuse_query_spark.queries import register
-from fuse_query_spark.sources.tables import table
+from fuse_query_spark.sources.tables import spread_table, table
 
 
 def _bucket_bits_sql(var: str, dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
@@ -368,7 +368,7 @@ def embedding_quantize_int8(spark, sf_dir):
     oracle hash-matches bit-for-bit."""
     from fuse_query_spark.operators.similarity import quantize_int8
 
-    return quantize_int8(table(spark, sf_dir, "embeddings"))
+    return quantize_int8(spread_table(spark, sf_dir, "embeddings", "vec_id"))
 
 
 def _rp_exprs(in_dim: int = 64, out_dim: int = 16) -> list[str]:
@@ -409,7 +409,7 @@ def embedding_random_projection(spark, sf_dir):
     from fuse_query_spark.operators.similarity import random_projection
 
     return random_projection(
-        table(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16
+        spread_table(spark, sf_dir, "embeddings", "vec_id"), in_dim=64, out_dim=16
     )
 
 

@@ -20,7 +20,7 @@ from fuse_query_spark.operators.text import (
     uniq_token_count,
 )
 from fuse_query_spark.queries import register
-from fuse_query_spark.sources.tables import table
+from fuse_query_spark.sources.tables import spread_table, table
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 
@@ -42,7 +42,7 @@ def text_token_stats(spark, sf_dir):
     """Whitespace token counting — JVM-side split + array ops, no UDF.
     avg_token_len is int/int division → identical double on both
     engines."""
-    d = table(spark, sf_dir, "documents")
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     t = tokens("text")
     sum_len = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
     return d.select(
@@ -182,7 +182,7 @@ def text_fingerprint(spark, sf_dir):
     """Document fingerprints: md5 of normalized text (exact dup key) +
     lexicographic-min shingle md5 (winnowing-style near-dup prefilter).
     md5 hex strings are engine-portable; xxhash64 is not."""
-    d = table(spark, sf_dir, "documents")
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     return d.select(
         "doc_id",
         fingerprint_md5("text").alias("fp_md5"),
@@ -230,7 +230,7 @@ def text_repetition_metrics(spark, sf_dir):
     exactness and scale notes."""
     from fuse_query_spark.operators.text import repetition_metrics
 
-    return repetition_metrics(table(spark, sf_dir, "documents"))
+    return repetition_metrics(spread_table(spark, sf_dir, "documents", "doc_id"))
 
 
 # --- r5: PII redaction / unigram-LM quality / tf-idf keywords -----------
@@ -279,7 +279,7 @@ def text_pii_redact(spark, sf_dir):
     (global, ordered, boundary-anchored) match end-to-end."""
     from fuse_query_spark.operators.text import pii_counts, redact_pii
 
-    d = table(spark, sf_dir, "documents")
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     aug = d.select(
         "doc_id",
         F.concat(
@@ -362,7 +362,7 @@ def text_tfidf_keywords(spark, sf_dir):
     See operators/text.py:tfidf_topk for the scale shape."""
     from fuse_query_spark.operators.text import tfidf_topk
 
-    return tfidf_topk(table(spark, sf_dir, "documents"), k=3)
+    return tfidf_topk(spread_table(spark, sf_dir, "documents", "doc_id"), k=3)
 
 
 @register(
@@ -388,7 +388,7 @@ def text_chunk_windows(spark, sf_dir):
     operators/text.py:chunk_windows."""
     from fuse_query_spark.operators.text import chunk_windows
 
-    return chunk_windows(table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48)
+    return chunk_windows(spread_table(spark, sf_dir, "documents", "doc_id"), chunk_tokens=64, stride=48)
 
 
 @register(
@@ -418,7 +418,7 @@ def dedup_chunk_fraction(spark, sf_dir):
     md5 + one doc rollup. See operators/text.py:chunk_dup_fraction."""
     from fuse_query_spark.operators.text import chunk_dup_fraction
 
-    return chunk_dup_fraction(table(spark, sf_dir, "documents"), chunk_tokens=32, stride=32)
+    return chunk_dup_fraction(spread_table(spark, sf_dir, "documents", "doc_id"), chunk_tokens=32, stride=32)
 
 
 @register(
@@ -451,7 +451,7 @@ def text_winnow_fingerprint(spark, sf_dir):
     dedup key. See operators/text.py:winnow_fingerprints."""
     from fuse_query_spark.operators.text import winnow_fingerprints
 
-    return winnow_fingerprints(table(spark, sf_dir, "documents"), k=3, w=4)
+    return winnow_fingerprints(spread_table(spark, sf_dir, "documents", "doc_id"), k=3, w=4)
 
 
 def _bigram_logprob_oracle(lam: float = 0.7) -> str:
@@ -493,7 +493,7 @@ def text_bigram_logprob(spark, sf_dir):
     operators/text.py:bigram_logprob."""
     from fuse_query_spark.operators.text import bigram_logprob
 
-    return bigram_logprob(table(spark, sf_dir, "documents"))
+    return bigram_logprob(spread_table(spark, sf_dir, "documents", "doc_id"))
 
 
 @register(
@@ -599,7 +599,7 @@ def text_boilerplate_scrub(spark, sf_dir):
     operators/text.py:remove_boilerplate_chunks for the scale shape."""
     from fuse_query_spark.operators.text import remove_boilerplate_chunks
 
-    d = table(spark, sf_dir, "documents")
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     return remove_boilerplate_chunks(d, chunk_tokens=2, max_doc_frac=0.04)
 
 
@@ -636,7 +636,7 @@ def text_hashed_linear_score(spark, sf_dir):
     score. See operators/text.py:hashed_linear_score."""
     from fuse_query_spark.operators.text import hashed_linear_score
 
-    return hashed_linear_score(table(spark, sf_dir, "documents"), n_buckets=1024)
+    return hashed_linear_score(spread_table(spark, sf_dir, "documents", "doc_id"), n_buckets=1024)
 
 
 def _bpe_oracle() -> str:
@@ -682,7 +682,7 @@ def text_bpe_segment(spark, sf_dir):
     regex-pre-token estimator remains as text_bpe_token_count."""
     from fuse_query_spark.operators.text import bpe_token_stats
 
-    return bpe_token_stats(table(spark, sf_dir, "documents"))
+    return bpe_token_stats(spread_table(spark, sf_dir, "documents", "doc_id"))
 
 
 @register(

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from fuse_query_spark.functions.exact import dec, one_minus
 from fuse_query_spark.queries import register
-from fuse_query_spark.sources.tables import table
+from fuse_query_spark.sources.tables import spread_table, table
 
 _DP = "CAST(l_extendedprice AS DECIMAL(12,2))"
 _DD = "CAST(l_discount AS DECIMAL(12,2))"
@@ -161,8 +161,8 @@ def q18_large_volume_customers(spark, sf_dir):
     tie-break. Aggregate first on the orders grain, top-k via
     TakeOrderedAndProject."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
+    o = spread_table(spark, sf_dir, "orders", "o_orderkey")
+    li = spread_table(spark, sf_dir, "lineitem", "l_shipdate")
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))

@@ -72,6 +72,58 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _byte_string_as_bytes(v: str) -> int:
+    """Parse Spark byte-string conf values ('128m', '134217728b',
+    '1g', plain digits). Falls back to 128 MiB on anything exotic —
+    the conf's own default."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 128 * 1024 * 1024
+
+
+def spread_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """`table()` plus scale-adaptive scan spreading (optimization
+    guide §2.5: "one huge unsplittable file … repartition immediately
+    after the read").
+
+    The test corpus ships ONE single-row-group parquet file per table,
+    so a scan yields exactly one task regardless of core count, and
+    every expression / Python stage above it runs single-threaded
+    until the first exchange — measured as the dominant cost of the
+    text/multimodal/TPC-H bench rows at sf0.1 (plans/r12/*_before.txt:
+    whole pipelines hang off a 1-split Scan parquet). When the file
+    footprint implies fewer scan splits than the session's
+    parallelism, hash-repartition on the high-cardinality `key`;
+    otherwise (the 100 TB case — footprint >= maxPartitionBytes *
+    cores) return the plain scan, so no full-table shuffle is ever
+    added at scale. The decision is a local file stat — no Spark job,
+    no extra planning round-trip. Catalyst pushes column pruning and
+    predicate pushdown through RepartitionByExpression, so the scan's
+    ReadSchema/PushedFilters are unchanged (plan-gated in
+    tests/test_plans.py)."""
+    df = table(spark, sf_dir, name)
+    if os.environ.get("FQ_SPREAD_DISABLE"):  # measurement kill-switch
+        return df
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    maxpb = _byte_string_as_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    target = spark.sparkContext.defaultParallelism
+    if (nbytes + maxpb - 1) // maxpb >= target:
+        return df
+    return df.repartition(target, key)
+
+
 def _normalize_event_ts(df: DataFrame, ts_col: str) -> DataFrame:
     """events.parquet has shipped with two physical `ts` encodings:
     TIMESTAMP(MICROS) (current corpus — reads natively as timestamp),

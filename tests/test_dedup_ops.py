@@ -56,8 +56,45 @@ class TestConnectedComponents:
         from fuse_query_spark.operators.dedup import connected_components
 
         df = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a BIGINT, id_b BIGINT")
+        # local_max_edges=0 pins the DISTRIBUTED loop (the r12 local
+        # union-find fallback has no rounds to bound)
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(df, max_iter=2)
+            connected_components(df, max_iter=2, local_max_edges=0)
+
+    def test_local_and_distributed_paths_agree(self, spark):
+        """r12 opt: the size-gated driver union-find fallback must be
+        row-identical to the iterative min-label loop on the same
+        graph — chain + triangle + pair + a 25-node path (multi-round
+        shape for the loop)."""
+        from fuse_query_spark.operators.dedup import connected_components
+
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+        edges += [(100 + i, 101 + i) for i in range(25)]
+        df = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+        local = {
+            (r.doc_id, r.component)
+            for r in connected_components(df).collect()  # under the gate
+        }
+        dist = {
+            (r.doc_id, r.component)
+            for r in connected_components(df, local_max_edges=0).collect()
+        }
+        assert local == dist
+
+    def test_loop_path_chain_triangle_and_pair(self, spark):
+        """The distributed loop keeps direct semantic coverage even
+        though small graphs now take the local fallback."""
+        from fuse_query_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+            "id_a BIGINT, id_b BIGINT",
+        )
+        got = {
+            r.doc_id: r.component
+            for r in connected_components(df, local_max_edges=0).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
     def test_return_count_matches_node_count(self, spark):
         """return_count=True rides the convergence agg — no extra job —
@@ -92,7 +129,9 @@ class TestCheckpointHygiene:
         df = spark.createDataFrame(
             [(i, i + 1) for i in range(60)], "id_a BIGINT, id_b BIGINT"
         )
-        out = connected_components(df)
+        # pin the distributed loop — the r12 local fallback has no
+        # checkpoints to release
+        out = connected_components(df, local_max_edges=0)
         assert out.count() == 61
         assert set(r.component for r in out.collect()) == {0}
         assert sc.getPersistentRDDs().size() <= base + 1

@@ -686,7 +686,10 @@ class TestQuoteAwareFrontEnd:
             "SELECT count(*) AS c FROM docs WHERE GROUP BY x",
             "SELECT count(*) AS c FROM docs GROUP BY",
             "SELECT count(*) AS c FROM docs LIMIT 5 BY c",
-            "SELECT count(*) AS c FROM docs LIMIT 5 OFFSET 2",
+            # "... LIMIT 5 OFFSET 2" left this list late-r12: the
+            # aggregate finalize holds the complete merge, so its
+            # OFFSET is just the final projection (NOTES_r12.md; the
+            # two-peer differential covers the grouped+offset shape)
             "SELECT count(*) AS c FROM docs WHERE x GROUP BY g WHERE y",
             "SELECT count(*) AS c FROM docs ORDER BY c GROUP BY g",
         ]:
