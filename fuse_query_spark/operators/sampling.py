@@ -380,23 +380,42 @@ def dsir_select(
 
     from fuse_query_spark.operators.dedup import _spread
 
-    # ONE tokenize pass (r12 opt): the token ARRAY table is spread
-    # across cores and materialized once, and the unigram explode, the
-    # bigram construction, and the stopword-density target predicate
-    # all read the materialized arrays — previously each of the three
-    # consumers re-ran the regex tokenize from the raw text (and all
-    # of them on the scan's single task, the one-row-group corpus
-    # shape — guide §2.5). ngrams_from_tokens evaluates its argument
-    # n+1 times per row, which against a materialized array column is
-    # a column read, not a re-tokenize.
-    tok_arr = _spread(
-        df.select(id_col, tokens(text_col).alias("_toks")), id_col
-    ).localCheckpoint(eager=True)
-    tok = tok_arr.select(id_col, F.explode("_toks").alias("_w"))
+    # r12 front-end (A/B-adjudicated over four formulations,
+    # OPTIMIZATION_r12.md "dsir re-measure"): spread + checkpoint the
+    # narrow (id, text) projection — NOT the token-array table, whose
+    # checkpoint materializes per-token string overhead and measured
+    # SLOWER than no optimization at all — and let each consumer
+    # tokenize lazily in parallel from the checkpointed text. The
+    # spread+checkpoint is gated on the scan actually under-splitting
+    # (the one-row-group corpus shape, guide §2.5); past the gate
+    # (>= cores partitions — the 100 TB case) the plain projection is
+    # used: three parallel column-pruned tokenize passes beat
+    # checkpointing a corpus-sized text table into block storage.
+    spark = df.sparkSession
+    base = df.select(id_col, text_col)
+    if base.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        d2 = _spread(base, id_col).localCheckpoint(eager=True)
+    else:
+        d2 = base
+    t = tokens(text_col)
+    tok = d2.select(id_col, F.explode(t).alias("_w"))
+    bg_src = d2.select(id_col, F.explode(ngrams_from_tokens(t, 2)).alias("_bg"))
+    # target predicate as an ARRAY expression — size(filter(lower(x) in
+    # stop))/size over the token array replaces the previous
+    # explode+groupBy density aggregation: one full shuffle of every
+    # token row removed at EVERY scale, identical semantics (explode of
+    # the same array; the empty-array doc is excluded either way —
+    # no group vs NULL density).
+    stop = list(STOPWORDS["en"])
+    target_ids = d2.where(
+        (
+            F.size(F.filter(t, lambda x: F.lower(x).isin(stop))).cast("double")
+            / F.size(t)
+        )
+        >= stop_frac
+    ).select(id_col)
     uni_f = tok.select(id_col, (md5_int32(F.col("_w")) % n_buckets).alias("_f"))
-    bg_f = tok_arr.select(
-        id_col, F.explode(ngrams_from_tokens(F.col("_toks"), 2)).alias("_bg")
-    ).select(id_col, (md5_int32(F.col("_bg")) % n_buckets).alias("_f"))
+    bg_f = bg_src.select(id_col, (md5_int32(F.col("_bg")) % n_buckets).alias("_f"))
     # dtf feeds THREE consumers (raw counts, target counts, scoring);
     # without materialization Catalyst re-runs the tokenize+md5 explode
     # per consumer — the recompute class the scaling probe caught here
@@ -412,21 +431,6 @@ def dsir_select(
         .groupBy(id_col, "_f")
         .agg(F.count(F.lit(1)).alias("_tf"))
         .localCheckpoint(eager=True)
-    )
-    # intrinsic target predicate: English-stopword density
-    # lower() matches text.py's stopword_hits — the target definition
-    # must agree with every other stopword-based operator (code-review
-    # r8: the case-sensitive form missed sentence-initial 'The'/'A')
-    target_ids = (
-        tok.groupBy(id_col)
-        .agg(
-            (
-                F.sum(F.lower(F.col("_w")).isin(STOPWORDS["en"]).cast("int"))
-                / F.count(F.lit(1))
-            ).alias("_dens")
-        )
-        .where(F.col("_dens") >= stop_frac)
-        .select(id_col)
     )
     # raw/tgt each feed two consumers (totals + the log-ratio join);
     # they are <= n_buckets rows, so the persist is cheap insurance
