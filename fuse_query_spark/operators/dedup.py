@@ -295,7 +295,10 @@ def minhash_dedup_pairs_md5(
     per consumer (~4x the scan-side work; measured on the r12 bench:
     the three md5-pipeline rows each re-shingled from scratch while
     their xxhash64 twin shared one table). One definition so the
-    cluster/reweight/split pipelines can't drift from the pair row."""
+    cluster/reweight/split pipelines can't drift from the pair row.
+    (Dropping the sigs checkpoint and letting AQE reuse the self-join
+    exchange was A/B-measured 1.15x/1.06x SLOWER on the cluster and
+    reweight rows — the checkpoint stays.)"""
     sh_df = _shingle_table(df, text_col, id_col, shingle_n).localCheckpoint(eager=True)
     sigs = minhash_signatures_md5(
         df, text_col, id_col, k, shingle_n, shingle_df=sh_df
@@ -548,7 +551,24 @@ def connected_components(
     if local_max_edges is None:
         local_max_edges = _CC_LOCAL_MAX_EDGES
     e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-    edges = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().persist()
+    # symmetric closure via explode, NOT union(e, e.swapped): the union
+    # form evaluates the (expensive: bucket self-join + jaccard verify)
+    # pairs subtree twice inside the edge-materialization job — AQE
+    # exchange reuse does not always collapse the two differently-
+    # projected branches (r12 opt, profiled at ~2x the pairs cost)
+    edges = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x"), F.col("y")),
+                    F.struct(F.col("y").alias("x"), F.col("x").alias("y")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.x", "_e.y")
+        .distinct()
+        .persist()
+    )
     n_edges = edges.count()  # materializes the cache either way
     if n_edges <= local_max_edges:
         try:

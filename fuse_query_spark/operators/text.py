@@ -470,7 +470,11 @@ def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id", lam: floa
     higher cardinality than the vocab join so LESS skewed; unigram
     factors ride the same joins; grand total is a 1-row broadcast.
 
-    Returns (id_col, n_transitions, avg_bigram_nll)."""
+    Returns (id_col, n_transitions, avg_bigram_nll).
+
+    Materializing dtf/uni via localCheckpoint was A/B-measured at
+    1.43x SLOWER (r12): AQE's runtime exchange reuse already dedupes
+    the shared subtrees, so the checkpoint only adds block I/O."""
     t = tokens(text_col)
     bg = df.select(
         id_col, F.explode(ngrams_from_tokens(t, 2)).alias("bg")
