@@ -51,8 +51,18 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     partitioning is byte-based (maxPartitionBytes), which under-splits
     small-but-compute-dense inputs (a 1.5 MB documents file is one
     partition, but shingling+hashing it is minutes of CPU). Hashing on
-    the id key keeps the later groupBy co-partitioned."""
+    the id key keeps the later groupBy co-partitioned.
+
+    Gated on the planned split count (r12 verdict finding #2): when
+    the input already has >= defaultParallelism partitions (the
+    100 TB case — thousands of natural scan splits), an unconditional
+    repartition-to-cores would COALESCE it into giant partitions
+    (guide §5 spill risk), so return it untouched. Callers pass
+    near-scan projections (no upstream exchange), so `.rdd` here
+    plans but never executes a stage."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target, key)
 
 
@@ -494,7 +504,7 @@ def lsh_cross_candidate_pairs_md5(
 # collected to the driver are two small scalars each, so 200k pairs is
 # a few MB — the same budget class as the broadcast-threshold gates
 # elsewhere (leakage_safe_split, the dim-broadcast 64MB cap). Override
-# per call or via the env for tests that must pin one path.
+# per call (local_max_edges=) for tests that must pin one path.
 _CC_LOCAL_MAX_EDGES = 200_000
 
 

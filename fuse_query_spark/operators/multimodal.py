@@ -1312,7 +1312,12 @@ def _huff_decode_table(payload: bytes) -> dict:
     17+n-byte table payload (tc/th byte + 16 length counts + values).
     A pure function of the bytes, cached across images: a corpus
     reuses a handful of tables, and rebuilding the canonical-code dict
-    per image was ~10% of the small-image decode profile (r12 opt)."""
+    per image was ~10% of the small-image decode profile (r12 opt).
+    INVARIANT: the returned dict is SHARED across every image whose
+    DHT payload matches — callers must treat it as read-only (lookups
+    only, never merge/mutate in place); a plain dict rather than a
+    MappingProxyType because the per-bit decode loop lookup is the
+    hottest path in the decoder."""
     bits = list(payload[1:17])
     vals = list(payload[17:])
     codes = _canonical_codes(bits, vals)

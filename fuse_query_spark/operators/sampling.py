@@ -391,6 +391,11 @@ def dsir_select(
     # (>= cores partitions — the 100 TB case) the plain projection is
     # used: three parallel column-pruned tokenize passes beat
     # checkpointing a corpus-sized text table into block storage.
+    # NOTE: the gate calls .rdd on the (id, text) projection; with a
+    # near-scan input (the registry's case) that only PLANS the scan.
+    # Callers passing a derived DataFrame with upstream exchanges
+    # would eagerly execute those AQE stages here — pass a
+    # materialized or near-scan input to dsir_select.
     spark = df.sparkSession
     base = df.select(id_col, text_col)
     if base.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:

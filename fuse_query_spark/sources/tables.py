@@ -72,22 +72,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _byte_string_as_bytes(v: str) -> int:
-    """Parse Spark byte-string conf values ('128m', '134217728b',
-    '1g', plain digits). Falls back to 128 MiB on anything exotic —
-    the conf's own default."""
-    s = str(v).strip().lower()
-    mult = 1
-    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
-        if s.endswith(suf):
-            s, mult = s[: -len(suf)], m
-            break
-    try:
-        return int(s) * mult
-    except ValueError:
-        return 128 * 1024 * 1024
-
-
 def spread_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     """`table()` plus scale-adaptive scan spreading (optimization
     guide §2.5: "one huge unsplittable file … repartition immediately
@@ -98,28 +82,25 @@ def spread_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataF
     every expression / Python stage above it runs single-threaded
     until the first exchange — measured as the dominant cost of the
     text/multimodal/TPC-H bench rows at sf0.1 (plans/r12/*_before.txt:
-    whole pipelines hang off a 1-split Scan parquet). When the file
-    footprint implies fewer scan splits than the session's
-    parallelism, hash-repartition on the high-cardinality `key`;
-    otherwise (the 100 TB case — footprint >= maxPartitionBytes *
-    cores) return the plain scan, so no full-table shuffle is ever
-    added at scale. The decision is a local file stat — no Spark job,
-    no extra planning round-trip. Catalyst pushes column pruning and
-    predicate pushdown through RepartitionByExpression, so the scan's
-    ReadSchema/PushedFilters are unchanged (plan-gated in
-    tests/test_plans.py)."""
+    whole pipelines hang off a 1-split Scan parquet). When the scan
+    PLANS fewer splits than the session's parallelism,
+    hash-repartition on the high-cardinality `key`; otherwise (the
+    100 TB case — thousands of natural splits) return the plain scan,
+    so no full-table shuffle is ever added at scale. The gate reads
+    the planner's own split count (`df.rdd.getNumPartitions()` — no
+    job runs; the plan below is a pure scan+project, so there is no
+    AQE stage to trigger), which is correct for single files AND
+    directory-shaped tables alike — the r12 file-stat heuristic
+    misread a directory of part-files as its ~4 KB inode size and
+    would have spread a 100 TB table (r12 verdict finding #1).
+    Catalyst pushes column pruning and predicate pushdown through
+    RepartitionByExpression, so the scan's ReadSchema/PushedFilters
+    are unchanged (plan-gated in tests/test_plans.py)."""
     df = table(spark, sf_dir, name)
     if os.environ.get("FQ_SPREAD_DISABLE"):  # measurement kill-switch
         return df
-    try:
-        nbytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
-    except OSError:
-        return df
-    maxpb = _byte_string_as_bytes(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
-    )
     target = spark.sparkContext.defaultParallelism
-    if (nbytes + maxpb - 1) // maxpb >= target:
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key)
 

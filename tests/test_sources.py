@@ -205,3 +205,70 @@ def test_orc_engine_roundtrip(spark, sf_dir, tmp_path):
         "SELECT engine FROM system.tables WHERE name = 'docs_orc'"
     )
     assert t[0][0] == "ORC"
+
+
+def test_spread_table_gate_multifile_directory(spark, tmp_path):
+    """r12 verdict finding #1: the old gate stat'd the table PATH with
+    os.path.getsize — on a directory of part-files (how any
+    Spark-written / real 100 TB table lands) that returns the inode
+    size (~4 KB), so a huge table was misread as tiny and a full-table
+    hash repartition was added to the scan. The gate now reads the
+    planner's own split count: a directory whose planned splits >=
+    defaultParallelism must come back as the PLAIN scan, no Exchange."""
+    from fuse_query_spark.plans.explain import shuffle_count
+    from fuse_query_spark.sources.tables import spread_table
+
+    sf_dir = str(tmp_path)
+    n_files = 64
+    (
+        spark.range(0, 6400)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+        )
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(f"{sf_dir}/documents.parquet")
+    )
+    old_maxpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # force >= 1 split per part-file so planned splits (64) exceed
+        # the test session's defaultParallelism (8) — the 100 TB shape
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+        df = spread_table(spark, sf_dir, "documents", "doc_id")
+        assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+        assert shuffle_count(df) == 0, "spread must be a no-op on a many-split scan"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_maxpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
+def test_spread_table_single_file_still_spreads(spark, sf_dir):
+    """The sf corpus shape (one single-row-group file -> 1 planned
+    split) must still get the repartition, keyed exchange only."""
+    from fuse_query_spark.plans.explain import shuffle_count
+    from fuse_query_spark.sources.tables import spread_table
+
+    df = spread_table(spark, sf_dir, "documents", "doc_id")
+    # plan checks BEFORE .rdd: .rdd on a df WITH an exchange executes
+    # the AQE stage and the formatted plan switches to the final form
+    # one physical exchange == 2 plan occurrences (shuffle_count docstring)
+    assert shuffle_count(df) == 2
+    assert shuffle_count(df, include_repartition=False) == 0
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_dedup_spread_gate_no_coalesce_on_many_splits(spark):
+    """_spread must not COALESCE an input that already has >=
+    defaultParallelism partitions (r12 verdict finding #2: giant
+    partitions / spill risk at scale)."""
+    from fuse_query_spark.operators.dedup import _spread
+
+    wide = spark.range(0, 1000).withColumnRenamed("id", "_id").repartition(32, "_id")
+    out = _spread(wide, "_id")
+    assert out is wide  # untouched, not coalesced to 8
+    narrow = spark.range(0, 100).withColumnRenamed("id", "_id").coalesce(1)
+    out2 = _spread(narrow, "_id")
+    assert out2.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
