@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -194,6 +195,44 @@ CALIBRATION_EVERY = 8  # one probe after every N suite queries
 # ate half the machine, and the query's normalized time deflates
 # accordingly. Re-pin only if the probe SHAPE changes.
 CAL_REFERENCE_SEC = 0.2
+
+
+def _short_name(name: str) -> str:
+    """Deterministic per-query key abbreviation for the contract line
+    (r12 verdict ask #2): the driver captures only the LAST 2000 bytes
+    of stdout, and the 88 full query names alone are ~2.5 KB, which is
+    why r11/r12 elided every per-query timing and blinded the driver's
+    geomean/regression/scaling analysis. Rule: 'qNN_*' TPC-H rows
+    collapse to 'qNN'; otherwise each '_' token keeps 3 chars (first
+    token) / 2 chars (rest), tokens containing digits kept whole (the
+    100m/10b/1b scale suffixes must stay distinct). The full->short
+    map is emitted to BENCH_DETAIL.json as `queries_key_map`."""
+    m = re.match(r"^(q\d\d)_", name)
+    if m:
+        return m.group(1)
+    out = []
+    for i, t in enumerate(name.split("_")):
+        if any(c.isdigit() for c in t) or len(t) <= 2:
+            out.append(t)
+        else:
+            out.append(t[:3] if i == 0 else t[:2])
+    return "".join(out)
+
+
+def _shorten_all(names: list) -> dict:
+    """name -> unique short key; collisions repaired deterministically
+    (alphabetical order, widen every token slice until unique)."""
+    shorts: dict = {}
+    for n in sorted(names):
+        s = _short_name(n)
+        k = 3
+        while s in shorts.values():
+            k += 1
+            s = "".join(
+                t if any(c.isdigit() for c in t) else t[:k] for t in n.split("_")
+            )
+        shorts[n] = s
+    return shorts
 
 
 def _calibration_probe(spark) -> float:
@@ -444,6 +483,7 @@ def main() -> None:
         print(f"bench vs_prev unavailable: {e}", file=sys.stderr)
 
 
+    shorts = _shorten_all(list(timings))
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -453,6 +493,7 @@ def main() -> None:
         "cpus": cpus,
         "queries": timings,
         "queries_stats": stats,
+        "queries_key_map": shorts,
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "calibration": calibration,
@@ -464,51 +505,60 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError as e:
         print(f"bench detail sidecar not written: {e}", file=sys.stderr)
-    # The driver keeps only the TAIL of stdout (~2 KB): BENCH_r05.json
-    # came back truncated mid-object because the line with all 74
-    # query timings was 2.4 KB. Budget the line to 1800 bytes — emit
-    # timings in registry order until the budget is hit, then say how
-    # many were elided (they're all in BENCH_DETAIL.json).
-    budget = 1800
-    # The BASELINE-mapped mirror rows' MEDIAN + warm spread go in the
-    # stdout artifact itself (judge r6 ask #2: the r6 gate flipped on a
-    # single best-run sample; the adjudicable number must be a median
-    # with variance shown, in BENCH_r{N}.json, not only in the sidecar).
-    mirrors = {
-        n: {
-            "median": stats[n]["median"],
-            "median_normalized": stats[n]["median_normalized"],
-            "spread": stats[n]["kept_spread"],
+    # The driver keeps only the TAIL (last 2000 bytes) of stdout:
+    # BENCH_r05.json came back truncated mid-object because the line
+    # with all 74 full-name query timings was 2.4 KB, and the r4-r12
+    # fix (elide timings to the sidecar) blinded the driver's PERF
+    # per-query/geomean/scaling analysis (r12 verdict ask #2). r13:
+    # every per-query median goes ON the line under a deterministic
+    # SHORT key (see _short_name; full->short map in BENCH_DETAIL.json
+    # `queries_key_map`), values at centisecond precision, compact
+    # JSON separators. Mirror-row warm spreads (judge r6 ask #2:
+    # median + variance in the stdout artifact, not only the sidecar)
+    # ride along as [lo, hi] — medians are already in `queries`. If a
+    # future registry outgrows the window, the fallback chain drops
+    # spreads first, then elides timings from the end as before.
+    budget = 1950
+
+    def _line(qdict, omitted, mir):
+        obj = {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "headline_normalized": total_normalized,
+            "vs_prev": vs_prev,
+            "unit": "sec",
+            "queries": qdict,
+            "queries_elided_see_detail": omitted,
+            "qkeys": "abbrev; full->short map in BENCH_DETAIL.json queries_key_map",
+            "calibration": cal_summary,
+            "sf": sf,
         }
+        if mir is not None:
+            obj["mirrors_spread"] = mir
+        return json.dumps(obj, separators=(",", ":"))
+
+    qmap = {shorts[n]: round(v, 2) for n, v in timings.items()}
+    spread_of = lambda n: [round(x, 2) for x in stats[n]["kept_spread"]]  # noqa: E731
+    mir_all = {
+        shorts[n]: spread_of(n)
         for n in sorted(MIRROR_QUERIES | HEAVY_QUERIES)
         if n in stats
     }
-
-    def _line(qdict, omitted):
-        return json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "headline_normalized": total_normalized,
-                "vs_prev": vs_prev,
-                "unit": "sec",
-                "queries": qdict,
-                "queries_elided_see_detail": omitted,
-                "mirrors_median": mirrors,
-                "calibration": cal_summary,
-                "sf": sf,
-            }
-        )
-
-    kept_q: dict[str, float] = {}
-    names = list(timings)
-    for i, name in enumerate(names):
-        trial = dict(kept_q)
-        trial[name] = timings[name]
-        if len(_line(trial, len(names) - i - 1)) > budget:
+    mir_core = {shorts[n]: spread_of(n) for n in sorted(MIRROR_QUERIES) if n in stats}
+    for mir in (mir_all, mir_core, None):
+        if len(_line(qmap, 0, mir)) <= budget:
+            print(_line(qmap, 0, mir))
             break
-        kept_q = trial
-    print(_line(kept_q, len(names) - len(kept_q)))
+    else:
+        kept_q: dict[str, float] = {}
+        names = list(timings)
+        for i, name in enumerate(names):
+            trial = dict(kept_q)
+            trial[shorts[name]] = round(timings[name], 2)
+            if len(_line(trial, len(names) - i - 1, None)) > budget:
+                break
+            kept_q = trial
+        print(_line(kept_q, len(names) - len(kept_q), None))
 
 
 if __name__ == "__main__":
