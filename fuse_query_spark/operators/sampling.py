@@ -398,29 +398,37 @@ def dsir_select(
     # materialized or near-scan input to dsir_select.
     spark = df.sparkSession
     base = df.select(id_col, text_col)
-    if base.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        d2 = _spread(base, id_col).localCheckpoint(eager=True)
-    else:
-        d2 = base
     t = tokens(text_col)
-    tok = d2.select(id_col, F.explode(t).alias("_w"))
-    bg_src = d2.select(id_col, F.explode(ngrams_from_tokens(t, 2)).alias("_bg"))
     # target predicate as an ARRAY expression — size(filter(lower(x) in
     # stop))/size over the token array replaces the previous
     # explode+groupBy density aggregation: one full shuffle of every
     # token row removed at EVERY scale, identical semantics (explode of
     # the same array; the empty-array doc is excluded either way —
-    # no group vs NULL density).
+    # no group vs NULL density, and 0/0 -> NULL -> a NULL flag that
+    # every filter form drops). The flag is stamped on the narrow
+    # projection BEFORE the checkpoint (r13, interleaved A/B 0.86-0.94
+    # across three sessions), so (a) the separate target_ids tokenize
+    # pass over the corpus disappears (the checkpoint build tokenizes
+    # once instead), and (b) the flag rides the dtf aggregate as a
+    # grouping column that is CONSTANT per doc — the target-side
+    # feature counts become a filtered scan of the dtf checkpoint
+    # instead of a dtf JOIN target_ids shuffle join over every
+    # (doc, feature) row. One boolean per row on the wire; at 100 TB
+    # the join this removes is doc×feature sized.
     stop = list(STOPWORDS["en"])
-    target_ids = d2.where(
-        (
-            F.size(F.filter(t, lambda x: F.lower(x).isin(stop))).cast("double")
-            / F.size(t)
-        )
-        >= stop_frac
-    ).select(id_col)
-    uni_f = tok.select(id_col, (md5_int32(F.col("_w")) % n_buckets).alias("_f"))
-    bg_f = bg_src.select(id_col, (md5_int32(F.col("_bg")) % n_buckets).alias("_f"))
+    is_target = (
+        F.size(F.filter(t, lambda x: F.lower(x).isin(stop))).cast("double") / F.size(t)
+    ) >= stop_frac
+    base = base.select(id_col, text_col, is_target.alias("_tgt"))
+    if base.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        d2 = _spread(base, id_col).localCheckpoint(eager=True)
+    else:
+        d2 = base
+    carry = [id_col, "_tgt"]
+    tok = d2.select(*carry, F.explode(t).alias("_w"))
+    bg_src = d2.select(*carry, F.explode(ngrams_from_tokens(t, 2)).alias("_bg"))
+    uni_f = tok.select(*carry, (md5_int32(F.col("_w")) % n_buckets).alias("_f"))
+    bg_f = bg_src.select(*carry, (md5_int32(F.col("_bg")) % n_buckets).alias("_f"))
     # dtf feeds THREE consumers (raw counts, target counts, scoring);
     # without materialization Catalyst re-runs the tokenize+md5 explode
     # per consumer — the recompute class the scaling probe caught here
@@ -433,7 +441,7 @@ def dsir_select(
     # were accumulating cached blocks across calls).
     dtf = (
         uni_f.unionAll(bg_f)
-        .groupBy(id_col, "_f")
+        .groupBy(*carry, "_f")
         .agg(F.count(F.lit(1)).alias("_tf"))
         .localCheckpoint(eager=True)
     )
@@ -441,8 +449,10 @@ def dsir_select(
     # they are <= n_buckets rows, so the persist is cheap insurance
     # against re-aggregating dtf
     raw = dtf.groupBy("_f").agg(F.sum("_tf").alias("_c_raw")).persist()
+    # target counts: filtered scan of the checkpoint — the _tgt flag
+    # was aggregated along (constant per doc), so no join
     tgt = (
-        dtf.join(target_ids, id_col)
+        dtf.where(F.col("_tgt"))
         .groupBy("_f")
         .agg(F.sum("_tf").alias("_c_tgt"))
         .persist()
@@ -513,18 +523,21 @@ def dsir_select(
         )
     # exact cut: deterministic top-frac on the ROUNDED score (ties by
     # id) so the boundary is engine-portable — one global window over
-    # doc-level rows
-    n_docs = scored.agg(F.count(F.lit(1)).alias("_n"))
+    # doc-level rows. The doc count comes from a count() over an
+    # unbounded frame of the SAME window sort (one WindowExec, no
+    # extra shuffle) — the previous separate scored.agg(count) +
+    # crossJoin recomputed the whole dtf-join-aggregate subtree a
+    # second time (r13; measured as ~half of the cut stage).
     w = Window.orderBy(F.col("logw_r").desc(), F.col(id_col))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            id_col,
-            "n_feat",
-            "logw_r",
-            (F.col("_rk") <= F.ceil(F.lit(select_frac) * F.col("_n")))
-            .cast("int")
-            .alias("selected"),
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return scored.select(
+        id_col,
+        "n_feat",
+        "logw_r",
+        (
+            F.row_number().over(w)
+            <= F.ceil(F.lit(select_frac) * F.count(F.lit(1)).over(w_all))
         )
+        .cast("int")
+        .alias("selected"),
     )
