@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from fuse_query_spark.operators.multimodal import _fuse_or_map, _tagged_map
+
 
 def sniff_container(data: bytes) -> str | None:
     """'mp4' | 'mkv' | None (unknown)."""
@@ -107,7 +109,8 @@ def demux_quarantine(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(cols)
 
-    return blobs.mapInPandas(
+    return _fuse_or_map(
+        blobs,
         _rows,
         "doc_id LONG, container STRING, status STRING, reason STRING, "
         "n_tracks INT, n_samples INT, n_keyframes INT, byte_sum LONG",
@@ -140,4 +143,4 @@ def synthesize_mixed_container_blobs(df: DataFrame, id_col: str = "doc_id") -> D
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")

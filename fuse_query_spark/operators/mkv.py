@@ -37,6 +37,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from fuse_query_spark.operators.multimodal import _fuse_or_map, _tagged_map
+
 EBML_HEADER = 0x1A45DFA3
 SEGMENT = 0x18538067
 INFO = 0x1549A966
@@ -294,7 +296,8 @@ def mkv_demux(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     )
             yield pd.DataFrame(cols)
 
-    return blobs.mapInPandas(
+    return _fuse_or_map(
+        blobs,
         _rows,
         "doc_id LONG, track_id INT, ttype STRING, codec STRING, frame_idx INT, "
         "ts LONG, keyframe INT, lace_idx INT, size INT, byte_sum LONG",
@@ -417,4 +420,4 @@ def synthesize_mkv_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")

@@ -38,6 +38,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from fuse_query_spark.operators.multimodal import _fuse_or_map, _tagged_map
+
 
 def _boxes(data: bytes, start: int, end: int):
     """Yield (fourcc, payload_start, payload_end) for each box in
@@ -293,7 +295,8 @@ def mp4_demux(blobs: DataFrame, id_col: str = "doc_id", every_n_sync: int = 2) -
                         cols["kf_pick"].append(pick)
             yield pd.DataFrame(cols)
 
-    return blobs.mapInPandas(
+    return _fuse_or_map(
+        blobs,
         _rows,
         "doc_id LONG, track_id INT, handler STRING, sample_idx INT, dts LONG, "
         "pts LONG, is_sync INT, size INT, byte_sum LONG, kf_pick INT",
@@ -340,7 +343,8 @@ def mp4_keyframe_bytes(
                 }
             )
 
-    return blobs.mapInPandas(
+    return _fuse_or_map(
+        blobs,
         _rows,
         "doc_id LONG, track_id INT, sample_idx INT, dts LONG, frame BINARY",
     )
@@ -494,4 +498,4 @@ def synthesize_mp4_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")

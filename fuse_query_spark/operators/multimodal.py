@@ -128,6 +128,44 @@ def _ppm_frame(data: bytes, off: int) -> tuple[int, int, int, int, int]:
     return w, h, bps, start, end
 
 
+def _tagged_map(src: DataFrame, gen, schema: str) -> DataFrame:
+    """src.mapInPandas(gen, schema), with the (src, gen) pair tagged on
+    the RESULT object so a downstream Python stage can FUSE: every
+    chained MapInPandas node is its own JVM->Python Arrow round trip
+    (measured flat ~0.2 s/stage at bench scale, guide §4), and the
+    synthesize->decode->stats pipelines ship their largest columns
+    across that boundary only to consume them immediately. A consumer
+    that would call blobs.mapInPandas(...) calls _fuse_or_map(...)
+    instead, which composes the producer transform with its own,
+    iterator-to-iterator, inside ONE Python worker.
+
+    The tag lives on the DataFrame OBJECT only: any intervening
+    transformation (filter/select/join/...) returns a NEW DataFrame
+    without the tag, so fusion can never skip an operation it did not
+    see — the fallback is exactly the chained plan."""
+    out = src.mapInPandas(gen, schema)
+    out._fq_fuse = (src, gen)
+    return out
+
+
+def _fuse_or_map(blobs: DataFrame, gen, schema: str) -> DataFrame:
+    """mapInPandas(gen, schema) over blobs, composing with the
+    producer's batch transform when blobs carries the fusion tag (see
+    _tagged_map). The result is tagged again, so 3-stage chains
+    (synthesize -> decode -> stats) collapse to one Python stage."""
+    import os as _os
+
+    tag = getattr(blobs, "_fq_fuse", None)
+    if tag is None or _os.environ.get("FQ_FUSE_DISABLE"):  # measurement kill-switch
+        return _tagged_map(blobs, gen, schema)
+    src, prod = tag
+
+    def _composed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return gen(prod(batches))
+
+    return _tagged_map(src, _composed, schema)
+
+
 def synthesize_blobs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic fake binary column (UTF-8 bytes of the text) —
     exercises the unknown-format fallback path."""
@@ -156,7 +194,7 @@ def synthesize_ppm_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": pdf[id_col], "content": pdf[id_col].map(_ppm_bytes)}
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
 
 
 def decode_image_meta(blobs: DataFrame, id_col: str = "doc_id", sniff: bool = True) -> DataFrame:
@@ -193,7 +231,7 @@ def decode_image_meta(blobs: DataFrame, id_col: str = "doc_id", sniff: bool = Tr
                 }
             ).astype({"width": "int32", "height": "int32"})
 
-    return blobs.mapInPandas(_meta, BLOB_META_SCHEMA)
+    return _fuse_or_map(blobs, _meta, BLOB_META_SCHEMA)
 
 
 def _wav_bytes(doc_id: int) -> bytes:
@@ -227,7 +265,7 @@ def synthesize_wav_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": pdf[id_col], "content": pdf[id_col].map(_wav_bytes)}
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
 
 
 def parse_wav(b: bytes) -> tuple[int, int, int, int, int] | None:
@@ -301,7 +339,7 @@ def decode_audio_meta(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return blobs.mapInPandas(_meta, AUDIO_META_SCHEMA)
+    return _fuse_or_map(blobs, _meta, AUDIO_META_SCHEMA)
 
 
 def decode_image_pixels(
@@ -332,8 +370,8 @@ def decode_image_pixels(
     def _pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return _decode_pixel_batches(batches, id_col, decoder)
 
-    return blobs.mapInPandas(
-        _pixels, "doc_id LONG, width INT, height INT, pixels BINARY"
+    return _fuse_or_map(
+        blobs, _pixels, "doc_id LONG, width INT, height INT, pixels BINARY"
     )
 
 
@@ -433,7 +471,7 @@ def synthesize_ppm_video(
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
 
 
 def frame_sample(blobs: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> DataFrame:
@@ -467,7 +505,7 @@ def frame_sample(blobs: DataFrame, every_n: int = 2, id_col: str = "doc_id") -> 
                     off, k = end, k + 1
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "content": frames})
 
-    return blobs.mapInPandas(_frames, "doc_id LONG, frame_idx INT, content BINARY")
+    return _fuse_or_map(blobs, _frames, "doc_id LONG, frame_idx INT, content BINARY")
 
 
 def _bmp_pixels(data: bytes) -> tuple[int, int, bytes]:
@@ -673,7 +711,7 @@ def synthesize_png_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
 
 
 def image_pixel_stats(
@@ -721,7 +759,7 @@ def image_pixel_stats(
     schema = "doc_id LONG, width INT, height INT, pixel_sum LONG"
     if weighted:
         schema += ", pixel_wsum LONG"
-    return blobs.mapInPandas(_stats, schema)
+    return _fuse_or_map(blobs, _stats, schema)
 
 
 # Frame types _jpeg_pixels dispatches to a real decoder; everything
@@ -830,7 +868,8 @@ def image_pixel_stats_quarantine(blobs: DataFrame, id_col: str = "doc_id") -> Da
                 )
             yield pd.DataFrame(rows)
 
-    return blobs.mapInPandas(
+    return _fuse_or_map(
+        blobs,
         _stats,
         "doc_id LONG, status STRING, reason STRING, width INT, height INT, pixel_sum LONG",
     )
@@ -1074,7 +1113,7 @@ def synthesize_gif_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
 
 
 def _gif_bytes_interlaced(doc_id: int) -> bytes:
@@ -1123,7 +1162,7 @@ def synthesize_gif_interlaced_blobs(df: DataFrame, id_col: str = "doc_id") -> Da
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
 
 
 # --- Real baseline JPEG decode, grayscale (r5, late) ----------------------
@@ -1575,7 +1614,7 @@ def synthesize_jpeg_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
 
 
 def _jpeg_lossless_bytes(doc_id: int) -> bytes:
@@ -1620,7 +1659,7 @@ def synthesize_jpeg_mixed_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
 
 
 def _jpeg_encode_color(
@@ -1694,7 +1733,7 @@ def synthesize_jpeg_color_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
 
 
 def _jpeg_encode_420(
@@ -2285,7 +2324,7 @@ def synthesize_jpeg_progressive_blobs(
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
 
 
 # --- Arithmetic-coded (SOF9) JPEG decode + encode (r7) --------------------
@@ -2852,7 +2891,7 @@ def synthesize_jpeg_arith_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
 
 
 # --- Progressive-arithmetic (SOF10) JPEG decode + encode (r7, late) -------
@@ -3260,4 +3299,4 @@ def synthesize_jpeg_arith_prog_blobs(df: DataFrame, id_col: str = "doc_id") -> D
                 }
             )
 
-    return df.select(id_col).mapInPandas(_gen, "doc_id LONG, content BINARY")
+    return _tagged_map(df.select(id_col), _gen, "doc_id LONG, content BINARY")
