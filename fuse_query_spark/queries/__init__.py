@@ -118,70 +118,66 @@ DRIVER_HIDDEN = {
 # (both r5+r6 green; sampling keeps split_leakage_safe + dsir,
 # similarity keeps 4 prefix rows).
 DRIVER_PRIORITY = [
-    # r12 rotation (judge r11 ask #2): prefix = the staleness plan's
-    # head verbatim (tools/check_oracle.py --stale after applying r11
-    # greens) — TWO never-checked rows first (never-checked outranks a
-    # repeat: distributed_topk_two_peer, the sort/limit Convergent
-    # stage over the wire — judge r11 ask #3 — and
-    # distributed_argmax_two_peer, the arg-extremum struct-state wire
-    # — ask #4), then the 22 remaining r8 rows, then the 26 oldest r9
-    # rows. After this round no registry row's last green predates r9;
-    # the remaining 29 r9 rows queue for r13. Every row below was
+    # r13 rotation (ROTATION.md / r12 verdict ask #7): prefix = the
+    # staleness plan's head verbatim (tools/check_oracle.py --stale
+    # after applying r12 greens) — the 24 remaining r9-stale rows
+    # first, then the 26 oldest r10 rows. After this round no
+    # registry row's last green predates r10. Every row below was
     # re-verified green by tools/check_oracle.py at sf0.01 before
-    # pinning. Displaced r10/r11-green rows keep their driver-green
-    # history past slot 50 (ROTATION.md).
-    "distributed_topk_two_peer",
-    "distributed_argmax_two_peer",
-    # --- last green r8 (the 22 remaining) ---
-    "numbers_sum_triple_100m",
-    "numbers_throughput_100m",
-    "numbers_topk_sort_100m",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q06_forecast_revenue",
-    "q12_priority_by_returnflag",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "rollup_orders",
-    "sample_quota_per_source",
-    "scalar_subquery",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_all",
-    "similarity_bucket_histogram",
-    "similarity_knn_lsh",
-    "text_token_stats",
-    "window_lag_lead",
-    "window_range_interval",
-    "window_rank",
-    "window_sliding_frame",
-    # --- last green r9 (oldest 26 of 55; rest queue for r13) ---
-    "agg_global_stats",
-    "agg_uniq",
-    "csv_engine_scan",
-    "decontaminate_bloom",
-    "decontaminate_ngram",
-    "dedup_duplicated_spans",
-    "dedup_embedding_cosine",
-    "dedup_exact_docs",
-    "dedup_minhash_cross_corpus",
-    "dedup_minhash_lsh_md5",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_md5",
-    "dialect_numbers_groupby",
-    "dialect_scalar_surface",
-    "events_cohort_retention",
-    "events_funnel_attribution",
-    "events_sessionize",
-    "filter_predicates",
-    "grouping_sets",
-    "having_filter",
-    "interval_arithmetic",
-    "join_semi_exists",
-    "json_engine_scan",
-    "limit_by",
-    "limit_offset",
-    "multimodal_ppm_decode",
+    # pinning (full-registry sweep, this round's close-out).
+    # Displaced rows keep their driver-green history past slot 50.
+    # --- last green r9 (the 24 remaining) ---
+    "numbers_substring_topk",
+    "pack_token_bins",
+    "pivot_events",
+    "q02_min_cost_supplier",
+    "q05_local_supplier_volume",
+    "q09_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q16_parts_supplier_relationship",
+    "q20_potential_part_promotion",
+    "sample_split_documents",
+    "scd2_customer_tiers",
+    "setop_union_keys",
+    "similarity_knn_ivf_md5",
+    "similarity_pairs_label_blocked",
+    "similarity_topk_bruteforce",
+    "sort_topk",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_repetition_metrics",
+    "window_first_last_nth",
+    "window_running_total",
+    # --- last green r10 (the 26 oldest) ---
+    "agg_approx_bounded",
+    "agg_percentiles",
+    "corpus_vocab_stats",
+    "correlated_exists",
+    "correlated_scalar_subquery",
+    "dedup_chunk_fraction",
+    "dedup_cluster_canonical",
+    "dedup_containment_md5",
+    "dedup_semantic_kmeans",
+    "dedup_soft_reweight",
+    "embedding_pq_encode",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_heavy_hitters_rollup",
+    "events_topk_sketch_rollup",
+    "events_uniq_sketch_rollup",
+    "events_value_histogram",
+    "expr_array_surface",
+    "expr_datetime_surface",
+    "expr_null_semantics",
+    "expr_projection",
+    "expr_string_surface",
+    "multimodal_blob_meta",
+    "multimodal_gif_decode",
+    "multimodal_gif_interlaced_decode",
+    "multimodal_jpeg_arith_decode",
 ]
 
 
