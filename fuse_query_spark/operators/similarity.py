@@ -547,6 +547,10 @@ def random_projection(
     (and 1/sqrt(16)=0.25 is an exact power of two).
 
     Returns the input's id column plus proj0..proj{out_dim-1}."""
+    import os
+
+    if not os.environ.get("FQ_RP_ARROW_DISABLE"):
+        return _random_projection_arrow(df, in_dim, out_dim, vec_col, id_col)
     signs = _rademacher_signs(in_dim, out_dim)
     scale = 1.0 / (out_dim**0.5)
     # zip_with + aggregate compiles to a loop (small codegen) instead of
@@ -564,6 +568,100 @@ def random_projection(
         )
         cols.append((acc * F.lit(scale)).alias(f"proj{j}"))
     return df.select(id_col, *cols)
+
+
+def _random_projection_arrow(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """random_projection's Arrow/NumPy body (guide §4.2): the JVM
+    Column form above is PLANNING-bound, not data-bound — 16
+    aggregate/zip_with lambdas over a 64-literal sign array put ~1k
+    nodes through Catalyst on every run, which costs ~1 s per
+    invocation while the actual math on the sf0.1 corpus (2k rows x
+    1024 flops) is microseconds. One mapInArrow stage with a trivial
+    plan does the same fold in NumPy.
+
+    BIT-exactness contract (the oracle hashes doubles exactly): the
+    accumulation is an explicit per-input-index loop — acc starts at
+    0.0 and adds v[i]*s[i] in index order, float64 throughout — i.e.
+    the SAME left-associated sum the JVM fold and the DuckDB oracle
+    expression evaluate; x*(+-1.0) and the final power-of-two scale
+    multiply are exact, and float32->float64 widening is exact.
+    NULL semantics mirror zip_with/aggregate: any row whose vector is
+    NULL, has length != in_dim, or contains a NULL element projects to
+    all-NULL (the JVM fold yields NULL for exactly those rows).
+    FQ_RP_ARROW_DISABLE=1 restores the JVM Column path (measurement
+    kill-switch, same class as FQ_SPREAD_DISABLE/FQ_FUSE_DISABLE)."""
+    import numpy as np
+
+    signs = _rademacher_signs(in_dim, out_dim)
+    sign_rows = np.array(signs, dtype=np.float64)  # (in_dim, out_dim)
+    scale = np.float64(1.0 / (out_dim**0.5))
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, " + ", ".join(
+        f"proj{j} double" for j in range(out_dim)
+    )
+    narrow = df.select(id_col, vec_col)
+
+    def project(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            vec = batch.column(1)
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = vec.flatten()
+            offs = np.asarray(vec.offsets)
+            lens = np.diff(offs)
+            clean = (
+                vec.null_count == 0
+                and flat.null_count == 0
+                and bool((lens == in_dim).all())
+            )
+            out = np.zeros((n, out_dim), dtype=np.float64)
+            if clean:
+                vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+                mat = vals.reshape(n, in_dim)
+                # index-order accumulation == the JVM/oracle fold
+                for i in range(in_dim):
+                    out += mat[:, i : i + 1] * sign_rows[i]
+                out *= scale
+                cols = [pa.array(out[:, j], type=pa.float64()) for j in range(out_dim)]
+            else:
+                valid = np.zeros(n, dtype=bool)
+                rows = vec.to_pylist()
+                for r, v in enumerate(rows):
+                    if v is None or len(v) != in_dim or any(x is None for x in v):
+                        continue
+                    valid[r] = True
+                    acc = np.zeros(out_dim, dtype=np.float64)
+                    for i, x in enumerate(v):
+                        acc += np.float64(np.float32(x)) * sign_rows[i]
+                    out[r] = acc * scale
+                cols = [
+                    pa.array(
+                        [out[r, j] if valid[r] else None for r in range(n)],
+                        type=pa.float64(),
+                    )
+                    for j in range(out_dim)
+                ]
+            yield pa.RecordBatch.from_arrays([ids] + cols, schema=_rp_arrow_schema(ids.type, id_col, out_dim))
+
+    return narrow.mapInArrow(project, out_schema)
+
+
+def _rp_arrow_schema(id_type, id_col: str, out_dim: int):
+    import pyarrow as pa
+
+    return pa.schema(
+        [pa.field(id_col, id_type)] + [pa.field(f"proj{j}", pa.float64()) for j in range(out_dim)]
+    )
 
 
 # --- Semantic dedup + product quantization (r5, late) --------------------

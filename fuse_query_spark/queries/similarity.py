@@ -405,12 +405,15 @@ def embedding_random_projection(spark, sf_dir):
     pairwise-distance distortion by ~1/sqrt(16). Deterministic
     Rademacher signs folded into both engines; fixed left-associated
     sums and the exact power-of-two scale make the oracle hash
-    BIT-exact. See operators/similarity.py:random_projection."""
+    BIT-exact. See operators/similarity.py:random_projection.
+
+    No scan spread here (r13): the r12 spread paid for the JVM
+    Column path; the Arrow/NumPy body is batch-vectorized and
+    planning-light, so fanning 2k rows over defaultParallelism
+    Python tasks measured 1.89x SLOWER than one task."""
     from fuse_query_spark.operators.similarity import random_projection
 
-    return random_projection(
-        spread_table(spark, sf_dir, "embeddings", "vec_id"), in_dim=64, out_dim=16
-    )
+    return random_projection(table(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16)
 
 
 def _knn_projected_oracle(out_dim: int = 16) -> str:

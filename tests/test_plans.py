@@ -305,8 +305,9 @@ def test_scatter_bucket_parity_with_reference_rule(spark):
 
 
 def test_r5_scan_side_ops_are_shuffle_free(spark, sf_dir):
-    """PII redaction, chunking, winnowing, and the JL projection are
-    pure scan-side Column work — zero exchanges in the plan."""
+    """PII redaction, chunking, and winnowing are pure scan-side
+    Column work; the JL projection is one scan-side Arrow stage (r13)
+    — zero exchanges in any of these plans."""
     for name in (
         "text_pii_redact",
         "text_chunk_windows",

@@ -201,6 +201,39 @@ class TestRandomProjection:
         b = random_projection(emb, 64, 16).orderBy("vec_id").collect()
         assert a == b
 
+    def test_arrow_body_bit_identical_to_jvm_fold(self, spark, sf_dir):
+        """r13: random_projection's Arrow/NumPy body must be BIT-exact
+        against the JVM Column fold it replaced (the oracle hashes
+        doubles exactly), including the NULL semantics for NULL /
+        short / long / NULL-element vectors, which the JVM zip_with +
+        aggregate fold projects to all-NULL."""
+        import os
+
+        from pyspark.sql import Row
+
+        from fuse_query_spark.operators.similarity import random_projection
+        from fuse_query_spark.sources.tables import table
+
+        emb = table(spark, sf_dir, "embeddings")
+        odd = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[float(i) for i in range(64)]),
+                Row(vec_id=2, embedding=None),
+                Row(vec_id=3, embedding=[1.0, 2.0]),
+                Row(vec_id=4, embedding=[float(i) for i in range(63)] + [None]),
+                Row(vec_id=5, embedding=[float(i) for i in range(65)]),
+            ],
+            schema="vec_id bigint, embedding array<float>",
+        )
+        for df in (emb, odd):
+            os.environ["FQ_RP_ARROW_DISABLE"] = "1"
+            try:
+                jvm = random_projection(df, 64, 16).orderBy("vec_id").collect()
+            finally:
+                del os.environ["FQ_RP_ARROW_DISABLE"]
+            arrow = random_projection(df, 64, 16).orderBy("vec_id").collect()
+            assert jvm == arrow
+
     def test_sign_matrix_balanced(self):
         """md5-parity signs are ~balanced (no constant row/col)."""
         from fuse_query_spark.operators.similarity import _rademacher_signs
