@@ -394,20 +394,40 @@ def simhash_near_pairs(
     ]
     buckets = sh.select(F.explode(F.array(*bands)).alias("x")).select("x.*")
     a, b = buckets.alias("a"), buckets.alias("b")
-    # hamming filter BEFORE the pair-dedup distinct: bit_count is a
-    # per-row codegen'd op, while distinct is a shuffle — shrinking its
-    # input (candidates that matched a band but exceed max_hamming drop
-    # out, and surviving pairs collapse from up-to-nb copies to one)
-    # cuts the exchanged volume several-fold.
+    # r13: emit each pair ONLY at its FIRST matching band — a pair that
+    # collides in band i qualifies iff no band j < i also collides,
+    # computed from xor(s_a, s_b) as a per-row codegen predicate inside
+    # the join. Exactly one copy of every pair survives, so the
+    # pair-dedup distinct (a full exchange + aggregate of the pair
+    # stream — the largest post-join shuffle in the query) disappears.
+    # Same output set: every pair within max_hamming collides in >= 1
+    # band (pigeonhole), and it is emitted at exactly its first one;
+    # pinned by test_first_band_emission_matches_distinct. Interleaved
+    # A/B vs the distinct form: 0.95x/0.89x dedup_simhash,
+    # 0.74x/0.72x dedup_simhash_md5, rows identical.
+    xor = F.col("a.s").bitwiseXOR(F.col("b.s"))
+    mask = F.lit((1 << width) - 1)
+    first_band = reduce(
+        lambda acc, j: acc.when(
+            F.shiftright(xor, j * width).bitwiseAND(mask) == 0, F.lit(j)
+        ),
+        range(1, nb),
+        F.when(xor.bitwiseAND(mask) == 0, F.lit(0)),
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.band") == first_band),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s"))).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -9,6 +9,7 @@ from fuse_query_spark.operators.dedup import (
     minhash_dedup_pairs,
     minhash_signatures,
     simhash,
+    simhash_near_pairs,
 )
 from fuse_query_spark.sources.tables import table
 
@@ -93,6 +94,53 @@ def test_simhash_md5_variant_matches_xxhash_structure(spark):
     ham12 = bin(sh[1] ^ sh[2]).count("1")
     ham15 = bin(sh[1] ^ sh[5]).count("1")
     assert ham12 < ham15
+
+
+def test_first_band_emission_matches_distinct(spark, sf_dir):
+    """r13: simhash_near_pairs emits each pair only at its FIRST
+    matching band (a join predicate on xor(s_a, s_b)) instead of
+    collapsing multi-band copies with a distinct. The output must be
+    (a) duplicate-free without any distinct and (b) set-identical to
+    the reference distinct-based formulation, on the real corpus."""
+    from fuse_query_spark.operators.dedup import simhash
+    from fuse_query_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    got = simhash_near_pairs(docs, bits=32, max_hamming=3).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in got]
+    assert len(keys) == len(set(keys)), "first-band emission produced duplicates"
+
+    # reference: every-band emission + hamming filter + distinct
+    nb, width = 4, 8
+    s = simhash(docs, bits=32).localCheckpoint(eager=True)
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", i * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
+            F.col("doc_id").alias("id"),
+            F.col("simhash").alias("s"),
+        )
+        for i in range(nb)
+    ]
+    buckets = s.select(F.explode(F.array(*bands)).alias("x")).select("x.*")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    ref = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
 
 
 def test_minhash_signature_shape(spark):
