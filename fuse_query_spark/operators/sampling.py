@@ -445,27 +445,27 @@ def dsir_select(
         .agg(F.count(F.lit(1)).alias("_tf"))
         .localCheckpoint(eager=True)
     )
-    # raw/tgt each feed two consumers (totals + the log-ratio join);
-    # they are <= n_buckets rows, so the persist is cheap insurance
-    # against re-aggregating dtf
-    raw = dtf.groupBy("_f").agg(F.sum("_tf").alias("_c_raw")).persist()
-    # target counts: filtered scan of the checkpoint — the _tgt flag
-    # was aggregated along (constant per doc), so no join
-    tgt = (
-        dtf.where(F.col("_tgt"))
-        .groupBy("_f")
-        .agg(F.sum("_tf").alias("_c_tgt"))
-        .persist()
-    )
-    # log-ratio table: <= n_buckets rows; outer join keeps raw-only
-    # buckets (c_tgt -> 0 via Laplace smoothing)
-    totals = (
-        raw.agg(F.sum("_c_raw").alias("_t_raw"))
-        .crossJoin(tgt.agg(F.sum("_c_tgt").alias("_t_tgt")))
+    # r13 (interleaved A/B 0.85x/0.96x across two sessions, rows
+    # identical): BOTH per-bucket counts in ONE aggregation pass over
+    # the dtf checkpoint — the raw count is the unconditional sum, the
+    # target count the conditional sum over the _tgt rows (when with
+    # no otherwise sums exactly the filtered rows, NULL for a bucket
+    # with none — the same NULL the previous raw LEFT JOIN tgt
+    # produced, coalesced to 0 below). One dtf scan + one shuffle
+    # instead of two of each plus a join back on the bucket key.
+    # counts feeds totals AND the log-ratio projection, so the
+    # <= n_buckets-row table is persisted for the duration of the
+    # collect (the insurance the two-pass form bought for raw/tgt);
+    # unpersisted before returning, so no blocks outlive the call.
+    counts = dtf.groupBy("_f").agg(
+        F.sum("_tf").alias("_c_raw"),
+        F.sum(F.when(F.col("_tgt"), F.col("_tf"))).alias("_c_tgt"),
+    ).persist()
+    totals = counts.agg(
+        F.sum("_c_raw").alias("_t_raw"), F.sum("_c_tgt").alias("_t_tgt")
     )
     lr_lazy = (
-        raw.join(tgt, "_f", "left")
-        .crossJoin(F.broadcast(totals))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "_f",
             (
@@ -480,13 +480,10 @@ def dsir_select(
             ).alias("_lr"),
         )
     )
-    # the log-ratio table is <= n_buckets rows — materialize it NOW so
-    # raw/tgt can be unpersisted before returning (the caller gets a
-    # DataFrame whose only upstream dependency is the checkpointed dtf,
-    # and no persisted blocks outlive this call)
+    # an empty target set leaves _t_tgt NULL -> every _lr NULL -> the
+    # same loud ValueError below as the two-pass form raised
     lr_rows = lr_lazy.collect()
-    raw.unpersist()
-    tgt.unpersist()
+    counts.unpersist()
     if not lr_rows or all(r["_lr"] is None for r in lr_rows):
         # empty target set (no doc meets stop_frac): every log-ratio is
         # NULL and the downstream cut would present an ARBITRARY
